@@ -1,0 +1,807 @@
+"""Relational operator library over the synthetic star schema.
+
+This is the extension surface of SURVEY.md §2.2: the reference
+(claim_pipeline.py) is a single-table pipeline, so joins, aggregation
+families, window functions, sorts, set ops and the scalar-function
+families are implemented here Spark-first over the TPC-H-ish tables.
+
+Scale design notes (local[N] tests, 1000-executor mental model):
+
+- Dimension tables (region/nation/customer/supplier/part at these
+  ratios) are broadcast explicitly — no shuffle for the big fact side.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  coalesces post-shuffle partitions and splits skewed keys.
+- The as-of join is the union+window formulation: one shuffle on the
+  partition key, no range cross-product, no per-key driver loop. This is
+  the plan that survives 100× data (an O(n·m) range join would not).
+- All money aggregates are decimal-stabilized (functions/stable.py) —
+  reproducible across any degree of parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.stable import dec, dec_avg, dec_sum, dec_sum_sql
+from ..registry import register
+from ..session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dec_sum_sql('l_quantity')} AS sum_qty,
+       {dec_sum_sql('l_extendedprice')} AS sum_base_price,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {dec_sum_sql('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+       {dec_sum_sql('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+       {dec_sum_sql('l_discount', 2)} / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE, tags=("agg", "flagship", "bench"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: scan → filter (parquet pushdown) →
+    hash aggregate with 8 aggregates. Whole plan stays in whole-stage
+    codegen; partial aggregation happens map-side before the single
+    shuffle on (l_returnflag, l_linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price, 4).alias("sum_disc_price"),
+            dec_sum(charge, 6).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+AGG_STATS_ORACLE = f"""
+WITH g AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         COUNT(DISTINCT l_partkey) AS distinct_parts,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         {dec_sum_sql('l_quantity')} AS sum_qty,
+         {dec_sum_sql('l_quantity * l_quantity', 4, 28)} AS sum_qty_sq
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, distinct_parts, min_price, max_price,
+       sum_qty / n AS avg_qty,
+       (sum_qty_sq - sum_qty * sum_qty / n) / (n - 1) AS var_qty
+FROM g
+"""
+
+
+@register("agg_stats", oracle=AGG_STATS_ORACLE, tags=("agg",))
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count-distinct plus a variance computed from exact decimal
+    sums (sum, sum-of-squares) so the result is order-independent —
+    the built-in var_samp is a running double and not reproducible
+    across partition counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum(F.col("l_quantity") * F.col("l_quantity"), 4, 28).alias("sum_qty_sq"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        "distinct_parts",
+        "min_price",
+        "max_price",
+        (F.col("sum_qty") / F.col("n")).alias("avg_qty"),
+        (
+            (F.col("sum_qty_sq") - F.col("sum_qty") * F.col("sum_qty") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var_qty"),
+    )
+
+
+ROLLUP_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dec_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_rollup", oracle=ROLLUP_ORACLE, tags=("agg",))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice").alias("total_price"))
+    )
+
+
+CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {dec_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=CUBE_ORACLE, tags=("agg",))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dec_sum("l_quantity").alias("sum_qty"))
+    )
+
+
+GROUPING_SETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dec_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@register("agg_grouping_sets", oracle=GROUPING_SETS_ORACLE, tags=("agg",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — by status and, separately, by priority."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {dec_sum_sql('o_totalprice')} AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register("agg_approx", tags=("agg", "approx"))  # no oracle: sketch outputs are engine-specific
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct, approximate percentiles).
+    Sketch values are engine-specific, so the driver runs the weaker
+    rows-only check; exact counterparts are oracle-checked in agg_stats /
+    sort_percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register("pivot_priority_counts", oracle=PIVOT_ORACLE, tags=("agg", "pivot"))
+def pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab) with an explicit value list — the explicit list
+    avoids the extra distinct-values job Spark otherwise runs first."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PRIORITIES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=Q3_ORACLE, tags=("join", "agg", "topk", "bench"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: selective dim filter → broadcast customer into
+    orders, shuffle-join lineitem on orderkey, aggregate, global top-10
+    with a total-order tie-break (unique l_orderkey last)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
+        .agg(dec_sum(disc_price, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n_name,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("join", "agg", "bench"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 6-way join. All dimensions broadcast; the only
+    shuffle joins are the fact-fact orders⋈lineitem."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(disc_price, 4).alias("revenue"))
+    )
+
+
+JOIN_INNER_ORACLE = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders, {dec_sum_sql('o_totalprice')} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("join_broadcast_inner", oracle=JOIN_INNER_ORACLE, tags=("join",))
+def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim inner join with an explicit broadcast hint — zero
+    shuffle for the orders side; aggregation shuffles 5 groups only."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice").alias("total_price"))
+    )
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+@register("join_left_semi", oracle=SEMI_ORACLE, tags=("join",))
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having at least one finished
+    order. Output columns come from the left side only."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_customers_without_urgent
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+@register("join_left_anti", oracle=ANTI_ORACLE, tags=("join",))
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent orders,
+    counted per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_urgent"))
+    )
+
+
+FULL_OUTER_ORACLE = """
+SELECT COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS customers_without_orders,
+       COUNT(*) FILTER (WHERE c_custkey IS NULL) AS orders_without_customers,
+       COUNT(*) FILTER (WHERE o_orderkey IS NOT NULL AND c_custkey IS NOT NULL) AS matched
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+"""
+
+
+@register("join_full_outer", oracle=FULL_OUTER_ORACLE, tags=("join",))
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with match/no-match accounting on both sides."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("customers_without_orders"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("orders_without_customers"),
+        F.count(F.when(F.col("o_orderkey").isNotNull() & F.col("c_custkey").isNotNull(), 1)).alias(
+            "matched"
+        ),
+    )
+
+
+RANGE_JOIN_ORACLE = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('900-925', 900.0, 925.0), ('925-950', 925.0, 950.0),
+         ('950-975', 950.0, 975.0), ('975-1000', 975.0, 1000.0)
+)
+SELECT band, COUNT(*) AS n_parts, {dec_sum_sql('p_retailprice')} AS sum_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+@register("join_range_bands", oracle=RANGE_JOIN_ORACLE, tags=("join", "range"))
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: parts bucketed into price bands. The band
+    table is tiny → broadcast nested-loop join, which is the right
+    physical plan; for large-large range joins see the as-of join's
+    union+window technique instead."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("900-925", 900.0, 925.0), ("925-950", 925.0, 950.0),
+         ("950-975", 950.0, 975.0), ("975-1000", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"), dec_sum("p_retailprice").alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window family
+# ---------------------------------------------------------------------------
+
+WINDOW_STATS_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER w AS rn,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_order_stats", oracle=WINDOW_STATS_ORACLE, tags=("window", "bench"))
+def window_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: row_number, lag, lead and an exact
+    running total. One shuffle on o_custkey serves all four window
+    functions (same window spec)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+TOPK_GROUP_ORACLE = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rnk <= 3
+"""
+
+
+@register("window_topk_per_group", oracle=TOPK_GROUP_ORACLE, tags=("window", "topk"))
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment — row_number over a
+    deterministic total order (price desc, then unique orderkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+RANK_FN_ORACLE = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+@register("window_rank_functions", oracle=RANK_FN_ORACLE, tags=("window",))
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over supplier balances per nation."""
+    supp = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / distinct / set ops
+# ---------------------------------------------------------------------------
+
+TOPK_GLOBAL_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+@register("sort_topk_global", oracle=TOPK_GLOBAL_ORACLE, tags=("sort", "topk"))
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 — Spark plans orderBy+limit as TakeOrderedAndProject
+    (per-partition top-k then k-way merge), never a full sort."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("sort_percentiles", oracle=PERCENTILE_ORACLE, tags=("agg", "sort"))
+def sort_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (both engines implement the
+    (n-1)*p convention); rounded to 4 decimals to absorb last-ulp
+    interpolation differences."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+@register("distinct_pairs", oracle=DISTINCT_ORACLE, tags=("sort",))
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — hash aggregate without aggregate functions."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+INTERSECT_ORACLE = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+"""
+
+
+@register("setop_intersect", oracle=INTERSECT_ORACLE, tags=("setop",))
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): customers ordering in both years."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+EXCEPT_ORACLE = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+"""
+
+
+@register("setop_except", oracle=EXCEPT_ORACLE, tags=("setop",))
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): 1995 customers who did not order in 1996."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
+
+
+UNION_ORACLE = """
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+UNION
+SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+"""
+
+
+@register("setop_union_distinct", oracle=UNION_ORACLE, tags=("setop",))
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): customers ordering in either year."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.unionByName(y96).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+STRING_FUNCS_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LENGTH(p_name) AS name_len,
+       SUBSTR(p_type, 1, 5) AS type_prefix,
+       CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_num,
+       p_brand || '/' || p_type AS brand_type,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       CASE WHEN p_type LIKE '%STEEL%' THEN 'steel' ELSE 'other' END AS material
+FROM part
+"""
+
+
+@register("scalar_string_funcs", oracle=STRING_FUNCS_ORACLE, tags=("scalar",))
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/length/substr/regexp_extract/concat/replace/
+    LIKE — all JVM-side codegen'd expressions, no UDFs."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_num"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.when(F.col("p_type").like("%STEEL%"), "steel").otherwise("other").alias("material"),
+    )
+
+
+DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS order_year,
+       EXTRACT(month FROM o_orderdate) AS order_month,
+       EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+       EXTRACT(dow FROM o_orderdate) AS order_dow,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       strftime(o_orderdate, '%Y-%m') AS order_ym
+FROM orders
+"""
+
+
+@register("scalar_date_funcs", oracle=DATE_FUNCS_ORACLE, tags=("scalar",))
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract fields, date arithmetic, formatting.
+    DuckDB's EXTRACT(dow) is 0=Sunday; Spark's dayofweek is 1=Sunday —
+    adjusted with -1 so semantics match."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).cast("long").alias(
+            "days_to_2002"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+    )
+
+
+MATH_FUNCS_ORACLE = """
+SELECT p_partkey,
+       ROUND(p_retailprice, 1) AS price_round1,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+       ABS(p_retailprice - 950.0) AS dist_from_950,
+       CAST(SQRT(p_size) AS DOUBLE) AS size_sqrt,
+       MOD(p_size, 7) AS size_mod7,
+       CAST(POWER(p_size, 2) AS DOUBLE) AS size_sq
+FROM part
+"""
+
+
+@register("scalar_math_funcs", oracle=MATH_FUNCS_ORACLE, tags=("scalar",))
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family — round/floor/ceil/abs/sqrt/mod/power (sqrt and
+    integer powers are IEEE-exact, so cross-engine deterministic)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_round1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.abs(F.col("p_retailprice") - 950.0).alias("dist_from_950"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator — Spark has no native ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+
+def asof_join_last_event(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+) -> DataFrame:
+    """Generic as-of join: for each left row, the most recent right row
+    with ``right_ts <= left_ts`` on the same key.
+
+    Implemented as union + window (tag sides, sort by time within key,
+    forward-fill the right value) — a single shuffle on the key, linear
+    work, no range cross-product. This is the formulation that scales to
+    100 TB; a naive ``left join on key and ts<=ts + max`` explodes on hot
+    keys. Ties: a right row at exactly left_ts wins (sorts first via the
+    side tag), and among equal-ts right rows the largest value row wins
+    (deterministic total order).
+    """
+    l_tag = left.select(
+        F.col(key).alias("k"),
+        F.col(left_ts).alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("rv"),
+        F.col(left_ts).alias("left_ts"),
+        *[F.col(c) for c in left.columns if c not in (key, left_ts)],
+    )
+    extra_cols = [c for c in left.columns if c not in (key, left_ts)]
+    r_tag = right.select(
+        F.col(key).alias("k"),
+        F.col(right_ts).alias("t"),
+        F.lit(0).alias("side"),
+        F.col(right_value).cast("long").alias("rv"),
+        F.lit(None).cast(dict(left.dtypes)[left_ts]).alias("left_ts"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in extra_cols],
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "side", "rv")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        l_tag.unionByName(r_tag)
+        .withColumn("asof_value", F.last("rv", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .drop("t", "side", "rv")
+    )
+
+
+ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id AS k, ts AS t,
+         CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS side,
+         CASE WHEN event_type = 'error' THEN event_id END AS rv,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id
+  FROM events WHERE event_type IN ('error', 'purchase')
+), filled AS (
+  SELECT k, t, side, purchase_id,
+         last_value(rv IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY t, side, rv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_id
+  FROM tagged
+)
+SELECT purchase_id, k AS user_id, CAST(epoch_us(t) AS BIGINT) AS purchase_ts_us, last_error_id
+FROM filled WHERE side = 1
+"""
+
+
+@register("join_asof_last_error", oracle=ASOF_ORACLE, tags=("join", "asof", "bench"))
+def join_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join inside the events table: for every purchase, the most
+    recent error event by the same user at or before the purchase."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    out = asof_join_last_event(purchases, errors, "user_id", "ts", "ts", "event_id")
+    return out.select(
+        "purchase_id",
+        F.col("k").alias("user_id"),
+        F.unix_micros(F.col("left_ts")).alias("purchase_ts_us"),
+        F.col("asof_value").alias("last_error_id"),
+    )

@@ -1,0 +1,95 @@
+"""SparkSession factory.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+config block is what we would ship to a 1000-executor cluster, minus the
+master/memory knobs which belong to spark-submit there:
+
+- AQE on (runtime re-planning: coalesce post-shuffle partitions,
+  skew-join splitting, dynamic broadcast conversion).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalescing makes the initial number much less critical.
+- Session time zone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (UTC-naive) bit-for-bit.
+- Arrow enabled for the few Pandas-UDF paths (multimodal decode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "insurance_claim_data_pipeline_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
+        # timestamp type, so read as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's session-level settings to an externally-built
+    SparkSession (the driver hands us one in ``__spark_entry__.entry``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table (TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as long
+    nanoseconds (legacy.parquet.nanosAsLong) and we convert to a
+    microsecond TimestampType by integer floor-division — the same
+    truncation DuckDB applies, so the oracle sees identical instants.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf may be driver-locked; reader below will surface it
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer `div`, not `/`: float division loses precision at 1e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES):
+    """Read several synthetic tables; returns {name: DataFrame}."""
+    return {name: load_table(spark, sf_dir, name) for name in names}

@@ -1,0 +1,137 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+The driver runs each ``queries()[name]`` on Spark and ``oracle_sql()[name]``
+on DuckDB over the same parquet tables, then compares row count + schema +
+order-insensitive value hash. This harness reimplements that check locally
+(slightly stricter on values: full-precision float equality) so every
+registered query is pre-validated before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+NULL = "␀NULL"
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def canon_cell(v) -> str:
+    """Engine-independent canonical string for one value."""
+    if v is None:
+        return NULL
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return NULL
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        # unify int/float representation: 950 and 950.0 both -> '950.0'
+        return repr(float(int(v))) if abs(int(v)) < 2**53 else str(int(v))
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, datetime.datetime):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def _kind(dtype, series: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_numeric_dtype(dtype):
+        return "num"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "ts"
+    non_null = series.dropna()
+    if len(non_null):
+        v = non_null.iloc[0]
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return "ts"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "list"
+        if isinstance(v, (int, float, Decimal)):
+            return "num"
+    return "obj"
+
+
+def canon_table(df: pd.DataFrame) -> tuple[list[str], dict[str, str], list[tuple]]:
+    """(sorted column names, column kind map, sorted canonical rows)."""
+    cols = sorted(df.columns)
+    kinds = {c: _kind(df[c].dtype, df[c]) for c in cols}
+    rows = [tuple(canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    rows.sort()
+    return cols, kinds, rows
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    s_cols, s_kinds, s_rows = canon_table(spark_pdf)
+    o_cols, o_kinds, o_rows = canon_table(oracle_pdf)
+    if s_cols != o_cols:
+        problems.append(f"{name}: column names differ: spark={s_cols} oracle={o_cols}")
+        return problems
+    for c in s_cols:
+        if s_kinds[c] != o_kinds[c]:
+            problems.append(
+                f"{name}: column {c} kind differs: spark={s_kinds[c]} oracle={o_kinds[c]}"
+            )
+    if len(s_rows) != len(o_rows):
+        problems.append(f"{name}: row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
+    if problems:
+        return problems
+    if s_rows != o_rows:
+        diff_s = [r for r in s_rows if r not in set(o_rows)][:3]
+        diff_o = [r for r in o_rows if r not in set(s_rows)][:3]
+        problems.append(
+            f"{name}: values differ; spark-only rows (≤3): {diff_s}; oracle-only rows (≤3): {diff_o}"
+        )
+    return problems
+
+
+def run_parity(spark, sf_dir: str, name: str, fn, oracle: str) -> list[str]:
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    con = duckdb_conn(sf_dir)
+    try:
+        oracle_pdf = con.execute(oracle).df()
+    finally:
+        con.close()
+    return compare_frames(spark_pdf, oracle_pdf, name)

@@ -1,0 +1,50 @@
+"""Every registered query must match its DuckDB oracle (the driver's
+correctness gate, replicated locally — see oracle_utils).
+
+Runs at sf0.001 by default for speed; set SPARK_GRAFT_PARITY_SF to
+/root/testdata/sf0.01 to reproduce the driver's exact configuration.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from insurance_claim_data_pipeline_spark import registry
+
+from .conftest import SF_ORACLE
+from .oracle_utils import run_parity
+
+SPECS = registry.all_specs()
+ORACLE_SPECS = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY_SPECS = sorted(n for n, s in SPECS.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_oracle_parity(spark, name):
+    spec = SPECS[name]
+    problems = run_parity(spark, SF_ORACLE, name, spec.fn, spec.oracle)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_SPECS)
+def test_rows_only_queries_run(spark, name):
+    df = SPECS[name].fn(spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_driver_contract_surface():
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) == len(SPECS)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
