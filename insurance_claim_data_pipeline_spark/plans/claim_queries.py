@@ -1,0 +1,217 @@
+"""Registry entries for the claim pipeline, oracle-checked end to end.
+
+The oracle SQL re-derives the whole normalize+eligibility pipeline in
+DuckDB directly from the fixture files (read_csv all_varchar to mimic
+csv.DictReader; read_json format='array' to mimic json.load), so the
+check covers S1-S3, P1-P4, F1-F4, E1-E7, L1 and A2-A3 — not just the
+final numbers.
+
+These queries ignore ``sf_dir``: the claim fixtures are the reference's
+own sample inputs (shipped under fixtures/), not part of the synthetic
+star schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.claims import classify_denial, exclusion_reason, is_eligible
+from ..plans.claim_pipeline import candidates_frame
+from ..registry import register
+from ..sources.claims import load_claims
+
+_FIXTURES = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "fixtures"))
+ALPHA_PATH = os.path.join(_FIXTURES, "emr_alpha.csv")
+BETA_PATH = os.path.join(_FIXTURES, "emr_beta.json")
+
+# Shared DuckDB CTE: fixture files → canonical claim rows, mirroring
+# load_alpha/load_beta exactly (including the alpha-only 'None' rule and
+# the raw-string date parse).
+_CLAIMS_CTE = f"""
+WITH alpha_raw AS (
+  SELECT * FROM read_csv('{ALPHA_PATH}', header=true, all_varchar=true)
+),
+alpha AS (
+  SELECT
+    nullif(trim(claim_id), '') AS claim_id,
+    nullif(trim(patient_id), '') AS patient_id,
+    nullif(trim(procedure_code), '') AS procedure_code,
+    CASE WHEN lower(nullif(trim(denial_reason), '')) = 'none' THEN NULL
+         ELSE nullif(trim(denial_reason), '') END AS denial_reason,
+    lower(nullif(trim(status), '')) AS status,
+    COALESCE(try_strptime(submitted_at, '%Y-%m-%d'),
+             try_strptime(submitted_at, '%Y-%m-%dT%H:%M:%S')) AS submitted_ts,
+    'alpha' AS source_system
+  FROM alpha_raw
+),
+beta_raw AS (
+  SELECT * FROM read_json('{BETA_PATH}', format='array')
+),
+beta AS (
+  SELECT
+    nullif(trim(CAST(id AS VARCHAR)), '') AS claim_id,
+    nullif(trim(CAST(member AS VARCHAR)), '') AS patient_id,
+    nullif(trim(CAST(code AS VARCHAR)), '') AS procedure_code,
+    nullif(trim(CAST(error_msg AS VARCHAR)), '') AS denial_reason,
+    lower(nullif(trim(CAST(status AS VARCHAR)), '')) AS status,
+    COALESCE(try_strptime(CAST("date" AS VARCHAR), '%Y-%m-%d'),
+             try_strptime(CAST("date" AS VARCHAR), '%Y-%m-%dT%H:%M:%S')) AS submitted_ts,
+    'beta' AS source_system
+  FROM beta_raw
+),
+claims AS (
+  SELECT claim_id, patient_id, procedure_code, denial_reason, status,
+         strftime(submitted_ts, '%Y-%m-%d') AS submitted_at,
+         CAST(submitted_ts AS DATE) AS submitted_date,
+         source_system
+  FROM alpha
+  UNION ALL
+  SELECT claim_id, patient_id, procedure_code, denial_reason, status,
+         strftime(submitted_ts, '%Y-%m-%d') AS submitted_at,
+         CAST(submitted_ts AS DATE) AS submitted_date,
+         source_system
+  FROM beta
+),
+classified AS (
+  SELECT *,
+    CASE WHEN denial_reason IS NULL THEN 'ambiguous'
+         WHEN lower(denial_reason) IN ('missing modifier','incorrect npi','prior auth required')
+           THEN 'retryable'
+         WHEN lower(denial_reason) IN ('authorization expired','incorrect provider type')
+           THEN 'non-retryable'
+         WHEN lower(denial_reason) LIKE '%incorrect procedure%'
+           OR lower(denial_reason) LIKE '%form incomplete%'
+           OR lower(denial_reason) LIKE '%not billable%'
+           THEN 'retryable'
+         ELSE 'ambiguous' END AS denial_class,
+    (COALESCE(status, '') = 'denied'
+     AND patient_id IS NOT NULL
+     AND submitted_date IS NOT NULL
+     AND date_diff('day', submitted_date, DATE '2025-07-30') > 7) AS passes_gate
+  FROM claims
+),
+flagged AS (
+  SELECT *, (passes_gate AND denial_class = 'retryable') AS eligible
+  FROM classified
+)
+"""
+
+
+def _claims_df(spark: SparkSession) -> DataFrame:
+    return load_claims(spark, [ALPHA_PATH, BETA_PATH]).claims
+
+
+NORMALIZED_ORACLE = (
+    _CLAIMS_CTE
+    + """
+SELECT claim_id, patient_id, procedure_code, denial_reason, status,
+       submitted_at, source_system
+FROM claims
+"""
+)
+
+
+@register("claims_normalized", oracle=NORMALIZED_ORACLE, tags=("claims",))
+def claims_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 + P1-P3 + F1-F4: both sources normalized to the canonical
+    7-column claim schema (submitted_at rendered ISO, as the reference
+    keeps it)."""
+    df = _claims_df(spark)
+    return df.select(
+        "claim_id",
+        "patient_id",
+        "procedure_code",
+        "denial_reason",
+        "status",
+        F.date_format("submitted_at", "yyyy-MM-dd").alias("submitted_at"),
+        "source_system",
+    )
+
+
+CANDIDATES_ORACLE = (
+    _CLAIMS_CTE
+    + """
+SELECT claim_id,
+       denial_reason AS resubmission_reason,
+       source_system,
+       CASE lower(denial_reason)
+         WHEN 'missing modifier' THEN 'Add correct CPT modifier, resubmit'
+         WHEN 'incorrect npi' THEN 'Review provider NPI, correct and resubmit'
+         WHEN 'prior auth required' THEN 'Obtain/attach prior authorization and resubmit'
+         WHEN 'incorrect procedure' THEN 'Verify CPT/HCPCS code mapping, correct if needed and resubmit'
+         WHEN 'form incomplete' THEN 'Fill missing fields and resubmit'
+         WHEN 'not billable' THEN 'Confirm coverage/payer policy; update claim or appeal'
+         ELSE 'Review claim details, supply missing info and resubmit'
+       END AS recommended_changes
+FROM flagged
+WHERE eligible
+"""
+)
+
+
+@register("claims_candidates", oracle=CANDIDATES_ORACLE, tags=("claims",))
+def claims_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E7 + L1 + P4: resubmission candidates with recommendations."""
+    return candidates_frame(_claims_df(spark)).drop("_file_idx", "_row_idx")
+
+
+EXCLUSION_ORACLE = (
+    _CLAIMS_CTE
+    + """
+SELECT CASE WHEN COALESCE(status, '') != 'denied' THEN 'not_denied'
+            WHEN patient_id IS NULL THEN 'patient_missing'
+            WHEN submitted_date IS NULL
+              OR date_diff('day', submitted_date, DATE '2025-07-30') <= 7 THEN 'too_recent'
+            ELSE 'non_retryable_or_ambiguous' END AS exclusion_reason,
+       COUNT(*) AS n_claims
+FROM flagged
+WHERE NOT eligible
+GROUP BY 1
+"""
+)
+
+
+@register("claims_exclusion_counts", oracle=EXCLUSION_ORACLE, tags=("claims",))
+def claims_exclusion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (intended semantics): each ineligible claim attributed to
+    exactly one exclusion bucket in the reference's rule order."""
+    df = _claims_df(spark)
+    return (
+        df.filter(~is_eligible())
+        .select(exclusion_reason().alias("exclusion_reason"))
+        .groupBy("exclusion_reason")
+        .agg(F.count(F.lit(1)).alias("n_claims"))
+    )
+
+
+BY_SOURCE_ORACLE = (
+    _CLAIMS_CTE
+    + """
+SELECT source_system, COUNT(*) AS n_claims FROM claims GROUP BY source_system
+"""
+)
+
+
+@register("claims_by_source", oracle=BY_SOURCE_ORACLE, tags=("claims",))
+def claims_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: processed-claim counts per source system."""
+    return _claims_df(spark).groupBy("source_system").agg(F.count(F.lit(1)).alias("n_claims"))
+
+
+CLASSIFY_ORACLE = (
+    _CLAIMS_CTE
+    + """
+SELECT claim_id, denial_reason, denial_class FROM classified
+"""
+)
+
+
+@register("claims_classify_denial", oracle=CLASSIFY_ORACLE, tags=("claims",))
+def claims_classify_denial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4-E6: the CASE classifier over every claim (exact-set checks
+    before substring containment, in reference order)."""
+    df = _claims_df(spark)
+    return df.select("claim_id", "denial_reason", classify_denial("denial_reason").alias("denial_class"))

@@ -1,0 +1,150 @@
+"""Golden end-to-end parity with the reference claim pipeline
+(SURVEY.md §5 items 1 and 3) plus scalar-function edge cases."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from insurance_claim_data_pipeline_spark.functions import claims as C
+from insurance_claim_data_pipeline_spark.plans.claim_pipeline import run_pipeline
+from insurance_claim_data_pipeline_spark.plans.claim_queries import ALPHA_PATH, BETA_PATH
+from insurance_claim_data_pipeline_spark.sources.claims import load_alpha, load_beta, load_claims
+
+EXPECTED_BOTH = [
+    {
+        "claim_id": "A123",
+        "resubmission_reason": "Missing modifier",
+        "source_system": "alpha",
+        "recommended_changes": "Add correct CPT modifier, resubmit",
+    },
+    {
+        "claim_id": "A124",
+        "resubmission_reason": "Incorrect NPI",
+        "source_system": "alpha",
+        "recommended_changes": "Review provider NPI, correct and resubmit",
+    },
+    {
+        "claim_id": "A127",
+        "resubmission_reason": "Prior auth required",
+        "source_system": "alpha",
+        "recommended_changes": "Obtain/attach prior authorization and resubmit",
+    },
+    {
+        "claim_id": "B988",
+        "resubmission_reason": "Missing modifier",
+        "source_system": "beta",
+        "recommended_changes": "Add correct CPT modifier, resubmit",
+    },
+]
+
+
+def test_golden_both_files(spark, tmp_path):
+    res = run_pipeline(spark, [ALPHA_PATH, BETA_PATH], str(tmp_path))
+    assert res.candidates == EXPECTED_BOTH
+    m = res.metrics
+    assert m["total_processed"] == 9
+    assert m["by_source"] == {"alpha": 5, "beta": 4}
+    assert m["flagged_for_resubmission"] == 4
+    # intended semantics (the reference's counter-key bug is fixed here;
+    # FIXTURES.md A4 documents these expected buckets)
+    assert m["excluded_by_reason"] == {
+        "not_denied": 2,
+        "patient_missing": 2,
+        "too_recent": 0,
+        "non_retryable_or_ambiguous": 1,
+        "malformed": 0,
+    }
+    # O1 sink: pretty-printed JSON array, insertion-ordered
+    with open(res.output_path, encoding="utf-8") as f:
+        assert json.load(f) == EXPECTED_BOTH
+    with open(res.metrics_path, encoding="utf-8") as f:
+        log = f.read()
+    assert "Total processed: 9" in log
+    assert "Flagged for resubmission: 4" in log
+
+
+def test_golden_beta_only_matches_reference_output(spark, tmp_path):
+    """The reference repo checks in the output of a beta-only run —
+    /root/reference/resubmission_candidates.json (1 candidate, B988,
+    original casing preserved)."""
+    res = run_pipeline(spark, [BETA_PATH], str(tmp_path))
+    with open("/root/reference/resubmission_candidates.json", encoding="utf-8") as f:
+        reference_out = json.load(f)
+    assert res.candidates == reference_out
+    assert res.metrics["total_processed"] == 4
+    assert res.metrics["by_source"] == {"alpha": 0, "beta": 4}
+
+
+def test_unsupported_and_missing_files(spark, tmp_path):
+    txt = tmp_path / "notes.txt"
+    txt.write_text("hello")
+    routed = load_claims(spark, [str(txt), str(tmp_path / "missing.csv"), BETA_PATH])
+    assert routed.skipped_files == [str(txt)]
+    assert routed.failed_files == [str(tmp_path / "missing.csv")]
+    assert routed.claims.count() == 4
+
+    res = run_pipeline(spark, [str(txt), str(tmp_path / "missing.csv"), BETA_PATH], str(tmp_path))
+    assert res.metrics["excluded_by_reason"]["malformed"] == 1  # failed file counted once
+
+
+def test_alpha_none_literal_and_empty_to_null(spark):
+    rows = {r["claim_id"]: r for r in load_alpha(spark, ALPHA_PATH).collect()}
+    assert rows["A126"]["denial_reason"] is None  # literal 'None' string (F4)
+    assert rows["A125"]["patient_id"] is None  # empty CSV field (F1)
+    assert rows["A123"]["status"] == "denied"
+    assert rows["A123"]["submitted_at"] == datetime.date(2025, 7, 1)
+
+
+def test_beta_nulls_and_iso_datetime_parse(spark):
+    rows = {r["claim_id"]: r for r in load_beta(spark, BETA_PATH).collect()}
+    assert rows["B989"]["denial_reason"] is None  # JSON null passthrough
+    assert rows["B990"]["patient_id"] is None
+    assert rows["B987"]["submitted_at"] == datetime.date(2025, 7, 3)  # T-format parse
+
+
+def test_seven_day_boundary(spark):
+    """Strict `>` at claim_pipeline.py:76: exactly 7 days old is NOT
+    eligible (2025-07-23 vs TODAY=2025-07-30); 8 days old is."""
+    df = spark.createDataFrame(
+        [
+            ("C1", "P1", "Missing modifier", "denied", "2025-07-23"),
+            ("C2", "P2", "Missing modifier", "denied", "2025-07-22"),
+            ("C3", "P3", "Missing modifier", "denied", None),
+        ],
+        "claim_id string, patient_id string, denial_reason string, status string, submitted_raw string",
+    ).selectExpr("*", "cast(submitted_raw as date) as submitted_at")
+    eligible = {r["claim_id"] for r in df.filter(C.is_eligible()).collect()}
+    assert eligible == {"C2"}
+    excl = {
+        r["claim_id"]: r["excl"]
+        for r in df.filter(~C.is_eligible()).select("claim_id", C.exclusion_reason().alias("excl")).collect()
+    }
+    assert excl == {"C1": "too_recent", "C3": "too_recent"}
+
+
+def test_classifier_containment_and_order(spark):
+    """E5 containment: 'incorrect procedure code' is retryable; E6 order:
+    exact non-retryable wins before containment could apply."""
+    df = spark.createDataFrame(
+        [
+            ("X1", "incorrect procedure code"),
+            ("X2", "Authorization Expired"),
+            ("X3", "FORM INCOMPLETE today"),
+            ("X4", "something else"),
+            ("X5", None),
+        ],
+        "claim_id string, denial_reason string",
+    )
+    got = {
+        r["claim_id"]: r["cls"]
+        for r in df.select("claim_id", C.classify_denial("denial_reason").alias("cls")).collect()
+    }
+    assert got == {
+        "X1": "retryable",
+        "X2": "non-retryable",
+        "X3": "retryable",
+        "X4": "ambiguous",
+        "X5": "ambiguous",
+    }
