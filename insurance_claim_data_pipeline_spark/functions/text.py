@@ -1,0 +1,55 @@
+"""Text-analysis column expressions over the ``documents`` table —
+tokenization, shingling, md5-based hashing primitives.
+
+Everything here is built-in-function composition (split / transform /
+sequence / md5): JVM-side, codegen'd, and — because md5 is standardized —
+bit-identical to the DuckDB oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SHINGLE_N = 5  # tokens per shingle for near-dup detection
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def shingles(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-token shingles ('w1 w2 .. wn' strings). Empty array for
+    docs shorter than n tokens."""
+    k = F.size(toks) - (n - 1)
+    built = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return F.when(k >= 1, built).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(toks: str, n: int = SHINGLE_N) -> str:
+    """DuckDB mirror of :func:`shingles`."""
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct([array_to_string({toks}[i:i+{n - 1}], ' ') "
+        f"FOR i IN generate_series(1, len({toks}) - {n - 1})]) "
+        f"ELSE [] END"
+    )
+
+
+def seeded_md5(seed: int, value: Column) -> Column:
+    """Deterministic per-seed hash family member: md5('<seed>:' || v)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), value))
+
+
+def seeded_md5_sql(seed: int, value: str) -> str:
+    return f"md5('{seed}:' || {value})"

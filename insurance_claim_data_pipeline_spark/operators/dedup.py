@@ -1,0 +1,392 @@
+"""Deduplication operator family over ``documents`` — the core of any
+large-scale training-data pipeline (not present in the reference;
+LLM-data extension surface).
+
+Five escalating techniques, all oracle-checkable because every hash is
+md5 (standardized, engine-independent) rather than an engine-native
+hash():
+
+- exact:      full-content hash groupBy.
+- ngram_jaccard: exact shingle-set Jaccard on candidate pairs that share
+  ≥1 shingle (inverted-index join — NEVER an all-pairs cross join).
+- minhash_lsh: 12-permutation MinHash signature, banded 3×4 for
+  candidate generation, exact-signature similarity estimate.
+- simhash:    60-bit SimHash with banded Hamming-distance candidates.
+- embedding near-dup: cosine threshold over the embeddings table
+  (brute force here; the LSH-bucketed scale path lives in similarity.py).
+
+Scale analysis (100 TB): exact/minhash/simhash are one scan + one
+shuffle on (hash/band) keys; candidate pair sets are output-bounded.
+The inverted-index Jaccard join shuffles shingle rows once; hot shingles
+(stop-phrases) are the skew risk — mitigated by AQE skew-join splitting,
+and in a production corpus by dropping top-frequency shingles (document
+frequency cap), which is standard practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, shingles_sql, tokens
+from ..functions.vectors import as_double, cosine, cosine_sql
+from ..registry import register
+from ..session import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+EXACT_ORACLE = """
+SELECT md5(text) AS content_md5,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=EXACT_ORACLE, tags=("dedup", "llm"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full content; lowest doc_id becomes
+    the canonical representative. One shuffle on the 128-bit hash —
+    the pattern that holds at any scale."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard over inverted-index candidates
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, tags=("dedup", "llm", "bench"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-token-shingle Jaccard near-dup pairs. Candidates come from
+    an inverted-index self-join (pairs sharing ≥1 shingle) — candidate
+    count is data-bounded, not O(n²)."""
+    doc = load_table(spark, sf_dir, "documents")
+    sh = doc.select("doc_id", F.explode(shingles(tokens("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    ).cast("double")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 12
+N_BANDS = 3  # 4 hashes per band
+MINHASH_EST_THRESHOLD = 0.5
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(N_HASHES)
+    )
+    return f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+)"""
+
+
+def _band_expr_sql(b: int) -> str:
+    parts = " || '|' || ".join(f"mh{b * 4 + i}" for i in range(4))
+    return f"md5({parts})"
+
+
+_MATCH_SUM = " + ".join(
+    f"(CASE WHEN x.mh{s} = y.mh{s} THEN 1 ELSE 0 END)" for s in range(N_HASHES)
+)
+
+MINHASH_ORACLE = f"""
+WITH {_minhash_sig_sql()},
+bands AS (
+  SELECT doc_id, b.band_idx,
+         CASE b.band_idx
+           WHEN 0 THEN {_band_expr_sql(0)}
+           WHEN 1 THEN {_band_expr_sql(1)}
+           WHEN 2 THEN {_band_expr_sql(2)}
+         END AS band_sig
+  FROM sig, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band_idx) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST({_MATCH_SUM} AS DOUBLE) / {N_HASHES}.0, 6) AS est_jaccard
+FROM cand
+JOIN sig x ON doc_a = x.doc_id
+JOIN sig y ON doc_b = y.doc_id
+WHERE CAST({_MATCH_SUM} AS DOUBLE) / {N_HASHES}.0 >= {MINHASH_EST_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=MINHASH_ORACLE, tags=("dedup", "llm", "bench"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, fully deterministic and
+    oracle-checkable: 12 md5-seeded min-hashes per document (computed as
+    12 MIN aggregates in ONE pass over exploded shingles — no 12×
+    explosion), banded 3×(4 hashes) into md5 band signatures; documents
+    sharing any band bucket become candidates; candidate similarity is
+    estimated from full signature agreement.
+
+    Scale: signature build is one shuffle on doc_id; banding is a narrow
+    projection; the bucket self-join shuffles 3 rows/doc on band_sig and
+    its output is bounded by real near-dup density (that's the LSH
+    point). This is the shape MLlib's MinHashLSH uses — rebuilt on md5
+    so the oracle can verify it."""
+    doc = load_table(spark, sf_dir, "documents")
+    sh = doc.select("doc_id", F.explode(shingles(tokens("text"))).alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(N_HASHES)
+        ]
+    )
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * 4 + i}") for i in range(4)])).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    bands = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_sig"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.alias("x")
+    y = sig.alias("y")
+    matches = sum(
+        F.when(F.col(f"x.mh{s}") == F.col(f"y.mh{s}"), 1).otherwise(0) for s in range(N_HASHES)
+    )
+    est = matches.cast("double") / float(N_HASHES)
+    return (
+        cand.join(x, F.col("doc_a") == F.col("x.doc_id"))
+        .join(y, F.col("doc_b") == F.col("y.doc_id"))
+        .filter(est >= MINHASH_EST_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, banded Hamming candidates)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15  # 4 bands of 15 bits
+HAMMING_MAX = 3
+
+SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), feat AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS feature FROM tok
+), tokhash AS (
+  SELECT doc_id, md5(feature) AS h FROM feat
+), bits AS (
+  SELECT doc_id, b.bit_idx,
+         ((strpos('0123456789abcdef', substr(h, CAST(b.bit_idx // 4 AS INTEGER) + 1, 1)) - 1)
+          >> CAST(3 - b.bit_idx % 4 AS INTEGER)) & 1 AS bit
+  FROM tokhash, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit_idx) b
+), bitsum AS (
+  SELECT doc_id, bit_idx, SUM(2 * bit - 1) AS s FROM bits GROUP BY doc_id, bit_idx
+), sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0
+                  THEN (CAST(1 AS BIGINT) << CAST({SIMHASH_BITS - 1} - bit_idx AS INTEGER))
+                  ELSE 0 END) AS simhash
+  FROM bitsum GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, k.band_idx,
+         (simhash >> CAST(k.band_idx * {SIMHASH_BAND_BITS} AS INTEGER))
+           & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
+  FROM sim, (SELECT unnest(generate_series(0, 3)) AS band_idx) k
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+"""
+
+
+@register("dedup_simhash", oracle=SIMHASH_ORACLE, tags=("dedup", "llm"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs, bit-identical across engines:
+    feature (5-token shingle) hash bits are md5 nibbles, the per-bit
+    majority vote over each document's shingle set forms the
+    fingerprint, and exact popcount(xor) filters to Hamming ≤ 3.
+    With 4×15-bit bands the candidate step is COMPLETE for distance ≤ 3
+    (pigeonhole: 3 differing bits cannot touch all 4 bands), so the
+    banded result equals the all-pairs result — no recall loss, no
+    cross join.
+
+    Scale: two shuffles (doc_id for the vote, band_val for candidates);
+    the 60× bit explosion is a narrow int projection that stays in
+    whole-stage codegen — no UDFs anywhere."""
+    doc = load_table(spark, sf_dir, "documents")
+    feat = doc.select("doc_id", F.explode(shingles(tokens("text"))).alias("feature"))
+    tokhash = feat.select("doc_id", F.md5("feature").alias("h"))
+    bits = tokhash.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit_idx"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit_idx",
+        F.expr(
+            "shiftright(instr('0123456789abcdef',"
+            " substring(h, cast(bit_idx div 4 as int) + 1, 1)) - 1,"
+            " cast(3 - bit_idx % 4 as int)) & 1"
+        ).alias("bit"),
+    )
+    bitsum = bits.groupBy("doc_id", "bit_idx").agg(F.sum(2 * F.col("bit") - 1).alias("s"))
+    sim = bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                f"case when s > 0 then shiftleft(cast(1 as bigint),"
+                f" cast({SIMHASH_BITS - 1} - bit_idx as int)) else cast(0 as bigint) end"
+            )
+        ).alias("simhash")
+    )
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band_idx",
+        F.expr(
+            f"shiftright(simhash, cast(band_idx * {SIMHASH_BAND_BITS} as int))"
+            f" & {(1 << SIMHASH_BAND_BITS) - 1}"
+        ).alias("band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ha ^ hb)")
+    return cand.filter(hamming <= HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COSINE_NEARDUP_THRESHOLD = 0.4  # synthetic embeddings are near-random (max ≈ 0.51)
+
+EMB_COSINE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {COSINE_NEARDUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", oracle=EMB_COSINE_ORACLE, tags=("dedup", "llm"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold. Brute-force
+    O(n²) pair generation is acceptable at oracle scale and is the
+    textbook baseline; the LSH-bucketed formulation that replaces it at
+    100 TB is similarity.py::sim_topk_lsh (random-hyperplane buckets).
+    Threshold filters on the ROUNDED value in both engines so the
+    boundary decision is identical."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
+    )

@@ -1,0 +1,150 @@
+"""Multimodal-column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, decoded/feature-extracted through
+Arrow-batched Pandas UDFs (``mapInPandas``).
+
+The container has no image/audio libraries, so the DECODE step is a
+deterministic fake (dimensions derived arithmetically from the byte
+length) clearly marked as a stub — but every piece of Spark plumbing
+around it is real and tested: the binary column synthesis, the schema
+contract, the Arrow batch iteration, the partition-preserving shape.
+Swap ``_fake_decode_batch`` for a PIL/ffmpeg call and nothing else
+changes. ``decode_image_real`` is the gated entry point for that.
+
+Scale notes: mapInPandas streams Arrow batches — constant memory per
+task regardless of partition size; binary payloads never pass through
+the driver; decode is embarrassingly parallel. This is the canonical
+100 TB media-pipeline shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+
+DECODED_SCHEMA = "doc_id long, n_bytes long, width long, height long, n_frames long"
+
+
+def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal input: documents' text encoded to a
+    binary payload column + typed metadata, the layout a media table
+    would have (opaque bytes + format tag)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("fakeimg/v1").alias("media_format"),
+        F.octet_length("text").alias("n_bytes_meta"),
+    )
+
+
+def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB DECODER (deterministic fake): derives "image" dimensions from
+    the payload length instead of parsing real pixels. Replace with a
+    real decoder (PIL etc.) without touching the Spark plumbing.
+
+    Kept for unit tests; the mapInPandas closure below INLINES the same
+    arithmetic on purpose — a worker-side closure must be fully
+    self-contained (pickled by value), because Spark's Python workers
+    cannot import this package unless its path is shipped to them.
+    """
+    n = pdf["content"].map(len)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n,
+            "width": n % 640 + 1,
+            "height": (n * 7) % 480 + 1,
+            "n_frames": n % 10 + 1,
+        }
+    )
+
+
+def decode_metadata(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: binary column in, typed metadata out."""
+
+    # Self-contained closure: no references to module-level names, so
+    # cloudpickle ships it by value and workers need no package import.
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            n = pdf["content"].map(len)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "width": n % 640 + 1,
+                    "height": (n * 7) % 480 + 1,
+                    "n_frames": n % 10 + 1,
+                }
+            )
+
+    return binary_df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def decode_image_real(content: bytes):  # pragma: no cover - gated stub
+    """Real image decode — requires an imaging library not present in
+    this environment. The Spark-side contract (bytes in, (width, height,
+    mode) out) is fixed here so a PIL build drops straight in."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL/Pillow, which is not installed in "
+            "this environment; the deterministic stub (_fake_decode_batch) "
+            "exercises the identical Spark plumbing"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(content))
+    return img.width, img.height, img.mode
+
+
+MM_METADATA_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
+       CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+@register("multimodal_decode_metadata", oracle=MM_METADATA_ORACLE, tags=("multimodal", "llm"))
+def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → decoded metadata through real mapInPandas
+    plumbing (the decode itself is the deterministic stub, so the oracle
+    can verify the whole path arithmetically)."""
+    return decode_metadata(binary_documents(spark, sf_dir))
+
+
+FRAME_SAMPLE_STRIDE = 2
+
+FRAME_SAMPLE_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx
+FROM meta, (SELECT unnest(generate_series(0, 9)) AS frame_idx) f
+WHERE f.frame_idx < n_frames AND f.frame_idx % {FRAME_SAMPLE_STRIDE} = 0
+"""
+
+
+@register("multimodal_frame_sample", oracle=FRAME_SAMPLE_ORACLE, tags=("multimodal", "llm"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: decode n_frames per payload (stub),
+    emit every STRIDE-th frame index — the explode-per-media-row shape
+    of a frame-extraction pipeline, fully deterministic."""
+    decoded = decode_metadata(binary_documents(spark, sf_dir))
+    return decoded.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % FRAME_SAMPLE_STRIDE == 0)

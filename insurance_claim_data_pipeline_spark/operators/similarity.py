@@ -1,0 +1,159 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``,
+dim=64): brute-force cosine top-k as the exact baseline, and a
+random-hyperplane LSH-bucketed variant as the scale path.
+
+Scale analysis: brute-force is O(Q·N) — fine when the query set is
+small and broadcast (one narrow pass over N, a TakeOrdered per query),
+but wrong when Q ≈ N. The LSH variant buckets vectors by hyperplane
+sign bits so each query only scans its bucket: candidate work drops by
+~2^planes at a recall cost; recall is tested against the exact baseline
+in tests/test_llm_ops.py. At 100 TB you'd add multi-probe (flip one
+bit) — implemented here — and/or an IVF coarse quantizer; the bucket
+join shape stays the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, cosine_sql
+from ..registry import register
+from ..session import load_table
+
+N_QUERIES = 8  # vec_id < 8 are the demo query vectors
+TOP_K = 5
+
+TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND({cosine_sql('q.embedding', 'e.embedding')}, 6) AS cos_sim
+  FROM q JOIN e ON q.vec_id != e.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_topk_bruteforce", oracle=TOPK_ORACLE, tags=("similarity", "llm", "bench"))
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against every
+    vector, rank per query on (rounded cosine desc, neighbor_id) — a
+    deterministic total order shared with the oracle. The scan side is
+    never shuffled; only Q·N scored rows enter the per-query top-k."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+N_PLANES = 6  # 64 buckets
+
+
+def _plane_weights(spark: SparkSession):
+    """Deterministic pseudo-random hyperplanes: weight(p, d) derived from
+    md5 — reproducible across runs/engines, no RNG state to ship."""
+    rows = []
+    import hashlib
+
+    for p in range(N_PLANES):
+        w = []
+        for d in range(64):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            w.append((h % 2001 - 1000) / 1000.0)
+        rows.append((p, w))
+    return spark.createDataFrame(rows, "plane int, w array<double>")
+
+
+@register("sim_topk_lsh", tags=("similarity", "llm", "approx"))  # approximate: rows-only check
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH with one-bit
+    multi-probe. Each vector gets a bucket id from the sign pattern of
+    dot products with N_PLANES md5-derived hyperplanes; queries probe
+    their own bucket plus each one-bit-flipped bucket; exact cosine
+    re-ranks candidates. No oracle entry (approximate recall is
+    engine-shape-specific); recall vs the exact baseline is asserted in
+    tests."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    planes = _plane_weights(spark)
+    # sign bits → bucket id, one narrow pass (explode planes is 6 rows/vec)
+    with_bits = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "v",
+            "plane",
+            F.when(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.col("w"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bit"),
+        )
+    )
+    bucketed = with_bits.groupBy("vec_id").agg(
+        F.first("v").alias("v"),
+        F.sum(F.expr("shiftleft(cast(bit as bigint), plane)")).alias("bucket"),
+    )
+    data = bucketed.select("vec_id", "v", "bucket")
+    queries = data.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    # multi-probe: own bucket + flip each bit once
+    probes = queries.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.expr(f"cast(qb as bigint) ^ cast({1 << p} as bigint)") for p in range(N_PLANES)],
+            )
+        ).alias("probe_bucket"),
+    )
+    cand = data.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
