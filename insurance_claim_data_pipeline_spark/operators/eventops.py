@@ -1,0 +1,254 @@
+"""Event-time window operators over the ``events`` table: tumbling /
+sliding / session windows, sessionization, JSON property extraction.
+
+The reference is a one-shot batch job with frozen time (claim_pipeline.py:33)
+and no streaming; this module supplies the event-time surface
+(SURVEY.md §2.2) in batch mode where the DuckDB oracle can check it
+exactly. The Structured Streaming variants (same semantics, watermarks,
+memory-sink tested) live in streaming/events_stream.py.
+
+Window boundaries are output as epoch MICROSECOND bigints —
+representation-stable across engines (no timestamp formatting drift).
+
+Scale notes: tumbling/sliding aggs are map-side-combinable hash
+aggregates (slide duplicates rows by window/slide factor — here 2×);
+sessionization is one shuffle on user_id + a linear window pass, the
+standard formulation that scales with users, not events-per-user².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.stable import dec_sum, dec_sum_sql
+from ..registry import register
+from ..session import load_table
+
+US_10MIN = 600_000_000
+US_5MIN = 300_000_000
+US_1H = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+TUMBLING_ORACLE = f"""
+SELECT (epoch_us(ts) // {US_10MIN}) * {US_10MIN} AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       {dec_sum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling_window", oracle=TUMBLING_ORACLE, tags=("events", "window", "bench"))
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling event-time windows per event type —
+    F.window() (epoch-aligned), the batch twin of the streaming query in
+    streaming/events_stream.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SLIDING_ORACLE = f"""
+SELECT ((epoch_us(ts) - k.off * {US_5MIN}) // {US_10MIN}) * {US_10MIN} + k.off * {US_5MIN}
+         AS window_start_us,
+       COUNT(*) AS n_events,
+       {dec_sum_sql('value')} AS sum_value
+FROM events, (SELECT unnest(generate_series(0, 1)) AS off) k
+GROUP BY 1
+"""
+
+
+@register("events_sliding_window", oracle=SLIDING_ORACLE, tags=("events", "window"))
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in 2
+    windows). The oracle derives the same window set arithmetically via
+    the offset trick."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Session semantics shared by the manual formulation, the native
+# session_window variant and the streaming variant: a NEW session starts
+# when the gap since the previous event is >= 30 minutes (half-open
+# [start, last+gap) windows, which is exactly Spark's session_window
+# rule).
+SESSIONIZE_ORACLE = f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) AS session_last_us,
+       COUNT(*) AS n_events,
+       {dec_sum_sql('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@register("events_sessionize", oracle=SESSIONIZE_ORACLE, tags=("events", "window", "bench"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap-flag + running sum (the portable
+    ANSI formulation): per-user sessions split at >= 30-minute gaps."""
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lag("ts").over(order).alias("prev_ts"),
+    )
+    marked = lagged.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") >= SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(order.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+SESSION_WINDOW_ORACLE = f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) + {SESSION_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+@register("events_session_window_native", oracle=SESSION_WINDOW_ORACLE, tags=("events", "window"))
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native F.session_window (gap-merged event-time sessions).
+    The oracle reconstructs identical sessions with the portable
+    formulation — session_window.end is last-event + gap by definition,
+    which the oracle mirrors arithmetically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_extract", oracle=JSON_PROPS_ORACLE, tags=("events", "scalar"))
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the props column via from_json (schema
+    'k INT') — integer sums are exact so no decimal stabilization
+    needed."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"].cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+ERROR_RATE_ORACLE = f"""
+SELECT (epoch_us(ts) // {US_1H}) * {US_1H} AS window_start_us,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       ROUND(CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE) / COUNT(*), 6)
+         AS error_rate
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_error_rate", oracle=ERROR_RATE_ORACLE, tags=("events", "window"))
+def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate monitoring window: conditional counts + ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    n = F.count(F.lit(1))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            n.alias("n_events"),
+            n_err.alias("n_errors"),
+            F.round(n_err.cast("double") / n, 6).alias("error_rate"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "n_errors",
+            "error_rate",
+        )
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming variants of the event-time queries.
+
+The batch twins in operators/eventops.py are oracle-checked; these run
+the SAME aggregations through readStream → writeStream with watermarks,
+proving the operators work under Spark's incremental execution model.
+Batch/stream equivalence is asserted in tests/test_streaming.py by
+draining the stream with processAllAvailable() against a memory sink
+and comparing to the batch result.
+
+Late-data semantics: the 1-hour watermark bounds state; in a real
+deployment the source is Kafka/files-arriving and the memory sink
+becomes a real sink — the query graph is identical.
+
+The registry exposes the tumbling variant as a rows-only query (no
+oracle): streaming output depends on trigger/watermark mechanics the
+DuckDB oracle cannot model, but the batch twin covers value
+correctness.
+"""
+
+from __future__ import annotations
+
+import os
+from uuid import uuid4
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import dec_sum
+from ..registry import register
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (nanos ts → micros timestamp,
+    same conversion as the batch loader)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # file-stream sources require a DIRECTORY; pathGlobFilter narrows the
+    # listing to the events table inside the shared sf_dir
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of events_tumbling_window: watermarked 10-minute
+    tumbling windows per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of events_session_window_native: watermarked
+    gap-based session windows per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain a (finite) streaming query through a complete-mode memory
+    sink and return the materialized result. Local smoke-path only —
+    a real deployment keeps the query running."""
+    name = f"stream_out_{uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register("events_tumbling_window_streaming", tags=("events", "streaming"))
+def events_tumbling_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution of the tumbling-window query
+    (rows-only check; the oracle-checked batch twin is
+    events_tumbling_window — results are asserted equal in tests)."""
+    events = _events_stream(spark, sf_dir)
+    return run_stream_to_memory(tumbling_counts_stream(events), spark)

@@ -1,0 +1,30 @@
+"""Structured Streaming smoke + batch-equivalence tests: the streaming
+queries must produce exactly the batch twins' results once fully
+drained (finite input, complete mode)."""
+
+from __future__ import annotations
+
+from insurance_claim_data_pipeline_spark.operators.eventops import (
+    events_session_window_native,
+    events_tumbling_window,
+)
+from insurance_claim_data_pipeline_spark.streaming import events_stream as es
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream_result = es.events_tumbling_window_streaming(spark, sf_dir)
+    batch_result = events_tumbling_window(spark, sf_dir)
+    cols = ["window_start_us", "event_type", "n_events", "sum_value"]
+    assert _sorted_rows(stream_result, cols) == _sorted_rows(batch_result, cols)
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    events = es._events_stream(spark, sf_dir)
+    stream_result = es.run_stream_to_memory(es.session_counts_stream(events), spark)
+    batch_result = events_session_window_native(spark, sf_dir)
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+    assert _sorted_rows(stream_result, cols) == _sorted_rows(batch_result, cols)
