@@ -1,0 +1,241 @@
+"""Advanced relational surface: outer joins, higher-order array/map
+functions, scalar + correlated subqueries, UNION ALL, range window
+frames.
+
+Fills the remaining SURVEY.md §2.2 rows the first operator wave left
+out. Everything is built-in Catalyst expressions — the higher-order
+functions (transform/filter/aggregate) run JVM-side with codegen, which
+is exactly why they beat Python UDFs for the embedding math; the
+correlated subquery goes through spark.sql so Catalyst's subquery
+decorrelation (RewriteCorrelatedScalarSubquery) is exercised, not
+hand-rolled.
+
+Scale notes: the right-outer join broadcasts the dim side (the fact
+side never shuffles); subquery decorrelation turns the correlated
+average into one aggregate + one shuffle join on the correlation key —
+the same plan a hand-written window/self-join would produce; the range
+frame needs one shuffle on the partition key and a linear sliding-frame
+pass per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.stable import dec, dec_sum, dec_sum_sql
+from ..registry import register
+from ..session import load_table
+
+
+RIGHT_OUTER_ORACLE = f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       {dec_sum_sql('o_totalprice')} AS total_spend
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@register("join_right_outer", oracle=RIGHT_OUTER_ORACLE, tags=("join",))
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every customer, with order count/spend (zero /
+    null for order-less customers). The preserved (customer) side is the
+    small one, so it is broadcast and the fact side never shuffles for
+    the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "right_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+ARRAY_FUNCS_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_all,
+       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4)
+         AS sum_squares
+FROM embeddings
+"""
+
+
+@register("scalar_array_funcs", oracle=ARRAY_FUNCS_ORACLE, tags=("scalar", "array"))
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: size,
+    element access, F.aggregate fold (sum), array_max, F.filter count,
+    transform+aggregate (sum of squares). All JVM-side — this is the
+    no-UDF path for vector math. float32→double casts are exact and the
+    folds are sequential left-to-right in both engines, so sums are
+    deterministic (rounded to absorb nothing — belt and braces)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    fold_sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.round(fold_sum(as_double), 4).alias("sum_all"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(fold_sum(F.transform(as_double, lambda x: x * x)), 4).alias("sum_squares"),
+    )
+
+
+MAP_FUNCS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       2 AS n_keys
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("scalar_map_funcs", oracle=MAP_FUNCS_ORACLE, tags=("scalar", "map"))
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type round-trip: build a map per row (create_map), read it
+    back via element_at and map_keys, aggregate on the extracted value.
+    The oracle checks the extracted scalars (DuckDB MAP syntax differs;
+    the values, not the container, are the contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("id"), F.col("event_id").cast("string"),
+    )
+    return (
+        ev.select(
+            F.element_at(m, "type").alias("event_type"),
+            F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.first("n_keys").alias("n_keys"))
+    )
+
+
+SCALAR_SUBQUERY_ORACLE = """
+SELECT p_partkey, p_retailprice
+FROM part
+WHERE p_retailprice > (
+  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part
+)
+"""
+
+
+@register("subquery_scalar", oracle=SCALAR_SUBQUERY_ORACLE, tags=("subquery",))
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts above the global average
+    price. Catalyst plans the subquery as its own aggregate and feeds
+    the scalar into the filter (one broadcast-style reuse, no join)."""
+    part = load_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_retailprice
+        FROM part_sq
+        WHERE p_retailprice > (
+          SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM part_sq
+        )
+        """
+    )
+
+
+CORRELATED_SUBQUERY_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2 * (
+  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+  FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("subquery_correlated", oracle=CORRELATED_SUBQUERY_ORACLE, tags=("subquery",))
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders more than 2× their customer's
+    average order value. Catalyst decorrelates this into
+    aggregate-then-join on o_custkey — the scalable plan (one shuffle),
+    not a per-row re-scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders_sq o
+        WHERE o.o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders_sq i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+UNION_ALL_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_rows
+FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+) u
+GROUP BY o_custkey
+"""
+
+
+@register("setop_union_all", oracle=UNION_ALL_ORACLE, tags=("setop",))
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — duplicates preserved, unlike the
+    distinct set ops): a row can arrive from both branches and both
+    copies count."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        urgent.unionByName(finished)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS order_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+FROM orders
+"""
+
+
+@register("window_range_frame", oracle=RANGE_FRAME_ORACLE, tags=("window",))
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, rolling
+    30-day spend — all orders whose order-day lies within the 29 days
+    preceding the current row's day. Days are epoch-day bigints so the
+    frame bound is engine-neutral; equal-day orders share one frame in
+    both engines (RANGE peer semantics). Days are computed date-side
+    (datediff from epoch), not via unix_micros — o_orderdate is
+    TIMESTAMP_NTZ and the date path is timezone-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+    w = W.partitionBy("o_custkey").orderBy("order_day").rangeBetween(-29, W.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("order_day"),
+        dec("o_totalprice").alias("_price_dec"),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "order_day",
+        F.sum("_price_dec").over(w).cast("double").alias("spend_30d"),
+    )

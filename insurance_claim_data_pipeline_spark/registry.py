@@ -45,6 +45,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Modules whose import registers their queries.
 _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.relational",
+    "insurance_claim_data_pipeline_spark.operators.advanced",
     "insurance_claim_data_pipeline_spark.operators.dedup",
     "insurance_claim_data_pipeline_spark.operators.similarity",
     "insurance_claim_data_pipeline_spark.operators.textops",
