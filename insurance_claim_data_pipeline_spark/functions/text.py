@@ -8,7 +8,7 @@ bit-identical to the DuckDB oracle mirrors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SHINGLE_N = 5  # tokens per shingle for near-dup detection
@@ -34,6 +34,31 @@ def shingles(toks: Column, n: int = SHINGLE_N) -> Column:
         )
     )
     return F.when(k >= 1, built).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(doc: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """``(doc_id, shingle)`` rows — distinct n-token shingles per doc.
+
+    Same set as ``explode(shingles(tokens(text)))`` but ~10× faster:
+    explode a position sequence first, then assemble each shingle with
+    flat element_at/concat_ws expressions that stay in whole-stage
+    codegen. The transform(sequence, lambda) formulation evaluates the
+    lambda interpreted per element — measured 1.2s vs 0.12s at sf0.1.
+    The when() guard matters: Spark's sequence(1, 0) counts DOWN, so
+    docs shorter than n tokens must yield no positions, not [1, 0].
+    distinct() restores the set semantics array_distinct provided.
+    """
+    toks = F.split("text", " ")
+    k = F.size("toks") - (n - 1)
+    pos = doc.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.explode(F.when(k >= 1, F.sequence(F.lit(1), k))).alias("i"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+    )
+    return pos.select("doc_id", shingle.alias("shingle")).distinct()
 
 
 def shingles_sql(toks: str, n: int = SHINGLE_N) -> str:

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, shingles_sql, tokens
+from ..functions.text import shingle_rows, shingles_sql
 from ..functions.vectors import as_double, cosine, cosine_sql
 from ..registry import register
 from ..session import load_table
@@ -89,14 +89,18 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= {JA
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-token-shingle Jaccard near-dup pairs. Candidates come from
     an inverted-index self-join (pairs sharing ≥1 shingle) — candidate
-    count is data-bounded, not O(n²)."""
+    count is data-bounded, not O(n²). The self-join keys on
+    xxhash64(shingle) (8 bytes) rather than the ~40-byte shingle string:
+    ~5× less shuffle volume, same result (a 64-bit collision between
+    distinct shingles in the same corpus is ~2^-64·pairs — negligible;
+    the oracle joins on the raw string, so parity itself guards this)."""
     doc = load_table(spark, sf_dir, "documents")
-    sh = doc.select("doc_id", F.explode(shingles(tokens("text"))).alias("shingle"))
+    sh = shingle_rows(doc).select("doc_id", F.xxhash64("shingle").alias("sh_key"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh_key") == F.col("b.sh_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -123,16 +127,23 @@ MINHASH_EST_THRESHOLD = 0.5
 
 
 def _minhash_sig_sql() -> str:
-    mins = ",\n         ".join(
-        f"MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(N_HASHES)
-    )
+    # Double hashing (Kirsch-Mitzenmacher): hash_i(x) = h1(x) + i*h2(x),
+    # where h1/h2 are the two 32-bit halves of ONE md5 — 12 hash-family
+    # members for the price of a single digest per shingle.
+    mins = ",\n         ".join(f"MIN(h1 + {s} * h2) AS mh{s}" for s in range(N_HASHES))
     return f"""
 tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok),
+shh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 )"""
 
 
@@ -172,24 +183,30 @@ WHERE CAST({_MATCH_SUM} AS DOUBLE) / {N_HASHES}.0 >= {MINHASH_EST_THRESHOLD}
 @register("dedup_minhash_lsh", oracle=MINHASH_ORACLE, tags=("dedup", "llm", "bench"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, fully deterministic and
-    oracle-checkable: 12 md5-seeded min-hashes per document (computed as
-    12 MIN aggregates in ONE pass over exploded shingles — no 12×
-    explosion), banded 3×(4 hashes) into md5 band signatures; documents
-    sharing any band bucket become candidates; candidate similarity is
-    estimated from full signature agreement.
+    oracle-checkable: 12 min-hashes per document from ONE md5 per
+    shingle via double hashing (Kirsch-Mitzenmacher: hash_i = h1 + i*h2
+    over the digest's two 32-bit halves — values < 2^36, no overflow in
+    either engine), computed as 12 MIN aggregates in one pass over
+    exploded shingles; banded 3×(4 hashes) into md5 band signatures;
+    documents sharing any band bucket become candidates; candidate
+    similarity is estimated from full signature agreement.
 
-    Scale: signature build is one shuffle on doc_id; banding is a narrow
+    Scale: one digest per shingle (not 12) is the dominant CPU saving;
+    signature build is one shuffle on doc_id; banding is a narrow
     projection; the bucket self-join shuffles 3 rows/doc on band_sig and
     its output is bounded by real near-dup density (that's the LSH
     point). This is the shape MLlib's MinHashLSH uses — rebuilt on md5
     so the oracle can verify it."""
     doc = load_table(spark, sf_dir, "documents")
-    sh = doc.select("doc_id", F.explode(shingles(tokens("text"))).alias("shingle"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
-            for s in range(N_HASHES)
-        ]
+    sh = shingle_rows(doc)
+    h = F.md5("shingle")
+    shh = sh.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    sig = shh.groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + s * F.col("h2")).alias(f"mh{s}") for s in range(N_HASHES)]
     )
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * 4 + i}") for i in range(4)])).alias(f"band{b}")
@@ -292,7 +309,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 60× bit explosion is a narrow int projection that stays in
     whole-stage codegen — no UDFs anywhere."""
     doc = load_table(spark, sf_dir, "documents")
-    feat = doc.select("doc_id", F.explode(shingles(tokens("text"))).alias("feature"))
+    feat = shingle_rows(doc).withColumnRenamed("shingle", "feature")
     tokhash = feat.select("doc_id", F.md5("feature").alias("h"))
     bits = tokhash.select(
         "doc_id",
