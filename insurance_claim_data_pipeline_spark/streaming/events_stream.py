@@ -81,13 +81,16 @@ def session_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Drain a (finite) streaming query through a complete-mode memory
-    sink and return the materialized result. Local smoke-path only —
-    a real deployment keeps the query running."""
+def run_stream_to_memory(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a (finite) streaming query through a memory sink and return
+    the materialized result. Local smoke-path only — a real deployment
+    keeps the query running. ``update`` mode appends every per-batch
+    snapshot (callers pick the final one); ``complete`` rewrites all."""
     name = f"stream_out_{uuid4().hex[:8]}"
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

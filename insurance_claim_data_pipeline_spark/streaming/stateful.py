@@ -1,0 +1,124 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no streaming at all (one-shot batch with frozen time,
+claim_pipeline.py:33, :155-233); this is the extension surface for
+arbitrary per-key running state that Spark's built-in streaming
+aggregates can't express (e.g. conditional counters, last-N tracking,
+custom session logic). The demo operator keeps per-user running totals
+(event count, value sum, last event micros) across micro-batches.
+
+Correctness contract: after draining a finite input, the LAST update
+emitted per user must equal the batch groupBy result — asserted in
+tests/test_streaming.py against the oracle-checked batch twin
+(events_user_totals below).
+
+Scale notes: state lives in the state store, partitioned by the group
+key — one shuffle on user_id per micro-batch, state size O(distinct
+users), Arrow-batched transfer to the Python worker. For production
+you'd add a timeout (GroupStateTimeout) to expire idle keys; the demo
+keeps NoTimeout because the input is finite.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import register
+from ..session import load_table
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, sum_value_cents bigint, last_event_us bigint"
+)
+STATE_SCHEMA = "n bigint, cents bigint, last_us bigint"
+
+
+def _update_user_totals(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for one user into running state and
+    emit the updated snapshot. Values are folded as integer cents,
+    rounded per row as floor(x*100 + 0.5) — the one convention all three
+    engines (pandas fold, Spark batch twin, DuckDB oracle) express
+    identically, making the sum exact and order-independent."""
+    import numpy as np
+
+    (user_id,) = key
+    n, cents, last_us = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(np.floor(pdf["value"].astype(float) * 100 + 0.5).sum())
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts_us"].max()))
+    state.update((n, cents, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value_cents": [cents],
+            "last_event_us": [last_us],
+        }
+    )
+
+
+def user_totals_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals over a stream of events rows
+    (requires a ``ts`` timestamp and ``value`` double column)."""
+    prepared = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+USER_TOTALS_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents,
+       MAX(epoch_us(ts)) AS last_event_us
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("events_user_totals", oracle=USER_TOTALS_ORACLE, tags=("events", "agg", "streaming"))
+def events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming operator: per-user totals as
+    one hash aggregate (integer-cents sum — exact and order-free)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sum_value_cents"),
+        F.max(F.unix_micros("ts")).alias("last_event_us"),
+    )
+
+
+@register("events_user_totals_stateful_streaming", tags=("events", "streaming"))
+def events_user_totals_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution of the stateful per-user totals
+    (rows-only check; batch/stream equality is asserted in tests against
+    the oracle-checked batch twin). Returns the final snapshot per user
+    (last update wins)."""
+    from .events_stream import _events_stream, run_stream_to_memory
+
+    events = _events_stream(spark, sf_dir)
+    out = run_stream_to_memory(user_totals_stream(events), spark, output_mode="update")
+    # update-mode memory sink appends every per-batch snapshot; the final
+    # state per user is the row with the highest n_events
+    w_last = W.partitionBy("user_id").orderBy(F.desc("n_events"), F.desc("last_event_us"))
+    return (
+        out.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -28,3 +28,15 @@ def test_streaming_session_window_equals_batch(spark, sf_dir):
     batch_result = events_session_window_native(spark, sf_dir)
     cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
     assert _sorted_rows(stream_result, cols) == _sorted_rows(batch_result, cols)
+
+
+def test_stateful_streaming_equals_batch(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.streaming.stateful import (
+        events_user_totals,
+        events_user_totals_stateful_streaming,
+    )
+
+    stream_result = events_user_totals_stateful_streaming(spark, sf_dir)
+    batch_result = events_user_totals(spark, sf_dir)
+    cols = ["user_id", "n_events", "sum_value_cents", "last_event_us"]
+    assert _sorted_rows(stream_result, cols) == _sorted_rows(batch_result, cols)
