@@ -205,6 +205,39 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALTED_AGG_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {dec_sum_sql('value')} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_salted_two_stage", oracle=SALTED_AGG_ORACLE, tags=("agg", "skew"))
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation: group keys here have very
+    few distinct values (event_type), so a single groupBy puts each key
+    on ONE reducer — a straggler at 100 TB. Stage 1 groups on
+    (key, salt=hash(row) % 16) so each hot key spreads over 16 reducers;
+    stage 2 merges the 16 partials per key. Decimal partials re-sum
+    exactly, so the result is identical to the direct aggregate (the
+    oracle computes it directly). Spark's partial/final HashAggregate
+    gives map-side combining already; explicit salting is the pattern
+    for when the FINAL aggregate itself is the bottleneck (huge state
+    per key, e.g. count-distinct or collect-type aggregates)."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(dec("value")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
+
+
 RANGE_FRAME_ORACLE = """
 SELECT o_orderkey, o_custkey,
        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS order_day,

@@ -1,0 +1,76 @@
+"""Physical-plan audits: the optimizations we rely on for 100 TB scale
+must actually appear in the executed plan — parquet predicate pushdown,
+column pruning, broadcast joins for dims, TakeOrderedAndProject for
+top-k, and no Python row-eval nodes in JVM-only queries. Catching a
+regression here is catching a 100× slowdown before it ships."""
+
+from __future__ import annotations
+
+import pytest
+
+from insurance_claim_data_pipeline_spark import registry
+
+SPECS = registry.all_specs()
+
+
+def physical_plan(spark, sf_dir, name: str) -> str:
+    return SPECS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q1_pricing_summary")
+    # filter reaches the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused lineitem columns never leave the scan
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q3_broadcasts_and_topk(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed to scan
+    assert "TakeOrderedAndProject" in plan  # top-10 never global-sorts
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "sort_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+JVM_ONLY_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_tumbling_window",
+    "events_sessionize",
+    "join_asof_last_error",
+    "window_order_stats",
+    "text_langid",
+    "text_quality_score",
+]
+
+
+@pytest.mark.parametrize("name", JVM_ONLY_QUERIES)
+def test_no_python_eval_in_jvm_queries(spark, sf_dir, name):
+    """Hot-path queries must stay JVM-side: a BatchEvalPython /
+    ArrowEvalPython node means a Python UDF crept in."""
+    plan = physical_plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", JVM_ONLY_QUERIES)
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = physical_plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan

@@ -30,6 +30,26 @@ def test_streaming_session_window_equals_batch(spark, sf_dir):
     assert _sorted_rows(stream_result, cols) == _sorted_rows(batch_result, cols)
 
 
+def test_streaming_claims_candidates_equals_batch(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.plans.claim_queries import (
+        ALPHA_PATH,
+        BETA_PATH,
+    )
+    from insurance_claim_data_pipeline_spark.plans.claim_pipeline import candidates_frame
+    from insurance_claim_data_pipeline_spark.sources.claims import load_claims
+    from insurance_claim_data_pipeline_spark.streaming.claims_stream import (
+        claims_candidates_streaming,
+    )
+
+    stream_result = claims_candidates_streaming(spark, sf_dir)
+    batch = candidates_frame(load_claims(spark, [ALPHA_PATH, BETA_PATH]).claims).drop(
+        "_file_idx", "_row_idx"
+    )
+    cols = ["claim_id", "resubmission_reason", "source_system", "recommended_changes"]
+    assert _sorted_rows(stream_result, cols) == _sorted_rows(batch, cols)
+    assert stream_result.count() == 4  # golden: A123, A124, A127, B988
+
+
 def test_stateful_streaming_equals_batch(spark, sf_dir):
     from insurance_claim_data_pipeline_spark.streaming.stateful import (
         events_user_totals,
