@@ -148,3 +148,29 @@ def test_classifier_containment_and_order(spark):
         "X4": "ambiguous",
         "X5": "ambiguous",
     }
+
+
+def test_corrupt_rows_counted_as_malformed(spark, tmp_path):
+    """X1 (claim_pipeline.py:190-212): a malformed record is counted as
+    malformed and skipped; the rest of the file still processes."""
+    from insurance_claim_data_pipeline_spark.plans.claim_pipeline import metrics_frame
+
+    bad_csv = tmp_path / "emr_bad.csv"
+    bad_csv.write_text(
+        "claim_id,patient_id,procedure_code,denial_reason,submitted_at,status\n"
+        'A201,P1,99213,Missing modifier,2025-07-01,denied\n'
+        '"A202,unterminated-quote,99,x\n'
+        "A203,P3,99214,Incorrect NPI,2025-07-02,denied\n"
+    )
+    routed = load_claims(spark, [str(bad_csv)])
+    # cache() materializes the full rows first — required for CSV corrupt-
+    # record accounting (column pruning would otherwise re-parse only the
+    # referenced columns and miss malformed-ness); run_pipeline does the same
+    claims = routed.claims.cache()
+    try:
+        m = metrics_frame(claims).collect()[0].asDict()
+    finally:
+        claims.unpersist()
+    assert m["malformed"] == 1
+    assert m["total_processed"] == 3
+    assert m["flagged_for_resubmission"] == 2
