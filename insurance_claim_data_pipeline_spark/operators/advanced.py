@@ -205,6 +205,37 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPLODE_ORACLE = """
+SELECT tok,
+       COUNT(*) AS term_freq,
+       COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY term_freq DESC, tok
+LIMIT 20
+"""
+
+
+@register("explode_token_freq", oracle=EXPLODE_ORACLE, tags=("scalar", "array", "text"))
+def explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UNNEST surface: explode the token array into rows
+    (Spark's lateral-view path), aggregate corpus-wide term and document
+    frequencies, global top-20 with a total-order tie-break. The explode
+    is a narrow op — rows fan out inside the stage, no shuffle until the
+    aggregate."""
+    doc = load_table(spark, sf_dir, "documents")
+    return (
+        doc.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), "tok")
+        .limit(20)
+    )
+
+
 SALTED_AGG_ORACLE = f"""
 SELECT event_type,
        COUNT(*) AS n_events,

@@ -221,6 +221,48 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYPERTABLE_ROLLUP_ORACLE = f"""
+SELECT (epoch_us(ts) // {US_1H}) * {US_1H} AS hour_us,
+       ((epoch_us(ts) // {US_1H * 24}) * {US_1H * 24}) AS day_us,
+       event_type,
+       COUNT(*) AS n_events,
+       {dec_sum_sql('value')} AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  ((epoch_us(ts) // {US_1H}) * {US_1H},
+   ((epoch_us(ts) // {US_1H * 24}) * {US_1H * 24}), event_type),
+  (((epoch_us(ts) // {US_1H * 24}) * {US_1H * 24}), event_type),
+  (((epoch_us(ts) // {US_1H * 24}) * {US_1H * 24}))
+)
+"""
+
+
+@register("events_hypertable_rollup", oracle=HYPERTABLE_ROLLUP_ORACLE, tags=("events", "window", "agg"))
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (the continuous-aggregate
+    pattern): one pass produces hourly-per-type, daily-per-type and
+    daily-total rows via GROUPING SETS — Catalyst expands the sets and
+    shares the scan, which is how you maintain downsampled views of an
+    events hypertable without re-reading the raw table per resolution."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))).alias("hour_us")
+    day = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H * 24))).alias("day_us")
+    ev.select(hour, day, "event_type", "value").createOrReplaceTempView("events_ht")
+    return spark.sql(
+        f"""
+        SELECT hour_us, day_us, event_type,
+               COUNT(*) AS n_events,
+               {dec_sum_sql('value')} AS sum_value
+        FROM events_ht
+        GROUP BY GROUPING SETS (
+          (hour_us, day_us, event_type),
+          (day_us, event_type),
+          (day_us)
+        )
+        """
+    )
+
+
 ERROR_RATE_ORACLE = f"""
 SELECT (epoch_us(ts) // {US_1H}) * {US_1H} AS window_start_us,
        COUNT(*) AS n_events,
