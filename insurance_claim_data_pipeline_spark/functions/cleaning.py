@@ -20,10 +20,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+_WS = r"[ \t\n\x0B\f\r]"  # Python str.strip()'s ASCII whitespace set
+
+
 def trim_null(col: Column | str) -> Column:
-    """F1: strip whitespace; empty-after-trim and null both → null."""
+    """F1: strip whitespace; empty-after-trim and null both → null.
+
+    regexp-based, not F.trim: the reference uses str.strip()
+    (claim_pipeline.py:63) which strips tabs/newlines too, while SQL
+    trim() strips only spaces. The explicit class keeps Spark (Java
+    regex) and the DuckDB oracle (RE2) identical; unicode whitespace
+    (which Python also strips) is a documented non-goal."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.nullif(F.trim(c), F.lit(""))
+    return F.nullif(F.regexp_replace(c, f"^{_WS}+|{_WS}+$", ""), F.lit(""))
 
 
 def lower_norm(col: Column | str) -> Column:
@@ -43,10 +52,14 @@ def parse_claim_date(col: Column | str) -> Column:
 
     try_to_timestamp (not to_date) because Spark 4 runs ANSI mode by
     default, where a failed to_date raises instead of returning null —
-    try_* restores the reference's try/except→None semantics.
+    try_* restores the reference's try/except→None semantics. Pattern
+    widths mirror CPython strptime exactly (property-tested in
+    tests/test_properties.py): %Y is exactly-4-digits → 'yyyy';
+    %m/%d/%H/%M/%S accept 1-2 digits ('2025-1-5') → single-letter
+    'M'/'d'/'H'/'m'/'s' ('MM' would reject unpadded fields).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
-        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-M-d")),
+        F.try_to_timestamp(c, F.lit("yyyy-M-d'T'H:m:s")),
     ).cast("date")

@@ -426,6 +426,87 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=Q4_ORACLE, tags=("join", "agg", "subquery"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style: EXISTS with a correlated non-equi condition.
+    Expressed as a left-semi join on orderkey with the l_shipdate >
+    o_orderdate predicate folded into the join condition — Catalyst
+    plans exactly this from the SQL EXISTS too; semi-join output is
+    bounded by the orders side regardless of lineitem fan-out."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1995-04-01 00:00:00")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, {dec_sum_sql('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {dec_sum_sql('l_quantity')} > 150
+)
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register("q18_large_orders", oracle=Q18_ORACLE, tags=("join", "agg", "topk"))
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style: aggregate-then-filter (HAVING) feeding joins.
+    The quantity aggregate runs FIRST, shrinking lineitem to the few
+    big orderkeys before any join — the selective side drives the plan
+    instead of joining full fact tables and filtering late."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window family
 # ---------------------------------------------------------------------------

@@ -27,6 +27,9 @@ _FIXTURES = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", 
 ALPHA_PATH = os.path.join(_FIXTURES, "emr_alpha.csv")
 BETA_PATH = os.path.join(_FIXTURES, "emr_beta.json")
 
+# DuckDB trim() only strips spaces; the oracle mirrors
+# cleaning.trim_null's regexp strip (str.strip() ASCII semantics) with
+# inline regexp_replace(..., '^[ \t\n\x0B\f\r]+|...$', '', 'g').
 # Shared DuckDB CTE: fixture files → canonical claim rows, mirroring
 # load_alpha/load_beta exactly (including the alpha-only 'None' rule and
 # the raw-string date parse).
@@ -36,12 +39,12 @@ WITH alpha_raw AS (
 ),
 alpha AS (
   SELECT
-    nullif(trim(claim_id), '') AS claim_id,
-    nullif(trim(patient_id), '') AS patient_id,
-    nullif(trim(procedure_code), '') AS procedure_code,
-    CASE WHEN lower(nullif(trim(denial_reason), '')) = 'none' THEN NULL
-         ELSE nullif(trim(denial_reason), '') END AS denial_reason,
-    lower(nullif(trim(status), '')) AS status,
+    nullif(regexp_replace(claim_id, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '') AS claim_id,
+    nullif(regexp_replace(patient_id, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '') AS patient_id,
+    nullif(regexp_replace(procedure_code, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '') AS procedure_code,
+    CASE WHEN lower(nullif(regexp_replace(denial_reason, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '')) = 'none' THEN NULL
+         ELSE nullif(regexp_replace(denial_reason, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '') END AS denial_reason,
+    lower(nullif(regexp_replace(status, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '')) AS status,
     COALESCE(try_strptime(submitted_at, '%Y-%m-%d'),
              try_strptime(submitted_at, '%Y-%m-%dT%H:%M:%S')) AS submitted_ts,
     'alpha' AS source_system
@@ -52,11 +55,11 @@ beta_raw AS (
 ),
 beta AS (
   SELECT
-    nullif(trim(CAST(id AS VARCHAR)), '') AS claim_id,
-    nullif(trim(CAST(member AS VARCHAR)), '') AS patient_id,
-    nullif(trim(CAST(code AS VARCHAR)), '') AS procedure_code,
-    nullif(trim(CAST(error_msg AS VARCHAR)), '') AS denial_reason,
-    lower(nullif(trim(CAST(status AS VARCHAR)), '')) AS status,
+    nullif(regexp_replace(CAST("id" AS VARCHAR), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '') AS claim_id,
+    nullif(regexp_replace(CAST("member" AS VARCHAR), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '') AS patient_id,
+    nullif(regexp_replace(CAST("code" AS VARCHAR), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '') AS procedure_code,
+    nullif(regexp_replace(CAST("error_msg" AS VARCHAR), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '') AS denial_reason,
+    lower(nullif(regexp_replace(CAST("status" AS VARCHAR), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '')) AS status,
     COALESCE(try_strptime(CAST("date" AS VARCHAR), '%Y-%m-%d'),
              try_strptime(CAST("date" AS VARCHAR), '%Y-%m-%dT%H:%M:%S')) AS submitted_ts,
     'beta' AS source_system

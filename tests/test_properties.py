@@ -1,0 +1,109 @@
+"""Property-based parity (hypothesis): the cleaning Column expressions
+must match pure-Python models of the reference's scalar functions
+(claim_pipeline.py:48-76) on arbitrary ASCII inputs — not just the
+fixture values. Each example batch becomes one small Spark job.
+
+Scope note: the reference's str.strip() also strips unicode whitespace;
+the engine (and these models) pin ASCII whitespace — generating ASCII
+keeps the property honest about what is actually promised.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from insurance_claim_data_pipeline_spark.functions.cleaning import (
+    lower_norm,
+    none_to_null,
+    parse_claim_date,
+    trim_null,
+)
+
+ASCII_WS = " \t\n\x0b\f\r"
+ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E) | st.sampled_from(ASCII_WS),
+    max_size=12,
+)
+maybe_text = st.none() | ascii_text
+# 'none' literals in assorted casings/padding must be generated often,
+# not hoped for
+none_ish = st.sampled_from(["none", "None", "NONE", " none ", "\tNoNe\n", "", "  "])
+f1_inputs = st.lists(maybe_text | none_ish, min_size=1, max_size=30)
+
+
+def model_strip(s):
+    if s is None:
+        return None
+    return s.strip(ASCII_WS) or None
+
+
+def model_lower(s):
+    t = model_strip(s)
+    return t.lower() if t is not None else None
+
+
+def model_none_to_null(s):
+    t = model_strip(s)
+    return None if (t is not None and t.lower() == "none") else t
+
+
+def model_parse_date(s):
+    if s is None:
+        return None
+    for fmt in ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S"):
+        try:
+            return datetime.datetime.strptime(s, fmt).date()
+        except ValueError:
+            pass
+    return None
+
+
+def _run(spark, values, expr):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    return [r[0] for r in df.select(expr(F.col("s")).alias("out")).collect()]
+
+
+@settings(max_examples=12, deadline=None)
+@given(values=f1_inputs)
+def test_trim_null_matches_python_strip(spark, values):
+    assert _run(spark, values, trim_null) == [model_strip(v) for v in values]
+
+
+@settings(max_examples=12, deadline=None)
+@given(values=f1_inputs)
+def test_lower_norm_matches_model(spark, values):
+    assert _run(spark, values, lower_norm) == [model_lower(v) for v in values]
+
+
+@settings(max_examples=12, deadline=None)
+@given(values=f1_inputs)
+def test_none_to_null_matches_model(spark, values):
+    assert _run(spark, values, none_to_null) == [model_none_to_null(v) for v in values]
+
+
+# Date strings: structured (valid and invalid component ranges, padded
+# and unpadded — strptime's %m accepts '1' AND '01') plus raw garbage.
+date_like = st.builds(
+    lambda y, m, d, t: f"{y}-{m}-{d}" + (t or ""),
+    y=st.integers(1, 9999).map(str),
+    m=st.integers(0, 19).map(str) | st.integers(1, 12).map(lambda v: f"{v:02d}"),
+    d=st.integers(0, 39).map(str) | st.integers(1, 31).map(lambda v: f"{v:02d}"),
+    t=st.none()
+    | st.builds(
+        lambda h, mi, s: f"T{h}:{mi}:{s}",
+        h=st.integers(0, 23).map(str),
+        mi=st.integers(0, 59).map(str),
+        s=st.integers(0, 59).map(str),
+    ),
+)
+date_inputs = st.lists(date_like | ascii_text | st.none(), min_size=1, max_size=30)
+
+
+@settings(max_examples=12, deadline=None)
+@given(values=date_inputs)
+def test_parse_claim_date_matches_strptime(spark, values):
+    assert _run(spark, values, parse_claim_date) == [model_parse_date(v) for v in values]

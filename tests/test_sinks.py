@@ -1,0 +1,37 @@
+"""Partitioned-sink round-trip: the written layout must give readers
+partition pruning (PartitionFilters in the scan, pruned directory
+count), and the data must survive the round-trip exactly."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from insurance_claim_data_pipeline_spark.session import load_table
+from insurance_claim_data_pipeline_spark.sources.sinks import write_partitioned
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(ev, out, ["event_date"], coalesce_files=2)
+
+    # hive-style directories exist
+    dirs = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(dirs) >= 2
+
+    back = spark.read.parquet(out)
+    one_day = sorted(d.split("=")[1] for d in dirs)[0]
+    q = back.filter(F.col("event_date") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the date filter must be a partition filter (directory pruning),
+    # not a data filter evaluated per row
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+    # round-trip equality for that day
+    expected = ev.filter(F.col("event_date") == one_day).count()
+    assert q.count() == expected
