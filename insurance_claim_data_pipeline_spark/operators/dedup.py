@@ -370,8 +370,100 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup
+# Connected components over near-dup pairs (dedup canonicalization)
 # ---------------------------------------------------------------------------
+
+COMPONENTS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+  UNION SELECT doc_a, doc_a FROM edges
+  UNION SELECT doc_b, doc_b FROM edges
+), reach AS (
+  -- transitive closure; fine at oracle scale, the Spark side uses
+  -- iterative label propagation instead
+  WITH RECURSIVE r(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM r JOIN sym s ON r.v = s.u
+  )
+  SELECT * FROM r
+)
+SELECT u AS doc_id, MIN(v) AS component_id
+FROM reach GROUP BY u
+"""
+
+
+@register("dedup_components", oracle=COMPONENTS_ORACLE, tags=("dedup", "llm", "iterative"))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph — the
+    canonicalization step that turns pairwise matches into dedup
+    clusters (every doc labeled with the smallest doc_id it is
+    transitively similar to).
+
+    Spark-side algorithm: iterative min-label propagation — each round
+    joins current labels across edges, takes the min of own and
+    neighbors' labels, and stops when no label changed (the only
+    driver-side values are the per-round change counts). Rounds needed =
+    graph diameter ≤ O(log n) for near-dup clusters, each round one
+    shuffle-join — the standard scalable formulation (GraphX/GraphFrames
+    use the same shape); the oracle's recursive-CTE transitive closure
+    would be O(n·paths) and is viable only at oracle scale.
+
+    localCheckpoint() per round truncates the exponentially growing
+    lineage (iterative DataFrame algorithms re-plan the whole history
+    otherwise)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # vertices that participate in at least one near-dup pair
+    verts = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    )
+    labels = verts.select("doc_id", F.col("doc_id").alias("component_id"))
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("nbr_min", "component_id")
+                ).alias("component_id"),
+                (F.col("component_id") > F.coalesce("nbr_min", "component_id")).alias(
+                    "_changed"
+                ),
+            )
+        ).localCheckpoint()
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
 
 COSINE_NEARDUP_THRESHOLD = 0.4  # synthetic embeddings are near-random (max ≈ 0.51)
 
