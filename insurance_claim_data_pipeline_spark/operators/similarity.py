@@ -68,6 +68,46 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id,
+         GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))),
+                  1e-30) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(s.scale, 9) AS scale,
+       list_transform(CAST(e.embedding AS DOUBLE[]),
+                      x -> CAST(GREATEST(LEAST(FLOOR(x / s.scale + 0.5), 127), -127)
+                                AS INTEGER)) AS q
+FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+"""
+
+
+@register("emb_quantize_int8", oracle=QUANTIZE_ORACLE, tags=("similarity", "llm"))
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (max-abs
+    scaling, the standard pre-index compression for ANN at scale: 4×
+    smaller vectors, SIMD-friendly integer dot products). Quantized
+    value = clip(floor(x/scale + 0.5), ±127) — floor(+0.5) is the one
+    rounding rule both engines express identically. Pure higher-order
+    expressions, one narrow pass, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    scale = F.greatest(
+        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-30)
+    ) / F.lit(127.0)
+    with_scale = emb.select("vec_id", "v", scale.alias("scale"))
+    q = F.transform(
+        "v",
+        lambda x: F.greatest(
+            F.least(F.floor(x / F.col("scale") + 0.5), F.lit(127)), F.lit(-127)
+        ).cast("int"),
+    )
+    return with_scale.select("vec_id", F.round("scale", 9).alias("scale"), q.alias("q"))
+
+
 N_PLANES = 6  # 64 buckets
 
 

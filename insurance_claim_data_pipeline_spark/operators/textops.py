@@ -20,14 +20,16 @@ from ..session import load_table
 
 TOKEN_STATS_ORACLE = """
 WITH tok AS (
-  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
 )
 SELECT doc_id, lang,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
        ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS type_token_ratio,
        ROUND(list_reduce(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), (a, b) -> a + b)
-             / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len
+             / CAST(len(toks) AS DOUBLE), 6) AS avg_token_len,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')
+                ) AS BIGINT) AS n_bpe_tokens
 FROM tok
 """
 
@@ -35,7 +37,11 @@ FROM tok
 @register("text_token_stats", oracle=TOKEN_STATS_ORACLE, tags=("text", "llm"))
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenization + per-document token statistics
-    (count, distinct count, type-token ratio, mean token length)."""
+    (count, distinct count, type-token ratio, mean token length) plus a
+    BPE-ish regex token count (GPT-2-pre-tokenizer-shaped alternation:
+    letter runs / digit runs / punctuation runs, each with optional
+    leading space) — the cheap proxy for LLM token budgeting when the
+    real tokenizer isn't in the cluster image."""
     doc = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = F.size(toks).cast("long")
@@ -43,6 +49,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("double")), F.lit(0.0), lambda a, b: a + b
     )
+    bpe = F.regexp_count("text", F.lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+")).cast("long")
     return doc.select(
         "doc_id",
         "lang",
@@ -50,6 +57,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         uniq.alias("n_unique_tokens"),
         F.round(uniq.cast("double") / n.cast("double"), 6).alias("type_token_ratio"),
         F.round(sum_len / n.cast("double"), 6).alias("avg_token_len"),
+        bpe.alias("n_bpe_tokens"),
     )
 
 

@@ -174,3 +174,29 @@ def test_corrupt_rows_counted_as_malformed(spark, tmp_path):
     assert m["malformed"] == 1
     assert m["total_processed"] == 3
     assert m["flagged_for_resubmission"] == 2
+
+
+def test_cli_subprocess(tmp_path):
+    """C1: the module CLI runs end-to-end in a fresh process and writes
+    both sinks; no-args exits non-zero with usage (claim_pipeline.py:
+    236-239)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, "-m", "insurance_claim_data_pipeline_spark",
+         ALPHA_PATH, BETA_PATH, "-o", str(tmp_path)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    cand = json.load(open(tmp_path / "resubmission_candidates.json"))
+    assert [c["claim_id"] for c in cand] == ["A123", "A124", "A127", "B988"]
+    assert (tmp_path / "pipeline_metrics.log").exists()
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "insurance_claim_data_pipeline_spark"],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r2.returncode != 0

@@ -1,0 +1,51 @@
+"""salted_join must be row-identical to the plain join while spreading
+a hot key across salt shards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from insurance_claim_data_pipeline_spark.operators.skew import salted_join
+
+
+def _skewed_frames(spark):
+    # 90% of the big side on one hot key, like a null-ish tenant id
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k2"), F.concat(F.lit("dim_"), F.col("id")).alias("name")
+    )
+    return big, small
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_salted_inner_join_equals_plain(spark):
+    big, small = _skewed_frames(spark)
+    plain = big.join(small, big.k == small.k2, "inner")
+    salted = salted_join(big, small, "k", "k2", n_salt=8, how="inner")
+    assert _rows(salted.select("k", "payload", "k2", "name")) == _rows(
+        plain.select("k", "payload", "k2", "name")
+    )
+
+
+def test_salted_left_join_equals_plain(spark):
+    big, small = _skewed_frames(spark)
+    plain = big.join(small, big.k == small.k2, "left")
+    salted = salted_join(big, small, "k", "k2", n_salt=8, how="left")
+    assert _rows(salted.select("k", "payload", "k2", "name")) == _rows(
+        plain.select("k", "payload", "k2", "name")
+    )
+
+
+def test_salt_actually_spreads_hot_key(spark):
+    big, _ = _skewed_frames(spark)
+    salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8))
+    )
+    n_shards = salted.filter(F.col("k") == 1).select("_salt").distinct().count()
+    assert n_shards == 8  # the hot key occupies every shard
