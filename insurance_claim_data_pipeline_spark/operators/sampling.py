@@ -1,0 +1,80 @@
+"""Deterministic sampling / dataset-split operators over ``documents``.
+
+Training-data pipelines need samples and held-out splits that are (a)
+reproducible across runs and engines, (b) stable under re-partitioning,
+and (c) assigned per-record with no coordination. Engine-native
+TABLESAMPLE/rand() gives none of that; hashing the record key does:
+``bucket = md5(key) mod 100`` is uniform, deterministic, and identical
+in Spark and DuckDB — so both the 80/10/10 split and the Bernoulli
+sample are oracle-checked exactly, not statistically.
+
+Scale: both operators are one narrow scan (hash + filter/aggregate);
+the split column can also feed ``partitionBy`` at write time so each
+split lands in its own directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder → test
+
+
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from md5(key)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def _bucket_sql(key: str, buckets: int = 100) -> str:
+    return f"(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {buckets})"
+
+
+SPLIT_ORACLE = f"""
+SELECT CASE WHEN b < {TRAIN_PCT} THEN 'train'
+            WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM (SELECT n_chars, {_bucket_sql('doc_id')} AS b FROM documents)
+GROUP BY 1
+"""
+
+
+@register("sample_split_hash", oracle=SPLIT_ORACLE, tags=("sampling", "llm"))
+def sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hash bucket of doc_id —
+    reproducible, partition-independent, coordination-free."""
+    doc = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return doc.select(split.alias("split"), "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+BERNOULLI_ORACLE = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_bucket_sql('doc_id')} AS b FROM documents)
+WHERE b < 10
+"""
+
+
+@register("sample_bernoulli_hash", oracle=BERNOULLI_ORACLE, tags=("sampling", "llm"))
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample (hash-bucket < 10): the
+    sampled SET is identical on every engine and every run — what you
+    want for debuggable pipeline subsets, unlike rand()-based
+    TABLESAMPLE."""
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.filter(hash_bucket("doc_id") < 10).select("doc_id", "lang")

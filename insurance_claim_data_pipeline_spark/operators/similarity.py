@@ -68,6 +68,112 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 2
+IVF_C_LO, IVF_C_HI = 8, 8 + N_CENTROIDS  # vec_ids used as fixed centroids
+
+IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_HI}),
+assign AS (
+  SELECT vec_id, c_id, ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY ROUND({cosine_sql('embedding', 'c_emb')}, 6) DESC, c_id) AS crnk
+  FROM e, cent
+),
+clustered AS (SELECT vec_id, c_id AS cluster FROM assign WHERE crnk = 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, c_id AS probe_cluster, ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND({cosine_sql('q_emb', 'c_emb')}, 6) DESC, c_id) AS prnk
+  FROM q, cent
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN clustered c ON c.cluster = p.probe_cluster
+  WHERE p.prnk <= {N_PROBE} AND c.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND({cosine_sql('qe.embedding', 'ne.embedding')}, 6) AS cos_sim
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ne ON ne.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_topk_ivf", oracle=IVF_ORACLE, tags=("similarity", "llm", "approx"))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: a fixed coarse quantizer (16 fixed
+    vectors as centroids — deterministic, so unlike the random-plane LSH
+    variant this ANN path is fully DuckDB-oracle-checkable), every
+    vector assigned to its nearest centroid, queries probing their
+    N_PROBE nearest cells, exact cosine re-rank inside the probed cells.
+
+    Scale shape: assignment is a broadcast of K centroids against N
+    vectors (narrow, no shuffle); the probe join shuffles on cluster id
+    and touches ~N_PROBE/K of the corpus per query — the same inverted-
+    file structure FAISS IVF uses, minus the k-means training step
+    (centroid QUALITY is pluggable; the plan shape is the point)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cent = emb.filter(
+        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "c_id")
+    clustered = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "c_id", F.round(cosine(F.col("v"), F.col("c_emb")), 6).alias("ccos")
+        )
+        .withColumn("crnk", F.row_number().over(w_assign))
+        .filter(F.col("crnk") == 1)
+        .select("vec_id", "v", F.col("c_id").alias("cluster"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("qcos"), "c_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qv", "c_id", F.round(cosine(F.col("qv"), F.col("c_emb")), 6).alias("qcos")
+        )
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= N_PROBE)
+        .select("query_id", "qv", F.col("c_id").alias("probe_cluster"))
+    )
+    cand = (
+        clustered.join(
+            F.broadcast(probes),
+            (F.col("cluster") == F.col("probe_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w_rank).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 QUANTIZE_ORACLE = """
 WITH s AS (
   SELECT vec_id,

@@ -90,3 +90,19 @@ def test_multimodal_binary_roundtrip(spark, sf_dir):
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.decode_image_real(b"\x89PNG...")
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=2 of 16 cells scans ~1/8 of the corpus per query;
+    recall must beat that scan fraction materially, and returned scores
+    are exact cosines (match brute force per pair)."""
+    bf = similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    ivf = similarity.sim_topk_ivf(spark, sf_dir).collect()
+    bf_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in bf}
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(set(bf_scores) & ivf_pairs) / len(bf_scores)
+    assert recall >= 0.2, f"recall {recall:.2f}"
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_scores:
+            assert r["cos_sim"] == bf_scores[key]
