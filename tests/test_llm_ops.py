@@ -106,3 +106,44 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf_scores:
             assert r["cos_sim"] == bf_scores[key]
+
+
+def test_ema_matches_independent_recomputation(spark, sf_dir):
+    """The applyInPandas EMA must equal a from-scratch Python
+    recomputation of the recurrence over the same (sorted) events."""
+    import math
+
+    from insurance_claim_data_pipeline_spark.operators.ema import (
+        TAU_US,
+        events_ema_irregular,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["user_id"], r["event_id"]): r["ema"]
+        for r in events_ema_irregular(spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_checked = 0
+    for user, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+        ema = None
+        prev_ts = None
+        for r in evs:
+            if ema is None:
+                ema = r["value"]
+            else:
+                w = 1.0 - math.exp(-(r["ts_us"] - prev_ts) / TAU_US)
+                ema = w * r["value"] + (1.0 - w) * ema
+            prev_ts = r["ts_us"]
+            assert got[(user, r["event_id"])] == ema
+            n_checked += 1
+    assert n_checked == len(got) > 0
