@@ -205,6 +205,39 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLECT_ORACLE = """
+SELECT c_mktsegment,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_collect_list", oracle=COLLECT_ORACLE, tags=("agg", "array"))
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / collect_list aggregation into array columns —
+    sorted before output because collection order is partition-dependent
+    (the determinism rule every array-building aggregate needs at any
+    scale, not just for the oracle). Keep collected domains small
+    (statuses, priorities): collecting unbounded values per group is the
+    classic executor-OOM pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.sort_array(F.array_distinct(F.collect_list("o_orderpriority"))).alias(
+                "priorities"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 EXPLODE_ORACLE = """
 SELECT tok,
        COUNT(*) AS term_freq,
