@@ -74,3 +74,22 @@ def test_no_python_eval_in_jvm_queries(spark, sf_dir, name):
 def test_no_cartesian_product(spark, sf_dir, name):
     plan = physical_plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
+
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_key_plans_hold_at_sf01(spark):
+    """Broadcast/pushdown decisions come from statistics — assert the
+    bench-scale (sf0.1) plans keep the properties the tiny-SF audits
+    check, so a threshold regression can't hide behind small inputs."""
+    q1 = physical_plan(spark, SF01, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in q1
+    q3 = physical_plan(spark, SF01, "q3_shipping_priority")
+    assert q3.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in q3
+    q5 = physical_plan(spark, SF01, "q5_local_supplier_volume")
+    assert q5.count("BroadcastHashJoin") >= 3
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        plan = physical_plan(spark, SF01, name)
+        assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
