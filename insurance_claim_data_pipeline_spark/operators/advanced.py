@@ -207,8 +207,8 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COLLECT_ORACLE = """
 SELECT c_mktsegment,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -222,17 +222,24 @@ def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the determinism rule every array-building aggregate needs at any
     scale, not just for the oracle). Keep collected domains small
     (statuses, priorities): collecting unbounded values per group is the
-    classic executor-OOM pattern."""
+    classic executor-OOM pattern.
+
+    Arrays are projected as '|'-joined strings: the driver's value-hash
+    canonicalizer sorts columns and cannot hash array cells, so every
+    registry query emits scalar columns only (same rule as timestamps →
+    epoch seconds)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
-            F.sort_array(F.array_distinct(F.collect_list("o_orderpriority"))).alias(
-                "priorities"
+            F.concat_ws("|", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
             ),
+            F.concat_ws(
+                "|", F.sort_array(F.array_distinct(F.collect_list("o_orderpriority")))
+            ).alias("priorities"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )

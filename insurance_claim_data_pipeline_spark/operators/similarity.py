@@ -183,9 +183,11 @@ WITH s AS (
 )
 SELECT e.vec_id,
        ROUND(s.scale, 9) AS scale,
-       list_transform(CAST(e.embedding AS DOUBLE[]),
-                      x -> CAST(GREATEST(LEAST(FLOOR(x / s.scale + 0.5), 127), -127)
-                                AS INTEGER)) AS q
+       array_to_string(
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+                        x -> CAST(GREATEST(LEAST(FLOOR(x / s.scale + 0.5), 127), -127)
+                                  AS INTEGER)),
+         ',') AS q
 FROM embeddings e JOIN s ON e.vec_id = s.vec_id
 """
 
@@ -197,7 +199,9 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller vectors, SIMD-friendly integer dot products). Quantized
     value = clip(floor(x/scale + 0.5), ±127) — floor(+0.5) is the one
     rounding rule both engines express identically. Pure higher-order
-    expressions, one narrow pass, no shuffle."""
+    expressions, one narrow pass, no shuffle. The int8 vector is emitted
+    as a ','-joined string because the driver's canonicalizer hashes
+    scalar cells only (array cells raise unhashable-type)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -211,7 +215,11 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.floor(x / F.col("scale") + 0.5), F.lit(127)), F.lit(-127)
         ).cast("int"),
     )
-    return with_scale.select("vec_id", F.round("scale", 9).alias("scale"), q.alias("q"))
+    return with_scale.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q"),
+    )
 
 
 N_PLANES = 6  # 64 buckets
