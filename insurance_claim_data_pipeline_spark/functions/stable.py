@@ -12,9 +12,11 @@ Implementation: a split integer accumulator, not a DECIMAL sum. Each
 value becomes a scaled integer ``x = round_half_up(v·10^s)`` (computed
 as sign(v)·floor(|v|·10^s + 0.5) — equal to the HALF_UP rounding of
 both Spark's and DuckDB's double→DECIMAL cast for all signs), carried
-as TWO long sums (quotient/remainder by 1e6) that are recombined
-exactly in decimal per GROUP (a handful of rows) and divided back by
-10^s. Properties:
+as TWO long sums (quotient/remainder by 2^20, the quotient an
+arithmetic right-shift so the whole per-row path stays in LONG
+arithmetic — a ``/`` here would promote to double and silently lose
+exactness past 2^53) that are recombined exactly in decimal per GROUP
+(a handful of rows) and divided back by 10^s. Properties:
 
 - Exact: every step is integer/decimal arithmetic; the single
   double-rounding happens at the final cast — the same nearest-double
@@ -25,9 +27,14 @@ exactly in decimal per GROUP (a handful of rows) and divided back by
   sums (whose sum type DECIMAL(28,s) leaves Spark's compact-long
   decimal representation and boxes BigDecimal per row).
 - Overflow-safe at 100 TB: each long accumulator is bounded by
-  ``Σ|v|·10^s / 1e6`` (quotient) and ``rows·1e6`` (remainder); the
-  envelope is ~9.2e24/10^s of absolute column sum — thousands of times
+  ``Σ|v|·10^s / 2^20`` (quotient) and ``rows·2^20`` (remainder); the
+  envelope is ~9.7e24/10^s of absolute column sum — thousands of times
   a 100 TB lineitem's worth even at scale 6.
+- Per-row bound: the accumulator itself is exact for any long-range
+  ``x`` (|v|·10^s < 2^63). The remaining per-row limit is the HALF_UP
+  emulation in ``_scaled_long``: ``|v|·10^s`` is formed in double, so
+  faithful rounding needs ``|v|·10^s ≲ 2^53`` (~9e15) — a property of
+  double inputs, not of the accumulator.
 
 The SQL-side mirror of ``dec_sum(col, s)`` remains
 ``CAST(SUM(CAST(col AS DECIMAL(18,s))) AS DOUBLE)``.
@@ -38,7 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_SPLIT = 1_000_000
+_SPLIT_BITS = 20
+_SPLIT = 1 << _SPLIT_BITS  # power of two → exact shift-based quotient
 
 
 def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
@@ -62,8 +70,10 @@ def dec_sum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     envelope exceeds any DECIMAL(38) use here."""
     c = F.col(col) if isinstance(col, str) else col
     x = _scaled_long(c, scale)
-    r = x % _SPLIT
-    q = ((x - r) / _SPLIT).cast("long")  # exact: x-r is a multiple of _SPLIT
+    r = x % _SPLIT  # sign follows x, |r| < 2^20
+    # x-r is an exact multiple of 2^20 with the sign of x, so an
+    # arithmetic shift IS the exact quotient — long in, long out.
+    q = F.shiftright(x - r, _SPLIT_BITS)
     total = F.sum(q).cast("decimal(38,0)") * _SPLIT + F.sum(r).cast("decimal(38,0)")
     return (total / F.lit(10**scale).cast("decimal(20,0)")).cast("double")
 

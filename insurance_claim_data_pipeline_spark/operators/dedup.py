@@ -410,6 +410,9 @@ FROM reach GROUP BY u
 """
 
 
+_COMPONENTS_MAX_ROUNDS = 20
+
+
 @register("dedup_components", oracle=COMPONENTS_ORACLE, tags=("dedup", "llm", "iterative"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph — the
@@ -441,7 +444,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
     )
     labels = verts.select("doc_id", F.col("doc_id").alias("component_id"))
-    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+    changed = 1
+    for _ in range(_COMPONENTS_MAX_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
@@ -463,6 +467,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # Silently returning partial labels would mis-cluster long
+        # chains with no signal; fail loudly instead.
+        raise RuntimeError(
+            f"dedup_components: min-label propagation did not converge in "
+            f"{_COMPONENTS_MAX_ROUNDS} rounds (component diameter exceeds bound); "
+            f"raise _COMPONENTS_MAX_ROUNDS or use star-contraction for such graphs"
+        )
     return labels
 
 COSINE_NEARDUP_THRESHOLD = 0.4  # synthetic embeddings are near-random (max ≈ 0.51)

@@ -147,3 +147,11 @@ def test_ema_matches_independent_recomputation(spark, sf_dir):
             assert got[(user, r["event_id"])] == ema
             n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_components_nonconvergence_raises(spark, sf_dir, monkeypatch):
+    # With a 0-round budget any non-trivial pair graph cannot converge;
+    # the operator must fail loudly rather than return partial labels.
+    monkeypatch.setattr(dedup, "_COMPONENTS_MAX_ROUNDS", 0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_components(spark, sf_dir).collect()

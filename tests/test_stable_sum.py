@@ -1,0 +1,63 @@
+"""Unit tests for the split-long exact accumulator (functions/stable.py).
+
+The quotient/remainder split must stay in LONG arithmetic end-to-end: a
+double-promoting division makes the quotient inexact once a per-row
+scaled value exceeds 2^53 (~9e15). These tests pin the shift-based
+quotient against exact Python integer math in exactly that regime, and
+the small-value regime against the DECIMAL-sum oracle formulation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from insurance_claim_data_pipeline_spark.functions.stable import dec_sum
+
+
+def _exact_sum(values, scale):
+    # reference: sign-aware HALF_UP of v*10^s computed the same way the
+    # Column does (double multiply, then floor(+0.5)), summed exactly
+    m = 10**scale
+    total = 0
+    for v in values:
+        total += int(math.floor(abs(v) * m + 0.5)) * (1 if v >= 0 else -1)
+    return float(total) / m
+
+
+def test_dec_sum_exact_above_2_53(spark):
+    # scaled values ~1e16-9e18: past double's integer range but inside
+    # long range — the regime where `/` silently breaks and shiftright
+    # must not
+    values = [
+        9.007199254740993e13,   # just past 2^53 at scale 2
+        1.23456789012345e14,
+        -8.7654321098765e13,
+        4.611686018427387e16,   # near 2^62 at scale 2
+        -4.611686018427387e16,
+        0.005,                  # HALF_UP boundary
+        -0.005,
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = df.agg(dec_sum("v", 2).alias("s")).collect()[0]["s"]
+    assert got == _exact_sum(values, 2)
+
+
+def test_dec_sum_matches_decimal_formulation_small(spark):
+    values = [1.115, 2.225, -3.335, 0.004, 100.0, -0.006]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = df.agg(dec_sum("v", 2).alias("s")).collect()[0]["s"]
+    ref = df.agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s")
+    ).collect()[0]["s"]
+    assert got == ref
+
+
+def test_dec_sum_partition_order_independent(spark):
+    values = [i * 0.01 + (1 if i % 2 else -1) * 1e13 for i in range(1000)]
+    df1 = spark.createDataFrame([(v,) for v in values], "v double").repartition(1)
+    df32 = spark.createDataFrame([(v,) for v in reversed(values)], "v double").repartition(32)
+    s1 = df1.agg(dec_sum("v", 2).alias("s")).collect()[0]["s"]
+    s32 = df32.agg(dec_sum("v", 2).alias("s")).collect()[0]["s"]
+    assert s1 == s32 == _exact_sum(values, 2)
