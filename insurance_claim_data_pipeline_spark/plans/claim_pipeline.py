@@ -35,7 +35,7 @@ def candidates_frame(claims: DataFrame) -> DataFrame:
         F.col("denial_reason").alias("resubmission_reason"),
         "source_system",
         recommended_changes().alias("recommended_changes"),
-        *[c for c in ("_file_idx", "_row_idx") if c in claims.columns],
+        *[c for c in ("_file_idx", "_block_start", "_row_idx") if c in claims.columns],
     )
 
 
@@ -86,8 +86,13 @@ def run_pipeline(
     try:
         cand_rows = (
             candidates_frame(claims)
-            .orderBy("_file_idx", "_row_idx")  # O1 insertion order: file order, then row order
-            .drop("_file_idx", "_row_idx")
+            # O1 insertion order: file order, then split offset within the
+            # file, then scan order within the split. (_block_start comes
+            # from _metadata — stable under Spark's split bin-packing;
+            # monotonically_increasing_id alone is only ordered within one
+            # task, so a multi-split file needs the block offset first.)
+            .orderBy("_file_idx", "_block_start", "_row_idx")
+            .drop("_file_idx", "_block_start", "_row_idx")
             .collect()
         )
         m = metrics_frame(claims).collect()[0].asDict()
@@ -135,4 +140,4 @@ def write_candidates_jsonl(claims: DataFrame, out_dir: str) -> None:
     """Scale-path variant of O1: distributed JSONL write (no driver
     collect). At 100 TB this is the sink you want; the pretty-printed
     single-array file exists for reference parity only."""
-    candidates_frame(claims).drop("_file_idx", "_row_idx").write.mode("overwrite").json(out_dir)
+    candidates_frame(claims).drop("_file_idx", "_block_start", "_row_idx").write.mode("overwrite").json(out_dir)

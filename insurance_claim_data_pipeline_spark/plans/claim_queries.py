@@ -158,7 +158,7 @@ WHERE eligible
 @register("claims_candidates", oracle=CANDIDATES_ORACLE, tags=("claims",))
 def claims_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1-E7 + L1 + P4: resubmission candidates with recommendations."""
-    return candidates_frame(_claims_df(spark)).drop("_file_idx", "_row_idx")
+    return candidates_frame(_claims_df(spark)).drop("_file_idx", "_block_start", "_row_idx")
 
 
 EXCLUSION_ORACLE = (

@@ -14,6 +14,15 @@ Fail-soft mapping:
   skipped with a warning and counted once as malformed. Spark is more
   granular than the reference here (a bad row doesn't abandon the rest
   of the file) — intentional divergence, documented in README.
+
+Row-order contract (O1 sink): each loader emits ``_block_start``
+(``_metadata.file_block_start`` — the byte offset of the file split the
+row came from) and ``_row_idx`` (``monotonically_increasing_id``, which
+is scan-ordered WITHIN a task). A split is always read consecutively by
+exactly one task, so sorting by (_file_idx, _block_start, _row_idx)
+reconstructs exact in-file row order even when Spark splits a large CSV
+into multiple partitions or bin-packs several splits into one task —
+the case where mid() alone would interleave.
 """
 
 from __future__ import annotations
@@ -60,6 +69,7 @@ def load_alpha(spark: SparkSession, path: str) -> DataFrame:
         parse_claim_date("submitted_at").alias("submitted_at"),
         F.lit("alpha").alias("source_system"),
         F.col(_CORRUPT),
+        F.col("_metadata.file_block_start").alias("_block_start"),
         F.monotonically_increasing_id().alias("_row_idx"),
     )
 
@@ -87,6 +97,7 @@ def load_beta(spark: SparkSession, path: str) -> DataFrame:
         parse_claim_date("date").alias("submitted_at"),
         F.lit("beta").alias("source_system"),
         F.col(_CORRUPT),
+        F.col("_metadata.file_block_start").alias("_block_start"),
         F.monotonically_increasing_id().alias("_row_idx"),
     )
 
@@ -140,6 +151,14 @@ def load_claims(spark: SparkSession, paths: list[str]) -> RouterResult:
             )
         )
         claims = spark.createDataFrame(
-            [], T.StructType(list(empty_schema.fields) + [T.StructField("_row_idx", T.LongType()), T.StructField("_file_idx", T.IntegerType())])
+            [],
+            T.StructType(
+                list(empty_schema.fields)
+                + [
+                    T.StructField("_block_start", T.LongType()),
+                    T.StructField("_row_idx", T.LongType()),
+                    T.StructField("_file_idx", T.IntegerType()),
+                ]
+            ),
         )
     return RouterResult(claims=claims, skipped_files=skipped, failed_files=failed)

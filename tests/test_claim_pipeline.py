@@ -200,3 +200,38 @@ def test_cli_subprocess(tmp_path):
         capture_output=True, text=True, env=env, timeout=120,
     )
     assert r2.returncode != 0
+
+
+def test_o1_order_survives_multisplit_csv(spark, tmp_path):
+    """A CSV large enough to be read as several file splits must still
+    emit candidates in exact file-row order: the (_file_idx,
+    _block_start, _row_idx) sort key — not mid() alone — carries the
+    contract once a file spans tasks."""
+    from insurance_claim_data_pipeline_spark.plans.claim_pipeline import candidates_frame
+    from insurance_claim_data_pipeline_spark.sources.claims import load_claims
+
+    n = 5000
+    path = str(tmp_path / "big_alpha.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("claim_id,patient_id,procedure_code,denial_reason,submitted_at,status\n")
+        for i in range(n):
+            # every row eligible: denied, patient present, old date, retryable reason
+            f.write(f"C{i:06d},P{i:06d},99213,Missing modifier,2025-01-01,denied\n")
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")  # 16 KiB splits
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        claims = load_claims(spark, [path]).claims
+        assert claims.rdd.getNumPartitions() > 1, "file did not split; test vacuous"
+        got = [
+            r["claim_id"]
+            for r in candidates_frame(claims)
+            .orderBy("_file_idx", "_block_start", "_row_idx")
+            .collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+    assert got == [f"C{i:06d}" for i in range(n)]
