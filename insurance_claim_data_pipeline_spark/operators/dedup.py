@@ -18,9 +18,11 @@ hash():
 Scale analysis (100 TB): exact/minhash/simhash are one scan + one
 shuffle on (hash/band) keys; candidate pair sets are output-bounded.
 The inverted-index Jaccard join shuffles shingle rows once; hot shingles
-(stop-phrases) are the skew risk — mitigated by AQE skew-join splitting,
-and in a production corpus by dropping top-frequency shingles (document
-frequency cap), which is standard practice.
+(stop-phrases) are the skew risk — mitigated by AQE skew-join splitting
+and by the implemented document-frequency cap
+(:func:`ngram_jaccard_pairs` ``max_df``), which drops top-frequency
+shingles from the index before the self-join — standard practice for
+production corpora.
 """
 
 from __future__ import annotations
@@ -85,20 +87,35 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= {JA
 """
 
 
-@register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, tags=("dedup", "llm", "bench"))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-token-shingle Jaccard near-dup pairs. Candidates come from
-    an inverted-index self-join (pairs sharing ≥1 shingle) — candidate
-    count is data-bounded, not O(n²). The self-join keys on
-    xxhash64(shingle) (8 bytes) rather than the ~40-byte shingle string:
-    ~5× less shuffle volume, same result (a 64-bit collision between
-    distinct shingles in the same corpus is ~2^-64·pairs — negligible;
-    the oracle joins on the raw string, so parity itself guards this)."""
-    doc = load_table(spark, sf_dir, "documents")
+def ngram_jaccard_pairs(doc: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Core of dedup_ngram_jaccard over an arbitrary ``(doc_id, text)``
+    frame.
+
+    ``max_df`` is the hot-shingle skew guard: shingles occurring in more
+    than ``max_df`` documents (stop-phrases, boilerplate) are dropped
+    from the inverted index BEFORE the self-join. A shingle with df=d
+    alone produces d·(d-1)/2 candidate rows through one shuffle key — at
+    corpus scale a single boilerplate sentence is a quadratic hot key,
+    and AQE skew-splitting only spreads the work, it doesn't shrink it.
+    The cap bounds per-key fan-out at max_df²/2 and is standard practice
+    (equivalent to stop-word removal for MinHash corpora). Set sizes are
+    still computed over ALL shingles, so for pairs whose common shingles
+    survive the cap the Jaccard is exact; pairs sharing ONLY hot
+    shingles are not near-dups in any useful sense and are dropped."""
     sh = shingle_rows(doc).select("doc_id", F.xxhash64("shingle").alias("sh_key"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    idx = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh_key")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh_key")
+        )
+        # hot-key set is tiny by construction → broadcast anti-join
+        idx = sh.join(F.broadcast(hot), "sh_key", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
     cand = (
         a.join(b, (F.col("a.sh_key") == F.col("b.sh_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -115,6 +132,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, tags=("dedup", "llm", "bench"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-token-shingle Jaccard near-dup pairs. Candidates come from
+    an inverted-index self-join (pairs sharing ≥1 shingle) — candidate
+    count is data-bounded, not O(n²). The self-join keys on
+    xxhash64(shingle) (8 bytes) rather than the ~40-byte shingle string:
+    ~5× less shuffle volume, same result (a 64-bit collision between
+    distinct shingles in the same corpus is ~2^-64·pairs — negligible;
+    the oracle joins on the raw string, so parity itself guards this).
+    The oracle-checked query runs uncapped; production corpora pass
+    ``max_df`` through :func:`ngram_jaccard_pairs` (hot-shingle guard)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

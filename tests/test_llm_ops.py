@@ -155,3 +155,35 @@ def test_components_nonconvergence_raises(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup, "_COMPONENTS_MAX_ROUNDS", 0)
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dedup_components(spark, sf_dir).collect()
+
+
+def test_ngram_jaccard_max_df_noop_when_cap_above_max_frequency(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    doc = load_table(spark, sf_dir, "documents")
+    base = sorted(map(tuple, ngram_jaccard_pairs(doc).collect()))
+    capped = sorted(map(tuple, ngram_jaccard_pairs(doc, max_df=doc.count()).collect()))
+    assert base == capped and len(base) > 0
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingle_pairs(spark):
+    from insurance_claim_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 6 docs share one identical "boilerplate" 5-token shingle but are
+    # otherwise disjoint; 2 docs are genuine near-dups of each other.
+    hot = "all rights reserved by publisher"
+    rows = [(i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(6)]
+    near = "the quick brown fox jumps over the lazy dog today"
+    rows += [(10, near), (11, near + " extra")]
+    doc = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = ngram_jaccard_pairs(doc).collect()
+    capped = ngram_jaccard_pairs(doc, max_df=3).collect()
+    # the near-dup pair survives the cap with its exact jaccard
+    surviving = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped}
+    assert (10, 11) in surviving
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in uncapped}
+    assert surviving[(10, 11)] == exact[(10, 11)]
+    # no candidate pair among the boilerplate-only docs
+    assert all(a not in range(6) or b not in range(6) for (a, b) in surviving)
