@@ -886,3 +886,150 @@ def join_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("left_ts")).alias("purchase_ts_us"),
         F.col("asof_value").alias("last_error_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 / Q8 style — the hardest join-order + broadcast tests here
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dec_sum_sql('volume', 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+      OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=Q7_ORACLE, tags=("join", "agg", "bench"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style bilateral trade volume: revenue shipped between two
+    named nations, by supplier nation × customer nation × ship year.
+
+    Join-order design: both nation dims are pre-filtered to the two
+    relevant names BEFORE the join (partition-pruning-grade selectivity
+    pushed into the broadcast build side, so supplier and customer shrink
+    to the two nations' rows at the join, not after). The asymmetric OR
+    pair predicate runs as a residual filter on the already-restricted
+    rows. Fact side: lineitem filtered on the pushed-down shipdate range,
+    one shuffle join with orders; everything else broadcast."""
+    both = [Q7_NATION_A, Q7_NATION_B]
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(both)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(both)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dec_sum(volume, 4).alias("revenue"))
+    )
+
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_4"  # an ASIA nation: its market share within the region
+
+Q8_ORACLE = f"""
+SELECT o_year,
+       ROUND({dec_sum_sql('nation_volume', 4)} / {dec_sum_sql('volume', 4)}, 9)
+         AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         CASE WHEN n2.n_name = '{Q8_NATION}'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS nation_volume
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{Q8_REGION}'
+    AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", oracle=Q8_ORACLE, tags=("join", "agg", "bench"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style market share: within one region's customers and
+    one part type, the share of revenue supplied by one nation, per
+    order year — an 8-way join whose selective dims (part type, region)
+    must reach the scans as pushed filters.
+
+    All five dims broadcast; the two fact tables meet in one shuffle
+    join. Both the numerator and denominator are decimal-stabilized sums
+    (order-independent), so the final ratio is the same double on any
+    cluster size — ROUND(…, 9) in both engines pins the last ulp."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_volume = F.when(F.col("supp_nation") == Q8_NATION, volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                dec_sum(nation_volume, 4) / dec_sum(volume, 4), 9
+            ).alias("mkt_share")
+        )
+    )

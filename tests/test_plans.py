@@ -93,3 +93,21 @@ def test_key_plans_hold_at_sf01(spark):
     for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
         plan = physical_plan(spark, SF01, name)
         assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_q7_broadcasts_and_pushdown(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    # shipdate range reaches the lineitem scan; nation-name filter
+    # reaches the nation scans (broadcast sides pre-filtered)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "In(n_name" in plan
+
+
+def test_q8_broadcasts_and_pushdown(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
