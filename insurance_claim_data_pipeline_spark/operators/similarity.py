@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.stable import dec_avg
 from ..functions.vectors import as_double, cosine, cosine_sql
 from ..registry import register
 from ..session import load_table
@@ -130,6 +131,13 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(
         (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
+    return _ivf_topk(emb, cent)
+
+
+def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """IVF search given a centroid table ``(c_id, c_emb)``: assign every
+    vector to its max-cosine centroid, probe each query's N_PROBE best
+    cells, exact re-rank inside the probed cells."""
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "c_id")
     clustered = (
         emb.crossJoin(F.broadcast(cent))
@@ -172,6 +180,80 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w_rank).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+KMEANS_ITERS = 4
+
+
+def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Deterministic spherical k-means for the IVF coarse quantizer.
+
+    Init = the same 16 fixed vectors the oracle-twin quantizer uses, so
+    the whole procedure has no RNG state. Each Lloyd round: assign every
+    vector to its max-cosine centroid (broadcast of K×64 doubles — a
+    narrow pass over the corpus), then recompute each centroid as the
+    per-dimension mean of its members. Means use the split-long exact
+    accumulator (order-independent), so training is bit-reproducible on
+    any partitioning — without that, double partial-sum order would make
+    centroids (and therefore candidates) drift run-to-run. Cosine
+    assignment + un-normalized mean is spherical k-means: the centroid's
+    norm is irrelevant to cosine, only its direction matters.
+
+    Scale note: per round, one narrow crossJoin-with-broadcast scan and
+    one (cluster, dim)-keyed shuffle of K·D cells; at 100 TB you train
+    on a sample (this is what FAISS does) — the procedure is unchanged,
+    only the input frame is sampled. Only K·D doubles ever reach the
+    driver per round."""
+    cent = emb.filter(
+        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
+    spark = emb.sparkSession
+    for _ in range(iters):
+        w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "c_id")
+        assigned = (
+            emb.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                "c_id",
+                F.round(cosine(F.col("v"), F.col("c_emb")), 6).alias("ccos"),
+            )
+            .withColumn("crnk", F.row_number().over(w))
+            .filter(F.col("crnk") == 1)
+        )
+        means = (
+            assigned.select("c_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("c_id", "dim")
+            .agg(dec_avg("val", 12).alias("m"))
+        )
+        rows = means.collect()  # K·D cells only — the one tiny driver hop
+        by_c: dict[int, list[float]] = {}
+        for r in rows:
+            by_c.setdefault(r["c_id"], [0.0] * 64)[r["dim"]] = r["m"]
+        # empty clusters keep their previous centroid (standard Lloyd fix)
+        prev = {r["c_id"]: list(r["c_emb"]) for r in cent.collect()}
+        prev.update(by_c)
+        cent = spark.createDataFrame(
+            sorted(prev.items()), "c_id int, c_emb array<double>"
+        )
+    return cent
+
+
+@register("sim_topk_ivf_trained", tags=("similarity", "llm", "approx"))  # iterative: rows-only
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a k-means-TRAINED coarse quantizer — the recall
+    upgrade over sim_topk_ivf's fixed centroids (which remain the
+    DuckDB-oracle-checkable twin; Lloyd iteration is not reasonably
+    SQL-expressible, so this entry is a rows-only check by design).
+    Same search structure, better cell boundaries: recall@k vs the
+    exact baseline is asserted ≥ the fixed-centroid variant's in
+    tests/test_llm_ops.py."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .cache()  # scanned once per Lloyd round + twice in the search
+    )
+    return _ivf_topk(emb, train_ivf_centroids(emb))
 
 
 QUANTIZE_ORACLE = """

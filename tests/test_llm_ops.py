@@ -187,3 +187,18 @@ def test_ngram_jaccard_max_df_drops_hot_shingle_pairs(spark):
     assert surviving[(10, 11)] == exact[(10, 11)]
     # no candidate pair among the boilerplate-only docs
     assert all(a not in range(6) or b not in range(6) for (a, b) in surviving)
+
+
+def test_ivf_trained_recall_at_least_fixed(spark, sf_dir):
+    """k-means-trained centroids must not lose recall vs the fixed
+    quantizer, and training must be deterministic (two runs, identical
+    output)."""
+    bf = {(r["query_id"], r["neighbor_id"]) for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()}
+    fixed = {(r["query_id"], r["neighbor_id"]) for r in similarity.sim_topk_ivf(spark, sf_dir).collect()}
+    t1 = similarity.sim_topk_ivf_trained(spark, sf_dir).collect()
+    trained = {(r["query_id"], r["neighbor_id"]) for r in t1}
+    recall_fixed = len(bf & fixed) / len(bf)
+    recall_trained = len(bf & trained) / len(bf)
+    assert recall_trained >= recall_fixed, (recall_trained, recall_fixed)
+    t2 = similarity.sim_topk_ivf_trained(spark, sf_dir).collect()
+    assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))
