@@ -60,3 +60,75 @@ def test_stateful_streaming_equals_batch(spark, sf_dir):
     batch_result = events_user_totals(spark, sf_dir)
     cols = ["user_id", "n_events", "sum_value_cents", "last_event_us"]
     assert _sorted_rows(stream_result, cols) == _sorted_rows(batch_result, cols)
+
+
+def test_watermark_drops_late_rows_vs_batch(spark, tmp_path):
+    """Late-data semantics: with a 10-minute watermark in APPEND mode, a
+    row arriving after its window has been finalized is DROPPED from the
+    streaming result, while the batch twin (no watermark) counts it.
+    This pins the state-bounding behavior the 1-hour production
+    watermark relies on: state for closed windows is reclaimable because
+    Spark is allowed to ignore stragglers behind the watermark."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows):
+        ts, et, val = zip(*rows)
+        tbl = pa.table(
+            {
+                "ts": pa.array([base + dt.timedelta(minutes=m) for m in ts], pa.timestamp("us")),
+                "event_type": pa.array(et),
+                "value": pa.array(val, pa.float64()),
+            }
+        )
+        pq.write_table(tbl, src / name)
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = es.tumbling_counts_stream(stream, watermark="10 minutes")
+    from uuid import uuid4
+
+    name = f"late_{uuid4().hex[:8]}"
+    # batch 1: window [00:00,00:10) gets one row; 01:00 advances the
+    # watermark to 00:50, finalizing that window
+    write_file("f1.parquet", [(5, "click", 1.0), (60, "click", 1.0)])
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a straggler for the closed [00:00,00:10) window plus an
+        # on-time row for [01:00,01:10)
+        write_file("f2.parquet", [(6, "click", 1.0), (65, "click", 1.0)])
+        q.processAllAvailable()
+        # batch 3: push the watermark past 01:10 so the second window flushes
+        write_file("f3.parquet", [(180, "click", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["window_start_us"]: r["n_events"] for r in spark.table(name).collect()
+    }
+    us = lambda m: int((base + dt.timedelta(minutes=m)).timestamp() * 1_000_000)
+    # the late straggler was dropped: closed window keeps n=1
+    assert got[us(0)] == 1
+    # the on-time batch-2 row was counted
+    assert got[us(60)] == 2
+
+    # batch twin over the same files counts ALL rows, including the straggler
+    batch = (
+        spark.read.schema(schema)
+        .parquet(str(src))
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_micros("w.start").alias("window_start_us"), "n_events")
+    )
+    bgot = {r["window_start_us"]: r["n_events"] for r in batch.collect()}
+    assert bgot[us(0)] == 2 and bgot[us(60)] == 2
