@@ -33,33 +33,38 @@ TAU_US = 3_600_000_000  # 1-hour decay constant
 EMA_SCHEMA = "user_id bigint, event_id bigint, ts_us bigint, value double, ema double"
 
 
-def _ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """EMA scan per user (the loop is over one user's events, already
-    sorted engine-side). math.exp, not np.exp — the two can differ by
-    one ulp (different libm paths) and the reproducibility contract is
-    exact equality with an independent Python recomputation."""
-    import math
-
-    pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
-    ts = [int(t) for t in pdf["ts_us"]]
-    x = [float(v) for v in pdf["value"]]
-    ema: list[float] = []
-    for i in range(len(x)):
-        if i == 0:
-            ema.append(x[0])
-        else:
-            w = 1.0 - math.exp(-(ts[i] - ts[i - 1]) / TAU_US)
-            ema.append(w * x[i] + (1.0 - w) * ema[i - 1])
-    out = pdf[["user_id", "event_id", "ts_us", "value"]].copy()
-    out["ema"] = ema
-    return out
-
-
 def ema_frame(events: DataFrame) -> DataFrame:
+    tau_us = TAU_US
+
+    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # EMA scan per user (the loop is over one user's events, already
+        # sorted engine-side). math.exp, not np.exp — the two can differ
+        # by one ulp (different libm paths) and the reproducibility
+        # contract is exact equality with an independent recomputation.
+        # NOTE: defined as a closure, not at module level — cloudpickle
+        # then ships it BY VALUE, so Python workers need neither this
+        # package on their path nor a matching PYTHONPATH (the driver
+        # contract runs from an arbitrary cwd).
+        import math
+
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        ts = [int(t) for t in pdf["ts_us"]]
+        x = [float(v) for v in pdf["value"]]
+        ema: list[float] = []
+        for i in range(len(x)):
+            if i == 0:
+                ema.append(x[0])
+            else:
+                w = 1.0 - math.exp(-(ts[i] - ts[i - 1]) / tau_us)
+                ema.append(w * x[i] + (1.0 - w) * ema[i - 1])
+        out = pdf[["user_id", "event_id", "ts_us", "value"]].copy()
+        out["ema"] = ema
+        return out
+
     prepared = events.select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
-    return prepared.groupBy("user_id").applyInPandas(_ema_group, schema=EMA_SCHEMA)
+    return prepared.groupBy("user_id").applyInPandas(ema_group, schema=EMA_SCHEMA)
 
 
 @register("events_ema_irregular", tags=("events", "llm", "pandas"))

@@ -39,42 +39,46 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n bigint, cents bigint, last_us bigint"
 
 
-def _update_user_totals(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Fold each micro-batch's rows for one user into running state and
-    emit the updated snapshot. Values are folded as integer cents,
-    rounded per row as floor(x*100 + 0.5) — the one convention all three
-    engines (pandas fold, Spark batch twin, DuckDB oracle) express
-    identically, making the sum exact and order-independent."""
-    import numpy as np
-
-    (user_id,) = key
-    n, cents, last_us = state.get if state.exists else (0, 0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        cents += int(np.floor(pdf["value"].astype(float) * 100 + 0.5).sum())
-        if len(pdf):
-            last_us = max(last_us, int(pdf["ts_us"].max()))
-    state.update((n, cents, last_us))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "sum_value_cents": [cents],
-            "last_event_us": [last_us],
-        }
-    )
-
-
 def user_totals_stream(events: DataFrame) -> DataFrame:
     """Streaming per-user running totals over a stream of events rows
     (requires a ``ts`` timestamp and ``value`` double column)."""
+
+    def update_user_totals(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # Fold each micro-batch's rows for one user into running state
+        # and emit the updated snapshot. Values are folded as integer
+        # cents, rounded per row as floor(x*100 + 0.5) — the one
+        # convention all three engines (pandas fold, Spark batch twin,
+        # DuckDB oracle) express identically, making the sum exact and
+        # order-independent.
+        # Defined as a closure so cloudpickle ships it by value: Python
+        # workers don't need this package importable (the driver contract
+        # runs from an arbitrary cwd with no PYTHONPATH for workers).
+        import numpy as np
+
+        (user_id,) = key
+        n, cents, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].astype(float) * 100 + 0.5).sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts_us"].max()))
+        state.update((n, cents, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value_cents": [cents],
+                "last_event_us": [last_us],
+            }
+        )
+
     prepared = events.select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _update_user_totals,
+        update_user_totals,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
