@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import shingle_rows, shingles_sql
-from ..functions.vectors import as_double, cosine, cosine_sql
+from ..functions.vectors import as_double, cosine_sql, dot, norm
 from ..registry import register
 from ..session import load_table
 
@@ -528,11 +528,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook baseline; the LSH-bucketed formulation that replaces it at
     100 TB is similarity.py::sim_topk_lsh (random-hyperplane buckets).
     Threshold filters on the ROUNDED value in both engines so the
-    boundary decision is identical."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    boundary decision is identical.
+
+    Norms are precomputed per VECTOR (O(n) fold work) rather than per
+    pair — the O(n²) stage evaluates only the pairwise dot, cutting 2/3
+    of the per-pair expression cost; ``norm(a)·norm(b)`` multiplies the
+    identical doubles, so the result is bit-unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    emb = emb.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    cos = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -61,9 +61,20 @@ def get_spark(app_name: str = "insurance_claim_data_pipeline_spark") -> SparkSes
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's session-level settings to an externally-built
-    SparkSession (the driver hands us one in ``__spark_entry__.entry``)."""
+    SparkSession (the driver hands us one in ``__spark_entry__.entry``).
+
+    Only runtime-settable SQL confs here. shuffle.partitions defaults to
+    200 on a plain session — at local/test scale that is 200 tasks (and
+    200 state-store instances per streaming stage) for kilobyte
+    shuffles; sizing it to the session's core count with AQE coalescing
+    on is the same policy get_spark applies, and on a real cluster AQE
+    makes the initial number non-critical."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
