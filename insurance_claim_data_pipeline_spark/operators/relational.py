@@ -1033,3 +1033,351 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth, round 2: Q6/Q10/Q13/Q14/Q15/Q16/Q17/Q19 over the reduced
+# star schema (no partsupp / shipmode / receiptdate columns in the synthetic
+# tables, so Q16/Q17/Q19 use the documented nearest-equivalent predicates).
+# ---------------------------------------------------------------------------
+
+Q6_ORACLE = f"""
+SELECT {dec_sum_sql('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=Q6_ORACLE, tags=("agg",))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style forecast revenue: pure scan→filter→single-row
+    aggregate. All three predicates are min/max-pruneable parquet
+    pushdowns — at 100 TB this query reads only row groups whose
+    shipdate/discount/quantity statistics overlap the range, the
+    canonical 'filter reaches the scan' benchmark."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=Q10_ORACLE, tags=("join", "agg", "sort"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item reporting: top-20 customers by
+    revenue lost to returns in one quarter. The returnflag and orderdate
+    filters are pushed to the two fact scans; customer and nation
+    broadcast; orders⋈lineitem is the one shuffle. Top-20 runs as
+    TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+    heads — never a global sort), with c_custkey as the total-order
+    tie-break so the cut is deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-10-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+Q13_ORACLE = f"""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", oracle=Q13_ORACLE, tags=("join", "agg"))
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer order-count distribution: LEFT OUTER
+    join with a compound ON condition (the priority exclusion must live
+    in the join condition, not a WHERE — a WHERE would drop the
+    zero-order customers the histogram exists to count), then two
+    cascaded aggregations. The reference Q13 excludes on an o_comment
+    pattern; the synthetic orders table has no comment column, so the
+    documented equivalent is an o_orderpriority exclusion — same plan
+    shape (non-equi residual on an outer join).
+
+    Scale: customer⋈orders shuffles on custkey; the first aggregation
+    is already partitioned by its group key (no second shuffle); the
+    c_count histogram shuffles tiny data."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != Q13_EXCLUDED_PRIORITY),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q14_ORACLE = f"""
+SELECT ROUND(
+  100.0 * {dec_sum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+        / {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)}, 9) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", oracle=Q14_ORACLE, tags=("join", "agg"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promotion effect: share of one month's revenue
+    from PROMO-type parts. One broadcast join (part is the small dim),
+    shipdate pushed to the lineitem scan, conditional + total revenue in
+    a single aggregate pass; both sums decimal-stabilized so the ratio
+    is the same double at any parallelism, ROUND(…,9) pins the ulp."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    )
+    part = _t(spark, sf_dir, "part")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * dec_sum(promo, 4) / dec_sum(volume, 4), 9).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", oracle=Q15_ORACLE, tags=("join", "agg", "subquery"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style top supplier: the supplier(s) whose quarterly
+    revenue equals the global max. The revenue CTE aggregates once
+    (shuffle on suppkey); the scalar MAX is a one-row broadcast the
+    equality filter consumes — no second shuffle of the revenue frame,
+    no window over a single global partition. Equality-on-double is safe
+    here because both sides come from the same exact decimal sum."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q16_EXCLUDED_BRAND = "Brand#1"
+Q16_EXCLUDED_TYPE = "PROMO"
+Q16_SIZES = (1, 5, 9, 15, 23, 29, 36, 45)
+
+Q16_ORACLE = f"""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_EXCLUDED_BRAND}'
+  AND p_type  <> '{Q16_EXCLUDED_TYPE}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_counts", oracle=Q16_ORACLE, tags=("join", "agg", "subquery"))
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style part/supplier relationship count: distinct
+    suppliers per (brand, type, size) bucket, excluding one brand, one
+    type, and a NOT-IN supplier blacklist. The synthetic schema has no
+    partsupp table, so lineitem serves as the part–supplier bridge
+    (same join/agg shape, bigger bridge side — harder, not easier).
+
+    The NOT IN runs as a broadcast LEFT ANTI join against the
+    (pre-filtered, tiny) blacklist — the scalable formulation; a
+    NOT-IN-as-cross-filter would be a cartesian. All part predicates
+    (brand/type/size) are pushed into the broadcast build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+        & (F.col("p_type") != Q16_EXCLUDED_TYPE)
+        & (F.col("p_size").isin(list(Q16_SIZES)))
+    )
+    blacklist = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(blacklist), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q17_BRAND = "Brand#3"
+
+Q17_ORACLE = f"""
+SELECT {dec_sum_sql('l_extendedprice', 4)} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS a_partkey,
+         0.2 * ({dec_sum_sql('l_quantity')} / COUNT(*)) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+) pa ON p_partkey = a_partkey
+WHERE p_brand = '{Q17_BRAND}'
+  AND l_quantity < qty_cut
+"""
+
+# avg_yearly = revenue / 7, emitted at micro-precision via exact integer
+# arithmetic. ROUND(x / 7.0, k) is NOT cross-engine-stable: 1/7's binary
+# expansion puts a near-tie at arbitrary decimal positions and Spark
+# (BigDecimal HALF_UP on the exact binary value) and DuckDB (double
+# multiply-round) resolve it differently in the last ulp. Instead both
+# engines scale the (exact, decimal-stabilized) revenue sum to an integer
+# k = revenue·10⁴, then compute HALF_UP micros as ⌊(200k + 7) / 14⌋ in
+# pure BIGINT arithmetic — bit-identical by construction.
+Q17_ORACLE = f"""
+WITH rev AS ({Q17_ORACLE.strip()})
+SELECT revenue,
+       ((CAST(ROUND(revenue * 10000) AS BIGINT) * 200 + 7) // 14) / 1000000.0
+         AS avg_yearly
+FROM rev
+"""
+
+
+@register("q17_small_quantity", oracle=Q17_ORACLE, tags=("join", "agg", "subquery"))
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style small-quantity revenue: lineitems of one brand
+    whose quantity is below 20% of that part's average order quantity.
+    The correlated AVG subquery is decorrelated into one per-part
+    aggregate joined back on partkey — the standard rewrite; the
+    per-part frame is small (one row per part) so it broadcasts, and
+    lineitem is scanned twice but shuffled never. The cut threshold is
+    decimal-sum/count (order-independent), mirrored exactly in the
+    oracle so the < boundary decides identically in both engines.
+    avg_yearly (= revenue/7) is derived via exact scaled-long HALF_UP
+    division — see the Q17_ORACLE comment for why ROUND(x/7.0, k) is
+    not cross-engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * (dec_sum("l_quantity") / F.count(F.lit(1)))).alias("qty_cut")
+    )
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(dec_sum("l_extendedprice", 4).alias("revenue"))
+    )
+    micros = F.expr("(cast(round(revenue * 10000) as bigint) * 200 + 7) div 14")
+    return rev.select("revenue", (micros / F.lit(1000000.0)).alias("avg_yearly"))
+
+
+Q19_BANDS = (
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
+
+Q19_ORACLE = f"""
+SELECT {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = '{Q19_BANDS[0][0]}' AND p_size BETWEEN {Q19_BANDS[0][1]} AND {Q19_BANDS[0][2]}
+       AND l_quantity >= {Q19_BANDS[0][3]} AND l_quantity <= {Q19_BANDS[0][4]})
+   OR (p_brand = '{Q19_BANDS[1][0]}' AND p_size BETWEEN {Q19_BANDS[1][1]} AND {Q19_BANDS[1][2]}
+       AND l_quantity >= {Q19_BANDS[1][3]} AND l_quantity <= {Q19_BANDS[1][4]})
+   OR (p_brand = '{Q19_BANDS[2][0]}' AND p_size BETWEEN {Q19_BANDS[2][1]} AND {Q19_BANDS[2][2]}
+       AND l_quantity >= {Q19_BANDS[2][3]} AND l_quantity <= {Q19_BANDS[2][4]})
+"""
+
+
+@register("q19_discounted_revenue", oracle=Q19_ORACLE, tags=("join", "agg"))
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style disjunctive revenue: three OR'd conjunction bands
+    mixing part-side (brand, size) and lineitem-side (quantity)
+    predicates — the classic test of predicate decomposition. Catalyst
+    derives the single-side implications (brand ∈ {…} pushes to the
+    part scan, quantity ∈ [min,max] hull to the lineitem scan) while
+    the cross-side disjunction stays a residual on the broadcast join.
+    The synthetic part table has no container column; size bands stand
+    in for the container lists — same plan shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = None
+    for brand, size_lo, size_hi, qty_lo, qty_hi in Q19_BANDS:
+        clause = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & (F.col("l_quantity") >= qty_lo)
+            & (F.col("l_quantity") <= qty_hi)
+        )
+        band = clause if band is None else (band | clause)
+    return joined.filter(band).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+    )

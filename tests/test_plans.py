@@ -111,3 +111,55 @@ def test_q8_broadcasts_and_pushdown(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_q6_pushdown_single_scan(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q6_forecast_revenue")
+    # all three predicates reach the scan (the PushedFilters list is
+    # truncated in toString(), so match the Filter node's text)
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert ">= 0.05)" in plan and "<= 0.07)" in plan
+    assert "< 24.0)" in plan
+    # column pruning: join keys never leave the scan
+    assert "l_partkey" not in plan
+    assert "Join" not in plan
+
+
+def test_q10_topk_and_broadcasts(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan  # top-20, never a global sort
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "EqualTo(l_returnflag,R)" in plan  # fact filter pushed to scan
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q13_customer_distribution")
+    # the priority exclusion must be a join-side condition on an OUTER
+    # join; an inner join here silently drops the zero-order bucket
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_is_broadcast(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q16_supplier_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan  # NOT IN ran as anti join, not a filter scan
+    # part predicates pushed into the broadcast build side's scan
+    assert "IN (1,5,9,15,23,29,36,45)" in plan
+
+
+def test_q19_predicate_decomposition(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q19_discounted_revenue")
+    # Catalyst derives the quantity-only OR-of-bands for the lineitem
+    # scan and the brand/size-only disjunction for the part scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "= Brand#12)" in plan and "= Brand#23)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_single_aggregation_of_revenue(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "q15_top_supplier")
+    # scalar MAX consumed via broadcast, never a second shuffle of revenue
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
