@@ -78,3 +78,56 @@ def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     TABLESAMPLE."""
     doc = load_table(spark, sf_dir, "documents")
     return doc.filter(hash_bucket("doc_id") < 10).select("doc_id", "lang")
+
+
+# Per-language sampling rates (percent) for corpus rebalancing: the
+# over-represented language is downsampled hard, the rest kept at 50%.
+STRATA_RATES = {"en": 10}
+DEFAULT_RATE = 50
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_RATES.items())
+    return f"CASE {whens} ELSE {DEFAULT_RATE} END"
+
+
+STRATIFIED_ORACLE = f"""
+WITH tagged AS (
+  SELECT lang, n_chars,
+         {_bucket_sql('doc_id')} AS b,
+         {_rate_case_sql()} AS rate
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE b < rate) AS n_sampled,
+       COALESCE(SUM(n_chars) FILTER (WHERE b < rate), 0) AS sampled_chars
+FROM tagged
+GROUP BY lang
+"""
+
+
+@register("sample_stratified_lang", oracle=STRATIFIED_ORACLE, tags=("sampling", "llm"))
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus rebalancing: each language keeps a configured
+    fraction of its documents (English 10%, others 50%), selected by the
+    same deterministic md5 bucket as the Bernoulli sample — so the
+    chosen SET is reproducible, engine-independent, and a strict subset
+    of any higher rate for the same stratum (nested samples: raising a
+    rate only ADDS documents, it never reshuffles the kept set — the
+    property that makes ablation corpora comparable).
+
+    One narrow scan, one combined aggregation; the per-stratum rate is a
+    CASE expression, not a join, so skewed strata cost nothing extra."""
+    doc = load_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for k, v in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    keep = hash_bucket("doc_id") < rate
+    return doc.select("lang", "n_chars", keep.alias("keep")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("keep")).alias("n_sampled"),
+        F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0)).alias(
+            "sampled_chars"
+        ),
+    )

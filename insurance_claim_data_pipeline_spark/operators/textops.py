@@ -11,10 +11,10 @@ contain a single scan each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, shingles_sql, tokens
+from ..functions.text import shingle_rows, shingles, shingles_sql, tokens
 from ..registry import register
 from ..session import load_table
 
@@ -203,3 +203,161 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bag_of_words_md5"),
         min_shingle.alias("min_shingle_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: TF-IDF, boilerplate detection, PII redaction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+# Exact rational IDF (N/df) instead of ln(N/df): Spark ranks and hashes
+# these rows against the DuckDB oracle, and ln() is the one place the
+# engines can disagree — libm vs Java Math.log differ in the last ulp
+# for some inputs, which can flip a ranking or a rounded output. The
+# score is therefore tf·N·10⁶ ÷ df in exact BIGINT arithmetic —
+# identical ordering semantics (monotone in tf and 1/df), bit-identical
+# everywhere. Swapping in log-damped IDF is a one-line change where a
+# real pipeline wants it; it just stops being hash-checkable.
+TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         (tf * n_docs * 1000000) // df AS score_e6,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY (tf * n_docs * 1000000) // df DESC, term)
+           AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score_e6, rnk
+FROM scored WHERE rnk <= {TFIDF_TOPK}
+"""
+
+
+@register("text_tfidf_topk", oracle=TFIDF_ORACLE, tags=("text", "llm"))
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most characteristic terms per document by TF-IDF.
+
+    Plan shape at scale: explode → two aggregations (term frequency per
+    doc; document frequency per term — both map-side-combined single
+    shuffles) → the df table joins back on term (shuffle join; at real
+    corpus scale the vocabulary is zipfian-heavy but AQE's skew split
+    handles the head terms) → per-doc top-k via ROW_NUMBER window over
+    doc_id, which re-uses the tf aggregation's partitioning. The corpus
+    size N is a one-row broadcast."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .withColumn("score_e6", F.expr("(tf * n_docs * 1000000) div df"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score_e6", "rnk")
+    )
+
+
+BOILERPLATE_MIN_DOCS = 3
+BOILERPLATE_TOPK = 50
+
+BOILERPLATE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
+)
+SELECT shingle, COUNT(*) AS n_docs
+FROM sh
+GROUP BY shingle
+HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, shingle
+LIMIT {BOILERPLATE_TOPK}
+"""
+
+
+@register("text_boilerplate_ngrams", oracle=BOILERPLATE_ORACLE, tags=("text", "llm"))
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: 5-gram shingles occurring
+    in ≥{BOILERPLATE_MIN_DOCS} distinct documents — headers, footers,
+    license blocks and navigation chrome surface exactly this way in web
+    corpora, and removing them is a standard pretraining cleanup pass.
+
+    Per-doc shingles are DISTINCT (shingle_rows), so COUNT(*) per
+    shingle IS the document frequency — one explode, one combined
+    shuffle, top-k via TakeOrderedAndProject. The same inverted index
+    is the first stage of dedup_ngram_jaccard; this operator is its
+    corpus-profiling face."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        shingle_rows(doc)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle"))
+        .limit(BOILERPLATE_TOPK)
+    )
+
+
+# Ordered (name, pattern) pairs — SSN before phone, or the phone pattern
+# consumes the middle of an SSN. Patterns stay inside the common
+# Java-regex ∩ RE2 dialect (no lookaround, no backrefs) so Spark and
+# DuckDB match identically.
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", "\\+?[0-9][0-9()./ -]{6,}[0-9]"),
+)
+
+
+def _pii_redact_sql() -> str:
+    expr = "text"
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '[{name.upper()}]', 'g')"
+    return f"""
+SELECT doc_id, {', '.join(counts)}, {expr} AS redacted, md5({expr}) AS redacted_md5
+FROM documents
+"""
+
+
+@register("text_pii_redact", oracle=_pii_redact_sql(), tags=("text", "llm"))
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking: emails, SSNs and phone numbers replaced by typed
+    placeholder tokens, with per-class match counts — the standard
+    pre-release scrub for web-scraped training text. Pure regexp
+    expression pipeline: one narrow scan, no shuffle, embarrassingly
+    parallel at 100 TB.
+
+    The counts are computed BEFORE each class's replacement and the
+    replacements apply in declared order (SSN before phone — see
+    PII_PATTERNS). The synthetic corpus contains no PII, so this
+    registry row proves cross-engine regex-dialect parity on clean
+    text; the positive-match behavior is locked by the literal-row
+    tests in tests/test_llm_ops.py."""
+    doc = load_table(spark, sf_dir, "documents")
+    expr: Column = F.col("text")
+    out = [F.col("doc_id")]
+    for name, pat in PII_PATTERNS:
+        out.append(F.regexp_count(expr, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        expr = F.regexp_replace(expr, pat, f"[{name.upper()}]")
+    out.append(expr.alias("redacted"))
+    out.append(F.md5(expr).alias("redacted_md5"))
+    return doc.select(*out)

@@ -202,3 +202,69 @@ def test_ivf_trained_recall_at_least_fixed(spark, sf_dir):
     assert recall_trained >= recall_fixed, (recall_trained, recall_fixed)
     t2 = similarity.sim_topk_ivf_trained(spark, sf_dir).collect()
     assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))
+
+
+def test_pii_redaction_positive_matches(spark):
+    """The registry query proves regex-dialect parity on clean text; the
+    positive-match semantics are locked here on literal rows."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.textops import PII_PATTERNS
+
+    rows = [
+        (1, "contact jane.doe+spam@example.co.uk for details"),
+        (2, "ssn 123-45-6789 on file"),
+        (3, "call +1 (415) 555-0199 or 020 7946-0958 today"),
+        (4, "mixed: a@b.io then 987-65-4321 then 415 555 0100 end"),
+        (5, "clean text with no identifiers at all"),
+    ]
+    doc = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = F.col("text")
+    out = [F.col("doc_id")]
+    for name, pat in PII_PATTERNS:
+        out.append(F.regexp_count(expr, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        expr = F.regexp_replace(expr, pat, f"[{name.upper()}]")
+    got = {r["doc_id"]: r for r in doc.select(*out, expr.alias("redacted")).collect()}
+
+    assert got[1]["n_email"] == 1 and got[1]["redacted"] == "contact [EMAIL] for details"
+    assert got[2]["n_ssn"] == 1 and got[2]["redacted"] == "ssn [SSN] on file"
+    assert got[3]["n_phone"] == 2
+    assert "[PHONE]" in got[3]["redacted"] and "555" not in got[3]["redacted"]
+    # ordering: the SSN is consumed by the SSN class, not the phone class
+    assert got[4]["n_email"] == 1 and got[4]["n_ssn"] == 1 and got[4]["n_phone"] == 1
+    assert got[5]["redacted"] == rows[4][1]  # clean text passes through
+
+
+def test_stratified_sample_is_nested_subset(spark, sf_dir):
+    """Raising a stratum's rate must only ADD documents (nested
+    samples) — the hash-bucket design's key property."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.sampling import hash_bucket
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    doc = load_table(spark, sf_dir, "documents")
+    at_10 = {r["doc_id"] for r in doc.filter(hash_bucket("doc_id") < 10).select("doc_id").collect()}
+    at_50 = {r["doc_id"] for r in doc.filter(hash_bucket("doc_id") < 50).select("doc_id").collect()}
+    assert at_10 <= at_50
+    n = doc.count()
+    # uniformity sanity: 10% within ±6 percentage points at this SF
+    assert abs(len(at_10) / n - 0.10) < 0.06
+
+
+def test_tfidf_rare_terms_outrank_common(spark, sf_dir):
+    """A term appearing in fewer documents must outscore one with the
+    same tf appearing in more documents."""
+    from insurance_claim_data_pipeline_spark.operators.textops import text_tfidf_topk
+
+    rows = text_tfidf_topk(spark, sf_dir).collect()
+    assert rows, "tfidf produced no rows"
+    for r in rows:
+        assert r["rnk"] <= 3 and r["score_e6"] > 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["rnk"])
+        scores = [r["score_e6"] for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
