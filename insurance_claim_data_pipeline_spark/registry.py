@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.streaming.events_stream",
     "insurance_claim_data_pipeline_spark.streaming.stateful",
     "insurance_claim_data_pipeline_spark.streaming.claims_stream",
+    "insurance_claim_data_pipeline_spark.streaming.transform_state",
 )
 
 

@@ -132,3 +132,96 @@ def test_watermark_drops_late_rows_vs_batch(spark, tmp_path):
     )
     bgot = {r["window_start_us"]: r["n_events"] for r in batch.collect()}
     assert bgot[us(0)] == 2 and bgot[us(60)] == 2
+
+
+def test_streaming_dedup_drops_injected_duplicates(spark, tmp_path, sf_dir):
+    """dropDuplicatesWithinWatermark: the same events file delivered
+    twice (two micro-batches) must produce each event exactly once,
+    equal to batch DISTINCT over one copy."""
+    import shutil
+
+    from insurance_claim_data_pipeline_spark.streaming import transform_state as tws
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+
+    batch_one_copy = spark.read.parquet(str(src / "a.parquet"))
+    from pyspark.sql import functions as F
+
+    if dict(batch_one_copy.dtypes).get("ts") == "bigint":
+        fix = lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        fix = lambda df: df
+    batch_one_copy = fix(batch_one_copy)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).option("maxFilesPerTrigger", "1").parquet(str(src))
+    drained = tws.run_stream_to_memory(
+        tws.dedup_stream(fix(stream)), spark, output_mode="append"
+    )
+    expected = (
+        batch_one_copy.select(
+            "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+        )
+        .distinct()
+        .collect()
+    )
+    got = drained.collect()
+    assert len(got) == len(expected)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_lastk_batch_twin_matches_pandas_model(spark, sf_dir):
+    """The oracle-checked batch twin must equal an independent pandas
+    recomputation of 'last K event types per user, oldest→newest'."""
+    from insurance_claim_data_pipeline_spark.session import load_table
+    from insurance_claim_data_pipeline_spark.streaming.transform_state import (
+        LAST_K,
+        events_lastk_types,
+    )
+
+    got = {r["user_id"]: r["last_types"] for r in events_lastk_types(spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    for user_id, grp in pdf.groupby("user_id"):
+        expect = "|".join(grp["event_type"].tail(LAST_K))
+        assert got[int(user_id)] == expect, user_id
+
+
+def test_transform_with_state_lastk_streaming_equals_batch(spark, sf_dir):
+    """Full transformWithStateInPandas run (skipped where the gRPC state
+    channel's protobuf dependency is absent — see TWS_AVAILABLE)."""
+    import pytest
+
+    from insurance_claim_data_pipeline_spark.streaming import transform_state as tws
+
+    if not tws.TWS_AVAILABLE:
+        pytest.skip("google.protobuf not available: transformWithState gated off")
+    events = tws._events_stream(spark, sf_dir)
+    drained = tws.run_stream_to_memory(
+        tws.lastk_types_stream(events), spark, output_mode="update"
+    )
+    # update mode emits one snapshot per (user, micro-batch); the final
+    # snapshot per user must equal the batch twin
+    final = {r["user_id"]: r["last_types"] for r in drained.collect()}
+    batch = {r["user_id"]: r["last_types"] for r in tws.events_lastk_types(spark, sf_dir).collect()}
+    assert final == batch
+
+
+def test_lastk_stream_raises_cleanly_when_gated(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.streaming import transform_state as tws
+
+    if tws.TWS_AVAILABLE:
+        import pytest
+
+        pytest.skip("capability present; gate path not reachable")
+    import pytest
+
+    events = tws._events_stream(spark, sf_dir)
+    with pytest.raises(RuntimeError, match="protobuf"):
+        tws.lastk_types_stream(events)
