@@ -36,8 +36,12 @@ exactness past 2^53) that are recombined exactly in decimal per GROUP
   faithful rounding needs ``|v|·10^s ≲ 2^53`` (~9e15) — a property of
   double inputs, not of the accumulator.
 
-The SQL-side mirror of ``dec_sum(col, s)`` remains
-``CAST(SUM(CAST(col AS DECIMAL(18,s))) AS DOUBLE)``.
+The SQL-side mirror of ``dec_sum(col, s)`` is
+``CAST(SUM(CAST(ROUND(col*10^s)/10^s AS DECIMAL(18,s))) AS DOUBLE)`` —
+the ROUND quantizes the same double product the Spark side rounds, so
+both engines agree even when a computed value's exact binary expansion
+and its double product straddle a .5 boundary (a bare double→DECIMAL
+cast in DuckDB rounds the exact expansion and diverges ~1e-6 of rows).
 """
 
 from __future__ import annotations
@@ -84,9 +88,22 @@ def dec_avg(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     return dec_sum(c, scale, precision) / F.count(c)
 
 
+def _quantize_sql(expr: str, scale: int, precision: int) -> str:
+    # ROUND((expr)*10^s)/10^s rounds the DOUBLE PRODUCT — the same value
+    # the Spark-side ``_scaled_long`` rounds — then the DECIMAL cast of
+    # the already-quantized double is exact. A bare
+    # ``CAST(expr AS DECIMAL)`` instead rounds the exact binary
+    # expansion of the double, which lands on the other side of a .5
+    # boundary than the product for ~1e-6 of computed rows (observed:
+    # q9 profit at sf0.01) — raw k-decimal columns never sit near a
+    # boundary, but division/multiplication results do.
+    m = 10**scale
+    return f"CAST(ROUND(({expr}) * {m}) / {m} AS DECIMAL({precision},{scale}))"
+
+
 def dec_sum_sql(expr: str, scale: int = 2, precision: int = 18) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    return f"CAST(SUM({_quantize_sql(expr, scale, precision)}) AS DOUBLE)"
 
 
 def dec_avg_sql(expr: str, scale: int = 2, precision: int = 18) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE) / COUNT({expr})"
+    return f"CAST(SUM({_quantize_sql(expr, scale, precision)}) AS DOUBLE) / COUNT({expr})"
