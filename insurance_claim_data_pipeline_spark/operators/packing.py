@@ -1,0 +1,102 @@
+"""Sequence packing for LLM pretraining batches.
+
+``pack_concat_chunks`` implements concat-and-chunk packing — the
+strategy GPT-style pretraining actually uses: documents are laid end to
+end in one deterministic global order and the token stream is cut into
+fixed-length chunks (SEQ_LEN). Each document's placement is a function
+of the running token offset before it, i.e. a global prefix sum.
+
+Scale design (the interesting part): a naive ``SUM() OVER (ORDER BY …)``
+with no PARTITION BY collapses to a single task in Spark. This module
+computes the prefix sum the scalable way instead:
+
+1. per-bucket cumulative sums, windowed over ``bucket = doc_id div W``
+   (deterministic fixed-width buckets — no sampling, no partition-id
+   dependence, any bucketing of an ordered key yields the same global
+   prefix sum);
+2. bucket totals (one map-side-combined aggregate, |buckets| = N/W
+   rows);
+3. bucket start offsets via a running sum over the tiny bucket-totals
+   frame, broadcast-joined back.
+
+At 100 TB pick W so N/W offsets fit one task (W ≈ √N), or recurse the
+same construction one more level — the classic two-level scan. The
+per-doc math (start offset, chunk id, boundary-crossing flag) is then
+embarrassingly parallel.
+
+The reference has no packing (or any text op) — this is §2.2 extension
+surface / LLM-data north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+
+SEQ_LEN = 512  # tokens per training sequence
+PACK_BUCKET_W = 100  # doc_ids per prefix-sum bucket (tune ≈ √N at scale)
+
+PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_end
+  FROM tok
+)
+SELECT doc_id, n_tok,
+       cum_end - n_tok AS start_offset,
+       (cum_end - n_tok) // {SEQ_LEN} AS chunk_id,
+       ((cum_end - n_tok) // {SEQ_LEN} != (cum_end - 1) // {SEQ_LEN}) AS crosses_chunk
+FROM c
+"""
+
+
+@register("pack_concat_chunks", oracle=PACK_ORACLE, tags=("llm", "packing", "window", "bench"))
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: global token offset per doc
+    (two-level distributed prefix sum — see module docstring), the
+    SEQ_LEN-chunk each document starts in, and whether it straddles a
+    chunk boundary (loss-masking needs to know).
+
+    floor(x / SEQ_LEN) over doubles equals integer division exactly
+    while the running token total stays below 2^53 — ~9e15 tokens,
+    two orders of magnitude above a 100 TB corpus."""
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.floor(F.col("doc_id") / PACK_BUCKET_W).cast("long").alias("bkt"),
+    )
+    cum_in_bkt = F.sum("n_tok").over(Window.partitionBy("bkt").orderBy("doc_id"))
+    d = d.withColumn("cum_in_bkt", cum_in_bkt)
+    # tiny frame: one row per bucket; the un-partitioned window runs on
+    # N/W rows, not N (the whole point of the two-level construction)
+    bkt_off = F.coalesce(
+        F.sum("bkt_tok").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("n_tok").alias("bkt_tok"))
+        .select("bkt", bkt_off.alias("bkt_off"))
+    )
+    j = d.join(F.broadcast(offsets), "bkt")
+    cum_end = F.col("bkt_off") + F.col("cum_in_bkt")
+    start = (cum_end - F.col("n_tok")).alias("start_offset")
+    chunk = F.floor((cum_end - F.col("n_tok")) / SEQ_LEN).cast("long")
+    last_chunk = F.floor((cum_end - 1) / SEQ_LEN).cast("long")
+    return j.select(
+        "doc_id",
+        "n_tok",
+        start,
+        chunk.alias("chunk_id"),
+        (chunk != last_chunk).alias("crosses_chunk"),
+    )

@@ -131,3 +131,53 @@ def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sampled_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe (group-aware) splits
+# ---------------------------------------------------------------------------
+
+def _leakage_safe_oracle() -> str:
+    from .dedup import COMPONENTS_ORACLE
+
+    return f"""
+WITH comp AS ({COMPONENTS_ORACLE}),
+g AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, group_id,
+       CASE WHEN b < {TRAIN_PCT} THEN 'train'
+            WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, group_id, {_bucket_sql('group_id')} AS b FROM g)
+"""
+
+
+@register("split_leakage_safe", oracle=_leakage_safe_oracle(), tags=("sampling", "dedup", "llm"))
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: hash the near-dup COMPONENT id,
+    not the document id, so transitively-similar documents always land
+    in the same split — the fix for train/test contamination that a
+    per-document hash split cannot provide (a near-copy of a test doc
+    in train is leakage even after dedup keeps one per cluster).
+
+    Composition: dedup_components labels every doc in a near-dup
+    cluster with its canonical id; singletons fall back to their own
+    doc_id (left join + coalesce); the 80/10/10 assignment is the same
+    deterministic md5 bucket as sample_split_hash, applied to the group
+    id. One extra broadcast-sized join on top of the components cost."""
+    from .dedup import dedup_components
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = dedup_components(spark, sf_dir)
+    g = doc.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("group_id")
+    )
+    b = hash_bucket("group_id")
+    split = (
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return g.select("doc_id", "group_id", split.alias("split"))

@@ -393,3 +393,77 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid-distance outlier detection (embedding-space data quality)
+# ---------------------------------------------------------------------------
+
+CENTROID_SCALE = 9  # decimal scale of the exact per-dimension mean
+OUTLIER_K = 5  # flag the K least-central vectors per label
+
+CENTROID_OUTLIER_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS val,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000000) / 1000000000
+                       AS DECIMAL(18,{CENTROID_SCALE}))) AS DOUBLE) / COUNT(val) AS cval
+  FROM ex GROUP BY label, pos
+), centarr AS (
+  SELECT label, list(cval ORDER BY pos) AS centroid FROM cent GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND({cosine_sql('e.embedding', 'c.centroid')}, 6) AS cos_centroid
+  FROM embeddings e JOIN centarr c ON e.label = c.label
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY cos_centroid ASC, vec_id) AS rnk
+  FROM scored
+)
+SELECT vec_id, label, cos_centroid, rnk FROM ranked WHERE rnk <= {OUTLIER_K}
+"""
+
+
+@register(
+    "emb_centroid_outliers", oracle=CENTROID_OUTLIER_ORACLE, tags=("similarity", "llm")
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: per-label centroid (exact
+    order-independent per-dimension mean via the split-long accumulator,
+    so the centroid is bit-identical on any partitioning), then the K
+    vectors least cosine-similar to their label's centroid — the
+    standard mislabeled/poisoned-sample screen for training corpora.
+
+    Plan shape: posexplode → one (label, dim)-keyed map-side-combined
+    shuffle of |labels|·D cells → centroids re-assembled and BROADCAST
+    (K·D doubles) → one narrow scoring pass over the corpus → per-label
+    top-k window. The corpus is scanned exactly twice and never
+    shuffled on a wide key — at 100 TB the explode shuffle carries
+    |labels|·D·P partial cells, not N·D rows, thanks to partial
+    aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("pos", "val")
+    )
+    cent = ex.groupBy("label", "pos").agg(dec_avg("val", CENTROID_SCALE).alias("cval"))
+    centarr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["cval"]).alias("centroid"))
+    )
+    scored = emb.join(F.broadcast(centarr), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(as_double("embedding"), F.col("centroid")), 6).alias(
+            "cos_centroid"
+        ),
+    )
+    w = W.partitionBy("label").orderBy(F.col("cos_centroid").asc(), "vec_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= OUTLIER_K)
+    )

@@ -313,6 +313,73 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_KEEP_PCT = 80  # keep the top 80% of each language by quality
+
+# rank*100 <= n*80 is the integer form of rank <= 0.8*n — no float
+# quantile math to disagree across engines.
+QUALITY_QUANTILE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_unique,
+         CAST(len(list_filter(toks, t -> t IN {_STOPWORDS!r})) AS DOUBLE) AS n_stop
+  FROM tok
+), s AS (
+  SELECT doc_id, lang,
+         ROUND(0.4 * (1.0 - n_stop / n_tokens)
+             + 0.4 * (n_unique / n_tokens)
+             + 0.2 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality_score
+  FROM m
+), r AS (
+  SELECT doc_id, lang, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY quality_score DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM s
+)
+SELECT doc_id, lang, quality_score, rnk, n_lang
+FROM r WHERE rnk * 100 <= n_lang * {QUALITY_KEEP_PCT}
+"""
+
+
+@register("text_quality_quantile", oracle=QUALITY_QUANTILE_ORACLE, tags=("text", "llm", "window"))
+def text_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile filter: keep each language's top
+    {QUALITY_KEEP_PCT}% of documents by quality score — the stratified
+    form of a pretraining quality cut (a global cut would silently
+    drop low-resource languages whose score distribution sits lower).
+
+    Rank comparison is pure integer math (rank·100 ≤ n·80), so there is
+    no float quantile threshold to disagree across engines; ties break
+    on doc_id for a total order. Scale note: the exact formulation is
+    one window per language (a single reducer per language — fine up to
+    billions of docs per language with range-partitioned windows); the
+    approximate path at extreme scale is percentile_approx per language
+    (tiny aggregate) broadcast back as a threshold filter, trading
+    exactness for no window at all."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+    score = F.round(
+        0.4 * (F.lit(1.0) - n_stop / n)
+        + 0.4 * (uniq / n)
+        + 0.2 * F.least(n / 100.0, F.lit(1.0)),
+        6,
+    )
+    scored = doc.select("doc_id", "lang", score.alias("quality_score"))
+    w = Window.partitionBy("lang")
+    rnk = F.row_number().over(w.orderBy(F.col("quality_score").desc(), "doc_id"))
+    n_lang = F.count(F.lit(1)).over(w)
+    return (
+        scored.select("doc_id", "lang", "quality_score", rnk.alias("rnk"), n_lang.alias("n_lang"))
+        .filter(F.col("rnk") * 100 <= F.col("n_lang") * QUALITY_KEEP_PCT)
+    )
+
+
 # Ordered (name, pattern) pairs — SSN before phone, or the phone pattern
 # consumes the middle of an SSN. Patterns stay inside the common
 # Java-regex ∩ RE2 dialect (no lookaround, no backrefs) so Spark and

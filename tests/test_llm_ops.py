@@ -268,3 +268,75 @@ def test_tfidf_rare_terms_outrank_common(spark, sf_dir):
         doc_rows.sort(key=lambda r: r["rnk"])
         scores = [r["score_e6"] for r in doc_rows]
         assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: packing, quantile filter, centroid outliers, leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def test_pack_concat_chunks_contiguous(spark, sf_dir):
+    """The packed token stream is gapless: in doc_id order, each doc
+    starts exactly where the previous one ended, chunk ids follow the
+    start offset, and the crossing flag matches chunk arithmetic."""
+    from insurance_claim_data_pipeline_spark.operators import packing
+
+    rows = sorted(
+        packing.pack_concat_chunks(spark, sf_dir).collect(), key=lambda r: r["doc_id"]
+    )
+    off = 0
+    for r in rows:
+        assert r["start_offset"] == off
+        assert r["chunk_id"] == off // packing.SEQ_LEN
+        end = off + r["n_tok"]
+        assert r["crosses_chunk"] == (off // packing.SEQ_LEN != (end - 1) // packing.SEQ_LEN)
+        off = end
+
+
+def test_quality_quantile_per_lang_fraction(spark, sf_dir):
+    """Kept fraction per language is exactly floor(0.8·n)/n — no
+    language is globally starved, ranks are dense from 1."""
+    from insurance_claim_data_pipeline_spark.operators import textops
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    kept = textops.text_quality_quantile(spark, sf_dir).collect()
+    totals = {
+        r["lang"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents").groupBy("lang").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+        ).collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        n = totals[lang]
+        assert len(rows) == (n * textops.QUALITY_KEEP_PCT) // 100
+        assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_centroid_outliers_k_per_label(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.operators import similarity
+
+    rows = similarity.emb_centroid_outliers(spark, sf_dir).collect()
+    per_label: dict[int, int] = {}
+    for r in rows:
+        per_label[r["label"]] = per_label.get(r["label"], 0) + 1
+        assert 1 <= r["rnk"] <= similarity.OUTLIER_K
+    assert per_label and all(v == similarity.OUTLIER_K for v in per_label.values())
+
+
+def test_leakage_safe_split_keeps_components_together(spark, sf_dir):
+    """THE property this operator exists for: every doc of a near-dup
+    component lands in the same split, and at least one multi-doc
+    component exists in the fixture so the assertion bites."""
+    from insurance_claim_data_pipeline_spark.operators import sampling
+
+    rows = sampling.split_leakage_safe(spark, sf_dir).collect()
+    split_of_group: dict[int, set] = {}
+    sizes: dict[int, int] = {}
+    for r in rows:
+        split_of_group.setdefault(r["group_id"], set()).add(r["split"])
+        sizes[r["group_id"]] = sizes.get(r["group_id"], 0) + 1
+    assert all(len(s) == 1 for s in split_of_group.values())
+    assert max(sizes.values()) > 1, "fixture should contain a multi-doc component"
