@@ -181,3 +181,78 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return g.select("doc_id", "group_id", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture reweighting (downsample each source to a target mix)
+# ---------------------------------------------------------------------------
+
+# Target weight per source: 1 + (source_number mod 3) — a deterministic
+# stand-in for the "web:books:code = 1:2:3"-style mixture spec a real
+# pretraining run would supply as config.
+_W_SQL = "(1 + CAST(substr(source, 4) AS BIGINT) % 3)"
+
+MIXTURE_ORACLE = f"""
+WITH cnt AS (
+  SELECT source, {_W_SQL} AS w, COUNT(*) AS n FROM documents GROUP BY source
+), anchor AS (
+  SELECT w AS w_m, n AS n_m FROM cnt ORDER BY (n * 1000000) // w, source LIMIT 1
+), rates AS (
+  SELECT source, w, n,
+         LEAST(1000000, (1000000 * w * n_m) // (w_m * n)) AS rate_e6
+  FROM cnt, anchor
+)
+SELECT d.source, ANY_VALUE(r.w) AS w, ANY_VALUE(r.n) AS n_docs,
+       ANY_VALUE(r.rate_e6) AS rate_e6,
+       COUNT(*) FILTER (WHERE {_bucket_sql('d.doc_id', 1000000)} < r.rate_e6)
+         AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY d.source
+"""
+
+
+@register("sample_mixture_weights", oracle=MIXTURE_ORACLE, tags=("sampling", "llm"))
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting: downsample every source so the kept
+    corpus follows a target weight mix. The most under-represented
+    source (min n/w, deterministic tie-break) anchors at keep-rate 1;
+    every other source keeps rate = (w·n_m)/(w_m·n), capped at 1 —
+    all in ×1e6 integer arithmetic so both engines agree exactly.
+    Per-document keeps use the md5 hash bucket: reproducible,
+    partition-independent, coordination-free.
+
+    Scale shape: source counts are one map-side-combined aggregate
+    (|sources| rows); the anchor pick and rate table are driver-trivial
+    and broadcast back; the keep decision is a narrow per-row hash
+    compare. The corpus is scanned twice and shuffled never (the final
+    groupBy carries |sources| groups)."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = 1 + F.substring("source", 4, 10).cast("long") % 3
+    cnt = doc.groupBy("source").agg(F.count(F.lit(1)).alias("n")).select(
+        "source", w.alias("w"), "n"
+    )
+    anchor = (
+        cnt.orderBy(F.expr("(n * 1000000) div w"), "source")
+        .limit(1)
+        .select(F.col("w").alias("w_m"), F.col("n").alias("n_m"))
+    )
+    rates = cnt.join(F.broadcast(anchor)).select(
+        "source",
+        "w",
+        "n",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("(1000000 * w * n_m) div (w_m * n)"),
+        ).alias("rate_e6"),
+    )
+    b = hash_bucket("doc_id", 1_000_000)
+    return (
+        doc.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("w").alias("w"),
+            F.any_value("n").alias("n_docs"),
+            F.any_value("rate_e6").alias("rate_e6"),
+            F.count(F.when(b < F.col("rate_e6"), 1)).alias("n_kept"),
+        )
+    )

@@ -428,3 +428,153 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.append(expr.alias("redacted"))
     out.append(F.md5(expr).alias("redacted_md5"))
     return doc.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+DUP2_MAX_E6 = 300_000  # max duplicate-2-gram fraction (×1e6) to keep
+DUP3_MAX_E6 = 200_000  # max duplicate-3-gram fraction (×1e6)
+TOPTOK_MAX_E6 = 200_000  # max most-frequent-token fraction (×1e6)
+
+REPETITION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM tok
+), tf AS (
+  SELECT doc_id, MAX(c) AS max_tf FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+    GROUP BY doc_id, term
+  ) GROUP BY doc_id
+), g AS (
+  SELECT doc_id, n_tok,
+         CAST(len({shingles_sql('toks', 2)}) AS BIGINT) AS dist2,
+         CAST(len({shingles_sql('toks', 3)}) AS BIGINT) AS dist3
+  FROM base
+)
+SELECT g.doc_id, g.n_tok,
+       CASE WHEN n_tok >= 2
+            THEN ((n_tok - 1 - dist2) * 1000000) // (n_tok - 1) ELSE 0 END
+         AS dup2_e6,
+       CASE WHEN n_tok >= 3
+            THEN ((n_tok - 2 - dist3) * 1000000) // (n_tok - 2) ELSE 0 END
+         AS dup3_e6,
+       (tf.max_tf * 1000000) // n_tok AS toptok_e6,
+       (CASE WHEN n_tok >= 2
+             THEN ((n_tok - 1 - dist2) * 1000000) // (n_tok - 1) ELSE 0 END
+          <= {DUP2_MAX_E6}
+        AND CASE WHEN n_tok >= 3
+             THEN ((n_tok - 2 - dist3) * 1000000) // (n_tok - 2) ELSE 0 END
+          <= {DUP3_MAX_E6}
+        AND (tf.max_tf * 1000000) // n_tok <= {TOPTOK_MAX_E6}) AS keep
+FROM g JOIN tf ON g.doc_id = tf.doc_id
+"""
+
+
+@register("text_repetition_filter", oracle=REPETITION_ORACLE, tags=("text", "llm"))
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition screen: duplicate-2-gram fraction,
+    duplicate-3-gram fraction, and most-frequent-token share, plus the
+    conjunctive keep flag — the repetition family of quality filters
+    used to drop degenerate/boilerplate-looped documents before
+    pretraining. All thresholds are ×1e6 integers (integer div), so the
+    flag is bit-identical across engines with no float epsilon.
+
+    Plan shape: distinct n-gram counts reuse the shingle_rows explode
+    (codegen'd position explode, never an interpreted lambda), each
+    aggregated per doc_id; max token frequency is a two-level
+    (doc_id, term) → doc_id aggregation with map-side combine. All
+    joins are doc_id-keyed, so AQE plans them as one co-partitioned
+    exchange chain — per-doc state is O(tokens per doc), nothing global."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = doc.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tok"))
+    tf = (
+        doc.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tf"))
+    )
+    d2 = shingle_rows(doc, 2).groupBy("doc_id").agg(F.count(F.lit(1)).alias("dist2"))
+    d3 = shingle_rows(doc, 3).groupBy("doc_id").agg(F.count(F.lit(1)).alias("dist3"))
+    j = base.join(tf, "doc_id").join(d2, "doc_id").join(d3, "doc_id")
+    n = F.col("n_tok")
+    dup2 = F.when(
+        n >= 2, F.expr("((n_tok - 1 - dist2) * 1000000) div (n_tok - 1)")
+    ).otherwise(F.lit(0).cast("long"))
+    dup3 = F.when(
+        n >= 3, F.expr("((n_tok - 2 - dist3) * 1000000) div (n_tok - 2)")
+    ).otherwise(F.lit(0).cast("long"))
+    toptok = F.expr("(max_tf * 1000000) div n_tok")
+    out = j.select(
+        "doc_id",
+        "n_tok",
+        dup2.alias("dup2_e6"),
+        dup3.alias("dup3_e6"),
+        toptok.alias("toptok_e6"),
+    )
+    keep = (
+        (F.col("dup2_e6") <= DUP2_MAX_E6)
+        & (F.col("dup3_e6") <= DUP3_MAX_E6)
+        & (F.col("toptok_e6") <= TOPTOK_MAX_E6)
+    )
+    return out.select("*", keep.alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap against a held-out eval set)
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 53  # doc_id % BENCH_MOD == 0 → benchmark member (deterministic)
+CONTAM_N = 4  # shingle width for the overlap test (8-13 in real suites)
+
+CONTAMINATION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({shingles_sql('toks', CONTAM_N)}) AS shingle FROM tok
+), bench AS (
+  SELECT doc_id AS bench_doc, shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+), corpus AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % {BENCH_MOD} != 0
+)
+SELECT c.doc_id,
+       COUNT(DISTINCT c.shingle) AS n_hit_shingles,
+       COUNT(DISTINCT b.bench_doc) AS n_bench_docs
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+"""
+
+
+@register("text_contamination", oracle=CONTAMINATION_ORACLE, tags=("text", "llm", "dedup"))
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training documents sharing a
+    {CONTAM_N}-gram shingle with any benchmark document (deterministic membership
+    doc_id % {BENCH_MOD} == 0 stands in for the eval set), with how many
+    shingles hit and how many distinct benchmark docs are implicated —
+    the standard decontamination pass before a pretraining run.
+
+    Scale shape: real benchmark suites are thousands of documents while
+    the corpus is billions, so the benchmark shingle set is tiny and
+    BROADCAST; the corpus side streams through a broadcast hash join
+    with no shuffle, and only matching (doc, shingle) pairs reach the
+    per-doc aggregate. The one shuffle is the final doc_id groupBy over
+    hits only."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_rows(doc, CONTAM_N)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_doc"), "shingle")
+    )
+    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
