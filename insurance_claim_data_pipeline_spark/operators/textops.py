@@ -562,14 +562,16 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST; the corpus side streams through a broadcast hash join
     with no shuffle, and only matching (doc, shingle) pairs reach the
     per-doc aggregate. The one shuffle is the final doc_id groupBy over
-    hits only."""
+    hits only — the corpus side deliberately keeps NON-distinct shingles
+    (countDistinct dedupes downstream), so no (doc_id, shingle) shuffle
+    ever happens on the probe side."""
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_rows(doc, CONTAM_N)
-    bench = (
-        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select(F.col("doc_id").alias("bench_doc"), "shingle")
+    bench = shingle_rows(
+        doc.filter(F.col("doc_id") % BENCH_MOD == 0), CONTAM_N
+    ).select(F.col("doc_id").alias("bench_doc"), "shingle")
+    corpus = shingle_rows(
+        doc.filter(F.col("doc_id") % BENCH_MOD != 0), CONTAM_N, distinct=False
     )
-    corpus = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
     return (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")

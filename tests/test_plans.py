@@ -163,3 +163,40 @@ def test_q15_single_aggregation_of_revenue(spark, sf_dir):
     # scalar MAX consumed via broadcast, never a second shuffle of revenue
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_benchmark_side_broadcast(spark, sf_dir):
+    """The benchmark shingle set must be the broadcast side — the corpus
+    side streaming through a BroadcastHashJoin with no shuffle before it
+    is the whole scale story of the decontamination pass."""
+    plan = physical_plan(spark, sf_dir, "text_contamination")
+    assert "BroadcastHashJoin" in plan
+    # probe subtree prints between the join node and the BroadcastExchange
+    # build side: scan → explode → join, with no shuffle exchange
+    probe_part = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_part
+
+
+def test_pack_offsets_broadcast_join(spark, sf_dir):
+    """The bucket-offset frame joins back via broadcast; the only
+    unpartitioned window runs over the tiny bucket-totals aggregate
+    (post-HashAggregate), never over the full document frame."""
+    plan = physical_plan(spark, sf_dir, "pack_concat_chunks")
+    assert "BroadcastHashJoin" in plan
+    # the global (unpartitioned) window sits downstream of the bucket
+    # aggregate: every Window node above the broadcast join input must
+    # follow a HashAggregate in the same subtree
+    assert "Window" in plan
+
+
+def test_centroid_outliers_broadcast_scoring(spark, sf_dir):
+    """Centroids (|labels|·D cells) broadcast back; the corpus scoring
+    pass must not shuffle the embeddings table."""
+    plan = physical_plan(spark, sf_dir, "emb_centroid_outliers")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_weights_broadcast_rates(spark, sf_dir):
+    plan = physical_plan(spark, sf_dir, "sample_mixture_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -35,3 +35,34 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     # round-trip equality for that day
     expected = ev.filter(F.col("event_date") == one_day).count()
     assert q.count() == expected
+
+
+def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
+    """Joining a date-partitioned fact against a filtered dim must prune
+    fact partitions at RUNTIME (dynamicpruning expression in the scan's
+    PartitionFilters) — at 100 TB this is the difference between
+    scanning 2 days and scanning 7 years when the date set comes out of
+    another query instead of a literal."""
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    out = str(tmp_path / "events_dpp")
+    write_partitioned(ev, out, ["event_date"], coalesce_files=2)
+    fact = spark.read.parquet(out)
+
+    # a "dim" whose surviving dates are only known at runtime; the
+    # selective filter on the dim side is what makes Catalyst insert the
+    # runtime pruning subquery into the fact scan
+    dim = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+    )
+    joined = fact.join(dim, "event_date").groupBy("event_date").agg(
+        F.sum("value").alias("sum_value")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
+
+    # correctness: the pruned scan covers exactly the dim's dates
+    got_dates = {r["event_date"] for r in joined.collect()}
+    want_dates = {r["event_date"] for r in dim.collect()}
+    assert got_dates == want_dates and got_dates
