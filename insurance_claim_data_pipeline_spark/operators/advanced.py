@@ -343,3 +343,68 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_day",
         F.sum("_price_dec").over(w).cast("double").alias("spend_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-agg pandas UDF: weighted median (the UDAF surface)
+# ---------------------------------------------------------------------------
+
+WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(v) FILTER (WHERE cum * 2 >= tot) AS weighted_median,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM w GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_median_pandas", oracle=WMEDIAN_ORACLE, tags=("agg", "pandas", "llm"))
+def agg_weighted_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group via a GROUPED_AGG pandas UDF — the
+    custom-UDAF surface: Arrow ships each group's value/weight columns
+    to one vectorized numpy reduction, the aggregation Spark's built-in
+    expression set cannot state (percentile_approx is approximate and
+    unweighted).
+
+    Semantics pinned for cross-engine exactness: the LOWER weighted
+    median — the smallest value whose running weight (values sorted
+    ascending) reaches half the total. No interpolation, so the result
+    is an actual data value and hash-comparable.
+
+    Scale: one shuffle on the group key; per-group state is that
+    group's rows (fine for bounded groups — the same reduction over a
+    billion-row group belongs to the two-pass quantile approximation
+    instead). The UDF is a closure, pickled by value, so external
+    drivers that never added this repo to the workers' sys.path still
+    run it."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` turns
+    # type hints into strings this module can't resolve for inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(v, wt):
+        order = np.lexsort((v.to_numpy(),))  # stable sort by value
+        vs = v.to_numpy()[order]
+        ws = wt.to_numpy()[order]
+        cum = np.cumsum(ws)
+        return float(vs[np.searchsorted(cum * 2, cum[-1], side="left")])
+
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg,
+    # so the row count is a second (trivial) pandas aggregate
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def nrows(v):
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wmedian("l_extendedprice", "l_quantity").alias("weighted_median"),
+        nrows("l_extendedprice").alias("n_rows"),
+    )

@@ -580,3 +580,86 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_doc").alias("n_bench_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM likelihood scoring (CCNet-style corpus-LM quality pass)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, SUM(n12) AS n1 FROM c2 GROUP BY w1
+), model AS (
+  SELECT c2.w1, c2.w2,
+         CAST(ROUND(ln(CAST(n12 AS DOUBLE) / n1) * 1000000) AS BIGINT) AS logp_e6
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       SUM(logp_e6) AS sum_logp_e6
+FROM bg JOIN model ON bg.w1 = model.w1 AND bg.w2 = model.w2
+GROUP BY doc_id
+"""
+
+
+@register("text_bigram_logprob", oracle=BIGRAM_LM_ORACLE, tags=("text", "llm"))
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM likelihood per document: train MLE bigram
+    probabilities P(w2|w1) = c(w1,w2)/c(w1,·) on the corpus itself, then
+    score each document by its summed bigram log-probability — the
+    LM-quality pass (CCNet-shaped) that separates fluent text from
+    gibberish without an external model. No smoothing needed: every
+    scored bigram exists in the training counts by construction.
+
+    Determinism: each bigram's ln(p) is rounded to a ×1e6 integer
+    BEFORE the per-doc sum, so aggregation order cannot move the hash —
+    only a per-bigram libm ulp landing exactly on a .5e-6 boundary
+    could, and the per-doc totals are exact integer sums.
+
+    Scale: bigram counts are one map-side-combined shuffle (vocab²
+    upper-bounded, zipfian in practice — AQE skew-split handles the
+    head); c1 derives from c2 (|vocab| rows), joined on w1; scoring
+    joins doc bigrams to the model on (w1,w2) — the model table is far
+    smaller than the corpus stream and the join key is the same pair
+    the count shuffle already used."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    k = F.size("toks") - 1
+    bg = (
+        doc.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.when(k >= 1, F.sequence(F.lit(1), k))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    model = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log(F.col("n12").cast("double") / F.col("n1")) * 1_000_000)
+        .cast("long")
+        .alias("logp_e6"),
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_e6").alias("sum_logp_e6"),
+        )
+    )

@@ -395,3 +395,52 @@ def test_mixture_weights_rates(spark, sf_dir):
         grp.sort(key=lambda r: r["w"])
         rates = [r["rate_e6"] for r in grp]
         assert rates == sorted(rates)
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    """The pandas-UDAF result equals an independent driver-side
+    recomputation of the lower weighted median for every group."""
+    from insurance_claim_data_pipeline_spark.operators import advanced
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    got = {
+        r["l_returnflag"]: (r["weighted_median"], r["n_rows"])
+        for r in advanced.agg_weighted_median_pandas(spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], r["l_quantity"])
+        )
+    for flag, vw in groups.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0.0
+        for v, w in vw:
+            cum += w
+            if cum * 2 >= tot:
+                assert got[flag] == (v, len(vw)), flag
+                break
+
+
+def test_bigram_logprob_properties(spark, sf_dir):
+    """Log-probabilities are non-positive; every multi-token doc is
+    scored; a doc of one repeated bigram scores ~0 only if that bigram
+    is deterministic after its first token corpus-wide."""
+    from insurance_claim_data_pipeline_spark.operators import textops
+    from insurance_claim_data_pipeline_spark.session import load_table
+    import pyspark.sql.functions as F
+
+    out = textops.text_bigram_logprob(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["sum_logp_e6"] <= 0 for r in rows)
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+    n_multi = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        .count()
+    )
+    assert len(rows) == n_multi

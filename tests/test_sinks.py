@@ -66,3 +66,20 @@ def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
     got_dates = {r["event_date"] for r in joined.collect()}
     want_dates = {r["event_date"] for r in dim.collect()}
     assert got_dates == want_dates and got_dates
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source parity: write orders as ORC, read it back
+    identically, and confirm predicate pushdown reaches the ORC scan
+    just as it does for parquet."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    q = back.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1].split("]")[0]
+    expected = orders.filter(F.col("o_totalprice") > 100000.0).count()
+    assert q.count() == expected
