@@ -467,3 +467,186 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= OUTLIER_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: encode + asymmetric-distance (ADC) top-k
+# ---------------------------------------------------------------------------
+
+PQ_M = 16  # subspaces
+PQ_SUB = 4  # dims per subspace (M * SUB = 64)
+PQ_K = 16  # codebook entries per subspace (anchors reused from IVF)
+# M=16/SUB=4 measured recall@5 = 0.20 vs exact L2 on the near-random
+# synthetic vectors (vs 0.125 at M=8, chance = 1%); finer subspaces cut
+# per-cell quantization error, the classic PQ granularity trade. Trained
+# per-subspace codebooks (the train_ivf_centroids analog) are the next
+# quality lever; the untrained anchors keep the op oracle-checkable.
+
+
+def _pq_subdist(v: str, a: str, elem: str) -> str:
+    """Squared L2 between the m-th subvectors of ``v`` and ``a`` as a
+    ×1e6 BIGINT (so downstream sums are exact integer arithmetic).
+    ``elem`` is the 1-based element accessor: DuckDB's ``x[i]`` IS
+    1-based, Spark's ``x[i]`` is 0-based, so Spark must use
+    element_at — passing the accessor keeps one formula for both."""
+    terms = " + ".join(
+        f"({elem.format(x=v, i=f'm*{PQ_SUB}+{j}')} - {elem.format(x=a, i=f'm*{PQ_SUB}+{j}')})"
+        f" * ({elem.format(x=v, i=f'm*{PQ_SUB}+{j}')} - {elem.format(x=a, i=f'm*{PQ_SUB}+{j}')})"
+        for j in range(1, PQ_SUB + 1)
+    )
+    return f"CAST(ROUND(({terms}) * 1000000) AS BIGINT)"
+
+
+_DUCK_ELEM = "{x}[{i}]"
+_SPARK_ELEM = "element_at({x}, {i})"
+
+
+def _pq_encode_oracle() -> str:
+    subdist = _pq_subdist("e.v", "anchors.a", _DUCK_ELEM)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), anchors AS (
+  SELECT vec_id - {IVF_C_LO} AS k, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+  FROM embeddings WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_HI}
+), s AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+d AS (
+  SELECT e.vec_id, s.m, anchors.k, {subdist} AS dist_e6
+  FROM e, s, anchors
+), best AS (
+  SELECT vec_id, m, k, dist_e6,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_e6, k) AS rnk
+  FROM d
+)
+SELECT vec_id,
+       string_agg(CAST(k AS VARCHAR), '|' ORDER BY m) AS codes,
+       SUM(dist_e6) AS quant_err_e6
+FROM best WHERE rnk = 1
+GROUP BY vec_id
+"""
+
+
+@register("emb_pq_encode", oracle=_pq_encode_oracle(), tags=("similarity", "llm"))
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each 64-dim vector into
+    PQ_M subspaces of PQ_SUB dims, snap every subvector to its nearest
+    codebook entry (squared L2 in exact ×1e6 integers, ties to the
+    lower code), emit the per-vector code string plus total
+    quantization error. The codebook reuses the PQ_K fixed anchor
+    vectors the IVF quantizer uses (their subvectors), so the encoding
+    is deterministic and oracle-checkable — swap in trained
+    sub-codebooks exactly as train_ivf_centroids does for IVF and
+    nothing downstream changes.
+
+    Scale shape: the codebook is M·K subvectors (constant bytes),
+    broadcast twice into a narrow pass over N; each vector's M·K
+    candidate distances collapse to M codes inside the per-(vec, m)
+    window, and the only wide op is the final groupBy(vec_id) — both
+    keyed by vec_id, so AQE reuses one partitioning. 64 floats become
+    M small codes — the order-of-magnitude compression that lets a
+    100 TB corpus's index fit in cluster RAM for ADC scans."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    anchors = emb.filter(
+        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+    ).select((F.col("vec_id") - IVF_C_LO).alias("k"), F.col("v").alias("a"))
+    m = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    subdist = F.expr(_pq_subdist("v", "a", _SPARK_ELEM))
+    d = (
+        emb.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(anchors))
+        .select("vec_id", "m", "k", subdist.alias("dist_e6"))
+    )
+    w = W.partitionBy("vec_id", "m").orderBy("dist_e6", "k")
+    best = d.select("*", F.row_number().over(w).alias("rnk")).filter(F.col("rnk") == 1)
+    return best.groupBy("vec_id").agg(
+        F.concat_ws(
+            "|",
+            F.transform(F.array_sort(F.collect_list(F.struct("m", "k"))), lambda s: s["k"]),
+        ).alias("codes"),
+        F.sum("dist_e6").alias("quant_err_e6"),
+    )
+
+
+def _pq_adc_oracle() -> str:
+    subdist_q = _pq_subdist("q.v", "anchors.a", _DUCK_ELEM)
+    return f"""
+WITH codes AS ({_pq_encode_oracle()}),
+q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), anchors AS (
+  SELECT vec_id - {IVF_C_LO} AS k, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+  FROM embeddings WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_HI}
+), s AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+lut AS (
+  SELECT q.query_id, s.m, anchors.k, {subdist_q} AS d_e6
+  FROM q, s, anchors
+), cp AS (
+  SELECT vec_id, string_split(codes, '|') AS parts FROM codes
+), cvec AS (
+  SELECT vec_id, i - 1 AS m, CAST(parts[i] AS BIGINT) AS k
+  FROM cp, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i)
+), scored AS (
+  SELECT lut.query_id, cvec.vec_id AS neighbor_id, SUM(lut.d_e6) AS adc_dist_e6
+  FROM cvec JOIN lut ON cvec.m = lut.m AND cvec.k = lut.k
+  WHERE cvec.vec_id != lut.query_id
+  GROUP BY lut.query_id, cvec.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist_e6, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_dist_e6, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_topk_pq", oracle=_pq_adc_oracle(), tags=("similarity", "llm", "approx"))
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): each query precomputes its
+    distance lookup table to every codebook entry (M·K exact-integer
+    cells), then the corpus is scanned in CODE space only — per vector
+    the approximate distance is the sum of M table lookups, never a
+    touch of the original floats. Top-k per query on (ADC distance asc,
+    neighbor_id).
+
+    Scale shape: the LUT is Q·M·K integers — broadcast; the corpus side
+    is the compact code table (M small ints per vector); the lookup
+    join explodes codes to (vec, m, k) rows that hash-join the
+    broadcast LUT and re-aggregate per (query, vec) — one shuffle keyed
+    by the pair, then a per-query top-k window. This is the FAISS
+    IVFADC inner loop as a dataflow; compose with the IVF cell
+    restriction to probe only candidate cells at 100 TB."""
+    enc = emb_pq_encode(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    anchors = emb.filter(
+        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+    ).select((F.col("vec_id") - IVF_C_LO).alias("k"), F.col("v").alias("a"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    m = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    subdist = F.expr(_pq_subdist("v", "a", _SPARK_ELEM))
+    lut = (
+        q.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(anchors))
+        .select("query_id", "m", "k", subdist.alias("d_e6"))
+    )
+    cvec = enc.select(
+        "vec_id", F.posexplode(F.split("codes", "\\|")).alias("m", "code")
+    ).select("vec_id", "m", F.col("code").cast("long").alias("k"))
+    scored = (
+        cvec.join(F.broadcast(lut), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_e6").alias("adc_dist_e6"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist_e6", "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
