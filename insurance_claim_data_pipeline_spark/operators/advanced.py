@@ -408,3 +408,36 @@ def agg_weighted_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         wmedian("l_extendedprice", "l_quantity").alias("weighted_median"),
         nrows("l_extendedprice").alias("n_rows"),
     )
+
+
+STRUCT_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus AS packed_key,
+       o_totalprice AS unpacked_price,
+       CAST(len(o_orderpriority) AS BIGINT) AS prio_len
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
+@register("scalar_struct_funcs", oracle=STRUCT_FUNCS_ORACLE, tags=("scalar", "struct"))
+def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct round-trip: pack columns into a named struct, read fields
+    back with dot access, derive scalars from them. Structs are pure
+    projection metadata in Tungsten rows — building and unpacking one
+    never leaves the codegen'd scan (the oracle checks the unpacked
+    scalars; the container is engine-specific)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    s = F.struct(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    packed = o.select("o_orderkey", s.alias("s"))
+    return packed.select(
+        "o_orderkey",
+        F.concat_ws(":", F.col("s.key").cast("string"), F.col("s.status")).alias("packed_key"),
+        F.col("s.price").alias("unpacked_price"),
+        F.length(F.col("s.prio")).cast("long").alias("prio_len"),
+    )

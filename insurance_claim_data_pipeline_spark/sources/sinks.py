@@ -56,3 +56,29 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table)
     )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a directory of small parquet files into ~target-sized
+    ones; returns the output file count.
+
+    Streaming appends and over-parallel writers leave thousands of
+    KB-sized files per partition; at 100 TB that murders scan planning
+    (footer reads, task scheduling) long before it hurts IO. Sizing by
+    BYTES — total input size over target size — rather than a fixed
+    file count keeps the policy valid at any scale. coalesce() avoids
+    a shuffle: it only merges existing partitions, which is exactly
+    right for compaction (no key redistribution wanted)."""
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_path).coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

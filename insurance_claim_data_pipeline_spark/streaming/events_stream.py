@@ -109,3 +109,16 @@ def events_tumbling_window_streaming(spark: SparkSession, sf_dir: str) -> DataFr
     events_tumbling_window — results are asserted equal in tests)."""
     events = _events_stream(spark, sf_dir)
     return run_stream_to_memory(tumbling_counts_stream(events), spark)
+
+
+@register("events_session_window_streaming", tags=("events", "streaming"))
+def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution of the gap-based session-window
+    query (rows-only check; the oracle-checked batch twin is
+    events_session_window_native — results are asserted equal in
+    tests/test_streaming.py). Session windows are the hard streaming
+    aggregation: state merges adjacent windows as gaps close, and the
+    watermark bounds how long an open session can wait for a
+    gap-extending event."""
+    events = _events_stream(spark, sf_dir)
+    return run_stream_to_memory(session_counts_stream(events), spark)

@@ -83,3 +83,47 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1].split("]")[0]
     expected = orders.filter(F.col("o_totalprice") > 100000.0).count()
     assert q.count() == expected
+
+
+def test_compact_files_merges_small_files(spark, sf_dir, tmp_path):
+    """64 tiny files in, a handful out, data byte-identical."""
+    import os
+
+    from insurance_claim_data_pipeline_spark.sources.sinks import compact_files
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "fragmented")
+    ev.repartition(64).write.mode("overwrite").parquet(src)
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 64
+
+    dst = str(tmp_path / "compacted")
+    compact_files(spark, src, dst, target_file_bytes=8 * 1024 * 1024)
+    n_out = sum(1 for f in os.listdir(dst) if f.endswith(".parquet"))
+    assert n_out < n_in
+
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    a = {tuple(r) for r in back.collect()}
+    b = {tuple(r) for r in ev.collect()}
+    assert a == b
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """Appended files with a new column must merge on read
+    (mergeSchema): old rows read NULL for the new column, both
+    generations survive, and the merged schema is the union."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    out = str(tmp_path / "evolving")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(out)
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn("schema_v", F.lit(2))
+        .write.mode("append")
+        .parquet(out)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"event_id", "user_id", "schema_v"}
+    assert merged.count() == ev.count()
+    nulls = merged.filter(F.col("schema_v").isNull()).count()
+    assert nulls == ev.filter(F.col("event_id") % 2 == 0).count()
