@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.eventops",
     "insurance_claim_data_pipeline_spark.operators.multimodal",
     "insurance_claim_data_pipeline_spark.operators.sampling",
+    "insurance_claim_data_pipeline_spark.operators.graph",
     "insurance_claim_data_pipeline_spark.operators.packing",
     "insurance_claim_data_pipeline_spark.operators.ema",
     "insurance_claim_data_pipeline_spark.plans.claim_queries",

@@ -497,3 +497,34 @@ def test_pq_codes_shape(spark, sf_dir):
         if similarity.IVF_C_LO <= r["vec_id"] < similarity.IVF_C_HI
     }
     assert anchor_err and all(v == 0 for v in anchor_err.values())
+
+
+def test_pagerank_mass_and_hubs(spark, sf_dir):
+    """Total rank mass stays ≈ 1.0 (integer truncation leaks only
+    downward), every node keeps positive rank, and the highest-degree
+    node outranks the median — the sanity triad for a fixed-point
+    PageRank."""
+    import pyspark.sql.functions as F
+    from insurance_claim_data_pipeline_spark.operators import graph
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    pr = {r["node"]: r["pr_e12"] for r in graph.graph_pagerank(spark, sf_dir).collect()}
+    assert pr and all(v > 0 for v in pr.values())
+    total = sum(pr.values())
+    assert 0.95 * graph.PR_SCALE <= total <= graph.PR_SCALE
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    deg: dict[int, int] = {}
+    for r in (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select((F.col("o_custkey") * 2).alias("c"), (F.col("l_suppkey") * 2 + 1).alias("s"))
+        .distinct()
+        .collect()
+    ):
+        deg[r["c"]] = deg.get(r["c"], 0) + 1
+        deg[r["s"]] = deg.get(r["s"], 0) + 1
+    hub = max(deg, key=lambda k: deg[k])
+    ranks = sorted(pr.values())
+    median = ranks[len(ranks) // 2]
+    assert pr[hub] > median
