@@ -58,6 +58,14 @@ JVM_ONLY_QUERIES = [
     "window_order_stats",
     "text_langid",
     "text_quality_score",
+    "text_bigram_logprob",
+    "text_repetition_filter",
+    "text_contamination",
+    "pack_concat_chunks",
+    "emb_pq_encode",
+    "sim_topk_pq",
+    "graph_pagerank",
+    "sample_mixture_weights",
 ]
 
 
