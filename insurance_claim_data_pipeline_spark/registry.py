@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.multimodal",
     "insurance_claim_data_pipeline_spark.operators.sampling",
     "insurance_claim_data_pipeline_spark.operators.graph",
+    "insurance_claim_data_pipeline_spark.operators.downsample",
     "insurance_claim_data_pipeline_spark.operators.packing",
     "insurance_claim_data_pipeline_spark.operators.ema",
     "insurance_claim_data_pipeline_spark.plans.claim_queries",

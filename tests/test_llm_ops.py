@@ -528,3 +528,35 @@ def test_pagerank_mass_and_hubs(spark, sf_dir):
     ranks = sorted(pr.values())
     median = ranks[len(ranks) // 2]
     assert pr[hub] > median
+
+
+def test_lttb_matches_independent_recomputation(spark, sf_dir):
+    """The applyInPandas LTTB must select exactly the rows that the
+    module-level reference implementation picks over the same sorted
+    series — and keep endpoints + the configured point budget."""
+    import pyspark.sql.functions as F
+    from insurance_claim_data_pipeline_spark.operators import downsample
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    got: dict[int, list] = {}
+    for r in downsample.events_lttb_downsample(spark, sf_dir).collect():
+        got.setdefault(r["user_id"], []).append((r["ts_us"], r["event_id"], r["value"]))
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts_us"], r["event_id"], r["value"]))
+    assert set(got) == set(by_user)
+    for user, evs in by_user.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        keep = downsample.lttb_select(
+            [float(t[0]) for t in evs], [float(t[2]) for t in evs], downsample.LTTB_BUCKETS
+        )
+        expected = [evs[i] for i in keep]
+        assert sorted(got[user]) == sorted(expected), user
+        if len(evs) > downsample.LTTB_BUCKETS:
+            assert len(got[user]) == downsample.LTTB_BUCKETS
+        assert evs[0] in got[user] and evs[-1] in got[user]
