@@ -650,3 +650,129 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained PQ: per-subspace deterministic k-means sub-codebooks
+# ---------------------------------------------------------------------------
+
+PQ_KMEANS_ITERS = 2
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """``(vec_id, m, sv)`` — each vector's PQ_M subvectors."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(mm).cast("int").alias("m"),
+                F.slice("v", mm * PQ_SUB + 1, PQ_SUB).alias("sv"),
+            )
+            for mm in range(PQ_M)
+        ]
+    )
+    return emb.select("vec_id", F.explode(arr).alias("e")).select(
+        "vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv")
+    )
+
+
+def _l2_e6(a, b) -> F.Column:
+    """Squared L2 between two equal-length double arrays as ×1e6 long
+    (zip_with + sequential fold: deterministic order, JVM codegen)."""
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) * 1_000_000).cast(
+        "long"
+    )
+
+
+def train_pq_codebooks(emb: DataFrame, iters: int = PQ_KMEANS_ITERS) -> DataFrame:
+    """Deterministic per-subspace k-means for PQ sub-codebooks
+    ``(m, k, sv)``. Init = the fixed anchors' subvectors (no RNG); per
+    Lloyd round, assignment is a broadcast M·K-codebook join against the
+    subvector stream (argmin exact-integer L2, ties to lower k) and the
+    new sub-centroids are exact split-long decimal means per
+    (m, k, dim) — M·K·PQ_SUB cells to the driver per round, nothing
+    else. Empty cells keep their previous entry (standard Lloyd fix).
+    At 100 TB you train on a sample, exactly as FAISS does — the
+    procedure is unchanged."""
+    spark = emb.sparkSession
+    anchors = emb.filter(
+        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+    ).select((F.col("vec_id") - IVF_C_LO).alias("k"), F.col("v").alias("v"))
+    cb = _pq_subvectors(anchors.withColumnRenamed("k", "vec_id")).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("a")
+    )
+    subv = _pq_subvectors(emb)
+    for _ in range(iters):
+        w = W.partitionBy("vec_id", "m").orderBy("dist_e6", "k")
+        assigned = (
+            subv.join(F.broadcast(cb), "m")
+            .select("vec_id", "m", "k", "sv", _l2_e6(F.col("sv"), F.col("a")).alias("dist_e6"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+        )
+        means = (
+            assigned.select("m", "k", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("m", "k", "dim")
+            .agg(dec_avg("val", 12).alias("mu"))
+        )
+        cells = means.collect()  # M·K·PQ_SUB cells — the one driver hop
+        by_mk: dict[tuple[int, int], list[float]] = {}
+        for r in cells:
+            by_mk.setdefault((r["m"], r["k"]), [0.0] * PQ_SUB)[r["dim"]] = r["mu"]
+        prev = {(r["m"], r["k"]): list(r["a"]) for r in cb.collect()}
+        prev.update(by_mk)
+        cb = spark.createDataFrame(
+            [(m, k, v) for (m, k), v in sorted(prev.items())],
+            "m int, k int, a array<double>",
+        )
+    return cb
+
+
+@register("sim_topk_pq_trained", tags=("similarity", "llm", "approx"))  # iterative: rows-only
+def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over TRAINED sub-codebooks: same dataflow as
+    sim_topk_pq (encode corpus → broadcast per-query LUT → sum of M
+    lookups → per-query window) with k-means sub-codebooks replacing
+    the fixed anchors. Rows-only for the driver (training is iterative).
+
+    What training buys: ~25% lower total quantization error after 2
+    Lloyd rounds (asserted in tests — k-means provably never increases
+    train-set SSE). On the structureless synthetic vectors recall@5
+    stays ≈ the untrained 0.20 (there are no clusters to find); on real
+    embedding corpora, which are heavily clustered, the error reduction
+    is what converts into recall."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cb = train_pq_codebooks(emb)
+    subv = _pq_subvectors(emb)
+    w_enc = W.partitionBy("vec_id", "m").orderBy("dist_e6", "k")
+    codes = (
+        subv.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "k", _l2_e6(F.col("sv"), F.col("a")).alias("dist_e6"))
+        .withColumn("rnk", F.row_number().over(w_enc))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "m", "k")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    lut = (
+        _pq_subvectors(q)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "k",
+            _l2_e6(F.col("sv"), F.col("a")).alias("d_e6"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_e6").alias("adc_dist_e6"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist_e6", "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
