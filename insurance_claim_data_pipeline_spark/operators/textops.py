@@ -663,3 +663,40 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("logp_e6").alias("sum_logp_e6"),
         )
     )
+
+
+@register("text_quality_threshold_approx", tags=("text", "llm", "approx"))  # rows-only
+def text_quality_threshold_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-window scale path of text_quality_quantile: per-language
+    20th-percentile threshold via percentile_approx (a tiny mergeable
+    sketch aggregate — |languages| rows), broadcast back as a filter.
+    No per-language window over N rows at all, so the per-language
+    reducer bottleneck of the exact formulation disappears — THE way to
+    run a stratified quality cut over a 100 TB corpus.
+
+    Rows-only for the driver (quantile sketches are engine-specific);
+    the test asserts the kept fraction per language brackets the exact
+    quantile op's 80% and that the two operators agree away from the
+    threshold boundary."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+    score = F.round(
+        0.4 * (F.lit(1.0) - n_stop / n)
+        + 0.4 * (uniq / n)
+        + 0.2 * F.least(n / 100.0, F.lit(1.0)),
+        6,
+    )
+    scored = doc.select("doc_id", "lang", score.alias("quality_score"))
+    thr = scored.groupBy("lang").agg(
+        F.percentile_approx("quality_score", (100 - QUALITY_KEEP_PCT) / 100.0, 10_000).alias(
+            "thr"
+        )
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select("doc_id", "lang", "quality_score")
+    )

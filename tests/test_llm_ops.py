@@ -596,3 +596,31 @@ def test_pq_training_reduces_quantization_error(spark, sf_dir):
     for r in rows:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert per_q and all(v <= similarity.TOP_K for v in per_q.values())
+
+
+def test_quality_threshold_approx_brackets_exact(spark, sf_dir):
+    """The sketch-threshold filter keeps ≈ the top 80% per language and
+    agrees with the exact window formulation everywhere except possibly
+    the threshold tie region."""
+    from insurance_claim_data_pipeline_spark.operators import textops
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    approx = {r["doc_id"]: r for r in textops.text_quality_threshold_approx(spark, sf_dir).collect()}
+    exact = {r["doc_id"]: r for r in textops.text_quality_quantile(spark, sf_dir).collect()}
+    totals: dict[str, int] = {}
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect():
+        totals[r["lang"]] = totals.get(r["lang"], 0) + 1
+    kept: dict[str, int] = {}
+    for r in approx.values():
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    for lang, n in totals.items():
+        frac = kept.get(lang, 0) / n
+        assert 0.7 <= frac <= 0.95, (lang, frac)
+    # disagreements only at the per-language threshold score
+    thr_scores = {
+        lang: min(r["quality_score"] for r in approx.values() if r["lang"] == lang)
+        for lang in kept
+    }
+    for d in set(approx) ^ set(exact):
+        row = approx.get(d) or exact.get(d)
+        assert row["quality_score"] == pytest.approx(thr_scores[row["lang"]], abs=1e-4), d
