@@ -294,3 +294,56 @@ def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "error_rate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-to-event conversion join (batch twin of the stream-stream join)
+# ---------------------------------------------------------------------------
+
+CONVERSION_WINDOW_MIN = 30
+
+CONVERSION_ORACLE = f"""
+SELECT a.event_id AS error_id, b.event_id AS purchase_id, a.user_id,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL {CONVERSION_WINDOW_MIN} MINUTES
+WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+"""
+
+
+@register("events_conversion_join", oracle=CONVERSION_ORACLE, tags=("events", "join", "range"))
+def events_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error→purchase conversion pairs: every purchase by the same user
+    within {CONVERSION_WINDOW_MIN} minutes after an error — the
+    event-correlation join behind funnel/conversion analytics, and the
+    batch twin of events_conversion_streaming (the stream-stream join).
+
+    Scale shape: an equi-join on user_id carries the time-range bound as
+    a join residual, so this plans as a hash join plus filter — never a
+    range cross-product; per-user event lists bound the pair blow-up."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    j = a.join(
+        b,
+        ["user_id"],
+    ).filter(
+        (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {CONVERSION_WINDOW_MIN} MINUTES"))
+    )
+    return j.select(
+        "error_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )

@@ -122,3 +122,59 @@ def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     gap-extending event."""
     events = _events_stream(spark, sf_dir)
     return run_stream_to_memory(session_counts_stream(events), spark)
+
+
+def conversion_join_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: error events matched to same-user
+    purchases within CONVERSION_WINDOW_MIN minutes. Both sides carry
+    watermarks and the join condition carries the event-time bound, so
+    the state store can expire buffered rows once the other side's
+    watermark passes their match window — the canonical bounded-state
+    stream-stream join."""
+    from ..operators.eventops import CONVERSION_WINDOW_MIN
+
+    a = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    j = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {CONVERSION_WINDOW_MIN} MINUTES")
+        ),
+    )
+    return j.select(
+        "error_id",
+        "purchase_id",
+        F.col("a_user").alias("user_id"),
+        (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
+    )
+
+
+@register("events_conversion_streaming", tags=("events", "streaming", "join"))
+def events_conversion_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution of the error→purchase conversion
+    join (rows-only; oracle-checked batch twin is
+    events_conversion_join, equality-tested in tests/test_streaming.py).
+    Stream-stream joins are the capstone of the streaming surface:
+    BOTH sides buffer in versioned state keyed by user, and the
+    watermark + time-bound pair is what keeps that state finite."""
+    events = _events_stream(spark, sf_dir)
+    return run_stream_to_memory(conversion_join_stream(events), spark, output_mode="append")

@@ -225,3 +225,19 @@ def test_lastk_stream_raises_cleanly_when_gated(spark, sf_dir):
     events = tws._events_stream(spark, sf_dir)
     with pytest.raises(RuntimeError, match="protobuf"):
         tws.lastk_types_stream(events)
+
+
+def test_streaming_conversion_join_equals_batch(spark, sf_dir):
+    """The stream-stream watermarked join must produce exactly the batch
+    join's pairs (one finite source, watermark far past the data)."""
+    from insurance_claim_data_pipeline_spark.operators.eventops import (
+        events_conversion_join,
+    )
+    from insurance_claim_data_pipeline_spark.streaming import events_stream as es
+
+    got = {
+        tuple(r)
+        for r in es.events_conversion_streaming(spark, sf_dir).collect()
+    }
+    want = {tuple(r) for r in events_conversion_join(spark, sf_dir).collect()}
+    assert got == want and want
