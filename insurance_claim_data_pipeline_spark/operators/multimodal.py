@@ -18,6 +18,7 @@ the driver; decode is embarrassingly parallel. This is the canonical
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -148,3 +149,45 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     ).filter(F.col("frame_idx") % FRAME_SAMPLE_STRIDE == 0)
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: real opaque-blob ingest
+# ---------------------------------------------------------------------------
+
+# Checked-in deterministic binary fixtures (LCG-generated, include NUL and
+# high bytes — NOT valid UTF-8, so this exercises true blob handling).
+_BLOB_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures", "blobs")
+
+BINARYFILE_ORACLE = f"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+       CAST(octet_length(content) AS BIGINT) AS n_bytes,
+       md5(lower(hex(content))) AS content_md5
+FROM read_blob('{_BLOB_DIR}/*.bin')
+"""
+
+
+@register("multimodal_binaryfile_ingest", oracle=BINARYFILE_ORACLE, tags=("multimodal", "source"))
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw media ingest via Spark's ``binaryFile`` source: one row per
+    file with path, length and opaque ``content`` bytes — the entry
+    point of any image/audio/video pipeline (cf. the stubbed decode
+    above, which consumes exactly this layout).
+
+    The content hash is computed over the lowercase hex encoding so the
+    DuckDB oracle (whose md5 is VARCHAR-only) can verify the bytes
+    end-to-end. Scale shape: binaryFile splits per FILE (blobs are not
+    splittable); many small media files are the small-file problem —
+    pair with the compaction sink (tests/test_sinks.py) or wrap in
+    larger containers upstream.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(_BLOB_DIR)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.lower(F.hex("content"))).alias("content_md5"),
+        )
+    )

@@ -53,11 +53,13 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.multimodal",
     "insurance_claim_data_pipeline_spark.operators.sampling",
     "insurance_claim_data_pipeline_spark.operators.graph",
+    "insurance_claim_data_pipeline_spark.operators.profile",
     "insurance_claim_data_pipeline_spark.operators.downsample",
     "insurance_claim_data_pipeline_spark.operators.packing",
     "insurance_claim_data_pipeline_spark.operators.ema",
     "insurance_claim_data_pipeline_spark.plans.claim_queries",
     "insurance_claim_data_pipeline_spark.streaming.events_stream",
+    "insurance_claim_data_pipeline_spark.streaming.sinks",
     "insurance_claim_data_pipeline_spark.streaming.stateful",
     "insurance_claim_data_pipeline_spark.streaming.claims_stream",
     "insurance_claim_data_pipeline_spark.streaming.transform_state",

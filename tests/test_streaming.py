@@ -241,3 +241,75 @@ def test_streaming_conversion_join_equals_batch(spark, sf_dir):
     }
     want = {tuple(r) for r in events_conversion_join(spark, sf_dir).collect()}
     assert got == want and want
+
+
+def test_foreachbatch_sink_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Exactly-once file sink + restart recovery: drain half the input,
+    stop, add the other half, restart with the SAME checkpoint. The
+    second run must process only the new file (committed batches are
+    not replayed) and the final files must equal the batch answer with
+    no duplicates."""
+    from insurance_claim_data_pipeline_spark.streaming import sinks as sk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    half_a = ev.filter("event_id % 2 = 0")
+    half_b = ev.filter("event_id % 2 = 1")
+
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half_a.coalesce(1).write.mode("append").parquet(staging)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(staging)
+        sk.run_foreachbatch_parquet(sk.errors_projected(stream), out, ckpt)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    batch_dirs_first = {p.name for p in (tmp_path / "out").glob("batch_id=*")}
+
+    half_b.coalesce(1).write.mode("append").parquet(staging)
+    run_once()
+
+    got = spark.read.parquet(out).select("event_id", "user_id", "ts_us", "value")
+    want = sk.errors_projected(ev)
+    got_rows = sorted(tuple(r) for r in got.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert got_rows == want_rows and want_rows
+    # no duplicates across batches (exactly-once), and the restart
+    # appended new batch dirs instead of reprocessing committed ones
+    assert len(got_rows) == len({r[0] for r in got_rows})
+    assert n_first < len(got_rows)
+    batch_dirs_final = {p.name for p in (tmp_path / "out").glob("batch_id=*")}
+    assert batch_dirs_first < batch_dirs_final
+
+
+def test_foreachbatch_rerun_without_new_data_is_noop(spark, sf_dir, tmp_path):
+    """A third run with the same checkpoint and no new input must write
+    nothing new (the offset log knows everything is committed)."""
+    from insurance_claim_data_pipeline_spark.streaming import sinks as sk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev.coalesce(1).write.mode("append").parquet(staging)
+
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    sk.run_foreachbatch_parquet(sk.errors_projected(stream), out, ckpt)
+    before = {p.name for p in (tmp_path / "out").glob("batch_id=*")}
+    n_before = spark.read.parquet(out).count()
+
+    stream2 = spark.readStream.schema(ev.schema).parquet(staging)
+    sk.run_foreachbatch_parquet(sk.errors_projected(stream2), out, ckpt)
+    after = {p.name for p in (tmp_path / "out").glob("batch_id=*")}
+    assert after == before
+    assert spark.read.parquet(out).count() == n_before
