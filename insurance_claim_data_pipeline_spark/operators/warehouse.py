@@ -1,0 +1,191 @@
+"""Warehouse-maintenance operators: MERGE-style upsert and SCD2
+(slowly-changing-dimension type 2) history derivation.
+
+The reference pipeline is append-only (it emits one candidates file per
+run, ``/root/reference/claim_pipeline.py:213-223``); any production
+deployment of the same data needs the two table-maintenance primitives
+every warehouse engine ships and Spark-without-a-lakehouse-format has
+to express relationally:
+
+- MERGE (upsert + delete): apply a change-set to a dimension — one
+  full-outer join on the key. At 100 TB the base side is bucketed by
+  the merge key (shuffle-free, see tests/test_bucketing.py) and a
+  small change-set broadcasts, so the merge costs one scan of base.
+- SCD2: collapse an event log into versioned validity intervals —
+  the gaps-and-islands pattern (lag → change flag → running island id
+  → per-island bounds), two window passes over one user-partitioned
+  shuffle, no self-join.
+
+Both are pure DataFrame compositions — fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..session import load_table
+
+# ---------------------------------------------------------------------------
+# MERGE-style upsert: customer dimension + deterministic change-set
+# ---------------------------------------------------------------------------
+
+MERGE_ORACLE = """
+WITH changes AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS new_bal,
+         CASE WHEN o_custkey % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM orders
+  GROUP BY o_custkey
+  UNION ALL
+  SELECT o_custkey + 10000000 AS c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS new_bal,
+         'upsert' AS op
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+       COALESCE(b.c_name, 'NEW-' || CAST(c.c_custkey AS VARCHAR)) AS c_name,
+       COALESCE(c.new_bal, b.c_acctbal) AS c_acctbal,
+       CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+            WHEN c.c_custkey IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_action
+FROM customer b
+FULL OUTER JOIN (SELECT * FROM changes WHERE op <> 'delete') c USING (c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM changes d
+  WHERE d.op = 'delete' AND d.c_custkey = COALESCE(b.c_custkey, c.c_custkey)
+)
+"""
+
+
+def merge_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """MERGE INTO base USING changes: ``op='delete'`` removes the key,
+    ``op='upsert'`` updates a matched row's balance or inserts a new
+    row. One full-outer join + one anti join on the key — the
+    lakehouse-format-free expression of MERGE."""
+    upserts = changes.filter(F.col("op") != "delete")
+    deletes = changes.filter(F.col("op") == "delete").select("c_custkey")
+    merged = base.join(upserts, ["c_custkey"], "full_outer").select(
+        "c_custkey",
+        F.coalesce(
+            "c_name", F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string"))
+        ).alias("c_name"),
+        F.coalesce("new_bal", "c_acctbal").alias("c_acctbal"),
+        F.when(F.col("c_name").isNull(), "inserted")
+        .when(F.col("new_bal").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+    return merged.join(deletes, ["c_custkey"], "left_anti")
+
+
+@register("warehouse_merge_upsert", oracle=MERGE_ORACLE, tags=("warehouse", "join"))
+def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a deterministic change-set (per-customer order totals:
+    keys %10==0 delete, urgent-priority keys also insert shifted new
+    rows, the rest update the balance) to the customer dimension via
+    relational MERGE. Every row is tagged with its merge_action."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.stable import dec_sum
+
+    base_changes = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        dec_sum("o_totalprice").alias("new_bal")
+    )
+    changes = base_changes.select(
+        "c_custkey",
+        "new_bal",
+        F.when(F.col("c_custkey") % 10 == 0, "delete").otherwise("upsert").alias("op"),
+    ).unionByName(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy((F.col("o_custkey") + 10000000).alias("c_custkey"))
+        .agg(dec_sum("o_totalprice").alias("new_bal"))
+        .select("c_custkey", "new_bal", F.lit("upsert").alias("op"))
+    )
+    return merge_changes(customer.select("c_custkey", "c_name", "c_acctbal"), changes)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history: collapse the event log into validity intervals
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+  FROM ordered
+),
+collapsed AS (
+  SELECT user_id, event_type, island,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM islands
+  GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type,
+       CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(LEAD(valid_from) OVER
+            (PARTITION BY user_id ORDER BY island)) AS BIGINT) AS valid_to_us,
+       CAST(CASE WHEN LEAD(valid_from) OVER
+            (PARTITION BY user_id ORDER BY island) IS NULL
+            THEN 1 ELSE 0 END AS INT) AS is_current,
+       n_events
+FROM collapsed
+"""
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """SCD2 derivation: consecutive runs of the same per-user
+    ``event_type`` collapse into one versioned row with
+    ``[valid_from, valid_to)`` bounds and an ``is_current`` flag.
+
+    Gaps-and-islands: lag-change flag → running sum island id →
+    group per island → lead() for the closing bound. Both window
+    passes and the aggregate share the user_id partitioning, so the
+    whole derivation is ONE shuffle; ties broken by event_id for a
+    total order."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("changed"),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    collapsed = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    nxt = F.lead("valid_from").over(w2)
+    return collapsed.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        "n_events",
+    )
+
+
+@register("warehouse_scd2_history", oracle=SCD2_ORACLE, tags=("warehouse", "window"))
+def warehouse_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned per-user event_type history (SCD2) over the events
+    log — the change-data-capture compaction a dimension-history table
+    is built from."""
+    return scd2_history(load_table(spark, sf_dir, "events"))

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.sampling",
     "insurance_claim_data_pipeline_spark.operators.graph",
     "insurance_claim_data_pipeline_spark.operators.profile",
+    "insurance_claim_data_pipeline_spark.operators.warehouse",
     "insurance_claim_data_pipeline_spark.operators.downsample",
     "insurance_claim_data_pipeline_spark.operators.packing",
     "insurance_claim_data_pipeline_spark.operators.ema",

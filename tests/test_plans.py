@@ -208,3 +208,19 @@ def test_mixture_weights_broadcast_rates(spark, sf_dir):
     plan = physical_plan(spark, sf_dir, "sample_mixture_weights")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Every stage of the gaps-and-islands derivation reuses the
+    user_id hash partitioning: exactly ONE Exchange in the plan."""
+    plan = physical_plan(spark, sf_dir, "warehouse_scd2_history")
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_upsert_no_cartesian_broadcast_anti(spark, sf_dir):
+    """MERGE: the full-outer join must be a key join (SMJ — full outer
+    cannot broadcast), the delete filter a broadcast anti join."""
+    plan = physical_plan(spark, sf_dir, "warehouse_merge_upsert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
