@@ -80,25 +80,43 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def normalize_timestamps(df):
+    """Normalize timestamp representations that vary with the testdata
+    writer to plain (session-UTC) TimestampType:
+
+    - TIMESTAMP(NANOS) parquet read as long nanoseconds under
+      ``legacy.parquet.nanosAsLong`` → integer ``div 1000`` to micros
+      (integer ``div``, not ``/``: float division loses precision at
+      1e18 ns).
+    - naive ``timestamp[us]`` parquet, which Spark 4 infers as
+      TIMESTAMP_NTZ (``parquet.inferTimestampNTZ``), → cast to
+      TimestampType. The session time zone is pinned to UTC, so the
+      cast re-labels the same wall-clock instant the DuckDB oracle
+      reads natively — values are unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    for col, dtype in df.dtypes:
+        if col == "ts" and dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (TESTDATA.md) as a DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as long
-    nanoseconds (legacy.parquet.nanosAsLong) and we convert to a
-    microsecond TimestampType by integer floor-division — the same
-    truncation DuckDB applies, so the oracle sees identical instants.
+    Timestamp columns are normalized (nanos-as-long / TIMESTAMP_NTZ →
+    session-UTC TimestampType) so downstream operators can rely on one
+    type regardless of which writer produced the parquet — the same
+    instants the DuckDB oracle sees.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf may be driver-locked; reader below will surface it
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        # integer `div`, not `/`: float division loses precision at 1e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES):

@@ -27,11 +27,12 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum
 from ..registry import register
+from ..session import normalize_timestamps
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (nanos ts → micros timestamp,
-    same conversion as the batch loader)."""
+    """readStream over the events parquet (nanos-long / NTZ ts →
+    session-UTC timestamp, same normalization as the batch loader)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -44,9 +45,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_timestamps(stream)
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -147,14 +147,11 @@ def test_streaming_dedup_drops_injected_duplicates(spark, tmp_path, sf_dir):
     shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
 
-    batch_one_copy = spark.read.parquet(str(src / "a.parquet"))
     from pyspark.sql import functions as F
 
-    if dict(batch_one_copy.dtypes).get("ts") == "bigint":
-        fix = lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        fix = lambda df: df
-    batch_one_copy = fix(batch_one_copy)
+    from insurance_claim_data_pipeline_spark.session import normalize_timestamps as fix
+
+    batch_one_copy = fix(spark.read.parquet(str(src / "a.parquet")))
 
     stream = spark.readStream.schema(
         spark.read.parquet(str(src)).schema
@@ -251,11 +248,9 @@ def test_foreachbatch_sink_checkpoint_restart(spark, sf_dir, tmp_path):
     no duplicates."""
     from insurance_claim_data_pipeline_spark.streaming import sinks as sk
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from insurance_claim_data_pipeline_spark.session import normalize_timestamps
 
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_timestamps(spark.read.parquet(f"{sf_dir}/events.parquet"))
     half_a = ev.filter("event_id % 2 = 0")
     half_b = ev.filter("event_id % 2 = 1")
 
@@ -293,11 +288,9 @@ def test_foreachbatch_rerun_without_new_data_is_noop(spark, sf_dir, tmp_path):
     nothing new (the offset log knows everything is committed)."""
     from insurance_claim_data_pipeline_spark.streaming import sinks as sk
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from insurance_claim_data_pipeline_spark.session import normalize_timestamps
 
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_timestamps(spark.read.parquet(f"{sf_dir}/events.parquet"))
     staging = str(tmp_path / "staging")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
