@@ -1,0 +1,272 @@
+"""Product-analytics operators over the ``events`` table: cohort
+retention, ordered funnels, rolling-window distinct users, time-series
+gap filling (LOCF), and value histograms.
+
+The reference (claim_pipeline.py:155-233) aggregates a one-shot batch
+into flat counters; these are the time-dimensioned aggregations a real
+claims/events warehouse runs daily, expressed Spark-first so Catalyst
+owns the physical plan. All five are fully DuckDB-oracled.
+
+Scale notes (100 TB / 1000-executor framing):
+
+- ``events_retention_cohorts``: two hash aggregations sharing the
+  user_id shuffle key (per-user first-day, then per-(cohort, offset)
+  distinct count). No window over all events, no self-join.
+- ``events_funnel_steps``: three filtered min-aggregations chained by
+  equi-joins on user_id — each step's frame shrinks (funnel!), so the
+  join input is bounded by the previous step's survivors.
+- ``events_rolling_distinct_users``: the expand-by-offset formulation —
+  each (user, day) contributes one row per window day it belongs to,
+  then ONE distinct-count shuffle. 7× row inflation beats the
+  day-range self-join (O(days²) probe) and keeps everything
+  map-side-combinable; at 100 TB you'd swap exact COUNT DISTINCT for
+  an HLL sketch union, same plan shape.
+- ``events_gap_fill_locf``: the dense (type, hour) grid is generated
+  from one aggregated row (sequence + explode) and joined to the
+  hourly rollup — grid size is types x hours (tiny vs raw events), so
+  the expensive side is one hash aggregation of the raw table; the
+  LOCF pass is a window over the GRID, never over raw events.
+- ``agg_histogram``: constant-bound bucketing is a pure projection +
+  one hash aggregation; bucket arithmetic is identical integer/double
+  math in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.stable import dec_sum, dec_sum_sql
+from ..registry import register
+from ..session import load_table
+
+US_1H = 3_600_000_000
+
+RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), cohort AS (
+  SELECT user_id, MIN(d) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       date_diff('day', c.cohort_day, a.d) AS day_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("events_retention_cohorts", oracle=RETENTION_ORACLE, tags=("events", "analytics"))
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day
+    (cohort), counted for each day-offset they return on. ``COUNT(*)``
+    is a distinct user count because ``activity`` is already distinct
+    per (user, day) — cheaper than COUNT(DISTINCT) at the final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step_no, 'view' AS step, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click_after_view', COUNT(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase_after_click', COUNT(*) FROM p
+) t
+"""
+
+
+@register("events_funnel_steps", oracle=FUNNEL_ORACLE, tags=("events", "analytics"))
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view → click → purchase: a
+    user advances a step only with an event strictly after their
+    previous step's first qualifying event. Each stage is a filtered
+    min-aggregation joined to the survivors of the stage before."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step_type)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+
+    def count_row(df: DataFrame, step_no: int, step: str) -> DataFrame:
+        return df.agg(
+            F.lit(step_no).alias("step_no"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        count_row(v, 1, "view")
+        .unionAll(count_row(c, 2, "click_after_view"))
+        .unionAll(count_row(p, 3, "purchase_after_click"))
+    )
+
+
+ROLLING_ORACLE = """
+WITH au AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), bounds AS (
+  SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events
+), expanded AS (
+  SELECT user_id, d + k.off AS day
+  FROM au, (SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER) AS off) k
+)
+SELECT CAST(day AS VARCHAR) AS day, COUNT(DISTINCT user_id) AS wau
+FROM expanded, bounds
+WHERE day <= max_d
+GROUP BY 1
+"""
+
+
+@register("events_rolling_distinct_users", oracle=ROLLING_ORACLE, tags=("events", "analytics"))
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users (WAU) per day, by the
+    expand-by-offset trick: each active (user, day) votes for the 7
+    window-end days it belongs to, then one distinct count per day.
+    No self-join, no window over raw events; the 7x inflation happens
+    AFTER per-day dedup. The max-day bound is a one-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    expanded = au.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("off")).alias("day"))
+    return (
+        expanded.join(F.broadcast(bounds), expanded.day <= bounds.max_d)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+GAP_FILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts) // {US_1H}) * {US_1H} AS hour_us,
+         {dec_sum_sql('value')} AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(hour_us) AS lo, MAX(hour_us) AS hi FROM hourly
+), grid AS (
+  SELECT t.event_type, g.h AS hour_us
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, {US_1H})) AS h FROM bounds) g
+)
+SELECT g.event_type, g.hour_us,
+       CAST(h.hour_us IS NULL AS INT) AS is_gap,
+       last_value(h.sum_value IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM grid g LEFT JOIN hourly h
+  ON g.event_type = h.event_type AND g.hour_us = h.hour_us
+"""
+
+
+@register("events_gap_fill_locf", oracle=GAP_FILL_ORACLE, tags=("events", "analytics", "window"))
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type rollup densified onto a full (type x hour) grid,
+    gaps filled by last-observation-carried-forward. The grid is
+    generated from ONE aggregated row via sequence+explode and
+    cross-joined with the (tiny) distinct type set; the LOCF window
+    runs over the grid (types x hours rows), never over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))).alias("hour_us")
+    hourly = (
+        ev.select("event_type", hour_us, "value")
+        .groupBy("event_type", "hour_us")
+        .agg(dec_sum("value").alias("sum_value"))
+    )
+    hours = (
+        hourly.agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+        .select(
+            F.explode(F.sequence("lo", "hi", F.lit(US_1H).cast("long"))).alias("hour_us")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    locf = W.partitionBy("event_type").orderBy("hour_us").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    joined = grid.join(
+        hourly.withColumnRenamed("hour_us", "h_us"),
+        (grid.event_type == hourly.event_type) & (grid.hour_us == F.col("h_us")),
+        "left",
+    ).select(
+        grid.event_type,
+        grid.hour_us,
+        F.col("h_us").isNull().cast("int").alias("is_gap"),
+        F.col("sum_value"),
+    )
+    return joined.select(
+        "event_type",
+        "hour_us",
+        "is_gap",
+        F.last("sum_value", ignorenulls=True).over(locf).alias("filled_value"),
+    )
+
+
+HIST_BUCKETS = 10
+HIST_WIDTH = 50_000.0  # o_totalprice spans ~[1e3, 5e5]
+
+HISTOGRAM_ORACLE = f"""
+SELECT CAST(LEAST(FLOOR(o_totalprice / {HIST_WIDTH}), {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       {dec_sum_sql('o_totalprice')} AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
+@register("agg_histogram", oracle=HISTOGRAM_ORACLE, tags=("agg", "analytics"))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals (10 x 50k buckets,
+    top bucket clamps the tail). Constant bounds make this a pure
+    projection + one map-side-combinable hash aggregation — the
+    two-pass min/max variant costs an extra scan and is only needed
+    when bounds are unknown."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(HIST_WIDTH)), F.lit(HIST_BUCKETS - 1)
+    ).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.similarity",
     "insurance_claim_data_pipeline_spark.operators.textops",
     "insurance_claim_data_pipeline_spark.operators.eventops",
+    "insurance_claim_data_pipeline_spark.operators.analytics",
     "insurance_claim_data_pipeline_spark.operators.multimodal",
     "insurance_claim_data_pipeline_spark.operators.sampling",
     "insurance_claim_data_pipeline_spark.operators.graph",
