@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.stable import dec_avg
-from ..functions.vectors import as_double, cosine, cosine_sql
+from ..functions.vectors import as_double, cosine, cosine_sql, dot, dot_sql
 from ..registry import register
 from ..session import load_table
 
@@ -775,4 +775,50 @@ def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+L2_NORM_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+), n AS (
+  SELECT vec_id, vd, SQRT({dot_sql('vd', 'vd')}) AS nrm FROM v
+)
+SELECT vec_id,
+       ROUND(nrm, 9) AS nrm,
+       array_to_string(
+         list_transform(vd,
+           x -> CAST(FLOOR(ABS(x / nrm) * 1000000 + 0.5)
+                     * (CASE WHEN x < 0 THEN -1 ELSE 1 END) AS BIGINT)),
+         ',') AS unit_q
+FROM n
+"""
+
+
+@register("emb_l2_normalize", oracle=L2_NORM_ORACLE, tags=("similarity", "llm"))
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the prerequisite for
+    cosine-as-dot-product search (normalize once at ingest, then every
+    downstream scan does plain dot products). Norm is the same
+    sequential-fold dot product both engines compute bit-identically
+    (functions/vectors.py); normalized elements are emitted quantized
+    to 1e-6 (HALF_UP, sign-aware — the _scaled_long rule) and
+    ','-joined so the driver hashes compact scalar cells. Pure
+    higher-order expressions, one narrow pass, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    nrm = F.sqrt(dot(F.col("v"), F.col("v")))
+    with_norm = emb.select("vec_id", "v", nrm.alias("nrm"))
+    q = F.transform(
+        "v",
+        lambda x: (
+            F.floor(F.abs(x / F.col("nrm")) * 1_000_000 + F.lit(0.5))
+            * F.when(x < 0, F.lit(-1)).otherwise(F.lit(1))
+        ).cast("long"),
+    )
+    return with_norm.select(
+        "vec_id",
+        F.round("nrm", 9).alias("nrm"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("unit_q"),
     )

@@ -700,3 +700,58 @@ def text_quality_threshold_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("quality_score") >= F.col("thr"))
         .select("doc_id", "lang", "quality_score")
     )
+
+
+CHUNK_SIZE = 64  # words per chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 words
+
+CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), s AS (
+  SELECT doc_id, w,
+         CAST((GREATEST(len(w) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1})
+              // {CHUNK_STRIDE} AS INTEGER) AS k_max
+  FROM t
+), e AS (
+  SELECT doc_id, w,
+         CAST(unnest(generate_series(0, k_max)) AS INTEGER) AS chunk_idx
+  FROM s
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(w[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+            AS BIGINT) AS n_words,
+       md5(array_to_string(
+           w[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' '))
+         AS chunk_hash
+FROM e
+"""
+
+
+@register("text_chunk_overlap", oracle=CHUNK_ORACLE, tags=("text", "llm"))
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (RAG / context-window prep):
+    {CHUNK_SIZE}-word chunks every {CHUNK_STRIDE} words, last chunk
+    covering the tail. Offsets come from sequence() + explode inside
+    the row — a pure projection + generate, no shuffle at all; chunk
+    count scales with document length, never with corpus size. The
+    chunk is emitted as an md5 (engine-identical) of the joined words
+    so the driver hashes compact scalars, not megabyte strings."""
+    doc = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    k_max = (
+        (F.greatest(F.size(w) - F.lit(CHUNK_SIZE), F.lit(0)) + F.lit(CHUNK_STRIDE - 1))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")  # non-negative ints: floor division via cast
+    e = doc.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_idx"),
+    )
+    chunk = F.slice("w", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
