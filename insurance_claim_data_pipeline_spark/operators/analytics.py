@@ -270,3 +270,95 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+ZSCORE_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_us(ts) // {US_1H}) * {US_1H} AS hour_us,
+         COUNT(*) AS n FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, COUNT(*) AS n_hours, SUM(n) AS s1, SUM(n * n) AS s2
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour_us, h.n AS n_events,
+       ROUND((h.n - CAST(s.s1 AS DOUBLE) / s.n_hours)
+             / SQRT((s.n_hours * CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                    / (CAST(s.n_hours AS DOUBLE) * (s.n_hours - 1))), 6) AS zscore
+FROM hourly h JOIN stats s ON h.event_type = s.event_type
+WHERE s.n_hours > 1
+"""
+
+
+@register("events_anomaly_zscore", oracle=ZSCORE_ORACLE, tags=("events", "analytics"))
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly score: z-score of each hourly event count against
+    its type's mean/stddev. Both moments come from exact INTEGER sums
+    (Σn, Σn²) so mean, variance and z are the same double expression of
+    the same integers in both engines — bit-identical without any
+    decimal stabilization. Two hash aggregations (the second over
+    types×hours rows) + a 5-row broadcast join back."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))).alias("hour_us")
+    hourly = (
+        ev.select("event_type", hour_us)
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = (
+        F.col("n_hours") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (F.col("n_hours").cast("double") * (F.col("n_hours") - 1))
+    return (
+        hourly.join(F.broadcast(stats.filter(F.col("n_hours") > 1)), "event_type")
+        .select(
+            "event_type",
+            "hour_us",
+            F.col("n").alias("n_events"),
+            F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
+        )
+    )
+
+
+DWELL_ORACLE = """
+WITH nxt AS (
+  SELECT event_type,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(gap_us) AS n_gaps,
+       ROUND(quantile_cont(gap_us, 0.5), 3) AS p50_us,
+       ROUND(quantile_cont(gap_us, 0.9), 3) AS p90_us,
+       ROUND(quantile_cont(gap_us, 0.99), 3) AS p99_us
+FROM nxt WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("events_dwell_time", oracle=DWELL_ORACLE, tags=("events", "analytics", "window"))
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time: per event type, exact percentiles of the gap to the
+    user's next event (lead over the per-user timeline). Gaps are
+    integer microseconds, so the (n-1)·p linear-interpolation
+    percentile both engines implement lands on the same doubles.
+    One window shuffle on user_id + one aggregation; at 100 TB the
+    exact percentile becomes percentile_approx, same plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros(F.lead("ts").over(order)) - F.unix_micros("ts")).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 3).alias("p50_us"),
+        F.round(F.percentile("gap_us", F.lit(0.9)), 3).alias("p90_us"),
+        F.round(F.percentile("gap_us", F.lit(0.99)), 3).alias("p99_us"),
+    )

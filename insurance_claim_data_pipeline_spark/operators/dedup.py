@@ -552,3 +552,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
     )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+CONTAINMENT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / sa.sz, 6) AS containment
+FROM cand JOIN sizes sa ON doc_a = sa.doc_id
+WHERE CAST(n_common AS DOUBLE) / sa.sz >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment_ngram", oracle=CONTAINMENT_ORACLE, tags=("dedup", "llm"))
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment |A∩B| / |A| — catches a document
+    embedded inside a larger one (quote-expansion, boilerplate
+    wrapping), which symmetric Jaccard dilutes below threshold as the
+    container grows. Same inverted-index candidate generation as
+    dedup_ngram_jaccard (pairs must share ≥1 shingle — candidate count
+    is data-bounded, never O(n²)); ordered pairs, normalized by the
+    CONTAINED side only. Production corpora pass the same max_df
+    hot-shingle guard; the oracle-checked query runs uncapped."""
+    doc = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(doc)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        cand.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common").cast("double") / F.col("sz"), 6).alias("containment"),
+        )
+        .filter(F.col("n_common").cast("double") / F.col("sz") >= CONTAINMENT_THRESHOLD)
+    )

@@ -118,3 +118,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pr"),
         )
     return pr.select("node", F.col("pr").alias("pr_e12"))
+
+
+TRIANGLE_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.pkey AS p1, b.pkey AS p2
+  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+), tri AS (
+  SELECT e1.p1, e1.p2, e2.p2 AS p3
+  FROM edges e1
+  JOIN edges e2 ON e2.p1 = e1.p2
+  JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles
+"""
+
+
+@register("graph_triangle_copurchase", oracle=TRIANGLE_ORACLE, tags=("graph", "join"))
+def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the co-purchase graph (parts co-occurring in an
+    order are adjacent). The id-ordered node-iterator formulation:
+    edges are canonical (p1 < p2), wedges come from one self-join on
+    the middle vertex, and a second self-join checks the closing edge —
+    each triangle is produced exactly once, no orientation dedup pass.
+
+    Scale shape: two shuffle self-joins of the edge list; wedge count
+    is sum-of-degrees-squared, THE skew term — at 100 TB you orient
+    edges low-degree→high-degree instead of by id (provably
+    O(m^1.5) wedges) and let AQE split the residual hot vertices; the
+    count is orientation-invariant so the oracle stays valid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")))
+        .select(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = e1.join(e2, F.col("e2.p1") == F.col("e1.p2")).join(
+        e3,
+        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(n_tri)
