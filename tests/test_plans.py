@@ -66,6 +66,18 @@ JVM_ONLY_QUERIES = [
     "sim_topk_pq",
     "graph_pagerank",
     "sample_mixture_weights",
+    # round-2 additions — all pure Column/SQL expressions
+    "events_retention_cohorts",
+    "events_funnel_steps",
+    "events_rolling_distinct_users",
+    "events_gap_fill_locf",
+    "events_anomaly_zscore",
+    "events_dwell_time",
+    "agg_histogram",
+    "text_chunk_overlap",
+    "emb_l2_normalize",
+    "dedup_containment_ngram",
+    "graph_triangle_copurchase",
 ]
 
 
