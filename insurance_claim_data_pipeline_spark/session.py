@@ -53,6 +53,11 @@ def get_spark(app_name: str = "insurance_claim_data_pipeline_spark") -> SparkSes
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
         # timestamp type, so read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive timestamp[us] parquet should read as session-UTC
+        # TimestampType directly (not TIMESTAMP_NTZ) — keeps unix_micros
+        # et al. working without a per-column cast; normalize_timestamps
+        # remains the fallback for sessions where this conf is locked.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,6 +82,7 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
 
 
@@ -114,8 +120,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
-        pass  # conf may be driver-locked; reader below will surface it
+        pass  # conf may be driver-locked; normalize_timestamps covers it
     return normalize_timestamps(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
