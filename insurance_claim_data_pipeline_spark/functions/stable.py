@@ -88,6 +88,28 @@ def dec_avg(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     return dec_sum(c, scale, precision) / F.count(c)
 
 
+def dec_sum_parts(col: Column | str, scale: int = 2) -> tuple[Column, Column]:
+    """The split accumulator's two LONG partial sums ``(q_sum, r_sum)``
+    — the mergeable form of :func:`dec_sum`. Long addition is exact and
+    associative, so partials from disjoint slices (a base table and a
+    delta batch, per-partition partials, per-day increments) combine by
+    plain ``+`` with zero drift; recombine with
+    :func:`dec_sum_from_parts`. This algebraic-aggregate shape is what
+    makes incremental view maintenance EXACT, not approximately-equal."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = _scaled_long(c, scale)
+    r = x % _SPLIT
+    q = F.shiftright(x - r, _SPLIT_BITS)
+    return F.sum(q), F.sum(r)
+
+
+def dec_sum_from_parts(q_sum: Column, r_sum: Column, scale: int = 2) -> Column:
+    """Recombine (possibly merged) split-accumulator partials into the
+    exact decimal total as double — same final step as :func:`dec_sum`."""
+    total = q_sum.cast("decimal(38,0)") * _SPLIT + r_sum.cast("decimal(38,0)")
+    return (total / F.lit(10**scale).cast("decimal(20,0)")).cast("double")
+
+
 def _quantize_sql(expr: str, scale: int, precision: int) -> str:
     # ROUND((expr)*10^s)/10^s rounds the DOUBLE PRODUCT — the same value
     # the Spark-side ``_scaled_long`` rounds — then the DECIMAL cast of

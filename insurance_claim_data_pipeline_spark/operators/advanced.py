@@ -441,3 +441,62 @@ def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.price").alias("unpacked_price"),
         F.length(F.col("s.prio")).cast("long").alias("prio_len"),
     )
+
+
+FUZZY_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS t FROM part
+)
+SELECT a.t AS t1, b.t AS t2, levenshtein(a.t, b.t) AS dist
+FROM tok a JOIN tok b ON a.t < b.t
+WHERE levenshtein(a.t, b.t) <= 1
+"""
+
+
+@register("join_fuzzy_levenshtein", oracle=FUZZY_ORACLE, tags=("join", "text"))
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: distinct part-name tokens within Levenshtein
+    distance 1, by symmetric-delete candidate generation (the SymSpell
+    scheme). Each token emits itself plus its |t| one-character
+    deletions; any edit-distance-1 pair MUST share a variant (equal /
+    deletion / substitution all collide on one), so an equi-join on
+    the variant finds a complete candidate set and the exact
+    levenshtein() filter discards the false positives (same-length
+    pairs sharing a delete at different positions, e.g. 'ab'/'ba').
+
+    Scale shape: this replaces the O(V²) all-pairs comparison the
+    oracle runs with an inverted index of |t|+1 variants per token —
+    the same candidates-then-verify pattern as the shingle dedups, and
+    the only formulation that survives a web-scale vocabulary. Pair
+    blow-up is bounded by variant-bucket sizes (≈ alphabet × dict
+    density, not corpus size); AQE splits any hot short-variant
+    buckets."""
+    part = load_table(spark, sf_dir, "part")
+    tok = (
+        part.select(F.explode(F.split(F.lower("p_name"), " ")).alias("t"))
+        .distinct()
+    )
+    variants = tok.select(
+        "t",
+        F.explode(
+            F.array_union(
+                F.array(F.col("t")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t")),
+                    lambda i: F.concat(
+                        F.substring(F.col("t"), F.lit(1), i - 1),
+                        F.substring(F.col("t"), i + 1, F.length("t")),
+                    ),
+                ),
+            )
+        ).alias("v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.t") < F.col("b.t")))
+        .select(F.col("a.t").alias("t1"), F.col("b.t").alias("t2"))
+        .distinct()
+    )
+    return cand.select(
+        "t1", "t2", F.levenshtein("t1", "t2").alias("dist")
+    ).filter(F.col("dist") <= 1)

@@ -80,3 +80,105 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of the documents table: completeness, exact
     cardinality, and native-type min/max for every column, one scan."""
     return profile_table(load_table(spark, sf_dir, "documents"), _DOC_COLS)
+
+
+DQ_ORACLE = """
+WITH rowrules AS (
+  SELECT 1 AS rule_no, 'totalprice_nonnegative' AS rule,
+         COUNT(*) AS n_checked,
+         COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice < 0) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 2, 'orderstatus_in_domain', COUNT(*),
+         COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('O', 'F', 'P'))
+  FROM orders
+  UNION ALL
+  SELECT 3, 'orderdate_in_range', COUNT(*),
+         COUNT(*) FILTER (WHERE o_orderdate IS NULL
+                             OR o_orderdate <  TIMESTAMP '1992-01-01'
+                             OR o_orderdate >= TIMESTAMP '1999-01-01')
+  FROM orders
+  UNION ALL
+  SELECT 4, 'orderkey_unique', COUNT(*),
+         COUNT(*) - COUNT(DISTINCT o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 5, 'custkey_fk_customer', COUNT(*),
+         COUNT(*) FILTER (WHERE o_custkey IS NULL OR c.c_custkey IS NULL)
+  FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey
+)
+SELECT rule_no, rule, n_checked, n_violations FROM rowrules
+"""
+
+
+@register("dq_violations", oracle=DQ_ORACLE, tags=("profile", "quality"))
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over ``orders`` — the
+    assert-style checks (not-null, domain, range, uniqueness,
+    referential integrity) a warehouse gate runs before publishing a
+    partition. One violation-count row per rule.
+
+    Scale shape: rules 1-3 are conditional counts folded into ONE scan
+    (a single hash aggregation, no per-rule pass); uniqueness is one
+    aggregate comparing COUNT(*) to COUNT(DISTINCT); the FK rule is a
+    broadcast left join against the (dimension) customer key set. A
+    100 TB gate runs the same plan per partition and alerts on any
+    n_violations > 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def viol(cond) -> any:
+        return F.count(F.when(cond, 1))
+
+    row_rules = orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        viol(F.col("o_totalprice").isNull() | (F.col("o_totalprice") < 0)).alias("v1"),
+        viol(
+            F.col("o_orderstatus").isNull() | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("v2"),
+        viol(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        ).alias("v3"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v4"),
+    )
+    fk = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            viol(F.col("o_custkey").isNull() | F.col("c_custkey").isNull()).alias("v5"),
+        )
+    )
+
+    # explode ONE aggregated row into per-rule rows — the scan and the
+    # hash aggregation run once, not once per rule (a unionAll of
+    # projections over the same agg would re-execute it per branch:
+    # DataFrame plans share no CTE).
+    def rule_struct(rule_no: int, rule: str, vcol: str):
+        return F.struct(
+            F.lit(rule_no).alias("rule_no"),
+            F.lit(rule).alias("rule"),
+            F.col("n_checked").alias("n_checked"),
+            F.col(vcol).alias("n_violations"),
+        )
+
+    exploded = row_rules.select(
+        F.explode(
+            F.array(
+                rule_struct(1, "totalprice_nonnegative", "v1"),
+                rule_struct(2, "orderstatus_in_domain", "v2"),
+                rule_struct(3, "orderdate_in_range", "v3"),
+                rule_struct(4, "orderkey_unique", "v4"),
+            )
+        ).alias("r")
+    ).select("r.rule_no", "r.rule", "r.n_checked", "r.n_violations")
+    fk_row = fk.select(rule_struct(5, "custkey_fk_customer", "v5").alias("r")).select(
+        "r.rule_no", "r.rule", "r.n_checked", "r.n_violations"
+    )
+    return exploded.unionAll(fk_row)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.stable import dec_sum_from_parts, dec_sum_parts, dec_sum_sql
 from ..registry import register
 from ..session import load_table
 
@@ -189,3 +190,54 @@ def warehouse_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     log — the change-data-capture compaction a dimension-history table
     is built from."""
     return scd2_history(load_table(spark, sf_dir, "events"))
+
+
+INCR_AGG_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {dec_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("warehouse_incremental_agg", oracle=INCR_AGG_ORACLE, tags=("warehouse", "agg"))
+def warehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, EXACTLY: the table is split
+    into a base slice and a delta batch (l_orderkey % 10), each is
+    aggregated independently, and the two aggregates are merged by
+    plain addition — the result must hash-equal the oracle's one-shot
+    full-table aggregate, which is precisely the incremental-
+    view-maintenance contract.
+
+    The merge is exact because the sum is carried in its mergeable
+    split-accumulator form (two LONG partials per group,
+    functions/stable.py::dec_sum_parts): long addition is associative,
+    so base+delta partials recombine to the bit-identical total a
+    single pass produces. Merging two finished DOUBLE sums instead
+    would drift by an ulp per merge — the classic silent error in
+    incrementally-maintained dashboards. At 100 TB this is the
+    nightly-delta pattern: the base aggregate is a tiny materialized
+    table; only the delta batch is scanned."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def parts_agg(df: DataFrame, tag: str) -> DataFrame:
+        q, r = dec_sum_parts("l_quantity")
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            q.alias(f"q_{tag}"),
+            r.alias(f"r_{tag}"),
+        )
+
+    base = parts_agg(li.filter(F.col("l_orderkey") % 10 != 0), "base")
+    delta = parts_agg(li.filter(F.col("l_orderkey") % 10 == 0), "delta")
+    z = F.lit(0).cast("long")
+    merged = base.join(delta, "l_returnflag", "full_outer").select(
+        "l_returnflag",
+        (F.coalesce("n_base", z) + F.coalesce("n_delta", z)).alias("n_rows"),
+        dec_sum_from_parts(
+            F.coalesce("q_base", z) + F.coalesce("q_delta", z),
+            F.coalesce("r_base", z) + F.coalesce("r_delta", z),
+        ).alias("sum_qty"),
+    )
+    return merged

@@ -78,6 +78,9 @@ JVM_ONLY_QUERIES = [
     "emb_l2_normalize",
     "dedup_containment_ngram",
     "graph_triangle_copurchase",
+    "warehouse_incremental_agg",
+    "dq_violations",
+    "join_fuzzy_levenshtein",
 ]
 
 

@@ -61,3 +61,49 @@ def test_dec_sum_partition_order_independent(spark):
     s1 = df1.agg(dec_sum("v", 2).alias("s")).collect()[0]["s"]
     s32 = df32.agg(dec_sum("v", 2).alias("s")).collect()[0]["s"]
     assert s1 == s32 == _exact_sum(values, 2)
+
+
+def test_dec_sum_parts_merge_is_bit_identical(spark):
+    """Merging split-accumulator partials from two disjoint slices must
+    reproduce the single-pass dec_sum bit-for-bit (the incremental-
+    view-maintenance contract) — including in the >2^53-scaled regime
+    where merging finished doubles would drift."""
+    from insurance_claim_data_pipeline_spark.functions.stable import (
+        dec_sum_from_parts,
+        dec_sum_parts,
+    )
+
+    values = [
+        9.007199254740993e13,
+        1.23456789012345e14,
+        -8.7654321098765e13,
+        4.611686018427387e16,
+        -4.611686018427387e16,
+        0.005,
+        -0.005,
+        123.456,
+        -0.01,
+        3.335,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i int, v double"
+    )
+    single = df.agg(dec_sum("v").alias("s")).collect()[0]["s"]
+
+    def parts(pred):
+        q, r = dec_sum_parts("v")
+        row = df.filter(pred).agg(q.alias("q"), r.alias("r")).collect()[0]
+        return row["q"], row["r"]
+
+    qa, ra = parts("i % 2 = 0")
+    qb, rb = parts("i % 2 = 1")
+    merged = (
+        spark.range(1)
+        .select(
+            dec_sum_from_parts(
+                F.lit(qa + qb).cast("long"), F.lit(ra + rb).cast("long")
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert merged == single
