@@ -500,3 +500,67 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "t1", "t2", F.levenshtein("t1", "t2").alias("dist")
     ).filter(F.col("dist") <= 1)
+
+
+UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+) t
+"""
+
+
+@register("unpivot_metrics", oracle=UNPIVOT_ORACLE, tags=("setop", "scalar"))
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of three lineitem measures — the
+    inverse of pivot_priority_counts. Spark's unpivot plans as a
+    single-scan Expand (each input row emits 3 output rows), NOT the
+    3-scan UNION ALL the oracle spells out — same rows, one third the
+    I/O; at 100 TB the Expand is the only viable formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+
+
+NULL_FUNCS_ORACLE = """
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SEGMENT_REDACTED') AS seg_or_default,
+       CAST(NULLIF(c_mktsegment, 'BUILDING') IS NULL AS INT) AS was_building,
+       CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL
+            THEN 'has_segment' ELSE 'no_segment' END AS nvl2_style,
+       CAST(NULLIF(c_mktsegment, 'BUILDING')
+              IS NOT DISTINCT FROM NULLIF(c_mktsegment, 'AUTOMOBILE') AS INT)
+         AS nullsafe_eq,
+       CAST(c_acctbal > 0 AND c_mktsegment IS NOT NULL AS INT) AS and_3vl
+FROM customer
+"""
+
+
+@register("scalar_null_funcs", oracle=NULL_FUNCS_ORACLE, tags=("scalar",))
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics family: NULLIF / COALESCE / NVL2-style CASE /
+    null-safe equality (Spark's <=> vs ANSI IS NOT DISTINCT FROM) /
+    three-valued-logic AND — the null edge cases every SQL surface
+    must agree on. Pure projection, codegen'd, no shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    seg_b = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    seg_a = F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE"))
+    return cust.select(
+        "c_custkey",
+        F.coalesce(seg_b, F.lit("SEGMENT_REDACTED")).alias("seg_or_default"),
+        seg_b.isNull().cast("int").alias("was_building"),
+        F.when(seg_b.isNotNull(), "has_segment")
+        .otherwise("no_segment")
+        .alias("nvl2_style"),
+        seg_b.eqNullSafe(seg_a).cast("int").alias("nullsafe_eq"),
+        ((F.col("c_acctbal") > 0) & F.col("c_mktsegment").isNotNull())
+        .cast("int")
+        .alias("and_3vl"),
+    )

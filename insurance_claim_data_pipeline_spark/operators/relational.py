@@ -1855,3 +1855,31 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+DISTRIBUTION_FN_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(percent_rank() OVER w, 9) AS pct_rank,
+       ROUND(cume_dist() OVER w, 9) AS cume,
+       ntile(10) OVER w AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("window_distribution_funcs", oracle=DISTRIBUTION_FN_ORACLE, tags=("window",))
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    ntile(10) of order value within priority class. The o_orderkey
+    tie-break makes the order TOTAL, so rank-derived ratios are the
+    same exact integer divisions in both engines. One shuffle on the
+    partition key, linear pass per partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -25,9 +25,9 @@ from uuid import uuid4
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.stable import dec_sum
+from ..functions.stable import dec_sum, dec_sum_sql
 from ..registry import register
-from ..session import normalize_timestamps
+from ..session import load_table, normalize_timestamps
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,3 +177,68 @@ def events_conversion_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + time-bound pair is what keeps that state finite."""
     events = _events_stream(spark, sf_dir)
     return run_stream_to_memory(conversion_join_stream(events), spark, output_mode="append")
+
+
+ENRICHED_PURCHASES_ORACLE = f"""
+WITH totals AS (
+  SELECT user_id, {dec_sum_sql('value')} AS user_total, COUNT(*) AS user_events
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       e.value,
+       t.user_total, t.user_events
+FROM events e JOIN totals t ON e.user_id = t.user_id
+WHERE e.event_type = 'purchase'
+"""
+
+
+def enriched_purchases(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """purchase events joined to a per-user profile dim — works
+    identically on a batch OR streaming `events` frame (stream-static
+    equi-joins are stateless: each micro-batch probes the static side,
+    no watermark, no state store)."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(dim, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+            "user_total",
+            "user_events",
+        )
+    )
+
+
+def _user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        dec_sum("value").alias("user_total"),
+        F.count(F.lit(1)).alias("user_events"),
+    )
+
+
+@register("events_enriched_purchases", oracle=ENRICHED_PURCHASES_ORACLE, tags=("events", "join"))
+def events_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: purchases
+    decorated with the purchaser's lifetime totals. The dim side is a
+    small aggregate → broadcast; the event side never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    return enriched_purchases(ev, F.broadcast(_user_dim(spark, sf_dir)))
+
+
+@register("events_enrich_streaming", tags=("events", "streaming"))
+def events_enrich_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join (rows-only; oracle-checked batch twin is
+    events_enriched_purchases, equality asserted in
+    tests/test_streaming.py): the streaming events feed joins a static
+    per-user profile table. Stateless — unlike the stream-stream
+    conversion join there is no watermark or join state; every
+    micro-batch broadcast-probes the static dim, which is how you
+    enrich a firehose against a slowly-refreshed dimension at scale."""
+    stream = _events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        enriched_purchases(stream, F.broadcast(_user_dim(spark, sf_dir))),
+        spark,
+        output_mode="append",
+    )

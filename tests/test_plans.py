@@ -81,6 +81,10 @@ JVM_ONLY_QUERIES = [
     "warehouse_incremental_agg",
     "dq_violations",
     "join_fuzzy_levenshtein",
+    "unpivot_metrics",
+    "window_distribution_funcs",
+    "scalar_null_funcs",
+    "events_enriched_purchases",
 ]
 
 

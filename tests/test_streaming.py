@@ -240,6 +240,16 @@ def test_streaming_conversion_join_equals_batch(spark, sf_dir):
     assert got == want and want
 
 
+def test_stream_static_enrichment_equals_batch(spark, sf_dir):
+    """The stream-static enrichment join (stateless: each micro-batch
+    probes the static dim) must equal its batch twin exactly."""
+    from insurance_claim_data_pipeline_spark.streaming import events_stream as es
+
+    got = {tuple(r) for r in es.events_enrich_streaming(spark, sf_dir).collect()}
+    want = {tuple(r) for r in es.events_enriched_purchases(spark, sf_dir).collect()}
+    assert got == want and want
+
+
 def test_foreachbatch_sink_checkpoint_restart(spark, sf_dir, tmp_path):
     """Exactly-once file sink + restart recovery: drain half the input,
     stop, add the other half, restart with the SAME checkpoint. The
