@@ -362,3 +362,139 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_us", F.lit(0.9)), 3).alias("p90_us"),
         F.round(F.percentile("gap_us", F.lit(0.99)), 3).alias("p99_us"),
     )
+
+
+RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         {dec_sum_sql('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(last_order AS VARCHAR) AS last_order,
+       frequency, monetary,
+       ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+       ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+FROM per_cust
+"""
+
+
+@register("orders_rfm_segmentation", oracle=RFM_ORACLE, tags=("analytics", "window"))
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary value
+    per customer, each quintile-scored with ntile(5) (1 = best). The
+    custkey tie-break totalizes each ordering so bucket boundaries are
+    engine-independent.
+
+    Scale note: the three global ntiles are single-partition windows —
+    fine for a customer DIMENSION (orders-of-magnitude smaller than
+    facts), and the documented swap at extreme cardinality is
+    percentile_approx thresholds + a bucket join, same as
+    text_quality_threshold_approx."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum("o_totalprice").alias("monetary"),
+    )
+    r_w = W.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f_w = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        "o_custkey",
+        F.col("last_order").cast("string").alias("last_order"),
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), pairs AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+), totals AS (
+  SELECT src, SUM(n) AS n_src FROM pairs GROUP BY src
+)
+SELECT p.src, p.dst, p.n AS n_transitions,
+       ROUND(CAST(p.n AS DOUBLE) / t.n_src, 6) AS prob
+FROM pairs p JOIN totals t ON p.src = t.src
+"""
+
+
+@register("events_markov_transitions", oracle=MARKOV_ORACLE, tags=("events", "analytics"))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types along each
+    user's timeline: P(next=dst | current=src) from exact integer
+    transition counts. One window shuffle on user_id, one tiny
+    aggregation, a types×types broadcast join — the user-journey model
+    behind next-action prediction and anomalous-flow detection."""
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(order).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return pairs.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        F.col("n").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias("prob"),
+    )
+
+
+BASKET_MIN_SUPPORT = 5
+
+BASKET_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), part_count AS (
+  SELECT pkey, COUNT(*) AS n_orders FROM op GROUP BY pkey
+), pair_count AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, COUNT(*) AS n_both
+  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey <> b.pkey
+  GROUP BY 1, 2
+)
+SELECT pc.p1, pc.p2, pc.n_both,
+       ROUND(CAST(pc.n_both AS DOUBLE) / c1.n_orders, 6) AS confidence
+FROM pair_count pc JOIN part_count c1 ON pc.p1 = c1.pkey
+WHERE pc.n_both >= {BASKET_MIN_SUPPORT}
+"""
+
+
+@register("basket_association_rules", oracle=BASKET_ORACLE, tags=("analytics", "join"))
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules p1→p2: co-occurrence support and
+    confidence = P(p2 in order | p1 in order), from the same distinct
+    (order, part) inverted index as the triangle count. The support
+    floor bounds the output; at 100 TB the pair self-join keys on the
+    order (basket sizes are small and bounded, so pair blow-up is
+    Σ basket² — a data constant), never on parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")).distinct()
+    part_count = op.groupBy("pkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    a, b = op.alias("a"), op.alias("b")
+    pair_count = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") != F.col("b.pkey")))
+        .groupBy(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    return pair_count.join(
+        part_count.withColumnRenamed("pkey", "p1"), "p1"
+    ).select(
+        "p1",
+        "p2",
+        "n_both",
+        F.round(F.col("n_both").cast("double") / F.col("n_orders"), 6).alias("confidence"),
+    )

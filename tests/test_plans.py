@@ -85,6 +85,9 @@ JVM_ONLY_QUERIES = [
     "window_distribution_funcs",
     "scalar_null_funcs",
     "events_enriched_purchases",
+    "orders_rfm_segmentation",
+    "events_markov_transitions",
+    "basket_association_rules",
 ]
 
 
