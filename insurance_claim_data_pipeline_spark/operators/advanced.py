@@ -564,3 +564,73 @@ def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("and_3vl"),
     )
+
+
+BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS and_mask,
+       o_orderkey | 4096 AS or_flag,
+       xor(o_orderkey, 21845) AS xor_salt,
+       bit_count(o_orderkey) AS popcount,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 3 AS shr3
+FROM orders
+WHERE o_orderkey % 37 = 0
+"""
+
+
+@register("scalar_bitwise_funcs", oracle=BITWISE_ORACLE, tags=("scalar",))
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (AND/OR/XOR masks, popcount, shifts) —
+    the bit-fiddling surface behind bitmap indexes, hash mixing and
+    flag packing. Pure codegen'd projection."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_mask"),
+        k.bitwiseOR(F.lit(4096)).alias("or_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xor_salt"),
+        F.bit_count(k).alias("popcount"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )
+
+
+ARGMINMAX_ORACLE = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+         AS biggest_order,
+       arg_min(o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+         AS smallest_order,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_totalprice) AS min_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_argminmax", oracle=ARGMINMAX_ORACLE, tags=("agg",))
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN aggregates (Spark max_by/min_by, DuckDB
+    arg_max/arg_min): the order carrying each priority class's extreme
+    total. A bare max_by(key, price) is nondeterministic under price
+    ties — the classic argmax trap — so the ordering value is the
+    composite long ``price_cents·10^7 + orderkey`` (prices are
+    2-decimal, so cents are exact; key range is bounded well below the
+    multiplier at test scales, and at warehouse scale you'd widen to a
+    DECIMAL(38) composite or a struct ordering where the engine
+    supports it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rank = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10_000_000)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", rank).alias("biggest_order"),
+        F.min_by("o_orderkey", rank).alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -88,6 +88,8 @@ JVM_ONLY_QUERIES = [
     "orders_rfm_segmentation",
     "events_markov_transitions",
     "basket_association_rules",
+    "scalar_bitwise_funcs",
+    "agg_argminmax",
 ]
 
 
