@@ -464,6 +464,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage (iterative DataFrame algorithms re-plan the whole history
     otherwise)."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return min_label_components(pairs)
+
+
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over an undirected ``(doc_a,
+    doc_b)`` pair frame → ``(doc_id, component_id)`` for every vertex
+    that appears in at least one pair (component_id = smallest
+    transitively-connected doc_id). See :func:`dedup_components` for
+    the algorithmic/scale discussion; extracted so pipeline
+    compositions (operators/pipeline.py) can canonicalize their own
+    candidate graphs."""
     # vertices that participate in at least one near-dup pair
     verts = (
         pairs.select(F.col("doc_a").alias("doc_id"))

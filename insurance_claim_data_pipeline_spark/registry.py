@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.textops",
     "insurance_claim_data_pipeline_spark.operators.eventops",
     "insurance_claim_data_pipeline_spark.operators.analytics",
+    "insurance_claim_data_pipeline_spark.operators.pipeline",
     "insurance_claim_data_pipeline_spark.operators.multimodal",
     "insurance_claim_data_pipeline_spark.operators.sampling",
     "insurance_claim_data_pipeline_spark.operators.graph",

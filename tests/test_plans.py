@@ -90,6 +90,7 @@ JVM_ONLY_QUERIES = [
     "basket_association_rules",
     "scalar_bitwise_funcs",
     "agg_argminmax",
+    "llm_prep_pipeline",
 ]
 
 
