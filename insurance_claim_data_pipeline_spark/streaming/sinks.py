@@ -94,3 +94,98 @@ def events_errors_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_foreachbatch_parquet(errors_projected(_events_stream(spark, sf_dir)), out, ckpt)
     # batch_id is the inferred hive-partition column; drop it for the compare
     return spark.read.parquet(out).select("event_id", "user_id", "ts_us", "value")
+
+
+LATEST_PER_USER_ORACLE = """
+SELECT user_id, event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def _merge_latest(prev: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Latest row per user_id across prev state ∪ batch — the MERGE
+    step of the CDC apply loop. max_by over the (ts_us, event_id)
+    struct totalizes ordering (event_id unique), so the kept witness
+    row is deterministic."""
+    both = batch if prev is None else prev.unionByName(batch)
+    rank = F.struct(F.col("ts_us"), F.col("event_id"))
+    row = F.struct("user_id", "event_id", "ts_us", "event_type", "value")
+    return (
+        both.groupBy("user_id")
+        .agg(F.max_by(row, rank).alias("r"))
+        .select("r.user_id", "r.event_id", "r.ts_us", "r.event_type", "r.value")
+    )
+
+
+def run_cdc_upsert(stream_df: DataFrame, state_dir: str, checkpoint_dir: str) -> str:
+    """foreachBatch CDC apply: each micro-batch MERGEs into a keyed
+    latest-per-user state table. State is VERSIONED by batch id
+    (``v=N`` is the merge of ``v=M`` for the largest M < N with batch
+    N) instead of overwritten in place: a batch retried after a crash
+    deterministically rewrites its own version from the same
+    predecessor — exactly-once without a transactional sink, the same
+    idempotency trick as the batch_id=N append sink. Returns the path
+    of the newest version after the drain.
+
+    Scale notes: the merge is one shuffle of (bounded) state keyed by
+    user plus the micro-batch; at warehouse scale state would be
+    bucketed by user_id so the merge join is shuffle-free, and old
+    versions vacuumed asynchronously."""
+    import re
+
+    def versions() -> list[int]:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            int(m.group(1))
+            for m in (re.match(r"^v=(\d+)$", d) for d in os.listdir(state_dir))
+            if m
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = [v for v in versions() if v < batch_id]
+        prev = (
+            spark.read.parquet(os.path.join(state_dir, f"v={prior[-1]}"))
+            if prior
+            else None
+        )
+        projected = batch_df.select(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+        )
+        _merge_latest(prev, projected).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = versions()
+    return os.path.join(state_dir, f"v={vs[-1]}") if vs else state_dir
+
+
+@register("events_cdc_upsert_stream", oracle=LATEST_PER_USER_ORACLE, tags=("events", "streaming", "sink"))
+def events_cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert, ORACLE-CHECKED: readStream → foreachBatch
+    MERGE into versioned latest-per-user state → read the final state
+    back. However the input is micro-batched, the drained state must
+    equal the batch 'latest event per user' answer — so the DuckDB
+    oracle hash-verifies the whole apply loop (multi-batch delivery +
+    restart recovery are exercised in tests/test_streaming.py)."""
+    base = tempfile.mkdtemp(prefix=f"icdp_cdc_{uuid4().hex[:8]}_")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    final = run_cdc_upsert(_events_stream(spark, sf_dir), state, ckpt)
+    return spark.read.parquet(final).select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )

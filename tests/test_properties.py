@@ -107,3 +107,57 @@ date_inputs = st.lists(date_like | ascii_text | st.none(), min_size=1, max_size=
 @given(values=date_inputs)
 def test_parse_claim_date_matches_strptime(spark, values):
     assert _run(spark, values, parse_claim_date) == [model_parse_date(v) for v in values]
+
+
+# ---------------------------------------------------------------------------
+# Chunking properties (text_chunk_overlap): the sliding-window rules must
+# hold for arbitrary word counts, not just the fixture corpus.
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_chunk_overlap_properties(spark, n_words_list):
+    """For documents of arbitrary word counts: chunk count is
+    ceil(max(n-SIZE,0)/STRIDE)+1, every chunk is the exact word slice
+    [k*STRIDE+1, k*STRIDE+SIZE], and the last chunk reaches the final
+    word (full coverage, no runaway offsets)."""
+    import hashlib
+    import math
+
+    from insurance_claim_data_pipeline_spark.operators.textops import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        text_chunk_overlap,
+    )
+
+    docs = []
+    for i, n in enumerate(n_words_list):
+        words = [f"w{i}_{j}" for j in range(n)] or [""]
+        docs.append((i, " ".join(words)))
+    # text_chunk_overlap reads documents.parquet from sf_dir; write one
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            f"{d}/documents.parquet"
+        )
+        got = {}
+        for r in text_chunk_overlap(spark, d).collect():
+            got[(r["doc_id"], r["chunk_idx"])] = (r["n_words"], r["chunk_hash"])
+
+    for i, n in enumerate(n_words_list):
+        words = ([f"w{i}_{j}" for j in range(n)] or [""])
+        # split(' ') tokenization: n=0 text "" becomes [''], 1 token
+        toks = " ".join(words).split(" ")
+        eff_n = len(toks)
+        k_max = math.ceil(max(eff_n - CHUNK_SIZE, 0) / CHUNK_STRIDE)
+        idxs = sorted(k for (d_id, k) in got if d_id == i)
+        assert idxs == list(range(k_max + 1))
+        for k in idxs:
+            chunk = toks[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_SIZE]
+            n_c, h = got[(i, k)]
+            assert n_c == len(chunk)
+            assert h == hashlib.md5(" ".join(chunk).encode()).hexdigest()
+        # coverage: the last chunk must reach the final word
+        assert k_max * CHUNK_STRIDE + CHUNK_SIZE >= eff_n

@@ -316,3 +316,61 @@ def test_foreachbatch_rerun_without_new_data_is_noop(spark, sf_dir, tmp_path):
     after = {p.name for p in (tmp_path / "out").glob("batch_id=*")}
     assert after == before
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_cdc_upsert_multibatch_and_restart(spark, sf_dir, tmp_path):
+    """CDC apply loop under real micro-batching: events delivered one
+    file per trigger, then a restart with the same checkpoint and new
+    data. Final state must equal batch latest-per-user over everything
+    delivered; versions only grow (committed batches never reapply)."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.session import normalize_timestamps
+    from insurance_claim_data_pipeline_spark.streaming import sinks as sk
+
+    ev = normalize_timestamps(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    staging = str(tmp_path / "staging")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    # three files -> three micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode("append").parquet(staging)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        return sk.run_cdc_upsert(stream, state, ckpt)
+
+    final = drain()
+    import os as _os
+
+    versions_after_first = set(_os.listdir(state))
+    assert len(versions_after_first) >= 2  # really micro-batched
+
+    def latest_per_user(df):
+        rank = F.struct(F.unix_micros("ts").alias("ts_us"), F.col("event_id"))
+        row = F.struct(
+            "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+        )
+        return (
+            df.groupBy("user_id")
+            .agg(F.max_by(row, rank).alias("r"))
+            .select("r.user_id", "r.event_id", "r.ts_us", "r.event_type", "r.value")
+        )
+
+    got = sorted(tuple(r) for r in spark.read.parquet(final).collect())
+    want = sorted(
+        tuple(r) for r in latest_per_user(ev.filter(F.col("event_id") % 4 != 3)).collect()
+    )
+    assert got == want and want
+
+    # restart with the remaining quarter: only the new file is applied
+    ev.filter(F.col("event_id") % 4 == 3).coalesce(1).write.mode("append").parquet(staging)
+    final2 = drain()
+    got2 = sorted(tuple(r) for r in spark.read.parquet(final2).collect())
+    want2 = sorted(tuple(r) for r in latest_per_user(ev).collect())
+    assert got2 == want2
+    assert versions_after_first < set(_os.listdir(state))  # monotone versions
