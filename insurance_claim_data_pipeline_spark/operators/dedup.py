@@ -102,7 +102,17 @@ def ngram_jaccard_pairs(doc: DataFrame, max_df: int | None = None) -> DataFrame:
     still computed over ALL shingles, so for pairs whose common shingles
     survive the cap the Jaccard is exact; pairs sharing ONLY hot
     shingles are not near-dups in any useful sense and are dropped."""
-    sh = shingle_rows(doc).select("doc_id", F.xxhash64("shingle").alias("sh_key"))
+    # hash BEFORE the per-doc distinct: the dedup shuffle then moves
+    # 16-byte (long, long) rows instead of (long, ~40-byte string) —
+    # ~60% less shuffle volume for the biggest shuffle in the plan.
+    # Cost: a same-doc 64-bit collision would undercount that doc's set
+    # size by 1 (~shingles²/2^64 per doc — immaterial to a ratio over
+    # ~10³ shingles, and the string-keyed oracle parity guards it).
+    sh = (
+        shingle_rows(doc, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("sh_key"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     idx = sh
     if max_df is not None:
