@@ -289,7 +289,14 @@ GROUP BY n_name
 @register("q5_local_supplier_volume", oracle=Q5_ORACLE, tags=("join", "agg", "bench"))
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-style 6-way join. All dimensions broadcast; the only
-    shuffle joins are the fact-fact orders⋈lineitem."""
+    shuffle joins are the fact-fact orders⋈lineitem. (Measured
+    alternative: streaming lineitem against an orders⋈customer build
+    side loses the scan-level size estimate and degrades to a
+    sort-merge join — 2.2 s vs 1.0 s at sf0.1 — so the statistics-
+    friendly shape below, where every build side is a bare scan, wins
+    even though it lets Spark hash-build the larger input at this
+    tiny scale; above the broadcast threshold both shapes shuffle and
+    the distinction disappears.)"""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
