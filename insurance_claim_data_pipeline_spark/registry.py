@@ -131,6 +131,39 @@ _FRONT = (
     "events_tumbling_window_streaming",
     "events_user_totals_stateful_streaming",
     "claims_candidates_streaming",
+    # tier 4 — round-2 additions, most informative first: composed
+    # pipeline, streaming CDC sink, warehouse/quality primitives,
+    # product analytics, LLM-data ops, then function families. (The
+    # remaining unlisted names — TPC-H Q2/Q6/Q9-Q22, PQ/IVF variants,
+    # text/sampling ops added mid-round-2 — follow in registration
+    # order before the re-listed round-1-green tail.)
+    "llm_prep_pipeline",
+    "events_cdc_upsert_stream",
+    "warehouse_incremental_agg",
+    "warehouse_merge_upsert",
+    "warehouse_scd2_history",
+    "dq_violations",
+    "events_enriched_purchases",
+    "events_retention_cohorts",
+    "events_funnel_steps",
+    "events_rolling_distinct_users",
+    "events_gap_fill_locf",
+    "events_anomaly_zscore",
+    "events_dwell_time",
+    "events_markov_transitions",
+    "orders_rfm_segmentation",
+    "basket_association_rules",
+    "agg_histogram",
+    "dedup_containment_ngram",
+    "graph_triangle_copurchase",
+    "join_fuzzy_levenshtein",
+    "text_chunk_overlap",
+    "emb_l2_normalize",
+    "unpivot_metrics",
+    "window_distribution_funcs",
+    "agg_argminmax",
+    "scalar_null_funcs",
+    "scalar_bitwise_funcs",
 )
 _TAIL = (
     # hash-proven green in CORRECTNESS_r01.json; re-listed by how much
