@@ -498,3 +498,62 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_both",
         F.round(F.col("n_both").cast("double") / F.col("n_orders"), 6).alias("confidence"),
     )
+
+
+AUTOCORR_LAGS = (1, 24)
+
+
+def _autocorr_oracle() -> str:
+    branches = []
+    for lag in AUTOCORR_LAGS:
+        branches.append(f"""
+SELECT {lag} AS lag_hours, COUNT(*) AS n_pairs,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+                * SQRT(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE))), 6)
+         AS autocorr
+FROM (
+  SELECT n AS x,
+         lag(n, {lag}) OVER (ORDER BY hour_us) AS y
+  FROM (SELECT (epoch_us(ts) // {US_1H}) * {US_1H} AS hour_us, COUNT(*) AS n
+        FROM events GROUP BY 1)
+) WHERE y IS NOT NULL
+""")
+    return " UNION ALL ".join(branches)
+
+
+@register("events_autocorrelation", oracle=_autocorr_oracle(), tags=("events", "analytics"))
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 autocorrelation of the hourly event-count
+    series (is traffic sticky hour-over-hour? is there daily
+    seasonality?). Pearson r is computed from six exact INTEGER sums
+    combined by the same double expression in both engines —
+    bit-identical, like events_anomaly_zscore. The series itself is a
+    tiny aggregate (hours), so the window is cheap regardless of raw
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))).alias("hour_us")
+    hourly = ev.select(hour_us).groupBy("hour_us").agg(F.count(F.lit(1)).alias("n"))
+
+    def corr_at(lag: int) -> DataFrame:
+        w = W.orderBy("hour_us")
+        pairs = hourly.select(
+            F.col("n").alias("x"), F.lag("n", lag).over(w).alias("y")
+        ).filter(F.col("y").isNotNull())
+        cnt = F.count(F.lit(1))
+        num = cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+        den = F.sqrt(
+            (cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast("double")
+        ) * F.sqrt(
+            (cnt * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")).cast("double")
+        )
+        return pairs.agg(
+            F.lit(lag).alias("lag_hours"),
+            cnt.alias("n_pairs"),
+            F.round(num / den, 6).alias("autocorr"),
+        )
+
+    out = corr_at(AUTOCORR_LAGS[0])
+    for lag in AUTOCORR_LAGS[1:]:
+        out = out.unionAll(corr_at(lag))
+    return out

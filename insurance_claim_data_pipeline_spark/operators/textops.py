@@ -755,3 +755,103 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_words"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+BM25_QUERY = ("join", "window", "scan")
+BM25_K1 = 1.2  # term-frequency saturation
+BM25_B = 0.75  # length normalization
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_len
+  FROM tok
+), qt(term) AS (VALUES {terms}),
+tf AS (
+  SELECT t.doc_id, q.term,
+         CAST(len(list_filter(t.toks, x -> x = q.term)) AS DOUBLE) AS tf,
+         CAST(len(t.toks) AS DOUBLE) AS dl
+  FROM tok t, qt q
+), df AS (
+  SELECT term, COUNT(*) FILTER (WHERE tf > 0) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avg_len))
+         ) AS score
+  FROM tf JOIN df d ON tf.term = d.term, stats s
+  WHERE tf.tf > 0
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored
+ORDER BY ROUND(score, 6) DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle(), tags=("text", "llm"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-{BM25_TOPK} documents for a fixed term query
+    (Okapi k1={BM25_K1}, b={BM25_B}). All inputs to the double math are
+    exact integers (tf, df, doc length, corpus size) combined by the
+    SAME expression in both engines, so scores are bit-identical; the
+    top-k carries a doc_id tie-break on the rounded score.
+
+    Scale shape: per-(doc, term) tf comes from one projection over the
+    token arrays (terms are a tiny literal list — no explode of the
+    corpus vocabulary); df and corpus stats are two one-row/terms-row
+    aggregates broadcast back; the ranking is TakeOrderedAndProject,
+    never a global sort. This is the query side of a search engine —
+    the indexing side (DF tables) is text_tfidf_topk."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = doc.select("doc_id", toks.alias("toks"), F.size(toks).cast("double").alias("dl"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avg_len"),
+    )
+    def tf_col(term: str):
+        # NB: a plain closure over `term` — adding a defaulted second
+        # lambda param would make Spark bind it as the (element, index)
+        # two-argument filter form.
+        return F.size(F.filter("toks", lambda x: x == F.lit(term))).cast("double")
+
+    per_term = [
+        base.select(
+            "doc_id",
+            "dl",
+            F.lit(term).alias("term"),
+            tf_col(term).alias("tf"),
+        )
+        for term in BM25_QUERY
+    ]
+    tf = per_term[0]
+    for p in per_term[1:]:
+        tf = tf.unionByName(p)
+    tf = tf.filter(F.col("tf") > 0)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avg_len"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -164,6 +164,8 @@ _FRONT = (
     "agg_argminmax",
     "scalar_null_funcs",
     "scalar_bitwise_funcs",
+    "text_bm25_topk",
+    "events_autocorrelation",
 )
 _TAIL = (
     # hash-proven green in CORRECTNESS_r01.json; re-listed by how much

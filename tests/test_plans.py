@@ -91,6 +91,8 @@ JVM_ONLY_QUERIES = [
     "scalar_bitwise_funcs",
     "agg_argminmax",
     "llm_prep_pipeline",
+    "text_bm25_topk",
+    "events_autocorrelation",
 ]
 
 
