@@ -557,3 +557,123 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lag in AUTOCORR_LAGS[1:]:
         out = out.unionAll(corr_at(lag))
     return out
+
+
+TREND_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts) // {US_1H}) AS hour_idx,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, hour_idx - MIN(hour_idx) OVER (PARTITION BY event_type) AS x, n AS y
+  FROM hourly
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 6) AS slope,
+       ROUND((SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                       / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE) * SUM(x))
+             / COUNT(*), 6) AS intercept
+FROM base
+GROUP BY event_type
+"""
+
+
+@register("events_linear_trend", oracle=TREND_ORACLE, tags=("events", "analytics"))
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend per event type: slope/intercept of hourly
+    count vs hour index (re-based per type so the integer moments stay
+    small). Every double is the same expression of exact integer sums
+    in both engines — regression as a one-pass aggregate, no solver,
+    which is how you fit millions of per-key trend lines at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", (F.unix_micros("ts") / F.lit(US_1H)).cast("long").alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = hourly.select(
+        "event_type",
+        (F.col("hour_idx") - F.min("hour_idx").over(W.partitionBy("event_type"))).alias("x"),
+        F.col("n").alias("y"),
+    )
+    cnt = F.count(F.lit(1))
+    sxy, sx, sy, sxx = (
+        F.sum(F.col("x") * F.col("y")),
+        F.sum("x"),
+        F.sum("y"),
+        F.sum(F.col("x") * F.col("x")),
+    )
+    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx).cast("double")
+    return base.groupBy("event_type").agg(
+        cnt.alias("n_hours"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / cnt, 6).alias("intercept"),
+    )
+
+
+PSI_BUCKETS = 10
+PSI_WIDTH = 50_000.0
+PSI_SPLIT_DAY = 15  # first half: day-of-month < 15
+
+
+def _psi_oracle() -> str:
+    return f"""
+WITH bucketed AS (
+  SELECT CAST(LEAST(FLOOR(o_totalprice / {PSI_WIDTH}), {PSI_BUCKETS - 1}) AS BIGINT) AS bucket,
+         CAST(day(o_orderdate) < {PSI_SPLIT_DAY} AS INT) AS is_ref
+  FROM orders
+), counts AS (
+  SELECT bucket,
+         SUM(is_ref) AS n_ref,
+         SUM(1 - is_ref) AS n_cur
+  FROM bucketed GROUP BY bucket
+), totals AS (
+  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+)
+SELECT c.bucket, c.n_ref, c.n_cur,
+       ROUND((CAST(c.n_ref AS DOUBLE) / t.t_ref - CAST(c.n_cur AS DOUBLE) / t.t_cur)
+             * LN((CAST(c.n_ref AS DOUBLE) / t.t_ref) / (CAST(c.n_cur AS DOUBLE) / t.t_cur)),
+             6) AS psi_term
+FROM counts c, totals t
+WHERE c.n_ref > 0 AND c.n_cur > 0
+"""
+
+
+@register("drift_psi_orders", oracle=_psi_oracle(), tags=("analytics", "quality"))
+def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per-bucket PSI terms
+    of the order-value distribution, reference slice (order day < 15)
+    vs current slice. One scan (conditional counts per bucket), one-row
+    totals broadcast back; Σ psi_term > 0.2 is the standard drift
+    alarm. The per-bucket terms are emitted (not just the sum) so a
+    drifted bucket is directly attributable — and every double is the
+    same expression of exact integer counts in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(PSI_WIDTH)), F.lit(PSI_BUCKETS - 1)
+    ).cast("long")
+    is_ref = (F.dayofmonth("o_orderdate") < PSI_SPLIT_DAY).cast("int")
+    counts = (
+        orders.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    totals = counts.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p = F.col("n_ref").cast("double") / F.col("t_ref")
+    q = F.col("n_cur").cast("double") / F.col("t_cur")
+    return (
+        counts.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )

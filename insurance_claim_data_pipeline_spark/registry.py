@@ -166,6 +166,8 @@ _FRONT = (
     "scalar_bitwise_funcs",
     "text_bm25_topk",
     "events_autocorrelation",
+    "events_linear_trend",
+    "drift_psi_orders",
 )
 _TAIL = (
     # hash-proven green in CORRECTNESS_r01.json; re-listed by how much

@@ -93,6 +93,8 @@ JVM_ONLY_QUERIES = [
     "llm_prep_pipeline",
     "text_bm25_topk",
     "events_autocorrelation",
+    "events_linear_trend",
+    "drift_psi_orders",
 ]
 
 
