@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.stable import dec_sum, dec_sum_sql
+from ..functions.stable import dec, dec_sum, dec_sum_sql
 from ..registry import register
 from ..session import load_table
 
@@ -676,4 +676,96 @@ def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cur",
             F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
         )
+    )
+
+
+COHORT_LTV_ORACLE = f"""
+WITH firsts AS (
+  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(CAST(f.cohort_month AS DATE) AS VARCHAR) AS cohort_month,
+       date_diff('month', f.cohort_month, date_trunc('month', o.o_orderdate)) AS month_offset,
+       COUNT(*) AS n_orders,
+       {dec_sum_sql('o.o_totalprice')} AS revenue
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("orders_cohort_ltv", oracle=COHORT_LTV_ORACLE, tags=("analytics", "agg"))
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: revenue by (first-order month, month
+    offset) — the LTV triangle finance teams read alongside the
+    retention triangle (events_retention_cohorts). Two aggregations
+    sharing the custkey shuffle, exact decimal revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    j = orders.join(firsts, "o_custkey")
+    offset = (
+        (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort_month")) * 12
+        + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort_month"))
+    ).cast("long")
+    return (
+        j.groupBy(
+            F.col("cohort_month").cast("date").cast("string").alias("cohort_month"),
+            offset.alias("month_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+ABC_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {dec_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, revenue,
+         SUM(CAST(revenue AS DECIMAL(18,4)))
+           OVER (ORDER BY revenue DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         SUM(CAST(revenue AS DECIMAL(18,4))) OVER () AS total_rev
+  FROM per_part
+)
+SELECT l_partkey, revenue,
+       ROUND(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS cum_share,
+       CASE WHEN ROUND(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) <= 0.8 THEN 'A'
+            WHEN ROUND(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("lineitem_pareto_abc", oracle=ABC_ORACLE, tags=("analytics", "window"))
+def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of parts by cumulative revenue share
+    (A ≤ 80%, B ≤ 95%, C tail). Per-part revenue is the exact
+    accumulator sum; the running total is a DECIMAL window sum (exact,
+    order-independent) over the total (revenue desc, partkey) order, so
+    the class cut points are engine-identical. Classification compares
+    the ROUNDED share in both engines. Single-partition window over the
+    part DIMENSION — same scale caveat + approx swap as the RFM
+    quintiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dec_sum(disc_price, 4).alias("revenue"))
+    w = W.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.sum(dec("revenue", 4)).over(w)
+    total = F.sum(dec("revenue", 4)).over(
+        W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    share = F.round(cum.cast("double") / total.cast("double"), 6)
+    return per_part.select(
+        "l_partkey",
+        "revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
     )

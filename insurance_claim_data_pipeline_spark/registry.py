@@ -168,6 +168,8 @@ _FRONT = (
     "events_autocorrelation",
     "events_linear_trend",
     "drift_psi_orders",
+    "orders_cohort_ltv",
+    "lineitem_pareto_abc",
 )
 _TAIL = (
     # hash-proven green in CORRECTNESS_r01.json; re-listed by how much

@@ -95,6 +95,8 @@ JVM_ONLY_QUERIES = [
     "events_autocorrelation",
     "events_linear_trend",
     "drift_psi_orders",
+    "orders_cohort_ltv",
+    "lineitem_pareto_abc",
 ]
 
 
