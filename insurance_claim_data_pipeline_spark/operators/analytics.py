@@ -627,8 +627,8 @@ WITH bucketed AS (
   FROM orders
 ), counts AS (
   SELECT bucket,
-         SUM(is_ref) AS n_ref,
-         SUM(1 - is_ref) AS n_cur
+         CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
   FROM bucketed GROUP BY bucket
 ), totals AS (
   SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts

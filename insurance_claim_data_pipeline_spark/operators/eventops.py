@@ -196,7 +196,7 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_PROPS_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
 FROM events
 GROUP BY event_type

@@ -40,7 +40,7 @@ def _pagerank_oracle() -> str:
     for i in range(1, PR_ITERS + 1):
         its.append(
             f"""it{i} AS (
-  SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS contrib
+  SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS contrib
   FROM edges e JOIN {prev} p ON e.src = p.node JOIN deg d ON e.src = d.node
   GROUP BY e.dst
 ), pr{i} AS (
@@ -64,7 +64,7 @@ deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
 n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
 pr0 AS (SELECT node, {PR_SCALE} // n_nodes AS pr FROM nodes, n),
 {', '.join(its)}
-SELECT node, pr AS pr_e12 FROM {prev}
+SELECT node, CAST(pr AS BIGINT) AS pr_e12 FROM {prev}
 """
 
 

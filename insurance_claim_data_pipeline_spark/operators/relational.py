@@ -1611,10 +1611,10 @@ Q12_HIGH = ("1-URGENT", "2-HIGH")
 
 Q12_ORACLE = f"""
 SELECT lag_class,
-       SUM(CASE WHEN o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM (
   SELECT o_orderpriority,
          CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= {LATE_DAYS}

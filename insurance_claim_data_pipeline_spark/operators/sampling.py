@@ -40,7 +40,7 @@ SELECT CASE WHEN b < {TRAIN_PCT} THEN 'train'
             WHEN b < {TRAIN_PCT + VAL_PCT} THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (SELECT n_chars, {_bucket_sql('doc_id')} AS b FROM documents)
 GROUP BY 1
 """
@@ -101,7 +101,7 @@ WITH tagged AS (
 SELECT lang,
        COUNT(*) AS n_total,
        COUNT(*) FILTER (WHERE b < rate) AS n_sampled,
-       COALESCE(SUM(n_chars) FILTER (WHERE b < rate), 0) AS sampled_chars
+       CAST(COALESCE(SUM(n_chars) FILTER (WHERE b < rate), 0) AS BIGINT) AS sampled_chars
 FROM tagged
 GROUP BY lang
 """

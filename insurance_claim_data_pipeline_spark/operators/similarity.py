@@ -521,7 +521,7 @@ d AS (
 )
 SELECT vec_id,
        string_agg(CAST(k AS VARCHAR), '|' ORDER BY m) AS codes,
-       SUM(dist_e6) AS quant_err_e6
+       CAST(SUM(dist_e6) AS BIGINT) AS quant_err_e6
 FROM best WHERE rnk = 1
 GROUP BY vec_id
 """
@@ -590,7 +590,7 @@ lut AS (
   SELECT vec_id, i - 1 AS m, CAST(parts[i] AS BIGINT) AS k
   FROM cp, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i)
 ), scored AS (
-  SELECT lut.query_id, cvec.vec_id AS neighbor_id, SUM(lut.d_e6) AS adc_dist_e6
+  SELECT lut.query_id, cvec.vec_id AS neighbor_id, CAST(SUM(lut.d_e6) AS BIGINT) AS adc_dist_e6
   FROM cvec JOIN lut ON cvec.m = lut.m AND cvec.k = lut.k
   WHERE cvec.vec_id != lut.query_id
   GROUP BY lut.query_id, cvec.vec_id

@@ -604,7 +604,7 @@ WITH tok AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       SUM(logp_e6) AS sum_logp_e6
+       CAST(SUM(logp_e6) AS BIGINT) AS sum_logp_e6
 FROM bg JOIN model ON bg.w1 = model.w1 AND bg.w2 = model.w2
 GROUP BY doc_id
 """

@@ -89,7 +89,7 @@ def user_totals_stream(events: DataFrame) -> DataFrame:
 USER_TOTALS_ORACLE = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        MAX(epoch_us(ts)) AS last_event_us
 FROM events
 GROUP BY user_id

@@ -127,11 +127,79 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
     return problems
 
 
+def oracle_type_problems(con, oracle: str, spark_schema, name: str) -> list[str]:
+    """Flag DuckDB result types that the driver's value hash serializes
+    differently from Spark's, even on numerically identical values.
+
+    The local canonicalization in :func:`canon_cell` unifies int/float/
+    Decimal representations, which is *stricter on values* but *blinder
+    on types* than the driver: DuckDB types ``SUM(BIGINT)`` as HUGEINT
+    (int128) and the driver hash distinguishes that from Spark's long
+    (r02 failures: events_json_extract / events_user_totals /
+    sample_split_hash — all value-equal, all hash-red). This check runs
+    ``DESCRIBE`` on the oracle (no data scan) and compares per-column
+    type *categories* against the Spark schema:
+
+    - HUGEINT/UHUGEINT anywhere -> flagged (Spark has no int128; fix the
+      oracle with ``CAST(SUM(...) AS BIGINT)``).
+    - DECIMAL vs Spark long/int/double -> flagged (follow the registry
+      convention: ``CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)``).
+    - int-vs-float category mismatch in either direction -> flagged.
+    """
+    from pyspark.sql import types as T
+
+    problems: list[str] = []
+    duck_cols = con.execute(f"DESCRIBE {oracle}").fetchall()
+    duck_types = {row[0]: row[1].upper() for row in duck_cols}
+    spark_types = {f.name: f.dataType for f in spark_schema.fields}
+    if sorted(duck_types) != sorted(spark_types):
+        problems.append(
+            f"{name}: column names differ: spark={sorted(spark_types)} "
+            f"oracle={sorted(duck_types)}"
+        )
+        return problems
+
+    int_spark = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    float_spark = (T.DoubleType, T.FloatType)
+    for col, dt in duck_types.items():
+        st = spark_types[col]
+        if "HUGEINT" in dt:
+            problems.append(
+                f"{name}.{col}: oracle type {dt} (int128) — driver hash "
+                f"diverges from Spark {st.simpleString()}; wrap in "
+                f"CAST(... AS BIGINT)"
+            )
+        elif dt.startswith("DECIMAL") and isinstance(st, int_spark + float_spark):
+            problems.append(
+                f"{name}.{col}: oracle DECIMAL vs Spark {st.simpleString()} — "
+                f"cast the oracle to match (AS DOUBLE / AS BIGINT)"
+            )
+        elif dt in ("DOUBLE", "FLOAT", "REAL") and isinstance(st, int_spark):
+            problems.append(
+                f"{name}.{col}: oracle {dt} vs Spark {st.simpleString()} — "
+                f"int/float serialize differently in the driver hash"
+            )
+        elif dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                    "USMALLINT", "UINTEGER", "UBIGINT") and isinstance(
+                        st, float_spark):
+            problems.append(
+                f"{name}.{col}: oracle {dt} vs Spark {st.simpleString()} — "
+                f"int/float serialize differently in the driver hash"
+            )
+    return problems
+
+
 def run_parity(spark, sf_dir: str, name: str, fn, oracle: str) -> list[str]:
-    spark_pdf = fn(spark, sf_dir).toPandas()
+    sdf = fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
     con = duckdb_conn(sf_dir)
     try:
+        # Type audit FIRST: canon_cell below unifies int/float/Decimal,
+        # which is stricter on values but blinder on types than the
+        # driver's hash — a value-equal HUGEINT result passed locally in
+        # r02 yet failed the driver. Never let that class through again.
+        problems = oracle_type_problems(con, oracle, sdf.schema, name)
         oracle_pdf = con.execute(oracle).df()
     finally:
         con.close()
-    return compare_frames(spark_pdf, oracle_pdf, name)
+    return problems + compare_frames(spark_pdf, oracle_pdf, name)

@@ -33,6 +33,28 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_bare_sum_oracle_flagged_locally(spark):
+    """Regression guard for the r02 driver-hash failure class: a DuckDB
+    oracle with a bare SUM over an integer column types the result
+    HUGEINT, which the driver hash distinguishes from Spark's long even
+    on identical values. The local harness must flag it (it did NOT in
+    r02 — canon_cell unified the representations)."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    def fn(sp, sf):
+        return load_table(sp, sf, "documents").agg(F.sum("n_chars").alias("s"))
+
+    bad = run_parity(spark, SF_ORACLE, "bare_sum", fn, "SELECT SUM(n_chars) AS s FROM documents")
+    assert any("HUGEINT" in p for p in bad), bad
+    good = run_parity(
+        spark, SF_ORACLE, "cast_sum", fn,
+        "SELECT CAST(SUM(n_chars) AS BIGINT) AS s FROM documents",
+    )
+    assert not good, good
+
+
 def test_driver_contract_surface():
     import __spark_entry__ as entrymod
 
