@@ -13,9 +13,19 @@ Scale: one shuffle on user_id, Arrow-batched transfer, O(events) work
 per user. Same shape as the streaming stateful twin
 (streaming/stateful.py) but for batch backfills.
 
-Correctness: no DuckDB oracle (the recurrence is what SQL can't say);
-tests/test_llm_ops.py recomputes the recurrence independently in plain
-Python over collected input and asserts exact equality.
+Correctness / cross-engine exactness: the recurrence runs in ×1e6
+integer fixed point. Inputs and weights are quantized once —
+``x_e6 = floor(value·1e6 + 0.5)``, ``w_e6 = floor(1e6·(1-exp(-Δt/τ))
++ 0.5)`` — and each step is pure int64 arithmetic
+``(w_e6·x + (1e6-w_e6)·prev) // 1e6``, which Spark's Python worker and
+DuckDB's recursive CTE compute bit-identically (no float summation
+order, no libm-in-the-loop: exp() is evaluated once per step and
+rounded at 1e-6, where the two engines' libm can only disagree if the
+true value sits within ~1e-16 of a rounding boundary). That turns the
+round-2 ``no_oracle`` rows-only check into a full value-hash oracle.
+All event values are positive (driver data: 0.01..490), so truncating
+(DuckDB ``//``) vs flooring (Python ``//``) integer division never
+diverges; quantities stay far below int64 range (w≤1e6 · x≤5e8).
 """
 
 from __future__ import annotations
@@ -29,18 +39,45 @@ from ..registry import register
 from ..session import load_table
 
 TAU_US = 3_600_000_000  # 1-hour decay constant
+E6 = 1_000_000
 
-EMA_SCHEMA = "user_id bigint, event_id bigint, ts_us bigint, value double, ema double"
+EMA_SCHEMA = "user_id bigint, event_id bigint, ts_us bigint, value double, ema_e6 bigint"
+
+EMA_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         CAST(FLOOR(value * {E6} + 0.5) AS BIGINT) AS x_e6,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_ts
+  FROM events
+), weighted AS (
+  SELECT user_id, event_id, ts_us, value, x_e6, rn,
+         CAST(FLOOR({E6} * (1 - exp(-(ts_us - prev_ts) / {TAU_US}.0)) + 0.5)
+              AS BIGINT) AS w_e6
+  FROM base
+), rec AS (
+  SELECT user_id, event_id, ts_us, value, rn, x_e6 AS ema_e6
+  FROM weighted WHERE rn = 1
+  UNION ALL
+  SELECT w.user_id, w.event_id, w.ts_us, w.value, w.rn,
+         (w.w_e6 * w.x_e6 + ({E6} - w.w_e6) * r.ema_e6) // {E6}
+  FROM weighted w JOIN rec r ON w.user_id = r.user_id AND w.rn = r.rn + 1
+)
+SELECT user_id, event_id, ts_us, value, ema_e6 FROM rec
+"""
 
 
 def ema_frame(events: DataFrame) -> DataFrame:
     tau_us = TAU_US
+    e6 = E6
 
     def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # EMA scan per user (the loop is over one user's events, already
-        # sorted engine-side). math.exp, not np.exp — the two can differ
-        # by one ulp (different libm paths) and the reproducibility
-        # contract is exact equality with an independent recomputation.
+        # Integer fixed-point EMA scan per user (the loop is over one
+        # user's events, already grouped engine-side). math.exp, not
+        # np.exp — the reproducibility contract is exact equality with
+        # the DuckDB oracle and the independent recomputation in tests.
         # NOTE: defined as a closure, not at module level — cloudpickle
         # then ships it BY VALUE, so Python workers need neither this
         # package on their path nor a matching PYTHONPATH (the driver
@@ -49,16 +86,16 @@ def ema_frame(events: DataFrame) -> DataFrame:
 
         pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
         ts = [int(t) for t in pdf["ts_us"]]
-        x = [float(v) for v in pdf["value"]]
-        ema: list[float] = []
+        x = [int(math.floor(float(v) * e6 + 0.5)) for v in pdf["value"]]
+        ema: list[int] = []
         for i in range(len(x)):
             if i == 0:
                 ema.append(x[0])
             else:
-                w = 1.0 - math.exp(-(ts[i] - ts[i - 1]) / tau_us)
-                ema.append(w * x[i] + (1.0 - w) * ema[i - 1])
+                w = int(math.floor(e6 * (1.0 - math.exp(-(ts[i] - ts[i - 1]) / tau_us)) + 0.5))
+                ema.append((w * x[i] + (e6 - w) * ema[i - 1]) // e6)
         out = pdf[["user_id", "event_id", "ts_us", "value"]].copy()
-        out["ema"] = ema
+        out["ema_e6"] = ema
         return out
 
     prepared = events.select(
@@ -67,10 +104,10 @@ def ema_frame(events: DataFrame) -> DataFrame:
     return prepared.groupBy("user_id").applyInPandas(ema_group, schema=EMA_SCHEMA)
 
 
-@register("events_ema_irregular", tags=("events", "llm", "pandas"))
+@register("events_ema_irregular", oracle=EMA_ORACLE, tags=("events", "llm", "pandas"))
 def events_ema_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decayed EMA of event values per user over irregular
-    timestamps (rows-only check — the recurrence is exactly what SQL
-    cannot express; an independent Python recomputation asserts exact
-    equality in tests)."""
+    timestamps, in exact ×1e6 fixed point — oracled via a DuckDB
+    recursive CTE that replays the same integer recurrence (module
+    docstring has the determinism argument)."""
     return ema_frame(load_table(spark, sf_dir, "events"))

@@ -114,6 +114,7 @@ def test_ema_matches_independent_recomputation(spark, sf_dir):
     import math
 
     from insurance_claim_data_pipeline_spark.operators.ema import (
+        E6,
         TAU_US,
         events_ema_irregular,
     )
@@ -121,7 +122,7 @@ def test_ema_matches_independent_recomputation(spark, sf_dir):
     from pyspark.sql import functions as F
 
     got = {
-        (r["user_id"], r["event_id"]): r["ema"]
+        (r["user_id"], r["event_id"]): r["ema_e6"]
         for r in events_ema_irregular(spark, sf_dir).collect()
     }
     rows = (
@@ -138,11 +139,12 @@ def test_ema_matches_independent_recomputation(spark, sf_dir):
         ema = None
         prev_ts = None
         for r in evs:
+            x = int(math.floor(r["value"] * E6 + 0.5))
             if ema is None:
-                ema = r["value"]
+                ema = x
             else:
-                w = 1.0 - math.exp(-(r["ts_us"] - prev_ts) / TAU_US)
-                ema = w * r["value"] + (1.0 - w) * ema
+                w = int(math.floor(E6 * (1.0 - math.exp(-(r["ts_us"] - prev_ts) / TAU_US)) + 0.5))
+                ema = (w * x + (E6 - w) * ema) // E6
             prev_ts = r["ts_us"]
             assert got[(user, r["event_id"])] == ema
             n_checked += 1
