@@ -75,11 +75,17 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum_in_bkt = F.sum("n_tok").over(Window.partitionBy("bkt").orderBy("doc_id"))
     d = d.withColumn("cum_in_bkt", cum_in_bkt)
-    # tiny frame: one row per bucket; the un-partitioned window runs on
-    # N/W rows, not N (the whole point of the two-level construction)
+    # tiny frame: one row per bucket; this window runs on N/W rows, not
+    # N (the whole point of the two-level construction). partitionBy a
+    # constant: semantically the same single partition, but WindowExec
+    # then has an explicit partition spec and does not print the
+    # "No Partition Defined" warning for every task — which flooded the
+    # r02 driver bench log with hundreds of red-herring lines.
     bkt_off = F.coalesce(
         F.sum("bkt_tok").over(
-            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+            Window.partitionBy(F.lit(0))
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
         ),
         F.lit(0),
     )

@@ -782,18 +782,18 @@ tf AS (
   SELECT term, COUNT(*) FILTER (WHERE tf > 0) AS df FROM tf GROUP BY term
 ), scored AS (
   SELECT tf.doc_id,
-         SUM(
+         CAST(SUM(CAST(FLOOR(
            LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
            * (tf.tf * ({BM25_K1} + 1.0))
            / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avg_len))
-         ) AS score
+           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
   FROM tf JOIN df d ON tf.term = d.term, stats s
   WHERE tf.tf > 0
   GROUP BY tf.doc_id
 )
-SELECT doc_id, ROUND(score, 6) AS bm25
+SELECT doc_id, ROUND(CAST(score_e6 AS DOUBLE) / 1000000, 6) AS bm25
 FROM scored
-ORDER BY ROUND(score, 6) DESC, doc_id
+ORDER BY score_e6 DESC, doc_id
 LIMIT {BM25_TOPK}
 """
 
@@ -801,10 +801,13 @@ LIMIT {BM25_TOPK}
 @register("text_bm25_topk", oracle=_bm25_oracle(), tags=("text", "llm"))
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval: top-{BM25_TOPK} documents for a fixed term query
-    (Okapi k1={BM25_K1}, b={BM25_B}). All inputs to the double math are
-    exact integers (tf, df, doc length, corpus size) combined by the
-    SAME expression in both engines, so scores are bit-identical; the
-    top-k carries a doc_id tie-break on the rounded score.
+    (Okapi k1={BM25_K1}, b={BM25_B}). Each per-(doc, term) contribution
+    is computed from exact integers (tf, df, doc length, corpus size)
+    by the SAME double expression in both engines — bit-identical —
+    then quantized to a x1e6 integer BEFORE the per-doc sum, so the
+    aggregate is exactly order-independent (same pattern as
+    text_bigram_logprob; a raw double sum depends on shuffle order).
+    The top-k carries a doc_id tie-break on the exact integer score.
 
     Scale shape: per-(doc, term) tf comes from one projection over the
     token arrays (terms are a tiny literal list — no explode of the
@@ -844,14 +847,18 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
         F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avg_len"))
     )
+    contrib_e6 = F.floor(contrib * 1_000_000 + F.lit(0.5)).cast("long")
     scored = (
         tf.join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.sum(contrib).alias("score"))
+        .agg(F.sum(contrib_e6).alias("score_e6"))
     )
     return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
+        scored.orderBy(F.desc("score_e6"), "doc_id")
         .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            F.round(F.col("score_e6").cast("double") / 1_000_000, 6).alias("bm25"),
+        )
     )

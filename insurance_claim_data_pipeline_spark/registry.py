@@ -99,91 +99,99 @@ def _load_modules() -> None:
 # lists (newly added operators) slot in right after the unproven block,
 # so a new query is always driver-visible before an old green one.
 _FRONT = (
-    # tier 0 — the reference port itself (claim_pipeline.py): must be
-    # driver-proven, not just locally proven.
-    "claims_normalized",
-    "claims_candidates",
-    "claims_exclusion_counts",
-    "claims_by_source",
-    "claims_classify_denial",
-    # tier 1 — events / text / multimodal / sampling batch queries with
-    # oracles that had no round-1 row.
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_sessionize",
-    "events_session_window_native",
+    # Round-3 window (the driver empirically checks the FIRST 50
+    # queries() entries per round — r01 and r02 both cut at exactly 50).
+    # Positions 1-50 here are chosen to (a) re-prove the four oracles
+    # fixed this round (r02 hash-fails events_json_extract /
+    # events_user_totals / sample_split_hash were DuckDB-HUGEINT
+    # serialization, now CAST AS BIGINT; events_ema_irregular gained a
+    # recursive-CTE oracle replacing its no_oracle row), then (b) give
+    # a first driver row to every oracled query never checked in
+    # r01/r02 — completing driver proof of the whole registry minus the
+    # three lowest-signal scalar-function checks, which sit at 51+.
+    # tier 0 — re-proofs of this round's oracle fixes.
     "events_json_extract",
-    "events_hypertable_rollup",
-    "events_error_rate",
     "events_user_totals",
-    "events_ema_irregular",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "multimodal_decode_metadata",
-    "multimodal_frame_sample",
     "sample_split_hash",
-    "sample_bernoulli_hash",
-    # tier 2 — round-1 rows errored on array cells; re-prove the fix.
-    "agg_collect_list",
-    "emb_quantize_int8",
-    # tier 3 — streaming twins (rows-only checks by design).
-    "events_tumbling_window_streaming",
-    "events_user_totals_stateful_streaming",
-    "claims_candidates_streaming",
-    # tier 4 — round-2 additions, most informative first: composed
-    # pipeline, streaming CDC sink, warehouse/quality primitives,
-    # product analytics, LLM-data ops, then function families. (The
-    # remaining unlisted names — TPC-H Q2/Q6/Q9-Q22, PQ/IVF variants,
-    # text/sampling ops added mid-round-2 — follow in registration
-    # order before the re-listed round-1-green tail.)
-    "llm_prep_pipeline",
-    "events_cdc_upsert_stream",
-    "warehouse_incremental_agg",
-    "warehouse_merge_upsert",
-    "warehouse_scd2_history",
-    "dq_violations",
-    "events_enriched_purchases",
-    "events_retention_cohorts",
-    "events_funnel_steps",
-    "events_rolling_distinct_users",
-    "events_gap_fill_locf",
-    "events_anomaly_zscore",
-    "events_dwell_time",
-    "events_markov_transitions",
-    "orders_rfm_segmentation",
-    "basket_association_rules",
-    "agg_histogram",
-    "dedup_containment_ngram",
-    "graph_triangle_copurchase",
-    "join_fuzzy_levenshtein",
-    "text_chunk_overlap",
-    "emb_l2_normalize",
-    "unpivot_metrics",
-    "window_distribution_funcs",
-    "agg_argminmax",
-    "scalar_null_funcs",
-    "scalar_bitwise_funcs",
+    "events_ema_irregular",
+    # tier 1 — never-driver-checked: TPC-H remainder (Q12's oracle also
+    # carried the HUGEINT fix).
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipping_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # tier 2 — never-driver-checked: ANN/embedding family (the flagship
+    # 100 TB similarity path) + sampling + graph/profile/packing.
+    "emb_pq_encode",
+    "sim_topk_pq",
+    "emb_centroid_outliers",
+    "sample_stratified_lang",
+    "split_leakage_safe",
+    "sample_mixture_weights",
+    "graph_pagerank",
+    "profile_documents",
+    "pack_concat_chunks",
+    # tier 3 — never-driver-checked: text / events / analytics ops
+    # (drift_psi_orders and text_bigram_logprob also carried HUGEINT
+    # oracle fixes; text_bm25_topk moved to integer-exact scoring).
+    "text_tfidf_topk",
+    "text_boilerplate_ngrams",
+    "text_quality_quantile",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_contamination",
+    "text_bigram_logprob",
     "text_bm25_topk",
+    "events_conversion_join",
+    "events_errors_foreachbatch",
+    "events_lastk_types",
     "events_autocorrelation",
     "events_linear_trend",
     "drift_psi_orders",
     "orders_cohort_ltv",
     "lineitem_pareto_abc",
+    "multimodal_binaryfile_ingest",
+    "multimodal_header_parse",
+    "agg_weighted_median_pandas",
+    "agg_argminmax",
+    # ---- position 50 cutoff is right around here ----
+    # tier 4 — the three remaining never-checked scalar-function checks
+    # (lowest signal: pure function-mapping queries), then the ADVICE
+    # re-checks (dedup_ngram_jaccard/dedup_components changed to hashed
+    # shingles in r02 without a fresh driver row). First in line if the
+    # driver window is ever wider than 50.
+    "scalar_null_funcs",
+    "scalar_bitwise_funcs",
+    "scalar_struct_funcs",
+    "dedup_ngram_jaccard",
+    "dedup_components",
 )
 _TAIL = (
-    # hash-proven green in CORRECTNESS_r01.json; re-listed by how much
-    # signal a re-check carries.
+    # hash-proven green in CORRECTNESS_r01/r02.json; re-listed by how
+    # much signal a re-check carries. (dedup_ngram_jaccard and
+    # dedup_components moved to _FRONT tier 4 for their post-hashed-
+    # shingle re-proof.)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_components",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",
     "sim_topk_ivf",
@@ -222,6 +230,55 @@ _TAIL = (
     "scalar_math_funcs",
     "scalar_array_funcs",
     "scalar_map_funcs",
+    # r02-window queries rotated out of _FRONT, all green in
+    # CORRECTNESS_r02.json (listed here so newly-registered queries
+    # slot ahead of them in emission order, not behind).
+    "claims_normalized",
+    "claims_candidates",
+    "claims_exclusion_counts",
+    "claims_by_source",
+    "claims_classify_denial",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_session_window_native",
+    "events_hypertable_rollup",
+    "events_error_rate",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample",
+    "sample_bernoulli_hash",
+    "agg_collect_list",
+    "emb_quantize_int8",
+    "events_tumbling_window_streaming",
+    "events_user_totals_stateful_streaming",
+    "claims_candidates_streaming",
+    "llm_prep_pipeline",
+    "events_cdc_upsert_stream",
+    "warehouse_incremental_agg",
+    "warehouse_merge_upsert",
+    "warehouse_scd2_history",
+    "dq_violations",
+    "events_enriched_purchases",
+    "events_retention_cohorts",
+    "events_funnel_steps",
+    "events_rolling_distinct_users",
+    "events_gap_fill_locf",
+    "events_anomaly_zscore",
+    "events_dwell_time",
+    "events_markov_transitions",
+    "orders_rfm_segmentation",
+    "basket_association_rules",
+    "agg_histogram",
+    "dedup_containment_ngram",
+    "graph_triangle_copurchase",
+    "join_fuzzy_levenshtein",
+    "text_chunk_overlap",
+    "emb_l2_normalize",
+    "unpivot_metrics",
+    "window_distribution_funcs",
 )
 
 
