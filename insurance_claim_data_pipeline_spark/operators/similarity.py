@@ -322,15 +322,74 @@ def _plane_weights(spark: SparkSession):
     return spark.createDataFrame(rows, "plane int, w array<double>")
 
 
-@register("sim_topk_lsh", tags=("similarity", "llm", "approx"))  # approximate: rows-only check
+def _lsh_oracle() -> str:
+    """DuckDB twin of the full LSH pipeline. The hyperplanes are
+    md5-derived constants (same generator as _plane_weights) emitted as
+    list literals; sign bits come from the same sequential-fold double
+    dot product both engines compute bit-identically, so buckets,
+    probes, candidates and the re-ranked top-k all hash-match — an
+    APPROXIMATE operator with an EXACT oracle, because every source of
+    randomness is deterministic and engine-independent."""
+    import hashlib
+
+    rows = []
+    for p in range(N_PLANES):
+        w = []
+        for d in range(64):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            w.append(repr((h % 2001 - 1000) / 1000.0))
+        rows.append(f"({p}, [{', '.join(w)}]::DOUBLE[])")
+    planes = ",\n    ".join(rows)
+    probe_list = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(N_PLANES)])
+    return f"""
+WITH planes(plane, w) AS (VALUES
+    {planes}
+),
+e AS (SELECT vec_id, embedding FROM embeddings),
+bits AS (
+  SELECT e.vec_id, p.plane,
+         CASE WHEN {dot_sql('e.embedding', 'p.w')} > 0 THEN 1 ELSE 0 END AS bit
+  FROM e, planes p
+),
+bucketed AS (
+  SELECT vec_id, CAST(SUM(bit * (1 << plane)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, bucket AS qb FROM bucketed WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, unnest([{probe_list}]) AS probe_bucket FROM q
+),
+cand AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+  FROM probes p JOIN bucketed b ON b.bucket = p.probe_bucket
+  WHERE b.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND({cosine_sql('qe.embedding', 'ne.embedding')}, 6) AS cos_sim
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ne ON ne.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_topk_lsh", oracle=_lsh_oracle(), tags=("similarity", "llm", "approx"))
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH with one-bit
     multi-probe. Each vector gets a bucket id from the sign pattern of
     dot products with N_PLANES md5-derived hyperplanes; queries probe
     their own bucket plus each one-bit-flipped bucket; exact cosine
-    re-ranks candidates. No oracle entry (approximate recall is
-    engine-shape-specific); recall vs the exact baseline is asserted in
-    tests."""
+    re-ranks candidates. Fully oracled (r03 upgrade from rows-only):
+    the hyperplanes are deterministic constants and the sign bits come
+    from the engines' bit-identical sequential-fold dot product, so the
+    approximation itself is reproducible — see _lsh_oracle."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
