@@ -14,9 +14,17 @@ per series down to a plot-sized sketch that preserves visual extremes
 (peaks/troughs win triangle areas), where uniform striding would alias
 them away.
 
-Correctness: no DuckDB oracle (sequential self-referencing selection);
-tests/test_llm_ops.py recomputes LTTB independently in plain Python
-over the collected input and asserts the exact same rows are chosen.
+Correctness: fully oracled (r03 upgrade from rows-only). The
+sequential self-referencing selection IS expressible in DuckDB as a
+recursive CTE whose state is (bucket index, last-kept point): per
+iteration, an inline list expression recomputes the candidate range,
+the next-bucket centroid (same left-fold double sums both engines
+round identically), the triangle areas, and the first-position argmax
+— which equals Python's strict-``>`` earliest-tie loop. The whole
+selection is therefore deterministic double math in identical order,
+so the driver value hash matches. tests/test_llm_ops.py additionally
+recomputes LTTB independently in plain Python and asserts the exact
+same rows are chosen.
 """
 
 from __future__ import annotations
@@ -32,6 +40,56 @@ from ..session import load_table
 LTTB_BUCKETS = 20  # points kept per user series (incl. endpoints)
 
 LTTB_SCHEMA = "user_id bigint, event_id bigint, ts_us bigint, value double"
+
+
+def _lttb_oracle(n_out: int = LTTB_BUCKETS) -> str:
+    """Recursive-CTE replay of the LTTB scan (module docstring). The
+    repeated lo/hi/centroid sub-expressions are macro-expanded inline
+    because DuckDB's recursive term cannot correlate through nested
+    subqueries; recomputation is deterministic so it cannot diverge."""
+    lo = "(1 + CAST(FLOOR(b * width) AS INTEGER))"
+    hi = "(LEAST(1 + CAST(FLOOR((b + 1) * width) AS INTEGER), n - 1))"
+    nhi = (
+        f"(CASE WHEN b + 2 < {n_out} - 1 "
+        f"THEN LEAST(1 + CAST(FLOOR((b + 2) * width) AS INTEGER), n) ELSE n END)"
+    )
+    cx = f"(list_reduce(ts[{hi} + 1 : {nhi}], (x, y) -> x + y) / ({nhi} - {hi}))"
+    cy = f"(list_reduce(xs[{hi} + 1 : {nhi}], (x, y) -> x + y) / ({nhi} - {hi}))"
+    areas = (
+        f"list_transform(range({lo}, {hi}), ii -> ABS("
+        f"(ts[last_i + 1] - {cx}) * (xs[ii + 1] - xs[last_i + 1])"
+        f" - (ts[last_i + 1] - ts[ii + 1]) * ({cy} - xs[last_i + 1])))"
+    )
+    best = f"COALESCE(range({lo}, {hi})[list_position({areas}, list_max({areas}))], {lo})"
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), arr AS (
+  SELECT user_id, CAST(n AS INTEGER) AS n,
+         list(CAST(ts_us AS DOUBLE) ORDER BY i) AS ts,
+         list(value ORDER BY i) AS xs
+  FROM s GROUP BY user_id, n
+), rec AS (
+  SELECT user_id, n, ts, xs,
+         CAST((n - 2) AS DOUBLE) / ({n_out} - 2) AS width,
+         0 AS b, 0 AS last_i
+  FROM arr WHERE n > {n_out}
+  UNION ALL
+  SELECT user_id, n, ts, xs, width, b + 1, {best}
+  FROM rec WHERE b < {n_out} - 2
+), kept AS (
+  SELECT user_id, last_i AS i FROM rec
+  UNION ALL
+  SELECT user_id, n - 1 AS i FROM arr WHERE n > {n_out}
+  UNION ALL
+  SELECT s.user_id, CAST(s.i AS INTEGER) FROM s WHERE s.n <= {n_out}
+)
+SELECT s.user_id, s.event_id, s.ts_us, s.value
+FROM s JOIN kept ON s.user_id = kept.user_id AND s.i = kept.i
+"""
 
 
 def lttb_select(ts: list, xs: list, n_out: int) -> list:
@@ -96,11 +154,12 @@ def lttb_frame(events: DataFrame, n_out: int = LTTB_BUCKETS) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(lttb_group, schema=LTTB_SCHEMA)
 
 
-@register("events_lttb_downsample", tags=("events", "pandas", "llm"))
+@register("events_lttb_downsample", oracle=_lttb_oracle(), tags=("events", "pandas", "llm"))
 def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB downsampling of each user's event series to LTTB_BUCKETS
-    visually-representative points (module docstring). Rows-only driver
-    check by design; exact-recompute equality test gates it."""
+    visually-representative points (module docstring). Fully oracled
+    via a recursive-CTE replay of the selection scan; the exact-
+    recompute equality test additionally gates it."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
