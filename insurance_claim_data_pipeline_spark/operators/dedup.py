@@ -28,6 +28,7 @@ production corpora.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import shingle_rows, shingles_sql
@@ -624,4 +625,121 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_common").cast("double") / F.col("sz"), 6).alias("containment"),
         )
         .filter(F.col("n_common").cast("double") / F.col("sz") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-batch vs corpus) near-dup screening
+# ---------------------------------------------------------------------------
+
+INC_CORPUS_PCT = 80  # md5(doc_id) bucket < 80 plays the "existing corpus"
+INC_THRESHOLD = JACCARD_THRESHOLD
+
+
+def _incremental_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql("doc_id")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, {b} AS bkt FROM documents
+), csh AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle
+  FROM tok WHERE bkt < {INC_CORPUS_PCT}
+), bsh AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle
+  FROM tok WHERE bkt >= {INC_CORPUS_PCT}
+), csz AS (SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY doc_id),
+bsz AS (SELECT doc_id, COUNT(*) AS sz FROM bsh GROUP BY doc_id),
+cand AS (
+  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS n_common
+  FROM bsh b JOIN csh c ON b.shingle = c.shingle
+  GROUP BY 1, 2
+), scored AS (
+  SELECT new_id, corpus_id,
+         ROUND(CAST(n_common AS DOUBLE)
+               / CAST(bs.sz + cs.sz - n_common AS DOUBLE), 6) AS jaccard
+  FROM cand
+  JOIN bsz bs ON new_id = bs.doc_id
+  JOIN csz cs ON corpus_id = cs.doc_id
+), best AS (
+  SELECT new_id, corpus_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, corpus_id) AS rnk
+  FROM scored WHERE jaccard >= {INC_THRESHOLD}
+)
+SELECT t.doc_id,
+       CASE WHEN best.corpus_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+       best.corpus_id AS match_doc_id,
+       best.jaccard
+FROM tok t
+LEFT JOIN best ON t.doc_id = best.new_id AND best.rnk = 1
+WHERE t.bkt >= {INC_CORPUS_PCT}
+"""
+
+
+@register("dedup_incremental", oracle=_incremental_oracle(), tags=("dedup", "llm"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: a NEW BATCH of documents probed
+    against an EXISTING CORPUS (here: an md5-bucket 20/80 split of
+    ``documents``, the same deterministic split rule as
+    sample_split_hash). Each new doc is admitted ('new') or rejected
+    ('dup', with its best-matching corpus doc and exact Jaccard).
+
+    This is the shape a daily ingest actually runs — batch ≪ corpus —
+    and it is NOT a self-join: the batch's hashed shingles probe the
+    corpus inverted index (8-byte keys), so work scales with
+    |batch shingles| x avg shingle df, independent of corpus pair
+    count. The same max_df hot-shingle guard as dedup_ngram_jaccard
+    applies to production corpora; the oracle-checked query runs
+    uncapped. Best match = (rounded jaccard DESC, corpus_id) — a total
+    order shared with the oracle."""
+    from .sampling import hash_bucket
+
+    doc = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    corpus = doc.filter(b < INC_CORPUS_PCT)
+    batch = doc.filter(b >= INC_CORPUS_PCT)
+
+    def hashed(frame: DataFrame) -> DataFrame:
+        return (
+            shingle_rows(frame, distinct=False)
+            .select("doc_id", F.xxhash64("shingle").alias("sh_key"))
+            .distinct()
+        )
+
+    csh = hashed(corpus)
+    bsh = hashed(batch)
+    csz = csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c_sz"))
+    bsz = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("b_sz"))
+    cand = (
+        bsh.alias("b")
+        .join(csh.alias("c"), F.col("b.sh_key") == F.col("c.sh_key"))
+        .groupBy(F.col("b.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("b_sz") + F.col("c_sz") - F.col("n_common")
+    ).cast("double")
+    scored = (
+        cand.join(bsz.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(csz.withColumnRenamed("doc_id", "corpus_id"), "corpus_id")
+        .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= INC_THRESHOLD)
+    )
+    w = W.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
+    best = (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_id").isNull(), "new").otherwise("dup").alias("status"),
+            F.col("corpus_id").alias("match_doc_id"),
+            "jaccard",
+        )
     )

@@ -862,3 +862,51 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_e6").cast("double") / 1_000_000, 6).alias("bm25"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index construction (the indexing side of retrieval)
+# ---------------------------------------------------------------------------
+
+INDEX_MIN_DF = 10  # drop hapax-ish terms; bounds index rows
+
+INVERTED_INDEX_ORACLE = f"""
+WITH posting AS (
+  SELECT DISTINCT t.doc_id, u.term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       unnest(t.toks) AS u(term)
+)
+SELECT term,
+       COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM posting
+GROUP BY term
+HAVING COUNT(*) >= {INDEX_MIN_DF}
+"""
+
+
+@register("text_inverted_index", oracle=INVERTED_INDEX_ORACLE, tags=("text", "llm"))
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the term -> (df, sorted posting list) inverted index for
+    terms with df >= {INDEX_MIN_DF} — the indexing half of a search
+    stack (text_bm25_topk / text_tfidf_topk are the query half).
+
+    Scale shape: explode distinct per-doc terms (map-side), ONE shuffle
+    keyed by term; posting lists are per-term aggregates, so partitions
+    scale with vocabulary, not corpus, and a hot stop-word term is
+    bounded by the df cap upstream consumers apply (cf. max_df in
+    dedup). Posting list serialized as a comma-joined sorted string so
+    the driver value hash is representation-stable (the pattern
+    agg_collect_list established)."""
+    doc = load_table(spark, sf_dir, "documents")
+    posting = doc.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    return (
+        posting.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings"),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+    )
