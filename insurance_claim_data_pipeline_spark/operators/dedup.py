@@ -678,7 +678,7 @@ WHERE t.bkt >= {INC_CORPUS_PCT}
 """
 
 
-@register("dedup_incremental", oracle=_incremental_oracle(), tags=("dedup", "llm"))
+@register("dedup_incremental", oracle=_incremental_oracle(), tags=("dedup", "llm", "bench"))
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup screening: a NEW BATCH of documents probed
     against an EXISTING CORPUS (here: an md5-bucket 20/80 split of

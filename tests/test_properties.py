@@ -161,3 +161,50 @@ def test_chunk_overlap_properties(spark, n_words_list):
             assert h == hashlib.md5(" ".join(chunk).encode()).hexdigest()
         # coverage: the last chunk must reach the final word
         assert k_max * CHUNK_STRIDE + CHUNK_SIZE >= eff_n
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=60, deadline=None)
+def test_ntile_closed_form_matches_sql_semantics(n, k):
+    """_ntile_from_rank (the closed-form tile used by the distributed
+    RFM twin) must reproduce ntile(k) semantics exactly for any (n, k):
+    the first n%k tiles take ceil(n/k) rows, the rest floor(n/k)."""
+    base, rem = divmod(n, k)
+
+    def reference_tile(rank):  # textbook ntile
+        cut = rem * (base + 1)
+        if rank <= cut:
+            return (rank + base) // (base + 1)
+        return rem + -(-(rank - cut) // base)
+
+    # independent model: assign tiles by walking bucket sizes
+    sizes = [base + 1 if i < rem else base for i in range(k)]
+    expect, tile = [], 1
+    for s in sizes:
+        expect += [tile] * s
+        tile += 1
+    got = [reference_tile(r) for r in range(1, n + 1)]
+    assert got == expect[:n]
+
+
+def test_ntile_closed_form_matches_spark_ntile(spark):
+    """And the Column-expression version agrees with F.ntile on a real
+    frame (n=103, k=5 → ragged buckets)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.analytics import _ntile_from_rank
+
+    df = spark.range(1, 104).select(F.col("id").alias("v"))
+    w = W.orderBy("v")
+    out = df.select(
+        "v",
+        F.ntile(5).over(w).alias("want"),
+        _ntile_from_rank(
+            F.row_number().over(w).cast("long"), F.lit(103).cast("long"), 5
+        ).alias("got"),
+    ).collect()
+    assert all(r["want"] == r["got"] for r in out)
