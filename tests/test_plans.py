@@ -255,3 +255,28 @@ def test_merge_upsert_no_cartesian_broadcast_anti(spark, sf_dir):
     plan = physical_plan(spark, sf_dir, "warehouse_merge_upsert")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dedup_incremental_index_probe_shape(spark, sf_dir):
+    """The incremental dedup must be an index probe, not a blowup: the
+    candidate join runs on the 8-byte hashed shingle key, the best-match
+    window is partitioned by new_id (never global), no cartesian
+    product, and the scan reads only the columns it needs."""
+    plan = physical_plan(spark, sf_dir, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan  # hashed 8-byte join key, not raw shingle strings
+    # every Window node is partitioned by new_id
+    for block in plan.split("Window ")[1:]:
+        head = block.split("\n", 1)[0]
+        assert "windowspecdefinition(new_id" in head, head
+    # column pruning: documents scan must not read lang/source/n_chars
+    for junk in ("lang", "source", "n_chars"):
+        assert f"ReadSchema: struct<doc_id:bigint,text:string" in plan or junk not in plan
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    """term-keyed aggregation: exactly one exchange (vocabulary-keyed),
+    partial aggregation map-side before it."""
+    plan = physical_plan(spark, sf_dir, "text_inverted_index")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
