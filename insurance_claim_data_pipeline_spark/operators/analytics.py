@@ -19,8 +19,8 @@ Scale notes (100 TB / 1000-executor framing):
   each (user, day) contributes one row per window day it belongs to,
   then ONE distinct-count shuffle. 7× row inflation beats the
   day-range self-join (O(days²) probe) and keeps everything
-  map-side-combinable; at 100 TB you'd swap exact COUNT DISTINCT for
-  an HLL sketch union, same plan shape.
+  map-side-combinable; the HLL-sketch swap for 100 TB is IMPLEMENTED
+  as events_rolling_distinct_users_approx, same plan shape.
 - ``events_gap_fill_locf``: the dense (type, hour) grid is generated
   from one aggregated row (sequence + explode) and joined to the
   hourly rollup — grid size is types x hours (tiny vs raw events), so
@@ -172,6 +172,51 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         expanded.join(F.broadcast(bounds), expanded.day <= bounds.max_d)
         .groupBy(F.col("day").cast("string").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@register("events_rolling_distinct_users_approx", tags=("events", "analytics", "approx"))
+def events_rolling_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL form of events_rolling_distinct_users its docstring
+    promises for 100 TB: identical expand-by-offset plan, but the final
+    distinct count is an approx_count_distinct sketch union — mergeable,
+    map-side-combinable, no exact-distinct Expand. Rows-only for the
+    driver (HLL estimates are engine-specific); the test asserts every
+    day's estimate is within sketch tolerance of the exact WAU."""
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    expanded = au.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("off")).alias("day"))
+    return (
+        expanded.join(F.broadcast(bounds), expanded.day <= bounds.max_d)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("wau"))
+    )
+
+
+@register("events_dwell_time_approx", tags=("events", "analytics", "approx"))
+def events_dwell_time_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile_approx form of events_dwell_time its docstring
+    promises: same single window shuffle on user_id, but percentiles
+    come from a mergeable quantile sketch instead of an exact sort —
+    per-group reducer memory is sketch-sized, not gap-count-sized.
+    Rows-only (sketches are engine-specific); the test brackets each
+    approx percentile between neighboring exact quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros(F.lead("ts").over(order)) - F.unix_micros("ts")).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.percentile_approx("gap_us", F.lit(0.5), 10_000).alias("p50_us"),
+        F.percentile_approx("gap_us", F.lit(0.9), 10_000).alias("p90_us"),
+        F.percentile_approx("gap_us", F.lit(0.99), 10_000).alias("p99_us"),
     )
 
 
@@ -348,8 +393,9 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's next event (lead over the per-user timeline). Gaps are
     integer microseconds, so the (n-1)·p linear-interpolation
     percentile both engines implement lands on the same doubles.
-    One window shuffle on user_id + one aggregation; at 100 TB the
-    exact percentile becomes percentile_approx, same plan shape."""
+    One window shuffle on user_id + one aggregation; the
+    percentile_approx form for 100 TB is IMPLEMENTED as
+    events_dwell_time_approx, same plan shape."""
     ev = load_table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(

@@ -9,9 +9,9 @@ columns of a single row, which is then exploded driver-free into the
 (col_name, stats...) long format — no per-column scan, no driver loop.
 The exact COUNT(DISTINCT) set makes Catalyst plan an Expand (one
 duplicated stream per distinct-column) feeding a single shuffled
-aggregate; at 100 TB you would swap ``F.count_distinct`` for
-``F.approx_count_distinct`` (HLL sketch, no Expand) — the projection
-below is the only line that changes.
+aggregate; the 100 TB swap to ``F.approx_count_distinct`` (HLL sketch,
+no Expand) is IMPLEMENTED as profile_documents_approx — the projection
+is the only line that differs.
 """
 
 from __future__ import annotations
@@ -182,3 +182,39 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r.rule_no", "r.rule", "r.n_checked", "r.n_violations"
     )
     return exploded.unionAll(fk_row)
+
+
+@register("profile_documents_approx", tags=("profile", "agg", "approx"))  # rows-only
+def profile_documents_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of profile_documents the module docstring
+    promises: ``approx_count_distinct`` (HLL sketch, mergeable, no
+    Expand stream per distinct column) replaces exact
+    ``count_distinct`` — the only changed line. Rows-only for the
+    driver (HLL estimates are engine-specific);
+    tests/test_llm_ops.py::test_profile_approx_brackets_exact asserts
+    every estimate is within HLL tolerance of the exact profile."""
+    df = load_table(spark, sf_dir, "documents")
+    cols = _DOC_COLS
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__{c}_nn"),
+            F.approx_count_distinct(c, 0.02).alias(f"__{c}_nd"),
+            F.min(c).cast("string").alias(f"__{c}_min"),
+            F.max(c).cast("string").alias(f"__{c}_max"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__{c}_nn").alias("n_nonnull"),
+                F.col(f"__{c}_nd").alias("n_distinct"),
+                F.col(f"__{c}_min").alias("min_val"),
+                F.col(f"__{c}_max").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

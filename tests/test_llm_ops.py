@@ -626,3 +626,73 @@ def test_quality_threshold_approx_brackets_exact(spark, sf_dir):
     for d in set(approx) ^ set(exact):
         row = approx.get(d) or exact.get(d)
         assert row["quality_score"] == pytest.approx(thr_scores[row["lang"]], abs=1e-4), d
+
+
+def test_approx_swaps_bracket_exact(spark, sf_dir):
+    """Every *_approx scale swap must track its exact twin: HLL counts
+    within rsd-derived tolerance, sketch percentiles within the exact
+    neighboring quantiles' spread."""
+    from insurance_claim_data_pipeline_spark.operators.analytics import (
+        events_dwell_time,
+        events_dwell_time_approx,
+        events_rolling_distinct_users,
+        events_rolling_distinct_users_approx,
+    )
+    from insurance_claim_data_pipeline_spark.operators.profile import (
+        profile_documents,
+        profile_documents_approx,
+    )
+
+    exact_wau = {r["day"]: r["wau"] for r in events_rolling_distinct_users(spark, sf_dir).collect()}
+    approx_wau = {
+        r["day"]: r["wau"] for r in events_rolling_distinct_users_approx(spark, sf_dir).collect()
+    }
+    assert set(exact_wau) == set(approx_wau)
+    for day, n in exact_wau.items():
+        assert abs(approx_wau[day] - n) <= max(3, 0.1 * n), (day, n, approx_wau[day])
+
+    exact_p = {r["col_name"]: r for r in profile_documents(spark, sf_dir).collect()}
+    approx_p = {r["col_name"]: r for r in profile_documents_approx(spark, sf_dir).collect()}
+    assert set(exact_p) == set(approx_p)
+    for c, r in exact_p.items():
+        a = approx_p[c]
+        assert (a["n_rows"], a["n_nonnull"], a["min_val"], a["max_val"]) == (
+            r["n_rows"], r["n_nonnull"], r["min_val"], r["max_val"],
+        )
+        assert abs(a["n_distinct"] - r["n_distinct"]) <= max(3, 0.1 * r["n_distinct"])
+
+    exact_d = {r["event_type"]: r for r in events_dwell_time(spark, sf_dir).collect()}
+    approx_d = {r["event_type"]: r for r in events_dwell_time_approx(spark, sf_dir).collect()}
+    assert set(exact_d) == set(approx_d)
+    # percentile_approx's contract is RANK error (<= n/accuracy), not
+    # value error — in a sparse tail neighboring elements can be far
+    # apart, so assert the sketch returned an actual gap whose rank is
+    # within tolerance of the target rank.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps_rows = (
+        ev.select(
+            "event_type",
+            (F.unix_micros(F.lead("ts").over(order)) - F.unix_micros("ts")).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .collect()
+    )
+    by_type: dict = {}
+    for r in gaps_rows:
+        by_type.setdefault(r["event_type"], []).append(r["gap_us"])
+    for t, r in exact_d.items():
+        a = approx_d[t]
+        assert a["n_gaps"] == r["n_gaps"]
+        gaps = sorted(by_type[t])
+        n = len(gaps)
+        tol = max(1, n // 1000)  # rank tolerance at accuracy 10k, plus slack
+        for p, frac in (("p50_us", 0.5), ("p90_us", 0.9), ("p99_us", 0.99)):
+            target = int(frac * (n - 1))
+            window = gaps[max(0, target - tol): min(n, target + tol + 2)]
+            assert a[p] in window, (t, p, a[p], window[:4], n)
