@@ -126,3 +126,80 @@ def events_user_totals_stateful_streaming(spark: SparkSession, sf_dir: str) -> D
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming EMA (streaming twin of operators/ema.py)
+# ---------------------------------------------------------------------------
+
+EMA_OUT_SCHEMA = "user_id bigint, event_id bigint, ts_us bigint, value double, ema_e6 bigint"
+EMA_STATE_SCHEMA = "last_ts bigint, ema bigint, initialized bigint"
+
+
+def ema_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user time-decayed EMA: state is (last event time,
+    running ema) in the same x1e6 integer fixed point as the batch twin
+    (operators/ema.py), so a drained finite stream emits EXACTLY the
+    batch answer, row for row.
+
+    Ordering contract: rows are folded in (ts, event_id) order WITHIN
+    each micro-batch; correctness across batches requires the source to
+    deliver batches in non-decreasing event time per user (true for
+    time-ordered file drops and for any replayed log partitioned by
+    key). A production deployment that can see cross-batch disorder
+    fronts this with a watermark + sort buffer; state here is O(users),
+    one shuffle per micro-batch."""
+
+    def update_ema(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # Same integer recurrence as the batch twin — closure-shipped,
+        # stdlib math only (see update_user_totals above for why).
+        import math
+
+        e6 = 1_000_000
+        tau = 3_600_000_000.0
+        (user_id,) = key
+        last_ts, ema, initialized = state.get if state.exists else (0, 0, 0)
+        out: dict[str, list] = {"user_id": [], "event_id": [], "ts_us": [], "value": [], "ema_e6": []}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        for row in batch.itertuples(index=False):
+            ts_us = int(row.ts_us)
+            x = int(math.floor(float(row.value) * e6 + 0.5))
+            if not initialized:
+                ema, initialized = x, 1
+            else:
+                w = int(math.floor(e6 * (1.0 - math.exp(-(ts_us - last_ts) / tau)) + 0.5))
+                ema = (w * x + (e6 - w) * ema) // e6
+            last_ts = ts_us
+            out["user_id"].append(user_id)
+            out["event_id"].append(int(row.event_id))
+            out["ts_us"].append(ts_us)
+            out["value"].append(float(row.value))
+            out["ema_e6"].append(ema)
+        state.update((last_ts, ema, initialized))
+        yield pd.DataFrame(out)
+
+    prepared = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update_ema,
+        outputStructType=EMA_OUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register("events_ema_streaming", tags=("events", "streaming", "pandas"))
+def events_ema_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution of the per-user EMA (rows-only
+    check; every emitted row must equal the oracle-checked batch twin
+    events_ema_irregular — asserted in tests/test_streaming.py, both
+    single-batch and under forced time-split micro-batching)."""
+    from .events_stream import _events_stream, run_stream_to_memory
+
+    events = _events_stream(spark, sf_dir)
+    return run_stream_to_memory(ema_stream(events), spark, output_mode="update")

@@ -374,3 +374,51 @@ def test_cdc_upsert_multibatch_and_restart(spark, sf_dir, tmp_path):
     want2 = sorted(tuple(r) for r in latest_per_user(ev).collect())
     assert got2 == want2
     assert versions_after_first < set(_os.listdir(state))  # monotone versions
+
+
+def test_streaming_ema_equals_batch(spark, sf_dir):
+    """Drained single-batch stream: every emitted (user, event) EMA row
+    must equal the oracle-checked batch twin exactly."""
+    from insurance_claim_data_pipeline_spark.operators.ema import events_ema_irregular
+    from insurance_claim_data_pipeline_spark.streaming.stateful import events_ema_streaming
+
+    got = sorted(tuple(r) for r in events_ema_streaming(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in events_ema_irregular(spark, sf_dir).collect())
+    assert got == want and want
+
+
+def test_streaming_ema_multibatch_time_split(spark, sf_dir, tmp_path):
+    """Real micro-batching: events delivered as three time-ordered file
+    drops (maxFilesPerTrigger=1), so per-user state must carry the decay
+    across batch boundaries. The union of all emitted rows must still
+    equal the batch answer row-for-row."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.ema import events_ema_irregular
+    from insurance_claim_data_pipeline_spark.session import normalize_timestamps
+    from insurance_claim_data_pipeline_spark.streaming.events_stream import (
+        run_stream_to_memory,
+    )
+    from insurance_claim_data_pipeline_spark.streaming.stateful import ema_stream
+
+    ev = normalize_timestamps(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    staging = str(tmp_path / "staging")
+    us = F.unix_micros("ts")
+    for cond in (us <= cut1, (us > cut1) & (us <= cut2), us > cut2):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    out = run_stream_to_memory(
+        ema_stream(normalize_timestamps(stream)), spark, output_mode="update"
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in events_ema_irregular(spark, sf_dir).collect())
+    assert got == want and want
