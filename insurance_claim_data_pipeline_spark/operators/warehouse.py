@@ -241,3 +241,81 @@ def warehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_qty"),
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+PIT_ORACLE = f"""
+WITH scd AS ({SCD2_ORACLE})
+SELECT e.event_id, e.user_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+       s.event_type AS state,
+       s.valid_from_us AS version_from_us,
+       s.n_events AS version_n_events
+FROM events e
+JOIN scd s
+  ON e.user_id = s.user_id
+ AND epoch_us(e.ts) >= s.valid_from_us
+ AND (s.valid_to_us IS NULL OR epoch_us(e.ts) < s.valid_to_us)
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register("warehouse_pit_join", oracle=PIT_ORACLE, tags=("warehouse", "join", "window"))
+def warehouse_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event is joined to the SCD2
+    dimension version that was valid AT ITS TIMESTAMP ("what state was
+    this user in when they bought?") — the temporal-correctness join
+    every feature-store / training-set builder needs to avoid label
+    leakage from future dimension versions.
+
+    Scale shape: NOT an interval join. The oracle's BETWEEN join is
+    O(facts x versions-per-key) probe work; here version-start rows and
+    fact rows are unioned on the shared user_id shuffle and a single
+    `last(version_start) ignoreNulls` ordered window resolves each
+    fact's version (the as-of pattern of join_asof_last_error), then one
+    equi-join on (user_id, version_start) attaches version attributes.
+    One shuffle + one equi-join, fanout-free, any version cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_history(ev)
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    starts = dim.select(
+        "user_id",
+        F.col("valid_from_us").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("valid_from_us").alias("version_start"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    probes = facts.select(
+        "user_id",
+        F.col("ts_us").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("version_start"),
+        "event_id",
+    )
+    # version rows sort before same-instant facts (kind 0 < 1), so a
+    # fact at exactly valid_from lands in that version
+    w = Window.partitionBy("user_id").orderBy("t", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    resolved = (
+        starts.unionByName(probes)
+        .withColumn("v", F.last("version_start", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("user_id", "event_id", F.col("t").alias("ts_us"), "v")
+    )
+    return resolved.join(
+        dim,
+        (resolved.user_id == dim.user_id) & (resolved.v == dim.valid_from_us),
+    ).select(
+        resolved.event_id,
+        resolved.user_id,
+        "ts_us",
+        F.col("event_type").alias("state"),
+        F.col("valid_from_us").alias("version_from_us"),
+        F.col("n_events").alias("version_n_events"),
+    )
