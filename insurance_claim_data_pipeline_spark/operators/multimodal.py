@@ -276,3 +276,122 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_wav, le(23, 2)).alias("channels"),
         F.when(is_wav, le(25, 4)).alias("sample_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize + feature-extraction stages (complete the decode → transform →
+# featurize multimodal pipeline; stub math, real Arrow plumbing)
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 224  # square fit box, the usual vision-model input
+E6 = 1_000_000
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "scale_e6 bigint, resized_w bigint, resized_h bigint"
+)
+
+RESIZE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+         CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(LEAST(({RESIZE_TARGET} * {E6}) // width,
+                  ({RESIZE_TARGET} * {E6}) // height) AS BIGINT) AS scale_e6,
+       CAST(GREATEST(1, (width * LEAST(({RESIZE_TARGET} * {E6}) // width,
+                                       ({RESIZE_TARGET} * {E6}) // height)) // {E6})
+            AS BIGINT) AS resized_w,
+       CAST(GREATEST(1, (height * LEAST(({RESIZE_TARGET} * {E6}) // width,
+                                        ({RESIZE_TARGET} * {E6}) // height)) // {E6})
+            AS BIGINT) AS resized_h
+FROM d
+"""
+
+
+@register("multimodal_resize", oracle=RESIZE_ORACLE, tags=("multimodal", "llm"))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit-to-{RESIZE_TARGET}-box resize planning per
+    image: decode dims (stub), compute the x1e6 fixed-point scale and
+    target size in exact integer math (oracle-checkable; a real PIL
+    ``Image.resize`` call drops into the closure without touching the
+    plumbing — same gating as decode_image_real). mapInPandas stage, no
+    shuffle: the transform step of a decode → resize → featurize
+    multimodal pipeline."""
+    bdf = binary_documents(spark, sf_dir)
+
+    def resize_plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        t, e6 = 224, 1_000_000
+        for pdf in batches:
+            n = pdf["content"].map(len)
+            w = n % 640 + 1
+            h = (n * 7) % 480 + 1
+            scale = _pd.concat([(t * e6) // w, (t * e6) // h], axis=1).min(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "scale_e6": scale,
+                    "resized_w": ((w * scale) // e6).clip(lower=1),
+                    "resized_h": ((h * scale) // e6).clip(lower=1),
+                }
+            )
+
+    return bdf.mapInPandas(resize_plan, schema=RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, feature string"
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _feature_oracle() -> str:
+    counts = ", ".join(
+        f"(length(hx) - length(replace(hx, '{d}', '')))" for d in _HEX_DIGITS
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         lower(hex(encode(text))) AS hx
+  FROM documents
+)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       concat_ws(',', {counts}) AS feature
+FROM h
+"""
+
+
+@register("multimodal_feature_extract", oracle=_feature_oracle(), tags=("multimodal", "llm"))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction: each payload → a fixed-16-dim
+    nibble-histogram vector computed from the ACTUAL bytes in the Arrow
+    batch (exact integers; serialized comma-joined for the driver
+    hash). This is the featurize stage of the multimodal pipeline — a
+    real embedding model replaces the histogram closure; partitioning,
+    batch shape, and schema stay as they are."""
+    bdf = binary_documents(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        digits = "0123456789abcdef"
+
+        def feat(b) -> str:
+            hx = bytes(b).hex()
+            return ",".join(str(hx.count(d)) for d in digits)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["content"].map(len),
+                    "feature": pdf["content"].map(feat),
+                }
+            )
+
+    return bdf.mapInPandas(extract, schema=FEATURE_SCHEMA)
