@@ -910,3 +910,91 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= INDEX_MIN_DF)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash / winnowing fingerprint (Rabin-Karp style)
+# ---------------------------------------------------------------------------
+
+RH_MOD = 1_000_000_007
+RH_BASE = 131
+RH_WINDOW = 32
+
+ROLLING_FP_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(unicode(text[i]) AS BIGINT)) AS codes
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                   (a, b) -> (a * {RH_BASE} + b) % {RH_MOD}) AS full_hash,
+       CASE WHEN n >= {RH_WINDOW} THEN
+         list_aggregate(list_transform(range(1, n - {RH_WINDOW - 2}),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                         codes[i : i + {RH_WINDOW - 1}]),
+                            (a, b) -> (a * {RH_BASE} + b) % {RH_MOD})), 'min')
+       ELSE NULL END AS min_window_hash
+FROM c
+"""
+
+
+@register("text_rolling_fingerprint", oracle=ROLLING_FP_ORACLE, tags=("text", "llm", "pandas"))
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling-hash fingerprints: the full-text
+    hash plus the minimum {RH_WINDOW}-char window hash (winnowing-style
+    — robust to insertions outside the minimizing window, the classic
+    plagiarism/near-dup fingerprint alongside the md5 family in
+    text_fingerprint). Integer arithmetic mod {RH_MOD}, base {RH_BASE};
+    products stay < 2^60 and are identical in both engines.
+
+    Implementation note: each window hash derives from the PREVIOUS one
+    (h' = h·B - c_out·B^W + c_in mod M) — sequential state like the EMA
+    — so this runs as an Arrow-batched mapInPandas closure with the
+    O(n) rolling update. The expression-only alternative (nested
+    transform/aggregate re-folding every window) is O(n·W) per doc and
+    ~100x slower interpreted (higher-order exprs don't codegen); the
+    oracle replays the O(n·W) form because DuckDB's list kernels make
+    it cheap at oracle scale. Embarrassingly parallel map work, no
+    shuffle."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fingerprint(batches):
+        import pandas as _pd
+
+        mod, base, win = 1_000_000_007, 131, 32
+        pow_w = pow(base, win, mod)
+
+        def per_doc(text: str):
+            codes = [ord(ch) for ch in text]
+            full = 0
+            for c in codes:
+                full = (full * base + c) % mod
+            if len(codes) < win:
+                return len(codes), full, None
+            h = 0
+            for c in codes[:win]:
+                h = (h * base + c) % mod
+            best = h
+            for i in range(win, len(codes)):
+                h = (h * base - codes[i - win] * pow_w + codes[i]) % mod
+                if h < best:
+                    best = h
+            return len(codes), full, best
+
+        for pdf in batches:
+            out = pdf["text"].map(per_doc)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": out.map(lambda t: t[0]),
+                    "full_hash": out.map(lambda t: t[1]),
+                    "min_window_hash": out.map(lambda t: t[2]),
+                }
+            )
+
+    return doc.mapInPandas(
+        fingerprint,
+        schema="doc_id bigint, n_chars bigint, full_hash bigint, min_window_hash bigint",
+    )
