@@ -280,3 +280,17 @@ def test_inverted_index_single_shuffle(spark, sf_dir):
     plan = physical_plan(spark, sf_dir, "text_inverted_index")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_pit_join_is_asof_shaped_not_interval(spark, sf_dir):
+    """The point-in-time join must run as union + ordered window + one
+    equi-join — never a nested-loop/cartesian interval probe."""
+    plan = physical_plan(spark, sf_dir, "warehouse_pit_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan  # version starts + facts share one shuffle
+    # the resolving window runs per user, not globally
+    for block in plan.split("Window ")[1:]:
+        head = block.split("\n", 1)[0]
+        if "version_start" in head:
+            assert "user_id" in head, head
