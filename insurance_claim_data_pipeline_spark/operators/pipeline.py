@@ -24,6 +24,7 @@ next one pays for).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_sql, tokens
@@ -144,3 +145,124 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return canon.select("doc_id", split.alias("split"), "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# RAG corpus-prep pipeline: chunk → quality → exact chunk dedup →
+# benchmark decontamination, composed and oracled end-to-end
+# ---------------------------------------------------------------------------
+
+RAG_MIN_WORDS = 16
+RAG_CONTAM_N = 4
+
+
+def _rag_prep_oracle() -> str:
+    from .textops import BENCH_MOD, CHUNK_SIZE, CHUNK_STRIDE
+
+    lo = f"chunk_idx * {CHUNK_STRIDE} + 1"
+    hi = f"chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}"
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE doc_id % {BENCH_MOD} != 0
+), s AS (
+  SELECT doc_id, w,
+         CAST((GREATEST(len(w) - {CHUNK_SIZE}, 0) + {CHUNK_STRIDE - 1})
+              // {CHUNK_STRIDE} AS INTEGER) AS k_max
+  FROM t
+), e AS (
+  SELECT doc_id, w, CAST(unnest(generate_series(0, k_max)) AS INTEGER) AS chunk_idx
+  FROM s
+), chunks AS (
+  SELECT doc_id, chunk_idx, w[{lo} : {hi}] AS cw,
+         md5(array_to_string(w[{lo} : {hi}], ' ')) AS chunk_hash,
+         CAST(len(w[{lo} : {hi}]) AS BIGINT) AS n_words
+  FROM e
+), quality AS (
+  SELECT * FROM chunks
+  WHERE n_words >= {RAG_MIN_WORDS} AND len(list_distinct(cw)) * 2 >= len(cw)
+), canonical AS (
+  SELECT doc_id, chunk_idx, cw, chunk_hash, n_words
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                     ORDER BY doc_id, chunk_idx) AS rn
+        FROM quality)
+  WHERE rn = 1
+), bench_sh AS (
+  SELECT DISTINCT unnest({shingles_sql('string_split(text, chr(32))', RAG_CONTAM_N)}) AS shingle
+  FROM documents WHERE doc_id % {BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT c.doc_id, c.chunk_idx
+  FROM (SELECT doc_id, chunk_idx, unnest({shingles_sql('cw', RAG_CONTAM_N)}) AS shingle
+        FROM canonical) c
+  JOIN bench_sh b ON c.shingle = b.shingle
+)
+SELECT c.doc_id, c.chunk_idx, c.chunk_hash, c.n_words
+FROM canonical c
+LEFT JOIN contaminated x ON c.doc_id = x.doc_id AND c.chunk_idx = x.chunk_idx
+WHERE x.doc_id IS NULL
+"""
+
+
+@register("rag_prep_pipeline", oracle=_rag_prep_oracle(), tags=("llm", "pipeline", "text"))
+def rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus prep as ONE composed, fully oracled query: sliding-
+    window chunking (text_chunk_overlap's geometry) → integer-exact
+    chunk quality gate (>= RAG_MIN_WORDS words, distinct-word ratio
+    >= 1/2, compared as `2·uniq >= n` so no float threshold exists) →
+    exact chunk dedup (first (doc_id, chunk_idx) per chunk md5 wins) →
+    benchmark decontamination (drop chunks sharing a RAG_CONTAM_N-gram
+    with any benchmark doc, broadcast bench shingle set, anti-join).
+    The oracle replays the entire chain, certifying stage ORDER
+    (quality before canonical-keep before decontam), not just stages.
+
+    Scale: chunking is a per-row generate (no shuffle); quality is a
+    filter; dedup is one chunk_hash shuffle; decontamination is a
+    broadcast semi/anti join — each stage shrinks what the next pays
+    for, and nothing touches the driver."""
+    from .textops import BENCH_MOD, CHUNK_SIZE, CHUNK_STRIDE
+    from ..functions.text import shingles
+
+    doc = load_table(spark, sf_dir, "documents")
+    corpus = doc.filter(F.col("doc_id") % BENCH_MOD != 0)
+    w = tokens("text")
+    k_max = (
+        (F.greatest(F.size(w) - F.lit(CHUNK_SIZE), F.lit(0)) + F.lit(CHUNK_STRIDE - 1))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    e = corpus.select(
+        "doc_id", w.alias("w"), F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_idx")
+    )
+    cw = F.slice("w", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    chunks = e.select(
+        "doc_id",
+        "chunk_idx",
+        cw.alias("cw"),
+        F.md5(F.concat_ws(" ", cw)).alias("chunk_hash"),
+        F.size(cw).cast("long").alias("n_words"),
+    )
+    quality = chunks.filter(
+        (F.col("n_words") >= RAG_MIN_WORDS)
+        & (F.size(F.array_distinct("cw")) * 2 >= F.size("cw"))
+    )
+    win = W.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    canonical = (
+        quality.select("*", F.row_number().over(win).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bench_sh = (
+        doc.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode(shingles(tokens("text"), RAG_CONTAM_N)).alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        canonical.select(
+            "doc_id", "chunk_idx", F.explode(shingles(F.col("cw"), RAG_CONTAM_N)).alias("shingle")
+        )
+        .join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id", "chunk_idx")
+        .distinct()
+    )
+    return canonical.join(
+        contaminated, ["doc_id", "chunk_idx"], "left_anti"
+    ).select("doc_id", "chunk_idx", "chunk_hash", "n_words")
