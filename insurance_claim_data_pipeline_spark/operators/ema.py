@@ -62,7 +62,14 @@ WITH RECURSIVE base AS (
   FROM weighted WHERE rn = 1
   UNION ALL
   SELECT w.user_id, w.event_id, w.ts_us, w.value, w.rn,
-         (w.w_e6 * w.x_e6 + ({E6} - w.w_e6) * r.ema_e6) // {E6}
+         -- explicit FLOOR division: DuckDB's integer // truncates toward
+         -- zero while Python's // floors; subtracting the non-negative
+         -- residue first makes the quotient exact (and floor) in both,
+         -- so the oracle stays correct even if a future testdata regen
+         -- introduces negative values.
+         (w.w_e6 * w.x_e6 + ({E6} - w.w_e6) * r.ema_e6
+          - ((((w.w_e6 * w.x_e6 + ({E6} - w.w_e6) * r.ema_e6) % {E6}) + {E6}) % {E6}))
+         // {E6}
   FROM weighted w JOIN rec r ON w.user_id = r.user_id AND w.rn = r.rn + 1
 )
 SELECT user_id, event_id, ts_us, value, ema_e6 FROM rec
