@@ -982,3 +982,52 @@ def lineitem_pareto_abc_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
         )
     )
+
+
+EQUIDEPTH_B = 10
+_EQ_PROBS = [i / EQUIDEPTH_B for i in range(1, EQUIDEPTH_B)]
+
+EQUIDEPTH_ORACLE = f"""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, {_EQ_PROBS!r}) AS qs FROM orders
+)
+SELECT CAST(len(list_filter(b.qs, q -> o.o_totalprice > q)) AS INTEGER) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN(o.o_totalprice) AS min_price,
+       MAX(o.o_totalprice) AS max_price
+FROM orders o, b
+GROUP BY 1
+"""
+
+
+@register("agg_equidepth_histogram", oracle=EQUIDEPTH_ORACLE, tags=("agg", "analytics"))
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals: exact
+    decile boundaries, rows assigned by strict boundary comparison
+    (value == boundary sorts down). Cross-engine exactness argument:
+    interpolated boundaries lie strictly BETWEEN consecutive order
+    statistics, so an ulp of interpolation difference can never move a
+    data value across a boundary; a boundary that IS a data value has
+    zero interpolation fraction and is exact in both engines. This is
+    the optimizer's-eye view of a column distribution (equi-depth is
+    what engines keep for selectivity estimation), complementing
+    agg_histogram's fixed-width buckets."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(p) for p in _EQ_PROBS])).alias("qs")
+    )
+    bucket = F.aggregate(
+        "qs",
+        F.lit(0),
+        lambda acc, q: acc + F.when(F.col("o_totalprice") > q, 1).otherwise(0),
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
