@@ -153,6 +153,23 @@ GROUP BY 1
 """
 
 
+def _wau_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared expand-by-offset frame for the WAU twins: one row per
+    (user, window-end day) within bounds, grouped by day — only the
+    distinct-count aggregate differs between exact and approx."""
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    expanded = au.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d",
+    ).select("user_id", F.date_add("d", F.col("off")).alias("day"))
+    return expanded.join(F.broadcast(bounds), expanded.day <= bounds.max_d).groupBy(
+        F.col("day").cast("string").alias("day")
+    )
+
+
 @register("events_rolling_distinct_users", oracle=ROLLING_ORACLE, tags=("events", "analytics"))
 def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users (WAU) per day, by the
@@ -160,59 +177,45 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     window-end days it belongs to, then one distinct count per day.
     No self-join, no window over raw events; the 7x inflation happens
     AFTER per-day dedup. The max-day bound is a one-row broadcast."""
-    ev = load_table(spark, sf_dir, "events")
-    au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    bounds = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
-    expanded = au.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
-        "d",
-    ).select("user_id", F.date_add("d", F.col("off")).alias("day"))
-    return (
-        expanded.join(F.broadcast(bounds), expanded.day <= bounds.max_d)
-        .groupBy(F.col("day").cast("string").alias("day"))
-        .agg(F.count_distinct("user_id").alias("wau"))
-    )
+    return _wau_by_day(spark, sf_dir).agg(F.count_distinct("user_id").alias("wau"))
 
 
 @register("events_rolling_distinct_users_approx", tags=("events", "analytics", "approx"))
 def events_rolling_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL form of events_rolling_distinct_users its docstring
-    promises for 100 TB: identical expand-by-offset plan, but the final
-    distinct count is an approx_count_distinct sketch union — mergeable,
-    map-side-combinable, no exact-distinct Expand. Rows-only for the
-    driver (HLL estimates are engine-specific); the test asserts every
-    day's estimate is within sketch tolerance of the exact WAU."""
-    ev = load_table(spark, sf_dir, "events")
-    au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    bounds = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
-    expanded = au.select(
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
-        "d",
-    ).select("user_id", F.date_add("d", F.col("off")).alias("day"))
-    return (
-        expanded.join(F.broadcast(bounds), expanded.day <= bounds.max_d)
-        .groupBy(F.col("day").cast("string").alias("day"))
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("wau"))
+    promises for 100 TB: identical expand-by-offset plan (shared
+    builder), but the final distinct count is an approx_count_distinct
+    sketch union — mergeable, map-side-combinable, no exact-distinct
+    Expand. Rows-only for the driver (HLL estimates are
+    engine-specific); the test asserts every day's estimate is within
+    sketch tolerance of the exact WAU."""
+    return _wau_by_day(spark, sf_dir).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("wau")
     )
+
+
+def _dwell_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared gap frame for the dwell-time twins: per event type, the
+    gap to the user's next event — only the percentile aggregate
+    differs between exact and approx."""
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_type",
+        (F.unix_micros(F.lead("ts").over(order)) - F.unix_micros("ts")).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
 
 
 @register("events_dwell_time_approx", tags=("events", "analytics", "approx"))
 def events_dwell_time_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The percentile_approx form of events_dwell_time its docstring
-    promises: same single window shuffle on user_id, but percentiles
-    come from a mergeable quantile sketch instead of an exact sort —
-    per-group reducer memory is sketch-sized, not gap-count-sized.
-    Rows-only (sketches are engine-specific); the test brackets each
-    approx percentile between neighboring exact quantiles."""
-    ev = load_table(spark, sf_dir, "events")
-    order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
-        "event_type",
-        (F.unix_micros(F.lead("ts").over(order)) - F.unix_micros("ts")).alias("gap_us"),
-    ).filter(F.col("gap_us").isNotNull())
-    return gaps.groupBy("event_type").agg(
+    promises: same single window shuffle on user_id (shared gap
+    builder), but percentiles come from a mergeable quantile sketch
+    instead of an exact sort — per-group reducer memory is
+    sketch-sized, not gap-count-sized. Rows-only (sketches are
+    engine-specific); the test pins each approx percentile to an
+    element within rank tolerance of the target rank."""
+    return _dwell_gaps(spark, sf_dir).groupBy("event_type").agg(
         F.count("gap_us").alias("n_gaps"),
         F.percentile_approx("gap_us", F.lit(0.5), 10_000).alias("p50_us"),
         F.percentile_approx("gap_us", F.lit(0.9), 10_000).alias("p90_us"),
@@ -395,14 +398,8 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile both engines implement lands on the same doubles.
     One window shuffle on user_id + one aggregation; the
     percentile_approx form for 100 TB is IMPLEMENTED as
-    events_dwell_time_approx, same plan shape."""
-    ev = load_table(spark, sf_dir, "events")
-    order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
-        "event_type",
-        (F.unix_micros(F.lead("ts").over(order)) - F.unix_micros("ts")).alias("gap_us"),
-    ).filter(F.col("gap_us").isNotNull())
-    return gaps.groupBy("event_type").agg(
+    events_dwell_time_approx, same plan shape (shared gap builder)."""
+    return _dwell_gaps(spark, sf_dir).groupBy("event_type").agg(
         F.count("gap_us").alias("n_gaps"),
         F.round(F.percentile("gap_us", F.lit(0.5)), 3).alias("p50_us"),
         F.round(F.percentile("gap_us", F.lit(0.9)), 3).alias("p90_us"),

@@ -25,19 +25,23 @@ from ..session import load_table
 _DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
-def profile_table(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+def profile_table(df: DataFrame, cols: tuple[str, ...], approx: bool = False) -> DataFrame:
     """Profile ``cols`` of ``df`` in one aggregation pass.
 
     Returns one row per column: ``col_name, n_rows, n_nonnull,
     n_distinct, min_val, max_val`` (min/max computed in the column's
     native type, then stringified — numeric columns keep numeric
-    ordering, not lexicographic).
+    ordering, not lexicographic). ``approx=True`` swaps the exact
+    COUNT DISTINCT for the HLL sketch — the only changed expression.
     """
+    n_distinct = (
+        (lambda c: F.approx_count_distinct(c, 0.02)) if approx else F.count_distinct
+    )
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs += [
             F.count(c).alias(f"__{c}_nn"),
-            F.count_distinct(c).alias(f"__{c}_nd"),
+            n_distinct(c).alias(f"__{c}_nd"),
             F.min(c).cast("string").alias(f"__{c}_min"),
             F.max(c).cast("string").alias(f"__{c}_max"),
         ]
@@ -189,32 +193,9 @@ def profile_documents_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of profile_documents the module docstring
     promises: ``approx_count_distinct`` (HLL sketch, mergeable, no
     Expand stream per distinct column) replaces exact
-    ``count_distinct`` — the only changed line. Rows-only for the
-    driver (HLL estimates are engine-specific);
-    tests/test_llm_ops.py::test_profile_approx_brackets_exact asserts
+    ``count_distinct`` — the only changed expression, via
+    profile_table(approx=True). Rows-only for the driver (HLL
+    estimates are engine-specific);
+    tests/test_llm_ops.py::test_approx_swaps_bracket_exact asserts
     every estimate is within HLL tolerance of the exact profile."""
-    df = load_table(spark, sf_dir, "documents")
-    cols = _DOC_COLS
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
-    for c in cols:
-        aggs += [
-            F.count(c).alias(f"__{c}_nn"),
-            F.approx_count_distinct(c, 0.02).alias(f"__{c}_nd"),
-            F.min(c).cast("string").alias(f"__{c}_min"),
-            F.max(c).cast("string").alias(f"__{c}_max"),
-        ]
-    one = df.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col("__n_rows").alias("n_rows"),
-                F.col(f"__{c}_nn").alias("n_nonnull"),
-                F.col(f"__{c}_nd").alias("n_distinct"),
-                F.col(f"__{c}_min").alias("min_val"),
-                F.col(f"__{c}_max").alias("max_val"),
-            )
-            for c in cols
-        ]
-    )
-    return one.select(F.explode(rows).alias("p")).select("p.*")
+    return profile_table(load_table(spark, sf_dir, "documents"), _DOC_COLS, approx=True)

@@ -19,9 +19,10 @@ Exit code 1 if anything is flagged. The same check is enforced in
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from insurance_claim_data_pipeline_spark import registry  # noqa: E402
 from insurance_claim_data_pipeline_spark.session import get_spark  # noqa: E402

@@ -17,13 +17,14 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import sys
 from decimal import Decimal
 
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from insurance_claim_data_pipeline_spark import registry  # noqa: E402
 from insurance_claim_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -81,8 +82,9 @@ def main() -> int:
             continue
         if s != o:
             bad += 1
-            diff_s = [r for r in s if r not in set(o)][:2]
-            diff_o = [r for r in o if r not in set(s)][:2]
+            so, ss = set(o), set(s)
+            diff_s = [r for r in s if r not in so][:2]
+            diff_o = [r for r in o if r not in ss][:2]
             print(f"STRICT-MISMATCH {name}\n  spark-only: {diff_s}\n  oracle-only: {diff_o}")
     con.close()
     print(f"done: {bad} strict mismatch(es)")

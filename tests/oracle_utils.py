@@ -186,6 +186,14 @@ def oracle_type_problems(con, oracle: str, spark_schema, name: str) -> list[str]
                 f"{name}.{col}: oracle {dt} vs Spark {st.simpleString()} — "
                 f"int/float serialize differently in the driver hash"
             )
+        elif isinstance(st, T.DecimalType) and not dt.startswith("DECIMAL"):
+            # the mirror direction of the DECIMAL rule above: Spark
+            # Decimal vs oracle DOUBLE/BIGINT also hash-diverges
+            # (Decimal('950.0000') vs 950.0)
+            problems.append(
+                f"{name}.{col}: Spark {st.simpleString()} vs oracle {dt} — "
+                f"cast the Spark side (or the oracle) so families match"
+            )
     return problems
 
 
