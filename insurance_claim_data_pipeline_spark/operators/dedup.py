@@ -698,18 +698,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc = load_table(spark, sf_dir, "documents")
     b = hash_bucket("doc_id")
-    corpus = doc.filter(b < INC_CORPUS_PCT)
     batch = doc.filter(b >= INC_CORPUS_PCT)
 
-    def hashed(frame: DataFrame) -> DataFrame:
-        return (
-            shingle_rows(frame, distinct=False)
-            .select("doc_id", F.xxhash64("shingle").alias("sh_key"))
-            .distinct()
-        )
-
-    csh = hashed(corpus)
-    bsh = hashed(batch)
+    # ONE scan + ONE dedup shuffle for the whole corpus∪batch shingle
+    # set, branched afterwards by the precomputed membership flag —
+    # versus shingling/dedup-ing the two sides separately (two scans,
+    # two shuffles). At real scale the corpus index is a materialized
+    # table and only the batch side is computed per run.
+    sh_all = (
+        shingle_rows(doc, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("sh_key"))
+        .distinct()
+        .withColumn("_is_batch", hash_bucket("doc_id") >= INC_CORPUS_PCT)
+    )
+    csh = sh_all.filter(~F.col("_is_batch")).drop("_is_batch")
+    bsh = sh_all.filter(F.col("_is_batch")).drop("_is_batch")
     csz = csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c_sz"))
     bsz = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("b_sz"))
     cand = (
