@@ -1028,3 +1028,90 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+CHANGEPOINT_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_us(ts) // {US_1H}) AS hour_idx, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, hour_idx, n,
+         ROW_NUMBER() OVER w AS k,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour_idx
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS t_hours
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx)
+), scored AS (
+  SELECT event_type, hour_idx, k, prefix, total, t_hours,
+         ABS(CAST(prefix AS DOUBLE) / k
+             - CAST(total - prefix AS DOUBLE) / (t_hours - k))
+           * SQRT(CAST(k AS DOUBLE) * (t_hours - k) / t_hours) AS score
+  FROM seq WHERE k < t_hours
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, hour_idx) AS rnk
+  FROM scored
+)
+SELECT event_type,
+       hour_idx AS change_hour_idx,
+       ROUND(score, 6) AS shift_score,
+       ROUND(CAST(prefix AS DOUBLE) / k, 6) AS mean_before,
+       ROUND(CAST(total - prefix AS DOUBLE) / (t_hours - k), 6) AS mean_after
+FROM best WHERE rnk = 1
+"""
+
+
+@register("events_changepoint_meanshift", oracle=CHANGEPOINT_ORACLE, tags=("events", "analytics", "window"))
+def events_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type: the split of the
+    hourly-count series maximizing the standardized mean shift
+    |mean_L - mean_R|·sqrt(k(T-k)/T) — the CUSUM-equivalent scan a
+    monitoring stack runs to date a regime change. All scores derive
+    from exact integer prefix sums by the same double expression in
+    both engines, so the argmax (tie-break: earliest hour) is
+    engine-identical and fully oracled.
+
+    Scale: the expensive aggregation (raw events → hourly counts) is
+    one shuffle; every window after it runs over the tiny per-type
+    hourly series, partitioned by event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("hour_idx")
+    seq = hourly.select(
+        "event_type",
+        "hour_idx",
+        F.row_number().over(w).alias("k"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("prefix"),
+        F.sum("n").over(W.partitionBy("event_type")).alias("total"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("t_hours"),
+    ).filter(F.col("k") < F.col("t_hours"))
+    mean_l = F.col("prefix").cast("double") / F.col("k")
+    mean_r = (F.col("total") - F.col("prefix")).cast("double") / (
+        F.col("t_hours") - F.col("k")
+    )
+    score = F.abs(mean_l - mean_r) * F.sqrt(
+        F.col("k").cast("double") * (F.col("t_hours") - F.col("k")) / F.col("t_hours")
+    )
+    scored = seq.select("event_type", "hour_idx", "k", "prefix", "total", "t_hours",
+                        score.alias("score"))
+    rk = W.partitionBy("event_type").orderBy(F.desc("score"), F.asc("hour_idx"))
+    return (
+        scored.select("*", F.row_number().over(rk).alias("rnk"))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("hour_idx").alias("change_hour_idx"),
+            F.round("score", 6).alias("shift_score"),
+            F.round(mean_l, 6).alias("mean_before"),
+            F.round(mean_r, 6).alias("mean_after"),
+        )
+    )
