@@ -678,25 +678,15 @@ WHERE t.bkt >= {INC_CORPUS_PCT}
 """
 
 
-@register("dedup_incremental", oracle=_incremental_oracle(), tags=("dedup", "llm", "bench"))
-def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup screening: a NEW BATCH of documents probed
-    against an EXISTING CORPUS (here: an md5-bucket 20/80 split of
-    ``documents``, the same deterministic split rule as
-    sample_split_hash). Each new doc is admitted ('new') or rejected
-    ('dup', with its best-matching corpus doc and exact Jaccard).
-
-    This is the shape a daily ingest actually runs — batch ≪ corpus —
-    and it is NOT a self-join: the batch's hashed shingles probe the
-    corpus inverted index (8-byte keys), so work scales with
-    |batch shingles| x avg shingle df, independent of corpus pair
-    count. The same max_df hot-shingle guard as dedup_ngram_jaccard
-    applies to production corpora; the oracle-checked query runs
-    uncapped. Best match = (rounded jaccard DESC, corpus_id) — a total
-    order shared with the oracle."""
+def incremental_dedup_frame(doc: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Core of dedup_incremental over an arbitrary ``(doc_id, text)``
+    frame. ``max_df`` is the hot-shingle skew guard (same semantics as
+    ngram_jaccard_pairs): shingles whose CORPUS document frequency
+    exceeds the cap are dropped from both index and probe sides before
+    the join — set sizes still count ALL shingles, so surviving
+    matches score exact Jaccard and boilerplate-only pairs drop."""
     from .sampling import hash_bucket
 
-    doc = load_table(spark, sf_dir, "documents")
     b = hash_bucket("doc_id")
     batch = doc.filter(b >= INC_CORPUS_PCT)
 
@@ -715,9 +705,19 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bsh = sh_all.filter(F.col("_is_batch")).drop("_is_batch")
     csz = csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c_sz"))
     bsz = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("b_sz"))
+    c_idx, b_idx = csh, bsh
+    if max_df is not None:
+        hot = (
+            csh.groupBy("sh_key")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh_key")
+        )
+        c_idx = csh.join(F.broadcast(hot), "sh_key", "left_anti")
+        b_idx = bsh.join(F.broadcast(hot), "sh_key", "left_anti")
     cand = (
-        bsh.alias("b")
-        .join(csh.alias("c"), F.col("b.sh_key") == F.col("c.sh_key"))
+        b_idx.alias("b")
+        .join(c_idx.alias("c"), F.col("b.sh_key") == F.col("c.sh_key"))
         .groupBy(F.col("b.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -746,3 +746,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@register("dedup_incremental", oracle=_incremental_oracle(), tags=("dedup", "llm", "bench"))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: a NEW BATCH of documents probed
+    against an EXISTING CORPUS (here: an md5-bucket 20/80 split of
+    ``documents``, the same deterministic split rule as
+    sample_split_hash). Each new doc is admitted ('new') or rejected
+    ('dup', with its best-matching corpus doc and exact Jaccard).
+
+    This is the shape a daily ingest actually runs — batch ≪ corpus —
+    and it is NOT a self-join: the batch's hashed shingles probe the
+    corpus inverted index (8-byte keys), so work scales with
+    |batch shingles| x avg shingle df, independent of corpus pair
+    count. The oracle-checked query runs uncapped; production corpora
+    pass ``max_df`` through :func:`incremental_dedup_frame` (hot-
+    shingle guard, tested in tests/test_llm_ops.py). Best match =
+    (rounded jaccard DESC, corpus_id) — a total order shared with the
+    oracle."""
+    return incremental_dedup_frame(load_table(spark, sf_dir, "documents"))

@@ -696,3 +696,45 @@ def test_approx_swaps_bracket_exact(spark, sf_dir):
             target = int(frac * (n - 1))
             window = gaps[max(0, target - tol): min(n, target + tol + 2)]
             assert a[p] in window, (t, p, a[p], window[:4], n)
+
+
+def test_incremental_dedup_max_df_guard(spark):
+    """max_df on the incremental probe: batch docs similar to the corpus
+    ONLY through hot boilerplate shingles stop matching once the cap
+    drops those shingles from the index, while genuine near-dups keep
+    their exact Jaccard."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.dedup import (
+        INC_CORPUS_PCT,
+        incremental_dedup_frame,
+    )
+    from insurance_claim_data_pipeline_spark.operators.sampling import hash_bucket
+
+    ids = spark.range(0, 300).select(F.col("id").cast("long").alias("doc_id"))
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in ids.select("doc_id", hash_bucket("doc_id").alias("b")).collect()
+    }
+    corpus_ids = [i for i, b in buckets.items() if b < INC_CORPUS_PCT]
+    batch_ids = [i for i, b in buckets.items() if b >= INC_CORPUS_PCT]
+
+    boiler = " ".join(f"legal{i}" for i in range(12))  # 8 hot shingles
+    near = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(cid, f"{boiler} tail{cid}x tail{cid}y") for cid in corpus_ids[:5]]
+    rows.append((corpus_ids[5], near))
+    boiler_batch, near_batch = batch_ids[0], batch_ids[1]
+    rows.append((boiler_batch, f"{boiler} other{boiler_batch}a other{boiler_batch}b"))
+    rows.append((near_batch, near + " extra"))
+    doc = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {r["doc_id"]: r for r in incremental_dedup_frame(doc).collect()}
+    capped = {r["doc_id"]: r for r in incremental_dedup_frame(doc, max_df=3).collect()}
+    # boilerplate-only similarity is killed by the cap (df of those
+    # shingles is 5 > 3), admitted as 'new'
+    assert uncapped[boiler_batch]["status"] == "dup"
+    assert capped[boiler_batch]["status"] == "new"
+    # the genuine near-dup keeps its exact uncapped jaccard
+    assert capped[near_batch]["status"] == "dup"
+    assert capped[near_batch]["match_doc_id"] == corpus_ids[5]
+    assert capped[near_batch]["jaccard"] == uncapped[near_batch]["jaccard"]
