@@ -1115,3 +1115,108 @@ def events_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mean_r, 6).alias("mean_after"),
         )
     )
+
+
+SEASONAL_PERIOD = 24
+
+SEASONAL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_us(ts) // {US_1H}) AS hour_idx, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), trended AS (
+  SELECT event_type, hour_idx, n,
+         CAST(hour_idx % {SEASONAL_PERIOD} AS BIGINT) AS hod,
+         CAST(SUM(n) OVER w AS BIGINT) AS trend24,
+         COUNT(*) OVER w AS wcnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+               RANGE BETWEEN {SEASONAL_PERIOD // 2} PRECEDING
+                         AND {SEASONAL_PERIOD // 2 - 1} FOLLOWING)
+), full_win AS (
+  SELECT *, {SEASONAL_PERIOD} * n - trend24 AS detr24
+  FROM trended WHERE wcnt = {SEASONAL_PERIOD}
+), season AS (
+  SELECT event_type, hod,
+         CAST(SUM(detr24) AS BIGINT) AS s_num, COUNT(*) AS s_cnt
+  FROM full_win GROUP BY 1, 2
+), overall AS (
+  SELECT event_type,
+         CAST(SUM(detr24) AS BIGINT) AS o_num, COUNT(*) AS o_cnt
+  FROM full_win GROUP BY 1
+)
+SELECT f.event_type, f.hour_idx, f.n,
+       ROUND(CAST(f.trend24 AS DOUBLE) / {SEASONAL_PERIOD}, 6) AS trend,
+       ROUND((CAST(s.s_num AS DOUBLE) / s.s_cnt
+              - CAST(o.o_num AS DOUBLE) / o.o_cnt) / {SEASONAL_PERIOD}, 6) AS seasonal,
+       ROUND(CAST(f.detr24 AS DOUBLE) / {SEASONAL_PERIOD}
+             - (CAST(s.s_num AS DOUBLE) / s.s_cnt
+                - CAST(o.o_num AS DOUBLE) / o.o_cnt) / {SEASONAL_PERIOD}, 6) AS residual
+FROM full_win f
+JOIN season s ON f.event_type = s.event_type AND f.hod = s.hod
+JOIN overall o ON f.event_type = o.event_type
+"""
+
+
+@register("events_seasonal_decompose", oracle=SEASONAL_ORACLE, tags=("events", "analytics", "window"))
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical (STL-lite) decomposition of each type's hourly series:
+    trend = centered {SEASONAL_PERIOD}-hour moving average (complete
+    windows only, RANGE frame so calendar gaps can't misalign),
+    seasonal = per-hour-of-day mean deviation re-centered by the global
+    mean deviation, residual = remainder. Every aggregate runs in x24
+    integer fixed point (a 24-term mean of integers has denominator 24,
+    so 24·n - sum is exact), making all sums order-independent and the
+    final doubles engine-identical.
+
+    Scale: one raw-events shuffle into hourly counts; all windows and
+    joins operate on the tiny per-type hourly series."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    half = SEASONAL_PERIOD // 2
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-half, half - 1)
+    )
+    trended = hourly.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        F.pmod("hour_idx", F.lit(SEASONAL_PERIOD)).alias("hod"),
+        F.sum("n").over(w).alias("trend24"),
+        F.count(F.lit(1)).over(w).alias("wcnt"),
+    )
+    full_win = trended.filter(F.col("wcnt") == SEASONAL_PERIOD).withColumn(
+        "detr24", F.lit(SEASONAL_PERIOD) * F.col("n") - F.col("trend24")
+    )
+    season = full_win.groupBy("event_type", "hod").agg(
+        F.sum("detr24").alias("s_num"), F.count(F.lit(1)).alias("s_cnt")
+    )
+    overall = full_win.groupBy("event_type").agg(
+        F.sum("detr24").alias("o_num"), F.count(F.lit(1)).alias("o_cnt")
+    )
+    seasonal = (
+        F.col("s_num").cast("double") / F.col("s_cnt")
+        - F.col("o_num").cast("double") / F.col("o_cnt")
+    ) / SEASONAL_PERIOD
+    return (
+        full_win.join(F.broadcast(season), ["event_type", "hod"])
+        .join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "hour_idx",
+            "n",
+            F.round(F.col("trend24").cast("double") / SEASONAL_PERIOD, 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(
+                F.col("detr24").cast("double") / SEASONAL_PERIOD - seasonal, 6
+            ).alias("residual"),
+        )
+    )
