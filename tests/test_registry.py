@@ -29,20 +29,25 @@ def test_emission_covers_every_registered_query_exactly_once():
     assert [n for n in names if n in set(osql)] == osql
 
 
-def test_round3_window_reproofs_lead_and_unproven_precede_proven():
-    # Round-3 scheduling policy: the four oracles fixed this round are
-    # re-proven first, the driver's 50-query window contains only
-    # oracled queries (maximum hash-proof density), and every prior-
-    # green query trails every _FRONT entry.
+def test_round4_window_reanchors_lead_and_unproven_precede_proven():
+    # Round-4 scheduling policy: the claims-port regen re-anchor leads,
+    # the hashed-shingle dedup re-proofs follow, every registry entry
+    # that had no driver CORRECTNESS row through r03 sits inside the
+    # 50-entry window, and every prior-green query trails every _FRONT
+    # entry.
     specs = registry.all_specs()
     names = list(specs)
-    assert names[:4] == [
-        "events_json_extract",
-        "events_user_totals",
-        "sample_split_hash",
-        "events_ema_irregular",
+    assert names[:7] == [
+        "claims_normalized",
+        "claims_candidates",
+        "claims_exclusion_counts",
+        "claims_by_source",
+        "claims_classify_denial",
+        "dedup_ngram_jaccard",
+        "dedup_components",
     ]
-    assert all(specs[n].oracle is not None for n in names[:50])
+    never_checked_through_r03 = set(registry._FRONT)
+    assert never_checked_through_r03 <= set(names[:50])
     first_tail = min(names.index(n) for n in registry._TAIL if n in names)
     last_front = max(names.index(n) for n in registry._FRONT if n in names)
     assert last_front < first_tail, "a prior-green query precedes an unproven one"
