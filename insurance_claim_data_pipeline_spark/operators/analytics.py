@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import dec, dec_sum, dec_sum_sql
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, tiny_frame_key
 
 US_1H = 3_600_000_000
 
@@ -580,10 +580,10 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.select(hour_us).groupBy("hour_us").agg(F.count(F.lit(1)).alias("n"))
 
     def corr_at(lag: int) -> DataFrame:
-        # constant partitionBy: same tiny single partition (hours), but
-        # an explicit spec keeps WindowExec from logging the
-        # no-partition warning on every task.
-        w = W.partitionBy(F.lit(0)).orderBy("hour_us")
+        # single partition over the tiny hourly series, by design;
+        # tiny_frame_key keeps the partition spec non-foldable so
+        # WindowExec stays silent (see session.tiny_frame_key).
+        w = W.partitionBy(tiny_frame_key("hour_us")).orderBy("hour_us")
         pairs = hourly.select(
             F.col("n").alias("x"), F.lag("n", lag).over(w).alias("y")
         ).filter(F.col("y").isNotNull())
@@ -863,13 +863,15 @@ def _with_global_rank(df: DataFrame, value: str, key: str, out: str) -> DataFram
     )
     b = df.crossJoin(F.broadcast(bounds)).withColumn("_bkt", bkt).drop("_bounds")
     counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bkt_n"))
-    # constant partitionBy: same single partition over ≤32 rows, but
-    # with an explicit spec WindowExec skips the noisy warning.
+    # single partition over the ≤32-row bucket-counts frame, by design;
+    # non-foldable key keeps WindowExec silent (session.tiny_frame_key).
     pre_w = (
-        W.partitionBy(F.lit(0)).orderBy(F.desc("_bkt")).rowsBetween(W.unboundedPreceding, -1)
+        W.partitionBy(tiny_frame_key("_bkt"))
+        .orderBy(F.desc("_bkt"))
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     all_w = (
-        W.partitionBy(F.lit(0))
+        W.partitionBy(tiny_frame_key("_bkt"))
         .orderBy(F.lit(1))
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
@@ -950,11 +952,15 @@ def lineitem_pareto_abc_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = per_part.crossJoin(F.broadcast(bounds)).withColumn("_bkt", bkt).drop("_bounds")
     totals = b.groupBy("_bkt").agg(F.sum(dec("revenue", 4)).alias("_bkt_rev"))
+    # single partition over the ≤32-row bucket-totals frame, by design;
+    # non-foldable key keeps WindowExec silent (session.tiny_frame_key).
     pre_w = (
-        W.partitionBy(F.lit(0)).orderBy(F.desc("_bkt")).rowsBetween(W.unboundedPreceding, -1)
+        W.partitionBy(tiny_frame_key("_bkt"))
+        .orderBy(F.desc("_bkt"))
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     all_w = (
-        W.partitionBy(F.lit(0))
+        W.partitionBy(tiny_frame_key("_bkt"))
         .orderBy(F.lit(1))
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, tiny_frame_key
 
 SEQ_LEN = 512  # tokens per training sequence
 PACK_BUCKET_W = 100  # doc_ids per prefix-sum bucket (tune ≈ √N at scale)
@@ -76,14 +76,13 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum_in_bkt = F.sum("n_tok").over(Window.partitionBy("bkt").orderBy("doc_id"))
     d = d.withColumn("cum_in_bkt", cum_in_bkt)
     # tiny frame: one row per bucket; this window runs on N/W rows, not
-    # N (the whole point of the two-level construction). partitionBy a
-    # constant: semantically the same single partition, but WindowExec
-    # then has an explicit partition spec and does not print the
-    # "No Partition Defined" warning for every task — which flooded the
-    # r02 driver bench log with hundreds of red-herring lines.
+    # N (the whole point of the two-level construction). The single
+    # partition is by design; tiny_frame_key gives WindowExec an
+    # explicit (non-foldable) partition spec so it does not log the
+    # "No Partition Defined" warning — see session.tiny_frame_key.
     bkt_off = F.coalesce(
         F.sum("bkt_tok").over(
-            Window.partitionBy(F.lit(0))
+            Window.partitionBy(tiny_frame_key("bkt"))
             .orderBy("bkt")
             .rowsBetween(Window.unboundedPreceding, -1)
         ),

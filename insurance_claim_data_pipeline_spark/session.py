@@ -35,6 +35,29 @@ TABLE_NAMES = (
 )
 
 
+def tiny_frame_key(col_name: str):
+    """Window partition key that is constantly 0 but survives constant
+    folding: ``pmod(col, 1)``.
+
+    A global window (empty partition spec) makes WindowExec log "No
+    Partition Defined" for every plan that executes it, flooding driver
+    logs even when the input is a tiny pre-aggregate where
+    single-partition execution is the point. ``partitionBy(F.lit(0))``
+    does NOT help — Catalyst folds the constant away, leaving an empty
+    spec, and the warning fires anyway (measured: the 8 warnings in the
+    BENCH_r03 tail all came from such windows). ``pmod(col, 1)`` is
+    non-foldable (it references a real column) yet evaluates to 0 for
+    every non-null row, so WindowExec gets an explicit single-value
+    partition spec and stays silent, with the same single-partition
+    physical shape. Use ONLY over frames already reduced to at most a
+    few thousand rows (bucket totals, hourly series) and only on
+    non-null columns (a null would hash to its own partition).
+    """
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.col(col_name), F.lit(1))
+
+
 def get_spark(app_name: str = "insurance_claim_data_pipeline_spark") -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults applied."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
