@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.group import GroupedData
 
 from ..functions.stable import dec, dec_sum, dec_sum_sql
 from ..registry import register
@@ -153,10 +154,11 @@ GROUP BY 1
 """
 
 
-def _wau_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wau_by_day(spark: SparkSession, sf_dir: str) -> GroupedData:
     """Shared expand-by-offset frame for the WAU twins: one row per
-    (user, window-end day) within bounds, grouped by day — only the
-    distinct-count aggregate differs between exact and approx."""
+    (user, window-end day) within bounds, grouped by day (a GroupedData
+    — callers apply their own distinct-count aggregate, the only thing
+    that differs between exact and approx)."""
     ev = load_table(spark, sf_dir, "events")
     au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     bounds = ev.agg(F.max(F.to_date("ts")).alias("max_d"))

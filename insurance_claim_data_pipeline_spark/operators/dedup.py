@@ -684,7 +684,17 @@ def incremental_dedup_frame(doc: DataFrame, max_df: int | None = None) -> DataFr
     ngram_jaccard_pairs): shingles whose CORPUS document frequency
     exceeds the cap are dropped from both index and probe sides before
     the join — set sizes still count ALL shingles, so surviving
-    matches score exact Jaccard and boilerplate-only pairs drop."""
+    matches score exact Jaccard and boilerplate-only pairs drop.
+
+    Equivalence assumption (same as ngram_jaccard_pairs /
+    connected-components): the join key is ``xxhash64(shingle)`` while
+    the oracle joins raw shingle strings, so parity relies on xxhash64
+    being collision-free over the observed shingle set: a 64-bit
+    collision would merge two shingles (shrinking a distinct set size
+    and/or inflating ``n_common``) and shift a Jaccard score. If an
+    oracle mismatch ever appears here, check for that before suspecting
+    the plan. P(any collision) ≈ n²/2⁶⁵: ~3e-7 even at 1e9 distinct
+    shingles."""
     from .sampling import hash_bucket
 
     b = hash_bucket("doc_id")

@@ -13,6 +13,7 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+SF_DRIVER = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
 
 
 @pytest.fixture(scope="session")

@@ -11,7 +11,7 @@ import pytest
 
 from insurance_claim_data_pipeline_spark import registry
 
-from .conftest import SF_ORACLE
+from .conftest import SF_DRIVER, SF_ORACLE
 from .oracle_utils import run_parity
 
 SPECS = registry.all_specs()
@@ -31,6 +31,19 @@ def test_rows_only_queries_run(spark, name):
     df = SPECS[name].fn(spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_seasonal_decompose_parity_is_nonvacuous(spark):
+    """ADVICE r03: events_seasonal_decompose keeps only complete
+    24-hour trend windows (wcnt == 24); at sf0.001 the hourly series is
+    too short and BOTH engines return 0 rows, so the generic parity
+    test above passes vacuously. Pin this query's parity to sf0.01 (the
+    driver's gate scale) and require a non-empty result so a divergence
+    in the non-trivial path cannot hide."""
+    spec = SPECS["events_seasonal_decompose"]
+    assert spec.fn(spark, SF_DRIVER).count() > 0
+    problems = run_parity(spark, SF_DRIVER, "events_seasonal_decompose", spec.fn, spec.oracle)
+    assert not problems, "\n".join(problems)
 
 
 def test_bare_sum_oracle_flagged_locally(spark):

@@ -408,8 +408,21 @@ def test_streaming_ema_multibatch_time_split(spark, sf_dir, tmp_path):
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     staging = str(tmp_path / "staging")
     us = F.unix_micros("ts")
-    for cond in (us <= cut1, (us > cut1) & (us <= cut2), us > cut2):
+    # FileStreamSource orders micro-batches by file modification time;
+    # the EMA state contract requires time-ordered batches, so stamp
+    # each drop's new files with strictly increasing mtimes (ADVICE
+    # r03: equal coarse-granularity timestamps could reorder batches).
+    import os as _os2
+    import time as _time
+
+    stamped: set[str] = set()
+    base = _time.time()
+    for i, cond in enumerate((us <= cut1, (us > cut1) & (us <= cut2), us > cut2)):
         ev.filter(cond).coalesce(1).write.mode("append").parquet(staging)
+        for name in _os2.listdir(staging):
+            if name.endswith(".parquet") and name not in stamped:
+                _os2.utime(_os2.path.join(staging, name), (base + 10 * i,) * 2)
+                stamped.add(name)
 
     stream = (
         spark.readStream.schema(ev.schema)
