@@ -662,7 +662,7 @@ SELECT query_id, neighbor_id, adc_dist_e6, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-@register("sim_topk_pq", oracle=_pq_adc_oracle(), tags=("similarity", "llm", "approx"))
+@register("sim_topk_pq", oracle=_pq_adc_oracle(), tags=("similarity", "llm", "approx", "bench"))
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k (ADC): each query precomputes its
     distance lookup table to every codebook entry (M·K exact-integer
