@@ -16,6 +16,7 @@ split lands in its own directory.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -255,4 +256,52 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("rate_e6").alias("rate_e6"),
             F.count(F.when(b < F.col("rate_e6"), 1)).alias("n_kept"),
         )
+    )
+
+
+RESERVOIR_K = 5
+RESERVOIR_SALTS = 32
+
+RESERVOIR_ORACLE = f"""
+SELECT lang, doc_id, rnk FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= {RESERVOIR_K}
+"""
+
+
+@register("sample_reservoir_stratified", oracle=RESERVOIR_ORACLE, tags=("sampling", "llm", "window", "scale"))
+def sample_reservoir_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample of K=5 documents per language —
+    the distributed, reproducible equivalent of per-stratum reservoir
+    sampling: rank every document by md5(doc_id) (a uniform, engine-
+    independent permutation) and keep each stratum's K smallest.
+
+    Scale shape: a naive single window per language collapses each
+    stratum onto ONE reducer — with a handful of languages that is a
+    handful of reducers for the whole corpus. Instead, a two-level
+    exact top-K: (1) partition each stratum into {RESERVOIR_SALTS} salt
+    buckets by xxhash64(doc_id) and take each bucket's local top-K
+    (windows over corpus/{RESERVOIR_SALTS}-sized groups, all reducers
+    busy); (2) re-rank the surviving ≤K·{RESERVOIR_SALTS} rows per
+    stratum — a tiny frame — for the final top-K. The global top-K by
+    any total order is always contained in the union of per-bucket
+    top-Ks, so the result is bit-identical to the single-window oracle."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    key = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(RESERVOIR_SALTS))
+    local_w = W.partitionBy("lang", "_salt").orderBy("_key", "doc_id")
+    survivors = (
+        doc.select("lang", "doc_id", key.alias("_key"), salt.alias("_salt"))
+        .withColumn("_lrnk", F.row_number().over(local_w))
+        .filter(F.col("_lrnk") <= RESERVOIR_K)
+    )
+    final_w = W.partitionBy("lang").orderBy("_key", "doc_id")
+    return (
+        survivors.select(
+            "lang", "doc_id", F.row_number().over(final_w).cast("long").alias("rnk")
+        )
+        .filter(F.col("rnk") <= RESERVOIR_K)
     )

@@ -319,3 +319,87 @@ def warehouse_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from_us").alias("version_from_us"),
         F.col("n_events").alias("version_n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (net CDC between two points in time)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS t1
+  FROM events
+), s2 AS (
+  SELECT user_id, event_id, event_type, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+), s1 AS (
+  SELECT user_id, event_id, event_type, value
+  FROM events, b
+  WHERE epoch_us(ts) <= b.t1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+)
+SELECT s2.user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'added' ELSE 'updated' END AS status,
+       s1.event_type AS old_state,
+       s2.event_type AS new_state,
+       s1.value AS old_value,
+       s2.value AS new_value,
+       s2.ts_us AS new_ts_us
+FROM s2 LEFT JOIN s1 USING (user_id)
+WHERE s1.user_id IS NULL OR s2.event_id <> s1.event_id
+"""
+
+
+@register("warehouse_snapshot_diff", oracle=SNAPSHOT_DIFF_ORACLE, tags=("warehouse", "cdc", "agg"))
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net change-set between two table snapshots — the lakehouse
+    "diff two versions" maintenance op: per-user latest state at the
+    midpoint cutoff T1 vs at T2 = now, emitting added/updated rows
+    (users untouched between the snapshots produce nothing, which is
+    what makes the diff incremental-shippable downstream).
+
+    Scale shape: ONE scan and ONE user_id shuffle computes both
+    snapshots simultaneously — per-user ``MAX(struct(ts, event_id,
+    ...))`` (lexicographic on a unique leading pair, so deterministic)
+    with the T1 snapshot as a conditional aggregate over the same
+    groups — where the naive form is two window passes plus a
+    self-join. The oracle keeps the naive two-CTE QUALIFY form; both
+    resolve the same (ts, event_id)-latest rows."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 2")
+        ).alias("t1")
+    )
+    s = F.struct(
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    snap = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.unix_micros("ts") <= F.col("t1"), s)).alias("s1"),
+            F.max(s).alias("s2"),
+        )
+    )
+    return (
+        snap.filter(
+            F.col("s1").isNull() | (F.col("s2.event_id") != F.col("s1.event_id"))
+        )
+        .select(
+            "user_id",
+            F.when(F.col("s1").isNull(), "added").otherwise("updated").alias("status"),
+            F.col("s1.event_type").alias("old_state"),
+            F.col("s2.event_type").alias("new_state"),
+            F.col("s1.value").alias("old_value"),
+            F.col("s2.value").alias("new_value"),
+            F.col("s2.ts_us").alias("new_ts_us"),
+        )
+    )

@@ -49,3 +49,23 @@ def test_salt_actually_spreads_hot_key(spark):
     )
     n_shards = salted.filter(F.col("k") == 1).select("_salt").distinct().count()
     assert n_shards == 8  # the hot key occupies every shard
+
+
+def test_join_skew_salted_plan_shape(spark):
+    """The registry query must actually exercise the salted shuffle
+    join: no BroadcastHashJoin (the dim side is shuffle_hash-hinted —
+    at target scale it doesn't fit a broadcast), and the join keys must
+    include the salt column pair."""
+    from insurance_claim_data_pipeline_spark.operators.skew import join_skew_salted
+
+    from .conftest import SF_SMOKE
+
+    plan = (
+        join_skew_salted(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan
+    assert "_salt" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
