@@ -395,3 +395,79 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return bdf.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio framing: payload bytes as PCM samples → per-frame energy
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 64  # samples (bytes) per frame
+AUDIO_SCHEMA = "doc_id long, frame_id long, n_samples long, energy long, peak long"
+
+AUDIO_FRAMING_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb, hex(encode(text)) AS hx
+  FROM documents
+), f AS (
+  SELECT doc_id, nb, hx,
+         unnest(generate_series(0, (nb - 1) // {AUDIO_FRAME})) AS frame_id
+  FROM h WHERE nb > 0
+), s AS (
+  SELECT doc_id, frame_id, hx,
+         unnest(generate_series(frame_id * {AUDIO_FRAME},
+                                LEAST(frame_id * {AUDIO_FRAME} + {AUDIO_FRAME} - 1,
+                                      nb - 1))) AS i
+  FROM f
+), v AS (
+  SELECT doc_id, frame_id,
+         (('0x' || substr(hx, i * 2 + 1, 2))::BIGINT - 128) AS d
+  FROM s
+)
+SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(d * d) AS BIGINT) AS energy,
+       CAST(MAX(ABS(d)) AS BIGINT) AS peak
+FROM v GROUP BY 1, 2
+"""
+
+
+@register("multimodal_audio_framing", oracle=AUDIO_FRAMING_ORACLE, tags=("multimodal", "llm"))
+def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame analysis over the opaque binary payload: interpret
+    each payload's bytes as unsigned 8-bit PCM samples (centered at
+    128), cut them into {AUDIO_FRAME}-sample frames, and emit per-frame
+    sample count, integer energy (Σd²) and peak |d| — the
+    frame/window stage every audio pipeline runs before VAD or
+    spectrogram extraction. A real codec (ffmpeg/soundfile) replaces
+    the byte-interpretation line; the framing loop, Arrow batch shape,
+    exploding one input row into many frame rows, and the output schema
+    are the production plumbing and are exactly what the oracle checks
+    (all-integer arithmetic on the true payload bytes).
+
+    Scale: mapInPandas streams Arrow batches (constant memory); each
+    payload's frames are computed where the payload lives — the
+    one-row-to-many-frames explosion happens inside the task, never
+    through a shuffle or the driver."""
+    bdf = binary_documents(spark, sf_dir)
+
+    # Self-contained closure (pickled by value — see decode_metadata).
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        F_SZ = 64
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "n_samples": [], "energy": [], "peak": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = _np.frombuffer(bytes(content), dtype=_np.uint8).astype(_np.int64) - 128
+                for fid in range((b.size + F_SZ - 1) // F_SZ):
+                    seg = b[fid * F_SZ : (fid + 1) * F_SZ]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(fid)
+                    out["n_samples"].append(seg.size)
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(_np.abs(seg).max()))
+            yield _pd.DataFrame(out)
+
+    return bdf.mapInPandas(frames, schema=AUDIO_SCHEMA)

@@ -1890,3 +1890,39 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+RANGE_SORT_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       CAST(epoch_us(l_shipdate) AS BIGINT) AS shipdate_us
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_discount >= 0.08
+"""
+
+
+@register("sort_range_partitioned", oracle=RANGE_SORT_ORACLE, tags=("sort", "scale"))
+def sort_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed total-order sort: ``repartitionByRange`` samples the
+    sort key to build range boundaries, every partition receives a
+    disjoint key range, and ``sortWithinPartitions`` finishes locally —
+    partition i's rows all precede partition i+1's, so writing the
+    partitions in order yields a globally sorted dataset without ever
+    moving all rows to one node (the only scalable shape for "ORDER BY
+    the whole table" output jobs at 100 TB; contrast
+    ``sort_topk_global``, which is the right shape when only k rows
+    survive). The driver's hash compare is order-insensitive, so the
+    oracle checks the filtered row SET; the global ordering itself is
+    plan-gated (RangePartitioning + in-partition Sort, no single
+    partition) and value-checked in tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_discount") >= 0.08))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.unix_micros("l_shipdate").alias("shipdate_us"),
+        )
+        .repartitionByRange(8, F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .sortWithinPartitions(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+    )

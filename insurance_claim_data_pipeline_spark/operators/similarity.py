@@ -881,3 +881,81 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nrm", 9).alias("nrm"),
         F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("unit_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random sign projection (Johnson-Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+RP_DIM = 8  # output dimensions
+RP_IN_DIM = 64  # embeddings table dimension (TESTDATA.md)
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """±1 from md5 parity of "i-j" (i 1-based input dim, j output dim) —
+    the same expression both engines evaluate, so the projection matrix
+    never needs to be stored anywhere."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _rp_oracle() -> str:
+    return f"""
+WITH elem AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), proj AS (
+  SELECT vec_id, j,
+         CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+              * (CASE WHEN (('0x' || substr(md5(CAST(i AS VARCHAR) || '-'
+                             || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 2) = 0
+                 THEN 1 ELSE -1 END)) AS BIGINT) AS p_e6
+  FROM elem CROSS JOIN (SELECT unnest(generate_series(0, {RP_DIM - 1})) AS j) js
+  GROUP BY vec_id, j
+)
+SELECT vec_id, CAST(j AS BIGINT) AS j, p_e6,
+       CAST(p_e6 AS DOUBLE) / 1000000 AS proj
+FROM proj
+"""
+
+
+@register("emb_random_projection", oracle=_rp_oracle(), tags=("similarity", "llm", "scale"))
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random sign projection of the 64-d
+    embeddings down to {RP_DIM} dims: out_j = Σ_i sign(i,j)·x_i with
+    signs drawn deterministically from md5(i-j) parity (Achlioptas'
+    ±1 construction — preserves pairwise distances within 1±ε, the
+    standard trick for cutting ANN index cost before bucketing).
+
+    The projection matrix is never materialized: signs are literals
+    compiled into the plan (on a cluster: a broadcast of 64×8 ints).
+    Each element is fixed-pointed to a ×1e6 integer BEFORE the signed
+    sum, so the per-dimension total is an exact integer — engine- and
+    order-independent. The whole operator is one narrow map (zip_with +
+    aggregate inside codegen) with NO shuffle and NO Python."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cols = []
+    for j in range(RP_DIM):
+        signs = F.array(
+            *[F.lit(_rp_sign(i, j)).cast("long") for i in range(1, RP_IN_DIM + 1)]
+        )
+        signed = F.zip_with(
+            "embedding",
+            signs,
+            lambda x, s: F.round(x.cast("double") * 1_000_000).cast("long") * s,
+        )
+        p_e6 = F.aggregate(signed, F.lit(0).cast("long"), lambda a, b: a + b)
+        cols.append(
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                p_e6.alias("p_e6"),
+            )
+        )
+    return emb.select("vec_id", F.explode(F.array(*cols)).alias("pj")).select(
+        "vec_id",
+        F.col("pj.j").alias("j"),
+        F.col("pj.p_e6").alias("p_e6"),
+        (F.col("pj.p_e6").cast("double") / 1_000_000).alias("proj"),
+    )

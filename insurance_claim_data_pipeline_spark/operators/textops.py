@@ -998,3 +998,59 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint,
         schema="doc_id bigint, n_chars bigint, full_hash bigint, min_window_hash bigint",
     )
+
+
+ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), c AS (
+  SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_toks,
+         CAST(SUM(CAST(ROUND(cnt * ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_clnc_e6
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_toks, sum_clnc_e6,
+       CAST(ROUND(ln(CAST(n_toks AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(ROUND(CAST(sum_clnc_e6 AS DOUBLE) / n_toks) AS BIGINT) AS entropy_e6
+FROM agg
+"""
+
+
+@register("text_token_entropy", oracle=ENTROPY_ORACLE, tags=("text", "llm"))
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats, ×1e6
+    fixed point): H = ln(n) − (Σ c·ln c)/n over the doc's token counts.
+    Low entropy ⇒ repetitive/templated text (a tiny vocabulary used
+    over and over), high entropy ⇒ diverse vocabulary — a standard
+    corpus-quality signal complementing text_repetition_filter (which
+    looks at adjacent duplication, not distribution shape).
+
+    Determinism: each count's c·ln(c) term is rounded to a ×1e6 integer
+    BEFORE the per-doc sum (the text_bigram_logprob idiom), so
+    aggregation order cannot move the hash; the final combine is one
+    deterministic IEEE division of the exact integer sum.
+
+    Scale: explode → two map-side-combined shuffles (doc_id,token then
+    doc_id), both keyed on doc_id-prefixed keys — no global state, no
+    vocabulary broadcast needed."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = (
+        doc.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    term = F.round(F.col("cnt") * F.log(F.col("cnt").cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    agg = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_toks"),
+        F.sum(term).alias("sum_clnc_e6"),
+    )
+    entropy_e6 = (
+        F.round(F.log(F.col("n_toks").cast("double")) * 1_000_000).cast("long")
+        - F.round(F.col("sum_clnc_e6").cast("double") / F.col("n_toks")).cast("long")
+    )
+    return agg.select("doc_id", "n_toks", "sum_clnc_e6", entropy_e6.alias("entropy_e6"))

@@ -297,3 +297,26 @@ def test_pit_join_is_asof_shaped_not_interval(spark, sf_dir):
         head = block.split("\n", 1)[0]
         if "version_start" in head:
             assert "user_id" in head, head
+
+
+def test_range_sort_is_range_partitioned_and_globally_ordered(spark, sf_dir):
+    """sort_range_partitioned must plan as RangePartitioning + local
+    sort (the scalable total-order shape), and the partition-concatenated
+    output must actually BE globally ordered."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.relational import (
+        sort_range_partitioned,
+    )
+
+    df = sort_range_partitioned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    # global order: rows tagged with their partition id, read back in
+    # (partition, in-partition) order, must be monotone on the sort key
+    rows = df.withColumn("_pid", F.spark_partition_id()).collect()
+    keys = [(-r.l_extendedprice, r.l_orderkey, r.l_linenumber) for r in rows]
+    assert keys == sorted(keys)
+    pids = [r._pid for r in rows]
+    assert pids == sorted(pids)  # partition ids are range-ordered too
