@@ -347,3 +347,52 @@ def events_conversion_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("b_ts") - F.unix_micros("a_ts")).alias("gap_us"),
     )
+
+
+CAP_PER_KEY_K = 2
+
+CAP_PER_KEY_ORACLE = f"""
+SELECT user_id, day_us, event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+FROM (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(ts) % 86400000000) AS day_us,
+         event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id,
+                            (epoch_us(ts) - epoch_us(ts) % 86400000000)
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+) WHERE rn <= {CAP_PER_KEY_K}
+"""
+
+
+@register("events_cap_per_key", oracle=CAP_PER_KEY_ORACLE, tags=("events", "window", "sampling"))
+def events_cap_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rate limiting: keep the first {CAP_PER_KEY_K}
+    events per (user, day), in (ts, event_id) arrival order — the
+    bounded-fanout guard every ingestion pipeline puts in front of a
+    chatty producer (a runaway client can otherwise dominate storage
+    and every downstream per-user aggregate). The cap genuinely binds
+    on the test data (~2.2 events/user-day), so the parity hash proves
+    the keep/drop boundary, not just a pass-through.
+
+    Scale: one window over (user_id, day) — millions of small groups,
+    uniformly distributed by construction (the cap itself removes the
+    skew the hot user would cause downstream). No global state."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = (
+        F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(86_400_000_000))
+    ).alias("day_us")
+    w = W.partitionBy("user_id", "day_us").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            day_us,
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CAP_PER_KEY_K)
+        .drop("rn")
+    )

@@ -471,3 +471,46 @@ def multimodal_audio_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return bdf.mapInPandas(frames, schema=AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned parquet sink round trip
+# ---------------------------------------------------------------------------
+
+PARTITIONED_SINK_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+@register("sink_partitioned_parquet_stats", oracle=PARTITIONED_SINK_ORACLE, tags=("sink", "sources"))
+def sink_partitioned_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink, verified by round trip:
+    write ``documents`` partitioned by ``lang`` (each language its own
+    directory — the layout that makes partition pruning free for every
+    downstream reader), read the written dataset back, and aggregate
+    per partition. The oracle aggregates the ORIGINAL table, so the
+    hash certifies no row was lost, duplicated, or mis-partitioned on
+    the way through the files.
+
+    Scale: the writer also caps ``maxRecordsPerFile`` — on a real
+    cluster that is the knob that keeps any one output file (and thus
+    any downstream task) bounded no matter how skewed the partition
+    column is. Output lands in a fixed temp dir, mode=overwrite, so
+    repeated runs don't accumulate."""
+    import tempfile
+
+    doc = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "icdp_sink_partitioned_parquet")
+    (
+        doc.write.mode("overwrite")
+        .option("maxRecordsPerFile", 5000)
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

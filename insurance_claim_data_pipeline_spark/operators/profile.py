@@ -199,3 +199,43 @@ def profile_documents_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py::test_approx_swaps_bracket_exact asserts
     every estimate is within HLL tolerance of the exact profile."""
     return profile_table(load_table(spark, sf_dir, "documents"), _DOC_COLS, approx=True)
+
+
+PROFILE_EMB_ORACLE = """
+WITH elem AS (
+  SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT CAST(i AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
+       MIN(CAST(v AS DOUBLE)) AS min_v,
+       MAX(CAST(v AS DOUBLE)) AS max_v
+FROM elem GROUP BY i
+"""
+
+
+@register("profile_embeddings", oracle=PROFILE_EMB_ORACLE, tags=("profile", "similarity", "llm"))
+def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column (count, fixed-point
+    sum, min, max): the data-quality pass that catches dead dimensions
+    (constant values), scale drift between embedding-model versions,
+    and NaN/Inf corruption before vectors reach an ANN index. Mean is
+    recoverable as sum_e6/(1e6·n); the ×1e6 integer sum keeps the
+    aggregate exact and engine/order-independent (min/max are exact
+    regardless).
+
+    Scale: posexplode to (dim, value) then a 64-group aggregate —
+    map-side partial aggregation reduces each task to ≤64 rows before
+    the one tiny shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elem = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return elem.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("v") * 1_000_000).cast("long")).alias("sum_e6"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

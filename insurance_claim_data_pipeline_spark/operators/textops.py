@@ -1054,3 +1054,45 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.round(F.col("sum_clnc_e6").cast("double") / F.col("n_toks")).cast("long")
     )
     return agg.select("doc_id", "n_toks", "sum_clnc_e6", entropy_e6.alias("entropy_e6"))
+
+
+COMPRESSION_SCHEMA = "doc_id long, n_bytes long, n_compressed long, ratio_e6 long"
+
+
+@register("text_compression_ratio", tags=("text", "llm", "quality"))  # rows-only: no zlib in SQL
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap quality/
+    repetition signal (Gopher/RefinedWeb-style): highly repetitive or
+    templated text compresses far below natural prose, near-random
+    gibberish barely compresses at all. ratio_e6 = ⌈compressed/raw⌉ in
+    ×1e6 fixed point.
+
+    Rows-only check: compression is computed by zlib (level 6), which
+    no SQL oracle can reproduce; determinism within the environment is
+    unit-tested (tests/test_llm_ops.py) along with the signal's
+    direction — repeated text must compress smaller than shuffled text.
+
+    Scale: mapInPandas over Arrow batches, self-contained closure, no
+    shuffle — pure per-row map wherever the text already lives."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def compress(batches):
+        import pandas as _pd
+        import zlib as _zlib
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").map(lambda t: t.encode("utf-8"))
+            nb = raw.map(len)
+            nc = raw.map(lambda b: len(_zlib.compress(b, 6)))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio_e6": [
+                        (c * 1_000_000) // b if b else 0 for b, c in zip(nb, nc)
+                    ],
+                }
+            )
+
+    return doc.mapInPandas(compress, schema=COMPRESSION_SCHEMA)

@@ -738,3 +738,24 @@ def test_incremental_dedup_max_df_guard(spark):
     assert capped[near_batch]["status"] == "dup"
     assert capped[near_batch]["match_doc_id"] == corpus_ids[5]
     assert capped[near_batch]["jaccard"] == uncapped[near_batch]["jaccard"]
+
+
+def test_compression_ratio_direction_and_determinism(spark, sf_dir):
+    """Repetitive text must compress harder than diverse text, and the
+    operator must be deterministic across runs."""
+    from insurance_claim_data_pipeline_spark.operators.textops import (
+        text_compression_ratio,
+    )
+
+    rows = {r.doc_id: r for r in text_compression_ratio(spark, sf_dir).collect()}
+    again = {r.doc_id: r for r in text_compression_ratio(spark, sf_dir).collect()}
+    assert rows == again and rows
+    for r in rows.values():
+        assert r.n_compressed > 0 and r.n_bytes >= 0
+        assert r.ratio_e6 == (r.n_compressed * 1_000_000) // r.n_bytes
+
+    import zlib
+
+    rep = "the same line over and over " * 50
+    div = "".join(chr(33 + ((i * 7919) % 90)) for i in range(len(rep)))
+    assert len(zlib.compress(rep.encode(), 6)) < len(zlib.compress(div.encode(), 6))
