@@ -776,3 +776,39 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded jaccard DESC, corpus_id) — a total order shared with the
     oracle."""
     return incremental_dedup_frame(load_table(spark, sf_dir, "documents"))
+
+
+APPLY_REPS_ORACLE = f"""
+WITH comp AS ({COMPONENTS_ORACLE})
+SELECT d.doc_id,
+       COALESCE(c.component_id, d.doc_id) AS rep_id,
+       (c.component_id IS NULL OR c.component_id = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+@register("dedup_apply_representatives", oracle=APPLY_REPS_ORACLE, tags=("dedup", "llm"))
+def dedup_apply_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of the dedup family: turn cluster labels into the
+    deduplicated corpus decision — every document gets its canonical
+    representative (the cluster's min doc_id; itself when unclustered)
+    and a ``keep`` flag that is true for exactly one doc per near-dup
+    cluster. Detection without this step never shrinks the corpus;
+    ``df.filter("keep")`` IS the training set.
+
+    Scale: one left join of the corpus to the (much smaller) label
+    frame on doc_id — near-dup labels cover only documents that
+    appeared in a candidate pair, so the join's build side is sparse;
+    everything upstream inherits the bucketed inverted-index shape of
+    dedup_ngram_jaccard/dedup_components."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = dedup_components(spark, sf_dir)
+    return doc.join(labels.withColumnRenamed("doc_id", "l_doc_id"),
+                    doc.doc_id == F.col("l_doc_id"), "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("rep_id"),
+        (
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        ).alias("keep"),
+    )

@@ -305,3 +305,53 @@ def sample_reservoir_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= RESERVOIR_K)
     )
+
+
+TEMPORAL_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) + CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 0.8 AS BIGINT)
+           AS cut
+  FROM events
+)
+SELECT CASE WHEN epoch_us(ts) <= b.cut THEN 'train' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events, b
+GROUP BY 1
+"""
+
+
+@register("sample_temporal_split", oracle=TEMPORAL_SPLIT_ORACLE, tags=("sampling", "llm", "events"))
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split at the 80% point of the observed time
+    range — the leakage-safe split for anything with temporal structure
+    (forecasting, recommendation, eval-on-the-future): a hash split
+    (sample_split_hash) would let the model train on events AFTER its
+    test window. Emits per-split row/user counts and the actual time
+    bounds, so the non-overlap of the two windows is part of the
+    hash-checked contract.
+
+    Scale: one bounds aggregate broadcast back, one narrow classify,
+    one 2-group aggregate — no shuffle beyond the final tiny groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) * 0.8).cast(
+                "long"
+            )
+        ).alias("cut")
+    )
+    split = F.when(F.unix_micros("ts") <= F.col("cut"), "train").otherwise("test")
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min(F.unix_micros("ts")).alias("min_ts_us"),
+            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        )
+    )
