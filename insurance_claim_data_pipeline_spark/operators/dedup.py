@@ -812,3 +812,28 @@ def dedup_apply_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("component_id") == F.col("doc_id"))
         ).alias("keep"),
     )
+
+
+NORMALIZED_EXACT_ORACLE = """
+SELECT md5(lower(trim(regexp_replace(text, '[ ]+', ' ', 'g')))) AS norm_md5,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_normalized", oracle=NORMALIZED_EXACT_ORACLE, tags=("dedup", "llm"))
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: collapse whitespace runs, trim, and
+    lowercase BEFORE hashing — catches the trivially-reformatted copies
+    (double spaces, case changes) that byte-exact dedup_exact misses
+    but that don't merit shingle machinery; production pipelines
+    (Dolma-style) run this between exact and near-dup passes. Same
+    one-shuffle hash-groupBy shape as dedup_exact at any scale."""
+    doc = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", "[ ]+", " ")))
+    return doc.groupBy(F.md5(norm).alias("norm_md5")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

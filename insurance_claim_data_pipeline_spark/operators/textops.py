@@ -1096,3 +1096,47 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return doc.mapInPandas(compress, schema=COMPRESSION_SCHEMA)
+
+
+# GPT-2-style pre-tokenizer, restricted to the RE2∩Java dialect both
+# engines implement identically (alternation + classes only — no
+# lookahead, no \p classes): contraction suffix, space-prefixed letter
+# run, space-prefixed digit run, space-prefixed punctuation run.
+BPE_PRETOKEN_RE = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9' ]+"
+
+BPE_PRETOKEN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{BPE_PRETOKEN_RE.replace("'", "''")}')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_distinct,
+       CAST(SUM(length(t)) AS BIGINT) AS total_len
+FROM tok GROUP BY doc_id
+"""
+
+
+@register("text_bpe_pretokenize", oracle=BPE_PRETOKEN_ORACLE, tags=("text", "llm"))
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts per document: the GPT-2
+    pre-tokenizer's split classes (contraction suffixes, space-prefixed
+    letter/digit/punctuation runs) restricted to the regex dialect RE2
+    and Java share, so Spark and the oracle tokenize bit-identically
+    (probed on both engines). n_tokens is what a BPE tokenizer's cost
+    is proportional to — the budget number every training-data pipeline
+    wants BEFORE running the real (expensive) tokenizer; whitespace
+    token counts (text_token_stats) undercount punctuation-heavy text.
+
+    Scale: regexp_extract_all + explode, one map-side-combined shuffle
+    on doc_id — identical shape to text_token_stats."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = doc.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0)).alias("t"),
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_distinct"),
+        F.sum(F.length("t")).alias("total_len"),
+    )
