@@ -320,3 +320,29 @@ def test_range_sort_is_range_partitioned_and_globally_ordered(spark, sf_dir):
     assert keys == sorted(keys)
     pids = [r._pid for r in rows]
     assert pids == sorted(pids)  # partition ids are range-ordered too
+
+
+def test_random_projection_is_shuffle_free(spark, sf_dir):
+    """The JL projection must stay a narrow map: no Exchange, no
+    Python eval — pure codegen over the scan."""
+    plan = physical_plan(spark, sf_dir, "emb_random_projection")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan  # the 8-way struct fan-out
+
+
+def test_profile_embeddings_partial_agg_before_shuffle(spark, sf_dir):
+    """Per-dimension profile: map-side combine reduces each task to
+    ≤64 rows before its single shuffle."""
+    plan = physical_plan(spark, sf_dir, "profile_embeddings")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
+
+
+def test_snapshot_diff_single_shuffle(spark, sf_dir):
+    """Both snapshots must come from ONE user_id aggregation — no
+    second scan, no self-join, no window."""
+    plan = physical_plan(spark, sf_dir, "warehouse_snapshot_diff")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert plan.count("FileScan parquet") <= 2  # events + tiny bounds agg
