@@ -1,0 +1,249 @@
+"""Deterministic distributed sketches: HyperLogLog distinct counting and
+Bloom-filter join pre-filtering — built from md5, so Spark and DuckDB
+reproduce them bit-for-bit.
+
+Engine-native sketches (Spark HLL++, DuckDB's approx_count_distinct) are
+legitimately engine-specific, which is why ``agg_approx`` is a rows-only
+check forever (COVERAGE.md). This module takes the other road: implement
+the sketch *itself* as a declarative DataFrame plan over a deterministic
+hash (md5, available verbatim in both engines). The payoff is a sketch
+family that is
+
+* **oracle-checkable** — the DuckDB oracle replays the identical
+  register/bitmask construction, so the driver hash proves the whole
+  sketch pipeline end to end, not just its plumbing; and
+* **mergeable by construction** — HLL registers are a MAX-aggregate and
+  Bloom words a BIT_OR-aggregate, both commutative/associative, so
+  partial aggregation (map-side combine), shard-wise sketching, and
+  cross-day unions all yield the exact same sketch
+  (``tests/test_sketches.py`` proves day-merge == global).
+
+At 100 TB this is the point of sketches: one streaming pass, a few KB of
+state per group, no distinct-shuffle of raw keys.
+
+The reference (242-line stdlib script, SURVEY.md) has no sketches; this
+is §2.2 LLM/scale extension surface (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import dec_sum, dec_sum_sql
+from ..registry import register
+from ..session import load_table
+
+# ---------------------------------------------------------------- HLL ----
+# Precision p=8 -> m=256 registers; h60 = top 60 bits of md5 (15 hex
+# chars); bucket = h60 mod m; the remaining 52-bit value w feeds the
+# leading-zero rank rho in [1, 53]. Standard HLL bias constant for m=256,
+# computed ONCE here and inlined as the SAME double literal into both
+# engines (so constant folding cannot diverge).
+HLL_M = 256
+HLL_W_BITS = 52
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# E_raw = alpha * m^2 / sum(2^-r) = NUMER / sum(2^(53-r)), one division.
+HLL_NUMER = _HLL_ALPHA * float(HLL_M) * float(HLL_M) * float(2 ** (HLL_W_BITS + 1))
+_LC_THRESHOLD = 2.5 * HLL_M  # small-range (linear counting) switchover
+
+
+def _h60(c: Column) -> Column:
+    """Uniform 60-bit integer from md5 — same recipe as sampling.py."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def _h60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+HLL_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         {_h60_sql('user_id')} % {HLL_M} AS bucket,
+         {_h60_sql('user_id')} // {HLL_M} AS w
+  FROM events
+), reg AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS} + 1 - length(to_base(w, 2)) END) AS r
+  FROM b GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W_BITS + 1} - r)) AS BIGINT)
+           + ({HLL_M} - CAST(COUNT(*) AS BIGINT))
+             * (CAST(1 AS BIGINT) << {HLL_W_BITS + 1}) AS zsum
+  FROM reg GROUP BY 1
+)
+SELECT event_type, n_buckets_hit,
+       ROUND(CASE WHEN n_buckets_hit < {HLL_M}
+                   AND {HLL_NUMER!r} / CAST(zsum AS DOUBLE) <= {_LC_THRESHOLD!r}
+             THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - n_buckets_hit AS DOUBLE))
+             ELSE {HLL_NUMER!r} / CAST(zsum AS DOUBLE) END, 4) AS est_distinct_users
+FROM s
+"""
+
+
+@register("agg_hll_deterministic", oracle=HLL_ORACLE, tags=("sketch", "agg", "scale"))
+def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog: estimated distinct users per event type
+    from a 256-register md5-based sketch, reproduced bit-for-bit by the
+    DuckDB oracle (unlike engine-native HLL++ — see ``agg_approx``).
+
+    Construction: h60 = top 60 md5 bits; register index = h60 mod 256;
+    rank rho = leading-zero count of the remaining 52-bit value + 1
+    (computed exactly as 53 - bitlength, via base-2 string length — no
+    float log2); registers are MAX-aggregated, so the sketch is
+    mergeable and map-side combines. The estimator avoids float-sum
+    order dependence entirely: sum(2^-r) is scaled by 2^53 into an
+    exact BIGINT sum of powers of two, and the bias constant alpha*m^2
+    enters as ONE inlined double literal with ONE final division.
+    Small-range linear counting (m*ln(m/V), V = empty registers) kicks
+    in below 2.5m exactly as in Flajolet et al.; ln() is the only libm
+    call and the result is rounded to 4 decimals (a last-ulp libm
+    divergence sits ~1e-13 away, far below the rounding grain).
+
+    100 TB: one scan, no distinct-shuffle of raw user ids — the only
+    shuffle carries (event_type, bucket, partial-max) rows, bounded by
+    groups x 256 regardless of cardinality. Exact twin for the test
+    oracle: ``events_user_totals`` / ``agg_stats`` count-distinct paths.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = _h60(F.col("user_id"))
+    b = ev.select(
+        "event_type",
+        (h % HLL_M).alias("bucket"),
+        # h // 256 must be EXACT integer division (a double `/` would
+        # round the 60-bit h at the 53-bit mantissa); h >= 0 so a right
+        # shift is floor division.
+        F.shiftright(h, 8).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.conv(F.col("w"), 10, 2))
+    )
+    reg = b.groupBy("event_type", "bucket").agg(F.max(rho).alias("r"))
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS + 1} - r AS INT))")
+    s = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        (
+            F.sum(term)
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << (HLL_W_BITS + 1)).cast("long")
+        ).alias("zsum"),
+    )
+    raw = F.lit(HLL_NUMER) / F.col("zsum").cast("double")
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("n_buckets_hit")).cast("double")
+    )
+    est = F.when((F.col("n_buckets_hit") < HLL_M) & (raw <= _LC_THRESHOLD), lc).otherwise(raw)
+    return s.select(
+        "event_type", "n_buckets_hit", F.round(est, 4).alias("est_distinct_users")
+    )
+
+
+# -------------------------------------------------------------- Bloom ----
+# m = 2^17 bits (16 KiB) packed into 64-bit words; k = 3 probes via
+# Kirsch-Mitzenmacher double hashing from one md5 (h2 forced odd so the
+# probe sequence never degenerates).
+BLOOM_BITS = 1 << 17
+BLOOM_K = 3
+
+_BUILD_PRED = "o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1995-01-01'"
+
+BLOOM_JOIN_ORACLE = f"""
+SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE {_BUILD_PRED}
+GROUP BY 1
+"""
+
+
+def _bloom_positions(key: Column) -> list[Column]:
+    """k probe bit-positions for a key — MUST be identical on the build
+    and probe sides (same md5, same double-hashing schedule)."""
+    h = _h60(key)
+    h1 = h % BLOOM_BITS
+    # exact integer h // 2^17 (double division would round 60-bit h)
+    h2 = (F.shiftright(h, 17) % BLOOM_BITS).bitwiseOR(F.lit(1))
+    return [(h1 + F.lit(i) * h2) % BLOOM_BITS for i in range(BLOOM_K)]
+
+
+def _bloom_probe_sql(key_sql: str) -> str:
+    """SQL-text twin of ``_bloom_positions`` + membership test against
+    the broadcast ``__bloom__`` word map (shiftleft's shift amount is a
+    column, which the PySpark function API rejects — the SQL form keeps
+    it JVM-side)."""
+    h = f"CAST(conv(substring(md5(CAST({key_sql} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    h1 = f"({h} % {BLOOM_BITS})"
+    h2 = f"((shiftright({h}, 17) % {BLOOM_BITS}) | 1)"
+    tests = []
+    for i in range(BLOOM_K):
+        p = f"(({h1} + {i} * {h2}) % {BLOOM_BITS})"
+        tests.append(
+            f"(coalesce(element_at(__bloom__, CAST({p} / 64 AS BIGINT)), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))) != 0"
+        )
+    return " AND ".join(tests)
+
+
+@register("join_bloom_prefilter", oracle=BLOOM_JOIN_ORACLE, tags=("join", "sketch", "scale"))
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filter: 1994 urgent-order revenue by month,
+    with the lineitem (fact) side pruned by a 16 KiB broadcast Bloom
+    filter over the qualifying order keys BEFORE it reaches the join
+    shuffle. Semantically transparent — Bloom filters have no false
+    negatives, and false positives die in the real equi-join — so the
+    oracle is the plain join, and ``tests/test_sketches.py`` asserts
+    equality with the filter-free twin plus the plan shape (the bitmask
+    test sits below the join in the physical plan).
+
+    Build: one aggregation packs the k=3 probe bits of every build key
+    into 2048 BIT_OR'd 64-bit words -> a single-row word->bits map,
+    broadcast to every probe task (the crossJoin is against this 1-row
+    frame — the same broadcast-scalar pattern as the IVF centroids).
+
+    100 TB: this is how you join a selective dimension against a fact
+    table too big to shuffle blindly when BOTH sides exceed broadcast
+    size: ship the KB-scale sketch of the small side's keys, drop the
+    ~99% of fact rows that cannot match while they are still colocated
+    with the scan, and pay the join shuffle only for survivors (Spark's
+    own runtime row-group filtering does the same trick; here it is
+    explicit, deterministic, and oracle-proven). Registers BIT_OR ->
+    mergeable, map-side combined, never more than 2048 x 8 B of state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.filter(F.expr(_BUILD_PRED)).select(
+        "o_orderkey", "o_orderdate"
+    )
+    # ---- build: explode the k positions, pack into words, one map row.
+    pos = F.explode(F.array(*_bloom_positions(F.col("o_orderkey")))).alias("__pos__")
+    words = (
+        build.select(pos)
+        .select(
+            (F.col("__pos__") / F.lit(64)).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos__, 64) AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bloom__")
+    )
+    # ---- probe: all k bits must be set; coalesce(0) for absent words.
+    probe = li.select("l_orderkey", "l_extendedprice", "l_discount").crossJoin(
+        F.broadcast(bloom)
+    )
+    filtered = probe.filter(F.expr(_bloom_probe_sql("l_orderkey"))).drop("__bloom__")
+    joined = filtered.join(build, filtered.l_orderkey == build.o_orderkey)
+    return joined.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.packing",
     "insurance_claim_data_pipeline_spark.operators.ema",
     "insurance_claim_data_pipeline_spark.operators.skew",
+    "insurance_claim_data_pipeline_spark.operators.sketches",
     "insurance_claim_data_pipeline_spark.plans.claim_queries",
     "insurance_claim_data_pipeline_spark.streaming.events_stream",
     "insurance_claim_data_pipeline_spark.streaming.sinks",
