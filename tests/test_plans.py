@@ -346,3 +346,34 @@ def test_snapshot_diff_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan
     assert plan.count("FileScan parquet") <= 2  # events + tiny bounds agg
+
+
+def test_zorder_localizes_both_dimensions(spark):
+    """Z-order's whole value: per-partition min/max ranges are narrow in
+    BOTH interleaved keys (a single-column sort localizes only its own
+    key, leaving the other at ~100% of global range -> zero data
+    skipping for predicates on it). Measured at the driver gate scale;
+    0.6 is far above the observed ~0.4/~0.3 but far below the 1.0 a
+    degenerate curve yields."""
+    from pyspark.sql import functions as F
+
+    df = SPECS["sort_zorder_interleave"].fn(spark, "/root/testdata/sf0.01")
+    parts = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pk_range"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("sk_range"),
+        )
+    )
+    g = df.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("gp"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("gs"),
+    ).collect()[0]
+    rows = parts.collect()
+    avg_pk = sum(r["pk_range"] for r in rows) / len(rows) / g["gp"]
+    avg_sk = sum(r["sk_range"] for r in rows) / len(rows) / g["gs"]
+    assert avg_pk < 0.6 and avg_sk < 0.6, (avg_pk, avg_sk)
+    plan = physical_plan(spark, "/root/testdata/sf0.01", "sort_zorder_interleave")
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
