@@ -1228,3 +1228,85 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+# ---- interval union / session coverage ----------------------------------
+_IC_TTL = 300  # each event keeps its user "active" for 5 minutes
+
+INTERVAL_COVERAGE_ORACLE = f"""
+WITH iv AS (
+  -- integer epoch seconds via exact microsecond floor-division (a
+  -- CAST(epoch(ts) AS BIGINT) would ROUND in DuckDB but truncate in
+  -- Spark -- off-by-one on any sub-second timestamp)
+  SELECT user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) + {_IC_TTL} AS e
+  FROM events
+), flag AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         CAST(SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+  FROM flag
+), merged AS (
+  SELECT user_id, island_id,
+         MIN(s) AS island_start, MAX(e) AS island_end
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(island_end - island_start) AS BIGINT) AS covered_sec,
+       CAST(MAX(island_end - island_start) AS BIGINT) AS longest_sec
+FROM merged GROUP BY 1
+"""
+
+
+@register(
+    "events_interval_coverage",
+    oracle=INTERVAL_COVERAGE_ORACLE,
+    tags=("events", "window"),
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (gaps-and-islands): extend every event to a
+    [ts, ts+300 s) activity interval, merge overlapping/adjacent
+    intervals per user, and report merged-session count, total covered
+    seconds, and the longest session — the classic "total active time"
+    metric that a naive SUM of interval lengths double-counts.
+
+    Shape: one shuffle on user_id, then two linear window passes over
+    each user's time-ordered events (prior-max end -> island flag ->
+    running island id) and a groupBy — O(n log n) per user, no
+    self-join (the textbook island algorithm; an interval self-join is
+    quadratic in overlap density and is the anti-pattern at 100 TB).
+    All arithmetic is integer epoch seconds, so the oracle replays it
+    exactly. Skew note: partitioning is per-user; a pathological
+    single-user firehose would need the salted two-stage variant of
+    ``agg_salted_two_stage`` applied to the island aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.expr("CAST(unix_micros(ts) DIV 1000000 AS BIGINT)")
+    iv = ev.select("user_id", s.alias("s"), (s + _IC_TTL).alias("e"))
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    prior_end = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prior_end, F.lit(-1)), 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    span = F.col("island_end") - F.col("island_start")
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(span).alias("covered_sec"),
+        F.max(span).alias("longest_sec"),
+    )

@@ -105,3 +105,77 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_id"),
         (chunk != last_chunk).alias("crosses_chunk"),
     )
+
+
+# ---- shard manifest (WebDataset-style output sharding) ------------------
+SHARD_BYTES = 16_384  # byte budget per output shard
+
+SHARD_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_end
+  FROM documents
+), assign AS (
+  SELECT doc_id, n_chars,
+         (cum_end - n_chars) // {SHARD_BYTES} AS shard_id
+  FROM c
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc_id
+FROM assign GROUP BY 1
+"""
+
+
+@register("sink_shard_manifest", oracle=SHARD_ORACLE, tags=("llm", "packing", "sink"))
+def sink_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: lay documents end-to-end in
+    doc_id order, cut the byte stream at SHARD_BYTES boundaries by
+    assigning each doc to shard ``floor(preceding_bytes / budget)``,
+    and emit the per-shard manifest (doc count, payload bytes,
+    contiguous id range) that a downstream dataloader indexes.
+
+    Same two-level distributed prefix sum as ``pack_concat_chunks``
+    (per-bucket running sums + broadcast bucket offsets — module
+    docstring), so shard assignment is a narrow map after one bucketed
+    window; the manifest aggregate shuffles only |shards| rows. Docs
+    larger than the budget own their shard start but still spill into
+    the next boundary — next-fit sharding, the streaming-friendly
+    discipline an output writer can apply with zero look-ahead. Shard
+    ids are contiguous doc_id ranges BY CONSTRUCTION (the id order is
+    the layout order), which the oracle's min/max columns certify."""
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(F.col("doc_id") / PACK_BUCKET_W).cast("long").alias("bkt"),
+    )
+    cum_in_bkt = F.sum("n_chars").over(Window.partitionBy("bkt").orderBy("doc_id"))
+    d = d.withColumn("cum_in_bkt", cum_in_bkt)
+    bkt_off = F.coalesce(
+        F.sum("bkt_b").over(
+            Window.partitionBy(tiny_frame_key("bkt"))
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("n_chars").alias("bkt_b"))
+        .select("bkt", bkt_off.alias("bkt_off"))
+    )
+    j = d.join(F.broadcast(offsets), "bkt")
+    start = F.col("bkt_off") + F.col("cum_in_bkt") - F.col("n_chars")
+    assigned = j.select(
+        "doc_id", "n_chars", F.floor(start / SHARD_BYTES).cast("long").alias("shard_id")
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )

@@ -355,3 +355,96 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_micros("ts")).alias("max_ts_us"),
         )
     )
+
+
+# ---- systematic weighted sampling ---------------------------------------
+_SYS_K = 200  # target sample size
+_SYS_BKT = 16  # md5-prefix buckets for the two-level prefix sum
+
+SYSTEMATIC_WEIGHTED_ORACLE = f"""
+WITH w AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS w_cents,
+         md5(CAST(o_orderkey AS VARCHAR)) AS hkey
+  FROM orders
+), c AS (
+  SELECT o_orderkey, w_cents, hkey,
+         CAST(SUM(w_cents) OVER (ORDER BY hkey, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w,
+         CAST(SUM(w_cents) OVER () AS BIGINT) AS total_w
+  FROM w
+)
+SELECT o_orderkey, w_cents,
+       CAST(cum_w // (total_w // {_SYS_K}) AS BIGINT) AS pick_idx
+FROM c
+WHERE cum_w // (total_w // {_SYS_K}) > (cum_w - w_cents) // (total_w // {_SYS_K})
+"""
+
+
+@register(
+    "sample_systematic_weighted",
+    oracle=SYSTEMATIC_WEIGHTED_ORACLE,
+    tags=("sampling", "scale"),
+)
+def sample_systematic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without randomness-at-runtime:
+    systematic (fixed-step) sampling over a deterministic md5
+    permutation. Orders are laid out in md5(o_orderkey) order (a
+    reproducible shuffle), their integer-cent weights prefix-summed,
+    and every crossing of a ``total/k`` step boundary selects a row —
+    so P(selected) is proportional to weight, heavy rows (>= step) are
+    always kept, and the sample is identical across engines and runs
+    (Efraimidis-Spirakis key sampling gives the same marginal
+    probabilities but needs u^(1/w) floats whose libm ulp-edges no
+    cross-engine hash can survive; systematic sampling is exact
+    integer arithmetic end to end).
+
+    Scale: the global prefix sum uses the same two-level construction
+    as ``pack_concat_chunks`` — per-bucket window over the md5-prefix
+    bucket (the bucket IS a prefix of the global order, so bucket-local
+    sums + broadcast bucket offsets reproduce the global sum exactly),
+    never an N-row single-partition window. The oracle uses the naive
+    global window (fine at oracle scale) over the same order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("w_cents"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("hkey"),
+    ).withColumn(
+        # first hex char = bucket; ordering by (hkey, key) within a
+        # bucket is a contiguous slice of the global (hkey, key) order.
+        "bkt",
+        F.conv(F.substring("hkey", 1, 1), 16, 10).cast("long"),
+    )
+    cum_in_bkt = F.sum("w_cents").over(
+        W.partitionBy("bkt").orderBy("hkey", "o_orderkey").rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    d = w.withColumn("cum_in_bkt", cum_in_bkt)
+    from ..session import tiny_frame_key
+
+    bkt_off = F.coalesce(
+        F.sum("bkt_w").over(
+            W.partitionBy(tiny_frame_key("bkt"))
+            .orderBy("bkt")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    totals = w.groupBy("bkt").agg(F.sum("w_cents").alias("bkt_w"))
+    offsets = totals.select(
+        "bkt",
+        bkt_off.alias("bkt_off"),
+        F.sum("bkt_w").over(W.partitionBy(tiny_frame_key("bkt"))).alias("total_w"),
+    )
+    j = d.join(F.broadcast(offsets), "bkt")
+    cum_w = (F.col("bkt_off") + F.col("cum_in_bkt")).alias("cum_w")
+    step = F.expr(f"CAST(total_w DIV {_SYS_K} AS BIGINT)")
+    jj = j.select("o_orderkey", "w_cents", cum_w, step.alias("step"))
+    pick = F.expr("CAST(cum_w DIV step AS BIGINT)")
+    prev_pick = F.expr("CAST((cum_w - w_cents) DIV step AS BIGINT)")
+    return (
+        jj.filter(pick > prev_pick)
+        .select("o_orderkey", "w_cents", pick.alias("pick_idx"))
+    )

@@ -1140,3 +1140,60 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("t").alias("n_distinct"),
         F.sum(F.length("t")).alias("total_len"),
     )
+
+
+# ---- vocabulary coverage / OOV rate -------------------------------------
+_VOCAB_N = 500
+
+VOCAB_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token FROM tok GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT {_VOCAB_N}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+@register("text_vocab_coverage", oracle=VOCAB_COVERAGE_ORACLE, tags=("text", "llm"))
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a corpus-derived
+    top-N vocabulary — the coverage check run before committing to a
+    tokenizer/vocab: rising OOV on a new data source means the vocab
+    no longer fits the distribution.
+
+    Vocab = top 500 tokens by corpus frequency with a total-order
+    tie-break (count DESC, token ASC), taken via TakeOrdered over the
+    distinct-token aggregate (vocabulary-sized, not corpus-sized); it
+    then broadcasts to a left join against the exploded token stream,
+    so the per-document pass is map-side — no shuffle of the token
+    stream beyond the doc_id re-aggregation. At 100 TB the vocab build
+    would add a min-count pre-filter (HAVING COUNT >= t) to bound the
+    aggregate; the probe side is unchanged."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(_VOCAB_N)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_tokens"),
+            oov.alias("oov_tokens"),
+            F.round(oov.cast("double") / n.cast("double"), 6).alias("oov_rate"),
+        )
+    )

@@ -154,3 +154,86 @@ def test_bloom_probe_filter_sits_below_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the probe crossJoin is against the single-row broadcast bloom map
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---- round-4 scale-op properties the oracle can't express ---------------
+
+
+def test_systematic_weighted_sample_properties(spark):
+    """k-proportionality properties: the sample hits ~k rows, every
+    heavy row (weight >= step) is deterministically kept, and pick
+    indices are strictly increasing along the permutation (each step
+    boundary selects exactly one row)."""
+    from insurance_claim_data_pipeline_spark.operators.sampling import (
+        _SYS_K,
+        sample_systematic_weighted,
+    )
+
+    sf = SF_DRIVER
+    got = sample_systematic_weighted(spark, sf).collect()
+    assert _SYS_K - 1 <= len(got) <= _SYS_K + 1
+    orders = load_table(spark, sf, "orders")
+    total = orders.agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias("t")
+    ).collect()[0]["t"]
+    step = total // _SYS_K
+    kept = {r["o_orderkey"] for r in got}
+    heavy = {
+        r["o_orderkey"]
+        for r in orders.filter(
+            F.expr(f"CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) >= {step}")
+        ).collect()
+    }
+    assert heavy <= kept
+    picks = sorted(r["pick_idx"] for r in got)
+    assert len(picks) == len(set(picks))  # one row per crossed boundary
+
+
+def test_shard_manifest_contiguous_ranges(spark, sf_dir):
+    """Shards partition the doc_id line into contiguous, non-overlapping
+    ranges in shard order, and payload bytes account for every doc."""
+    from insurance_claim_data_pipeline_spark.operators.packing import (
+        sink_shard_manifest,
+    )
+
+    rows = sorted(
+        sink_shard_manifest(spark, sf_dir).collect(), key=lambda r: r["shard_id"]
+    )
+    assert rows[0]["shard_id"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["last_doc_id"] < cur["first_doc_id"]
+    doc = load_table(spark, sf_dir, "documents")
+    total = doc.agg(F.sum("n_chars").alias("t")).collect()[0]["t"]
+    assert sum(r["shard_bytes"] for r in rows) == total
+    assert sum(r["n_docs"] for r in rows) == doc.count()
+
+
+def test_interval_coverage_matches_bruteforce(spark, sf_dir):
+    """Independent per-user recomputation (pure Python interval merge)
+    of total covered seconds — catches a window-frame off-by-one that a
+    symmetric Spark/DuckDB bug could hide from the oracle."""
+    from insurance_claim_data_pipeline_spark.operators.analytics import (
+        _IC_TTL,
+        events_interval_coverage,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    by_user = {}
+    for r in ev:
+        s = int(r["ts"].timestamp())
+        by_user.setdefault(r["user_id"], []).append((s, s + _IC_TTL))
+    expected = {}
+    for u, iv in by_user.items():
+        iv.sort()
+        merged = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expected[u] = (len(merged), sum(e - s for s, e in merged))
+    got = {
+        r["user_id"]: (r["n_sessions"], r["covered_sec"])
+        for r in events_interval_coverage(spark, sf_dir).collect()
+    }
+    assert got == expected
