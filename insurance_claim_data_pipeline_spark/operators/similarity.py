@@ -959,3 +959,133 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pj.p_e6").alias("p_e6"),
         (F.col("pj.p_e6").cast("double") / 1_000_000).alias("proj"),
     )
+
+
+# ---- PCA via distributed power iteration --------------------------------
+PCA_ITERS = 3
+PCA_SCALE = 1_000_000  # L-infinity fixed-point scale for the direction
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTEs — the DuckDB replay of the exact
+    integer pipeline (see emb_pca_power_iteration docstring)."""
+    its = []
+    prev_w = "w0"
+    for i in range(1, PCA_ITERS + 1):
+        its.append(
+            f"""s{i} AS (
+  SELECT c.vec_id, CAST(SUM(c.c_e6 * w.w_e6) AS BIGINT) AS s
+  FROM centered c JOIN {prev_w} w ON c.dim = w.dim GROUP BY c.vec_id
+), smax{i} AS (
+  SELECT GREATEST(MAX(ABS(s)) // {PCA_SCALE}, 1) AS d FROM s{i}
+), y{i} AS (
+  SELECT c.dim, CAST(SUM((s.s // m.d) * c.c_e6) AS BIGINT) AS y
+  FROM centered c JOIN s{i} s ON s.vec_id = c.vec_id, smax{i} m
+  GROUP BY c.dim
+), ymax{i} AS (
+  SELECT GREATEST(MAX(ABS(y)) // {PCA_SCALE}, 1) AS d FROM y{i}
+), w{i} AS (
+  SELECT dim, CAST(y // m.d AS BIGINT) AS w_e6 FROM y{i}, ymax{i} m
+)"""
+        )
+        prev_w = f"w{i}"
+    return f"""
+WITH e AS (
+  SELECT vec_id, d.dim,
+         CAST(ROUND(CAST(embedding[d.dim + 1] AS DOUBLE) * {PCA_SCALE}, 0) AS BIGINT) AS v_e6
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings),
+mean AS (
+  SELECT dim, CAST(CAST(SUM(v_e6) AS BIGINT) // (SELECT n_vec FROM n) AS BIGINT) AS m_e6
+  FROM e GROUP BY dim
+), centered AS (
+  SELECT e.vec_id, e.dim, e.v_e6 - m.m_e6 AS c_e6 FROM e JOIN mean m ON e.dim = m.dim
+), w0 AS (
+  SELECT dim, CAST({PCA_SCALE} AS BIGINT) AS w_e6 FROM mean
+),
+{', '.join(its)}
+SELECT CAST(dim AS BIGINT) AS dim, w_e6 FROM {prev_w}
+"""
+
+
+@register("emb_pca_power_iteration", oracle=_pca_oracle(), tags=("embedding", "iterative", "llm"))
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding cloud via 3
+    distributed power iterations, entirely in exact integer fixed point
+    — the numerical-linear-algebra sibling of ``graph_pagerank``.
+
+    Per iteration: (1) score every vector against the current direction
+    (one 64-term integer dot product per row, grouped by vec_id);
+    (2) rescale scores to <=1e6 by truncating division with the global
+    max (a one-row broadcast — Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero, verified, so the rescale is bit-identical);
+    (3) accumulate y = X^T s (grouped by dim, 64 output rows);
+    (4) L-infinity-normalize y back to a <=1e6 integer direction.
+    L-inf (max) normalization replaces the usual L2 norm precisely
+    because it needs NO sqrt — every step stays in integer arithmetic,
+    so aggregation order cannot move a bit and the DuckDB oracle (same
+    three iterations unrolled as CTEs) hashes identically. Centering
+    uses per-dim integer-mean floor division, same argument.
+
+    Scale: each iteration is one shuffle keyed by vec_id and one keyed
+    by dim (64 rows — effectively a broadcast), with map-side partial
+    sums; the direction vector is always a 64-row broadcast side. At
+    1e9+ rows the s*c products approach BIGINT range — the scale path
+    drops the rescale divisor to 1e3 or sums into DECIMAL(38,0), same
+    plan shape. Convergence to the top eigenvector needs no luck: the
+    all-ones start has nonzero overlap and 3 rounds separate the
+    spectrum enough for a stable fixed-point direction (the sign is
+    pinned by the deterministic start). On a near-isotropic cloud (the
+    synthetic test embeddings have lambda1/lambda2 ~ 1.07) three rounds
+    track the float power-iterate exactly but neither has separated the
+    eigenvector yet — the oracle certifies the arithmetic, and
+    tests/test_sketches.py certifies convergence on anisotropic data
+    plus bit-fidelity of the quantization against a float replay."""
+    return pca_direction(load_table(spark, sf_dir, "embeddings"))
+
+
+def pca_direction(emb: DataFrame) -> DataFrame:
+    """Core of ``emb_pca_power_iteration`` over any (vec_id, embedding)
+    frame — factored out so tests can drive synthetic spectra."""
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.expr(f"CAST(ROUND(CAST(x AS DOUBLE) * {PCA_SCALE}, 0) AS BIGINT)").alias("v_e6"),
+    )
+    n_vec = emb.count()  # scalar: table cardinality, not data values
+    mean = e.groupBy("dim").agg(
+        F.expr(f"CAST(SUM(v_e6) div {n_vec} AS BIGINT)").alias("m_e6")
+    )
+    centered = (
+        e.join(F.broadcast(mean), "dim")
+        .select("vec_id", "dim", (F.col("v_e6") - F.col("m_e6")).alias("c_e6"))
+        .localCheckpoint(eager=False)
+    )
+    w = mean.select("dim", F.lit(PCA_SCALE).cast("long").alias("w_e6"))
+    for _ in range(PCA_ITERS):
+        s = (
+            centered.join(F.broadcast(w), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("c_e6") * F.col("w_e6")).alias("s"))
+        )
+        smax = s.agg(
+            F.expr(f"GREATEST(MAX(ABS(s)) div {PCA_SCALE}, 1)").alias("d")
+        )
+        s2 = s.crossJoin(F.broadcast(smax)).select(
+            "vec_id", F.expr("CAST(s div d AS BIGINT)").alias("s2")
+        )
+        y = (
+            centered.join(s2, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("s2") * F.col("c_e6")).alias("y"))
+        )
+        ymax = y.agg(
+            F.expr(f"GREATEST(MAX(ABS(y)) div {PCA_SCALE}, 1)").alias("d")
+        )
+        w = y.crossJoin(F.broadcast(ymax)).select(
+            "dim", F.expr("CAST(y div d AS BIGINT)").alias("w_e6")
+        )
+    return w.select("dim", "w_e6")

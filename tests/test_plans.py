@@ -97,6 +97,14 @@ JVM_ONLY_QUERIES = [
     "drift_psi_orders",
     "orders_cohort_ltv",
     "lineitem_pareto_abc",
+    # round-4 session additions — all pure Column/SQL expressions
+    "agg_hll_deterministic",
+    "join_bloom_prefilter",
+    "sort_zorder_interleave",
+    "events_interval_coverage",
+    "sample_systematic_weighted",
+    "text_vocab_coverage",
+    "sink_shard_manifest",
 ]
 
 
