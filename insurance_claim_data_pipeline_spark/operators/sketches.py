@@ -247,3 +247,104 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lineitems"),
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+# ------------------------------------------------- per-column NDV stats --
+# ANALYZE-TABLE-style column statistics from the same HLL machinery: one
+# scan of orders, every profiled column sketched simultaneously (the
+# row is unpivoted to (col, val) pairs inside the scan projection).
+_NDV_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+_NDV_EST_SQL = f"""ROUND(CASE WHEN n_buckets_hit < {HLL_M}
+             AND {HLL_NUMER!r} / CAST(zsum AS DOUBLE) <= {_LC_THRESHOLD!r}
+       THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - n_buckets_hit AS DOUBLE))
+       ELSE {HLL_NUMER!r} / CAST(zsum AS DOUBLE) END, 4)"""
+
+_NDV_PAIRS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS val FROM orders" for c in _NDV_COLS
+)
+
+NDV_ORACLE = f"""
+WITH pairs AS (
+  {_NDV_PAIRS_SQL}
+), counts AS (
+  SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+  FROM pairs GROUP BY 1
+), b AS (
+  SELECT col,
+         {_h60_sql('val')} % {HLL_M} AS bucket,
+         {_h60_sql('val')} // {HLL_M} AS w
+  FROM pairs WHERE val IS NOT NULL
+), reg AS (
+  SELECT col, bucket,
+         MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS} + 1 - length(to_base(w, 2)) END) AS r
+  FROM b GROUP BY 1, 2
+), s AS (
+  SELECT col,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W_BITS + 1} - r)) AS BIGINT)
+           + ({HLL_M} - CAST(COUNT(*) AS BIGINT))
+             * (CAST(1 AS BIGINT) << {HLL_W_BITS + 1}) AS zsum
+  FROM reg GROUP BY 1
+)
+SELECT c.col, c.n_rows, c.n_nulls, s.n_buckets_hit, {_NDV_EST_SQL} AS est_ndv
+FROM counts c JOIN s ON s.col = c.col
+"""
+
+
+@register("profile_ndv_hll", oracle=NDV_ORACLE, tags=("sketch", "profile", "scale"))
+def profile_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE column statistics in one pass: row count, null
+    count, and HLL-estimated NDV for every profiled orders column —
+    the stats a cost-based optimizer needs (join-order selectivity,
+    broadcast decisions), produced without one COUNT(DISTINCT) shuffle
+    per column.
+
+    The row is unpivoted to (column, value-as-string) pairs inside the
+    scan projection (``stack`` — a single-scan Expand, the same shape
+    as ``unpivot_metrics``), so ALL columns sketch in one pass over the
+    table; per-column state is 256 registers regardless of cardinality.
+    Same deterministic md5 register construction and exact-integer
+    estimator as ``agg_hll_deterministic`` (which carries the estimator
+    unit/merge proofs); integer columns stringify identically in both
+    engines, which is why the profile casts to string before hashing.
+
+    100 TB: ONE scan + a (4 x 256)-row shuffle vs four distinct
+    shuffles of raw keys — this is how wide-table stats collection
+    stays linear; sketches also MAX-merge across partitions/days for
+    incremental stats maintenance."""
+    orders = load_table(spark, sf_dir, "orders")
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _NDV_COLS)
+    pairs = orders.select(
+        F.expr(f"stack({len(_NDV_COLS)}, {stack_args}) AS (col, val)")
+    )
+    counts = pairs.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_nulls"),
+    )
+    h = _h60(F.col("val"))
+    b = pairs.filter(F.col("val").isNotNull()).select(
+        "col", (h % HLL_M).alias("bucket"), F.shiftright(h, 8).alias("w")
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.conv(F.col("w"), 10, 2))
+    )
+    reg = b.groupBy("col", "bucket").agg(F.max(rho).alias("r"))
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS + 1} - r AS INT))")
+    s = reg.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        (
+            F.sum(term)
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << (HLL_W_BITS + 1)).cast("long")
+        ).alias("zsum"),
+    )
+    raw = F.lit(HLL_NUMER) / F.col("zsum").cast("double")
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("n_buckets_hit")).cast("double")
+    )
+    est = F.when((F.col("n_buckets_hit") < HLL_M) & (raw <= _LC_THRESHOLD), lc).otherwise(raw)
+    return counts.join(s, "col").select(
+        "col", "n_rows", "n_nulls", "n_buckets_hit", F.round(est, 4).alias("est_ndv")
+    )

@@ -105,6 +105,8 @@ JVM_ONLY_QUERIES = [
     "sample_systematic_weighted",
     "text_vocab_coverage",
     "sink_shard_manifest",
+    "emb_pca_power_iteration",
+    "profile_ndv_hll",
 ]
 
 

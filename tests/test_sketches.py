@@ -325,3 +325,22 @@ def test_pca_converges_on_anisotropic_data(spark):
     evals, evecs = np.linalg.eigh((X - X.mean(0)).T @ (X - X.mean(0)))
     cos = abs(w @ evecs[:, -1]) / np.linalg.norm(w)
     assert cos > 0.99, cos
+
+
+def test_ndv_profile_accuracy(spark):
+    """HLL NDV estimates within the m=256 error envelope of the exact
+    per-column distinct counts at the driver gate scale."""
+    from insurance_claim_data_pipeline_spark.operators.sketches import (
+        _NDV_COLS,
+        profile_ndv_hll,
+    )
+
+    sf = SF_DRIVER
+    orders = load_table(spark, sf, "orders")
+    got = {r["col"]: r for r in profile_ndv_hll(spark, sf).collect()}
+    assert set(got) == set(_NDV_COLS)
+    for c in _NDV_COLS:
+        exact = orders.agg(F.countDistinct(c).alias("n")).collect()[0]["n"]
+        est = got[c]["est_ndv"]
+        assert abs(est - exact) / exact < 0.2, (c, exact, est)
+        assert got[c]["n_rows"] == orders.count()
