@@ -85,7 +85,7 @@ FROM s
 """
 
 
-@register("agg_hll_deterministic", oracle=HLL_ORACLE, tags=("sketch", "agg", "scale"))
+@register("agg_hll_deterministic", oracle=HLL_ORACLE, tags=("sketch", "agg", "scale", "bench"))
 def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog: estimated distinct users per event type
     from a 256-register md5-based sketch, reproduced bit-for-bit by the
@@ -189,7 +189,7 @@ def _bloom_probe_sql(key_sql: str) -> str:
     return " AND ".join(tests)
 
 
-@register("join_bloom_prefilter", oracle=BLOOM_JOIN_ORACLE, tags=("join", "sketch", "scale"))
+@register("join_bloom_prefilter", oracle=BLOOM_JOIN_ORACLE, tags=("join", "sketch", "scale", "bench"))
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pre-filter: 1994 urgent-order revenue by month,
     with the lineitem (fact) side pruned by a 16 KiB broadcast Bloom
