@@ -28,6 +28,7 @@ is §2.2 LLM/scale extension surface (BASELINE.json north star).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum, dec_sum_sql
@@ -347,4 +348,131 @@ def profile_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.when((F.col("n_buckets_hit") < HLL_M) & (raw <= _LC_THRESHOLD), lc).otherwise(raw)
     return counts.join(s, "col").select(
         "col", "n_rows", "n_nulls", "n_buckets_hit", F.round(est, 4).alias("est_ndv")
+    )
+
+
+# ------------------------------------------- deterministic DDSketch ------
+# Log-bucketed quantile sketch: octave = bit-length of the integer-cent
+# value, refined by the next two mantissa bits -> 4 sub-buckets per
+# octave, i.e. bucket width <= 25% of its lower bound (<=12.5% relative
+# error at the midpoint). Entirely integer arithmetic, so unlike
+# DDSketch's log-gamma bucketing it is bit-reproducible cross-engine.
+_DD_QUANTILES = (50, 95, 99)  # percent
+
+
+def _dd_bucket_sql(v: str) -> str:
+    """(octave, sub) encoded as bucket_id = nbits * 4 + sub."""
+    nb = f"length(to_base({v}, 2))"
+    sub = f"CASE WHEN {nb} >= 3 THEN ({v} >> ({nb} - 3)) & 3 ELSE ({v} & 3) END"
+    return f"({nb} * 4 + {sub})"
+
+
+DDSKETCH_ORACLE = f"""
+WITH v AS (
+  SELECT GREATEST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 1) AS cents
+  FROM lineitem
+), b AS (
+  SELECT {_dd_bucket_sql('cents')} AS bucket_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1
+), c AS (
+  SELECT bucket_id, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bucket_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS total
+  FROM b
+), q AS (SELECT unnest([{", ".join(str(q) for q in _DD_QUANTILES)}]) AS pct),
+hit AS (
+  SELECT q.pct, c.bucket_id, c.cum, c.total,
+         ROW_NUMBER() OVER (PARTITION BY q.pct ORDER BY c.bucket_id) AS rn
+  FROM q JOIN c ON c.cum >= (q.pct * c.total + 99) // 100
+),
+bounds AS (
+  SELECT pct, bucket_id, cum, total,
+         bucket_id // 4 AS nb, bucket_id % 4 AS sub
+  FROM hit WHERE rn = 1
+)
+SELECT CAST(pct AS BIGINT) AS pct, CAST(bucket_id AS BIGINT) AS bucket_id,
+       CASE WHEN nb >= 3 THEN (4 + sub) * (CAST(1 AS BIGINT) << (nb - 3))
+            ELSE CAST(sub AS BIGINT) END AS lo_cents,
+       CASE WHEN nb >= 3 THEN (5 + sub) * (CAST(1 AS BIGINT) << (nb - 3))
+            ELSE CAST(sub + 1 AS BIGINT) END AS hi_cents,
+       cum, total
+FROM bounds
+"""
+
+
+@register("agg_ddsketch_quantiles", oracle=DDSKETCH_ORACLE, tags=("sketch", "agg", "scale"))
+def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-bucketed quantile sketch (DDSketch-shaped) over
+    lineitem prices: p50/p95/p99 bracketed to <=25%-wide buckets with
+    guaranteed relative-error bounds — the latency/price-percentile
+    monitor that runs in one pass at any scale.
+
+    Buckets are (bit-length, top-2-mantissa-bits) of the integer cent
+    value — DDSketch's gamma-log bucketing with gamma ~ 1.19, but
+    computed with EXACT integer ops (bit-length via base-2 digit count,
+    shift, mask) instead of libm log, so Spark and DuckDB produce
+    identical sketches and the driver hash proves the whole pipeline
+    (native percentile_approx sketches are engine-specific —
+    ``agg_approx``). Counts are SUM-mergeable across shards/days like
+    the HLL registers. The sketch is ~160 buckets regardless of
+    cardinality: the only shuffle carries (bucket, partial-count) rows;
+    the quantile extraction windows run on the tiny bucket frame
+    (``tiny_frame_key`` pattern). ``ceil(q * total)`` is the exact
+    integer ``(q*total + 99) div 100`` — no float threshold.
+    Error bound asserted vs exact percentiles in tests/test_sketches.py.
+    """
+    from ..session import tiny_frame_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.expr("GREATEST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 1)").alias(
+            "cents"
+        )
+    )
+    b = v.select(
+        F.expr(_dd_bucket_sql("cents").replace("to_base(cents, 2)", "conv(cents, 10, 2)"))
+        .cast("long")
+        .alias("bucket_id")
+    ).groupBy("bucket_id").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = W.partitionBy(tiny_frame_key("bucket_id")).orderBy("bucket_id")
+    c = b.select(
+        "bucket_id",
+        "cnt",
+        F.sum("cnt").over(wcum.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(W.partitionBy(tiny_frame_key("bucket_id"))).alias("total"),
+    )
+    q = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _DD_QUANTILES])).alias("pct")
+    )
+    hit = q.join(
+        F.broadcast(c), F.col("cum") >= F.expr("CAST((pct * total + 99) div 100 AS BIGINT)")
+    )
+    wpick = W.partitionBy("pct").orderBy("bucket_id")
+    bounds = (
+        hit.select("pct", "bucket_id", "cum", "total", F.row_number().over(wpick).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pct",
+            "bucket_id",
+            "cum",
+            "total",
+            F.expr("CAST(bucket_id div 4 AS BIGINT)").alias("nb"),
+            (F.col("bucket_id") % 4).alias("sub"),
+        )
+    )
+    lo = F.expr(
+        "CASE WHEN nb >= 3 THEN (4 + sub) * shiftleft(CAST(1 AS BIGINT), CAST(nb - 3 AS INT)) "
+        "ELSE CAST(sub AS BIGINT) END"
+    )
+    hi = F.expr(
+        "CASE WHEN nb >= 3 THEN (5 + sub) * shiftleft(CAST(1 AS BIGINT), CAST(nb - 3 AS INT)) "
+        "ELSE CAST(sub + 1 AS BIGINT) END"
+    )
+    return bounds.select(
+        F.col("pct").cast("long").alias("pct"),
+        "bucket_id",
+        lo.alias("lo_cents"),
+        hi.alias("hi_cents"),
+        "cum",
+        "total",
     )

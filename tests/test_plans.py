@@ -107,6 +107,7 @@ JVM_ONLY_QUERIES = [
     "sink_shard_manifest",
     "emb_pca_power_iteration",
     "profile_ndv_hll",
+    "agg_ddsketch_quantiles",
 ]
 
 

@@ -344,3 +344,31 @@ def test_ndv_profile_accuracy(spark):
         est = got[c]["est_ndv"]
         assert abs(est - exact) / exact < 0.2, (c, exact, est)
         assert got[c]["n_rows"] == orders.count()
+
+
+def test_ddsketch_brackets_exact_quantiles(spark):
+    """Guarantee check: each exact percentile (lower quantile, cents)
+    falls inside its sketch bucket, and every bucket is <= 25% wide
+    relative to its lower bound."""
+    from insurance_claim_data_pipeline_spark.operators.sketches import (
+        agg_ddsketch_quantiles,
+    )
+
+    sf = SF_DRIVER
+    got = {r["pct"]: r for r in agg_ddsketch_quantiles(spark, sf).collect()}
+    li = load_table(spark, sf, "lineitem")
+    cents = li.select(
+        F.expr(
+            "GREATEST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 1)"
+        ).alias("c")
+    )
+    vals = sorted(r["c"] for r in cents.collect())
+    n = len(vals)
+    for pct in (50, 95, 99):
+        row = got[pct]
+        # exact lower quantile: smallest v with rank >= ceil(pct*n/100)
+        exact = vals[(pct * n + 99) // 100 - 1]
+        assert row["lo_cents"] <= exact < row["hi_cents"], (pct, exact, dict(row.asDict()))
+        assert (row["hi_cents"] - row["lo_cents"]) * 4 <= row["lo_cents"] or row[
+            "lo_cents"
+        ] < 4, (pct, dict(row.asDict()))
