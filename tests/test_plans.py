@@ -108,6 +108,7 @@ JVM_ONLY_QUERIES = [
     "emb_pca_power_iteration",
     "profile_ndv_hll",
     "agg_ddsketch_quantiles",
+    "multimodal_phash_buckets",
 ]
 
 
