@@ -1103,3 +1103,65 @@ def pca_direction(emb: DataFrame) -> DataFrame:
             "dim", F.expr("CAST(y div d AS BIGINT)").alias("w_e6")
         )
     return w.select("dim", "w_e6")
+
+
+# ---- exact distributed Gram / covariance matrix -------------------------
+GRAM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, d.dim,
+         CAST(ROUND(CAST(embedding[d.dim + 1] AS DOUBLE) * {PCA_SCALE}, 0) AS BIGINT) AS v_e6
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.v_e6 * b.v_e6) AS BIGINT) AS s_xy_e12,
+       CAST(SUM(a.v_e6) AS BIGINT) AS s_x_e6,
+       CAST(SUM(b.v_e6) AS BIGINT) AS s_y_e6
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
+
+@register("emb_gram_matrix", oracle=GRAM_ORACLE, tags=("embedding", "llm", "scale"))
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Gram matrix (upper triangle of X^T X) plus the
+    per-dimension sums that turn it into a covariance matrix
+    (n*Cov = n*S_xy - S_x*S_y, all integers) — the one-pass primitive
+    under PCA/whitening/linear probes at any scale.
+
+    Per input row the 64x65/2 = 2080 (i <= j) products are generated
+    INLINE from the array column (flatten/transform over the array —
+    no posexplode self-join, so the matrix rows are never shuffled as
+    pairs); the only shuffle carries 2080 running groups with map-side
+    partial sums. All arithmetic is x1e6-quantized integers, so sums
+    are order-independent and the oracle (which does use the lazy
+    self-join — fine at oracle scale) hashes identically. At 1e9+ rows
+    the e12-scale products approach BIGINT range — sum into
+    DECIMAL(38,0) there; plan shape unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {PCA_SCALE}, 0) AS BIGINT))"
+        ).alias("v"),
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(v, (xi, i) ->
+                  transform(slice(v, i + 1, size(v) - i), (xj, j) ->
+                    struct(CAST(i AS BIGINT) AS dim_i,
+                           CAST(i + j AS BIGINT) AS dim_j,
+                           xi * xj AS prod,
+                           xi AS x, xj AS y))))
+                """
+            )
+        ).alias("p")
+    ).select("p.dim_i", "p.dim_j", "p.prod", "p.x", "p.y")
+    return pairs.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("prod").alias("s_xy_e12"),
+        F.sum("x").alias("s_x_e6"),
+        F.sum("y").alias("s_y_e6"),
+    )

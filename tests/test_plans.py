@@ -109,6 +109,7 @@ JVM_ONLY_QUERIES = [
     "profile_ndv_hll",
     "agg_ddsketch_quantiles",
     "multimodal_phash_buckets",
+    "emb_gram_matrix",
 ]
 
 

@@ -372,3 +372,35 @@ def test_ddsketch_brackets_exact_quantiles(spark):
         assert (row["hi_cents"] - row["lo_cents"]) * 4 <= row["lo_cents"] or row[
             "lo_cents"
         ] < 4, (pct, dict(row.asDict()))
+
+
+def test_gram_matrix_matches_numpy_exactly(spark, sf_dir):
+    """The distributed Gram sums must equal a numpy int64 recompute
+    bit-for-bit (quantize -> outer products -> sums), and the covariance
+    identity n*Cov = n*S_xy - S_x*S_y must hold on the returned sums."""
+    import numpy as np
+
+    from insurance_claim_data_pipeline_spark.operators.similarity import (
+        emb_gram_matrix,
+    )
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    Xe = np.round(X * 1_000_000).astype(np.int64)
+    got = emb_gram_matrix(spark, sf_dir).collect()
+    n, d = Xe.shape
+    G = Xe.T @ Xe
+    S = Xe.sum(axis=0)
+    assert len(got) == d * (d + 1) // 2
+    for r in got:
+        i, j = r["dim_i"], r["dim_j"]
+        assert i <= j and r["n"] == n
+        assert r["s_xy_e12"] == G[i, j], (i, j)
+        assert r["s_x_e6"] == S[i] and r["s_y_e6"] == S[j]
