@@ -2024,3 +2024,100 @@ def sort_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange(16, "zval")
         .sortWithinPartitions("zval", "l_orderkey", "l_linenumber")
     )
+
+
+# ---- nearest-direction as-of join ---------------------------------------
+ASOF_NEAREST_ORACLE = """
+WITH tagged AS (
+  SELECT user_id AS k, CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS side,
+         CASE WHEN event_type = 'error' THEN event_id END AS err_id,
+         CASE WHEN event_type = 'error' THEN CAST(epoch_us(ts) AS BIGINT) END AS err_t,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_id
+  FROM events WHERE event_type IN ('error', 'purchase')
+), back AS (
+  SELECT *,
+         last_value(err_id IGNORE NULLS) OVER wb AS b_id,
+         last_value(err_t IGNORE NULLS) OVER wb AS b_t
+  FROM tagged
+  WINDOW wb AS (PARTITION BY k ORDER BY t_us, side, err_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), bidir AS (
+  SELECT *,
+         last_value(err_id IGNORE NULLS) OVER wf AS f_id,
+         last_value(err_t IGNORE NULLS) OVER wf AS f_t
+  FROM back
+  WINDOW wf AS (PARTITION BY k ORDER BY t_us DESC, side ASC, err_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT purchase_id, k AS user_id, t_us AS purchase_ts_us,
+       CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR t_us - b_t <= f_t - t_us)
+            THEN b_id ELSE f_id END AS nearest_error_id,
+       CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+            WHEN b_id IS NOT NULL AND (f_id IS NULL OR t_us - b_t <= f_t - t_us)
+            THEN 'backward' ELSE 'forward' END AS direction,
+       CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR t_us - b_t <= f_t - t_us)
+            THEN t_us - b_t ELSE f_t - t_us END AS delta_us
+FROM bidir WHERE side = 1
+"""
+
+
+@register("join_asof_nearest", oracle=ASOF_NEAREST_ORACLE, tags=("join", "asof"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): for every purchase, the error event by the
+    same user closest in time in EITHER direction, ties to the earlier
+    (backward) side.
+
+    Same union+window construction as ``join_asof_last_error`` — tag
+    both sides into one stream, then one ascending last-ignorenulls
+    window for the backward candidate and one descending for the
+    forward candidate, nearest picked by exact integer |delta| compare.
+    Two linear window passes over each user's partition, no range
+    self-join (the naive t-band join is quadratic in event density).
+    Equal-timestamp errors are visible to both windows (side orders
+    errors first in each direction) and resolve backward with delta 0.
+    """
+    ev = _t(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    tagged = ev.filter(F.col("event_type").isin("error", "purchase")).select(
+        F.col("user_id").alias("k"),
+        t_us.alias("t_us"),
+        F.when(F.col("event_type") == "error", 0).otherwise(1).alias("side"),
+        F.when(F.col("event_type") == "error", F.col("event_id")).alias("err_id"),
+        F.when(F.col("event_type") == "error", t_us).alias("err_t"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("purchase_id"),
+    )
+    wb = (
+        W.partitionBy("k")
+        .orderBy("t_us", "side", "err_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("k")
+        .orderBy(F.desc("t_us"), F.asc("side"), F.desc("err_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    both = (
+        tagged.withColumn("b_id", F.last("err_id", ignorenulls=True).over(wb))
+        .withColumn("b_t", F.last("err_t", ignorenulls=True).over(wb))
+        .withColumn("f_id", F.last("err_id", ignorenulls=True).over(wf))
+        .withColumn("f_t", F.last("err_t", ignorenulls=True).over(wf))
+    )
+    pick_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull()
+        | ((F.col("t_us") - F.col("b_t")) <= (F.col("f_t") - F.col("t_us")))
+    )
+    return both.filter(F.col("side") == 1).select(
+        "purchase_id",
+        F.col("k").alias("user_id"),
+        F.col("t_us").alias("purchase_ts_us"),
+        F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("nearest_error_id"),
+        F.when(F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit(None).cast("string"))
+        .when(pick_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(pick_back, F.col("t_us") - F.col("b_t"))
+        .otherwise(F.col("f_t") - F.col("t_us"))
+        .alias("delta_us"),
+    )

@@ -110,6 +110,7 @@ JVM_ONLY_QUERIES = [
     "agg_ddsketch_quantiles",
     "multimodal_phash_buckets",
     "emb_gram_matrix",
+    "join_asof_nearest",
 ]
 
 
