@@ -476,3 +476,101 @@ def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum",
         "total",
     )
+
+
+# ------------------------------------------------ Count-Min frequency ----
+# d=4 hash rows x w=1024 counters; row hashes via Kirsch-Mitzenmacher
+# double hashing from one md5 (same schedule family as the Bloom filter).
+CM_D = 4
+CM_W = 1024
+_CM_QUERY_USERS = 8  # user_id < 8 are the demo point-queries
+
+
+def _cm_pos_sql(key_sql: str, row: int) -> str:
+    h = _h60_sql(key_sql)
+    h1 = f"({h} % {CM_W})"
+    h2 = f"((({h} >> 17) % {CM_W}) | 1)"
+    return f"(({h1} + {row} * {h2}) % {CM_W})"
+
+
+COUNTMIN_ORACLE = f"""
+WITH sketch AS (
+  {" UNION ALL ".join(
+      f"SELECT {r} AS row_i, {_cm_pos_sql('user_id', r)} AS pos, "
+      f"CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2"
+      for r in range(CM_D)
+  )}
+), q AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id < {_CM_QUERY_USERS}
+), est AS (
+  SELECT q.user_id, MIN(s.cnt) AS est_count
+  FROM q, sketch s
+  WHERE s.pos = CASE s.row_i
+    {" ".join(f"WHEN {r} THEN {_cm_pos_sql('q.user_id', r)}" for r in range(CM_D))}
+    END
+  GROUP BY q.user_id
+)
+SELECT user_id, CAST(est_count AS BIGINT) AS est_count FROM est
+"""
+
+
+@register("agg_countmin_deterministic", oracle=COUNTMIN_ORACLE, tags=("sketch", "agg", "scale"))
+def agg_countmin_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min sketch: per-user event-frequency
+    estimates from a 4x1024 counter array — the frequency member of the
+    md5 sketch family (HLL = cardinality, Bloom = membership, DDSketch
+    = quantiles), and like them fully oracle-checked because the hash
+    schedule is md5-derived rather than engine-native.
+
+    Build: each event increments one counter per hash row (the rows are
+    Kirsch-Mitzenmacher h1 + i*h2 probes, like the Bloom positions), so
+    the sketch is ONE groupBy over (row, bucket) with map-side combine
+    — 4096 counters of state total, SUM-mergeable across shards/days.
+    Point query: min over the key's d counters (classic CM guarantee:
+    never an underestimate, overestimate bounded by collisions ~ N/w
+    per row). The demo queries the 8 smallest user_ids; accuracy vs the
+    exact group-by is gated in tests/test_sketches.py.
+
+    100 TB: the shuffle carries at most d*w rows whatever the event
+    volume or user cardinality — the heavy-hitter/frequency monitor
+    that replaces a full user-keyed aggregation when only point/top
+    estimates are needed."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark-side position: same arithmetic as the oracle's _cm_pos_sql,
+    # rendered in the Spark SQL dialect (conv-based h60).
+    h_sql = "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+    def pos_expr(r: int, key: str = "user_id") -> str:
+        h = h_sql.replace("user_id", key)
+        h1 = f"({h} % {CM_W})"
+        h2 = f"((shiftright({h}, 17) % {CM_W}) | 1)"
+        return f"(({h1} + {r} * {h2}) % {CM_W})"
+
+    sketch = None
+    for r in range(CM_D):
+        part = ev.select(
+            F.lit(r).cast("int").alias("row_i"),
+            F.expr(pos_expr(r)).alias("pos"),
+        )
+        sketch = part if sketch is None else sketch.unionByName(part)
+    counters = sketch.groupBy("row_i", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        ev.filter(F.col("user_id") < _CM_QUERY_USERS)
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            *[F.expr(pos_expr(r)).alias(f"qp{r}") for r in range(CM_D)],
+        )
+    )
+    probe_cond = F.lit(False)
+    for r in range(CM_D):
+        probe_cond = probe_cond | (
+            (F.col("row_i") == r) & (F.col("pos") == F.col(f"qp{r}"))
+        )
+    est = (
+        q.join(F.broadcast(counters), probe_cond)
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.select("user_id", "est_count")

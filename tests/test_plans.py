@@ -111,6 +111,7 @@ JVM_ONLY_QUERIES = [
     "multimodal_phash_buckets",
     "emb_gram_matrix",
     "join_asof_nearest",
+    "agg_countmin_deterministic",
 ]
 
 

@@ -404,3 +404,30 @@ def test_gram_matrix_matches_numpy_exactly(spark, sf_dir):
         assert i <= j and r["n"] == n
         assert r["s_xy_e12"] == G[i, j], (i, j)
         assert r["s_x_e6"] == S[i] and r["s_y_e6"] == S[j]
+
+
+def test_countmin_never_underestimates(spark):
+    """CM guarantee: the min-of-counters estimate is >= the exact count
+    for every queried key, and the overestimate stays within the
+    expected collision mass (~ d * N/w is a loose multi-sigma bound)."""
+    from insurance_claim_data_pipeline_spark.operators.sketches import (
+        CM_W,
+        _CM_QUERY_USERS,
+        agg_countmin_deterministic,
+    )
+
+    sf = SF_DRIVER
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.filter(F.col("user_id") < _CM_QUERY_USERS)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["user_id"]: r["est_count"] for r in agg_countmin_deterministic(spark, sf).collect()}
+    assert set(got) == set(exact)
+    n_total = ev.count()
+    slack = 4 * n_total // CM_W + 1
+    for u, n in exact.items():
+        assert n <= got[u] <= n + slack, (u, n, got[u], slack)
