@@ -1,0 +1,294 @@
+"""ML feature-engineering operators: the transforms a training-data
+pipeline applies between "clean tables" and "model input" — numeric
+scaling, categorical encodings, target encoding, the feature-hashing
+trick, and exact quantile binning.
+
+Beyond-reference extension surface (the reference pipeline stops at
+normalized claims; a 100 TB training pipeline continues into feature
+space). Every operator here is a pure DataFrame plan: group statistics
+are computed once with order-independent decimal-stable sums
+(functions/stable.py), broadcast back to the fact table, and applied
+row-wise inside whole-stage codegen — no Python, no second scan of the
+fact side, no global shuffle beyond the one tiny stats aggregate.
+
+Cross-engine exactness notes (the properties the DuckDB oracles rely
+on):
+
+- Group means/variances derive from exact decimal sums, converted to
+  double once; the downstream per-row arithmetic ((x-mu)/sigma etc.)
+  is individually-rounded IEEE ops on identical inputs with the SAME
+  expression tree on both engines — ``s*mu`` is NOT ``(s*s)/n`` in
+  floating point, so Spark code and oracle SQL mirror each other's
+  association exactly.
+- Frequency / target encodings are ratios of exact integer counts.
+- Feature hashing reuses the md5 bucket of operators/sampling.py
+  (identical in both engines).
+- Quantile bins come from the exact distributed global rank of
+  operators/analytics.py (percentile_approx supplies only load-balance
+  bucket bounds; ranks are exact), so ``ntile`` semantics match the
+  oracle bit-for-bit with no single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import dec_sum, dec_sum_sql
+from ..registry import register
+from ..session import load_table
+from .analytics import _ntile_from_rank, _with_global_rank
+from .sampling import _bucket_sql, hash_bucket
+
+# Deterministic row thinning for per-row outputs: keep every 20th
+# order / 5th doc so driver-side hashing compares thousands, not
+# millions, of rows while the transform still runs over ALL rows.
+_ROW_MOD = 20
+
+SCALE_ORACLE = f"""
+WITH stats AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {dec_sum_sql('l_extendedprice')} AS s,
+         {dec_sum_sql('l_extendedprice * l_extendedprice')} AS ss,
+         MIN(l_extendedprice) AS mn,
+         MAX(l_extendedprice) AS mx
+  FROM lineitem GROUP BY 1
+), mu AS (
+  SELECT *, s / n AS mean FROM stats
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       l.l_extendedprice AS price,
+       (l.l_extendedprice - m.mean) / sqrt((m.ss - m.s * m.mean) / (m.n - 1)) AS z_score,
+       (l.l_extendedprice - m.mn) / (m.mx - m.mn) AS minmax
+FROM lineitem l JOIN mu m ON l.l_returnflag = m.l_returnflag
+WHERE l.l_orderkey % {_ROW_MOD} = 0
+"""
+
+
+@register("feat_scale_numeric", oracle=SCALE_ORACLE, tags=("mlfeat", "llm", "agg"))
+def feat_scale_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score + min-max scaling of l_extendedprice per l_returnflag.
+
+    One pass computes n/Σx/Σx²/min/max per group (decimal-stable sums
+    → order-independent), the 3-row stats frame broadcasts back, and
+    the per-row transform is pure codegen arithmetic. At 100 TB this
+    is a map-side aggregate plus a broadcast-join map stage — no
+    fact-table shuffle at all."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(x).alias("s"),
+        dec_sum(x * x).alias("ss"),
+        F.min(x).alias("mn"),
+        F.max(x).alias("mx"),
+    )
+    # mean first, then variance via s*mean — the SAME association the
+    # oracle uses ((s*s)/n would round differently).
+    stats = stats.withColumn("mean", F.col("s") / F.col("n"))
+    sigma = F.sqrt((F.col("ss") - F.col("s") * F.col("mean")) / (F.col("n") - 1))
+    return (
+        li.filter(F.col("l_orderkey") % _ROW_MOD == 0)
+        .join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            x.alias("price"),
+            ((x - F.col("mean")) / sigma).alias("z_score"),
+            ((x - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("minmax"),
+        )
+    )
+
+
+CATEGORICAL_ORACLE = f"""
+WITH counts AS (
+  SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n FROM orders
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(substr(o.o_orderpriority, 1, 1) AS INT) AS pri_idx,
+       CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent,
+       CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS is_high,
+       CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS is_medium,
+       CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS is_notspec,
+       CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS is_low,
+       CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS freq_enc
+FROM orders o JOIN counts c ON o.o_orderpriority = c.o_orderpriority, tot t
+WHERE o.o_orderkey % {_ROW_MOD} = 0
+"""
+
+_PRIORITIES = (
+    ("1-URGENT", "is_urgent"),
+    ("2-HIGH", "is_high"),
+    ("3-MEDIUM", "is_medium"),
+    ("4-NOT SPECIFIED", "is_notspec"),
+    ("5-LOW", "is_low"),
+)
+
+
+@register("feat_categorical_encode", oracle=CATEGORICAL_ORACLE, tags=("mlfeat", "llm"))
+def feat_categorical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three categorical encodings of o_orderpriority in one plan:
+    ordinal index (parsed from the value itself — no fitted vocabulary
+    to ship), fixed-width one-hot columns, and frequency encoding
+    (category count / table count, exact integer ratio).
+
+    The count side is a 5-row broadcast; the ordinal/one-hot columns
+    are pure per-row CASE expressions, so the whole transform is one
+    broadcast-join map stage at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = orders.agg(F.count(F.lit(1)).alias("n"))
+    onehot = [
+        (F.when(F.col("o_orderpriority") == v, 1).otherwise(0)).alias(a)
+        for v, a in _PRIORITIES
+    ]
+    return (
+        orders.filter(F.col("o_orderkey") % _ROW_MOD == 0)
+        .join(F.broadcast(counts), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("pri_idx"),
+            *onehot,
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("freq_enc"),
+        )
+    )
+
+
+TARGET_ENC_M = 50  # pseudo-count of the global prior
+
+TARGET_ENC_ORACLE = f"""
+WITH returned AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+), labeled AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+  FROM orders o LEFT JOIN returned r ON o.o_orderkey = r.l_orderkey
+), per_cat AS (
+  SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM labeled GROUP BY 1
+), gstats AS (
+  SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS prior FROM per_cat
+)
+SELECT p.o_orderpriority, p.n AS n_orders, p.pos AS n_pos, g.prior,
+       (CAST(p.pos AS DOUBLE) + {TARGET_ENC_M} * g.prior)
+         / CAST(p.n + {TARGET_ENC_M} AS DOUBLE) AS target_enc
+FROM per_cat p, gstats g
+"""
+
+
+@register("feat_target_encode", oracle=TARGET_ENC_ORACLE, tags=("mlfeat", "llm", "join"))
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target-mean encoding of o_orderpriority against the
+    binary target "order contains a returned lineitem":
+    ``enc = (pos + m·prior) / (n + m)`` with pseudo-count m=50.
+
+    The label join (orders ⋈ distinct returned orderkeys) is co-keyed
+    on the fact key — a plain shuffle join that AQE handles at scale;
+    everything after it is a 5-row aggregate, so the encoding table
+    itself broadcasts for the apply step (not materialized here; this
+    query returns the fitted encoder state, which is what a training
+    pipeline persists)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    labeled = orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left"
+    ).select(
+        "o_orderpriority",
+        F.when(F.col("l_orderkey").isNull(), 0).otherwise(1).alias("y"),
+    )
+    per_cat = labeled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("y").cast("long").alias("n_pos")
+    )
+    glob = per_cat.agg(
+        (
+            F.sum("n_pos").cast("double") / F.sum("n_orders").cast("double")
+        ).alias("prior")
+    )
+    enc = (
+        F.col("n_pos").cast("double") + F.lit(TARGET_ENC_M) * F.col("prior")
+    ) / (F.col("n_orders") + F.lit(TARGET_ENC_M)).cast("double")
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select("o_orderpriority", "n_orders", "n_pos", "prior", enc.alias("target_enc"))
+    )
+
+
+HASH_BUCKETS = 64
+
+HASHING_ORACLE = f"""
+SELECT doc_id, {_bucket_sql('t', HASH_BUCKETS)} AS bucket,
+       COUNT(*) AS tf
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+)
+WHERE t <> '' AND doc_id % 5 = 0
+GROUP BY 1, 2
+"""
+
+
+@register("feat_hashing_vectorize", oracle=HASHING_ORACLE, tags=("mlfeat", "llm", "text"))
+def feat_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing trick: sparse bag-of-words vectors with a FIXED
+    {HASH_BUCKETS}-dim feature space — ``bucket = md5(token) mod 64``
+    (operators/sampling.py's cross-engine bucket), term frequency per
+    (doc, bucket).
+
+    No vocabulary fit, no dictionary broadcast, no OOV problem: the
+    hash IS the feature index, which is why this is the standard
+    encoding for web-scale text. One explode + one partial-aggregated
+    groupBy; output is bounded by docs × 64."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = (
+        doc.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    return (
+        tok.select("doc_id", hash_bucket("t", HASH_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+QUANTILE_BIN_ORACLE = f"""
+SELECT o_orderkey, o_totalprice, decile FROM (
+  SELECT o_orderkey, o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+  FROM orders
+)
+WHERE o_orderkey % {_ROW_MOD} = 0
+"""
+
+
+@register(
+    "feat_quantile_bin",
+    oracle=QUANTILE_BIN_ORACLE,
+    tags=("mlfeat", "llm", "window", "scale"),
+)
+def feat_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of o_totalprice with NO
+    single-partition window: the exact two-level distributed global
+    rank (operators/analytics.py — per-bucket row_number + bucket
+    prefix counts over percentile_approx load-balance bounds) feeds a
+    closed-form ntile. Bit-identical to the ntile(10) oracle at any
+    parallelism — the sketch only balances buckets, never moves a
+    rank."""
+    orders = load_table(spark, sf_dir, "orders")
+    df = _with_global_rank(
+        orders.select("o_orderkey", "o_totalprice"), "o_totalprice", "o_orderkey", "_rank"
+    )
+    return (
+        df.filter(F.col("o_orderkey") % _ROW_MOD == 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            _ntile_from_rank(F.col("_rank"), F.col("_n_total"), 10).alias("decile"),
+        )
+    )

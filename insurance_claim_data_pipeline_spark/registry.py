@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.ema",
     "insurance_claim_data_pipeline_spark.operators.skew",
     "insurance_claim_data_pipeline_spark.operators.sketches",
+    "insurance_claim_data_pipeline_spark.operators.mlfeat",
     "insurance_claim_data_pipeline_spark.plans.claim_queries",
     "insurance_claim_data_pipeline_spark.streaming.events_stream",
     "insurance_claim_data_pipeline_spark.streaming.sinks",
@@ -156,8 +157,28 @@ _FRONT = (
     "events_enrich_streaming",
     "events_ema_streaming",
     "events_dedup_streaming",
-    # ---- 35 entries; new round-4 registrations emit next (36+),
-    # inside the 50-entry driver window. ----
+    # tier 5 — the first 15 round-4 registrations, pinned explicitly so
+    # positions 36-50 cannot shift as later round-4 modules register
+    # more queries (emission for unlisted names follows module import
+    # order, which is an implementation detail, not a schedule).
+    "sort_range_partitioned",
+    "sort_zorder_interleave",
+    "join_asof_nearest",
+    "sample_reservoir_stratified",
+    "sample_temporal_split",
+    "sample_systematic_weighted",
+    "dedup_apply_representatives",
+    "dedup_exact_normalized",
+    "emb_random_projection",
+    "emb_pca_power_iteration",
+    "emb_gram_matrix",
+    "text_token_entropy",
+    "text_compression_ratio",
+    "text_bpe_pretokenize",
+    "text_vocab_coverage",
+    # ---- exactly 50 entries: the full round-4 driver window. Further
+    # round-4 registrations emit at 51+ (first candidates for the
+    # round-5 window rotation). ----
 )
 _TAIL = (
     # hash-proven green in CORRECTNESS_r01/r02/r03.json; re-listed by
