@@ -1,0 +1,346 @@
+"""Distributed statistical testing: Welch's t-test, chi-square test of
+independence, a one-pass Pearson correlation matrix, and a two-sample
+Kolmogorov-Smirnov drift statistic.
+
+Beyond-reference extension surface: the hypothesis tests a data-quality
+/ drift-monitoring layer runs over production tables. Everything is
+expressed as ordinary aggregates so Catalyst keeps the whole hot path
+in one partial-aggregated scan; nothing here shuffles the fact table
+more than once, and three of the four operators don't shuffle it at
+all (map-side partials into a single tiny final aggregate).
+
+Cross-engine exactness:
+
+- All moment sums (Σx, Σx², Σxy) are decimal-stable
+  (functions/stable.py) → order-independent, bit-identical to the
+  oracle's quantized decimal sums.
+- Downstream scalar arithmetic (t statistic, Welch df, Pearson r) is
+  a fixed tree of individually-rounded IEEE ops on identical double
+  inputs, written with the SAME association in Spark and SQL.
+- The chi-square statistic is a sum of per-cell doubles; summing
+  doubles is order-dependent, so each cell's contribution is rounded
+  to ×1e6 integer first and the total is an exact integer sum (the
+  text_bigram_logprob idiom).
+- The KS statistic's max runs over exact integer numerators
+  ``|F1·n0 − F0·n1|`` — no floating-point CDF at all until the final
+  single division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.stable import dec_sum, dec_sum_sql
+from ..registry import register
+from ..session import load_table, tiny_frame_key
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test: click vs purchase event values.
+# ---------------------------------------------------------------------------
+
+_TT_A, _TT_B = "click", "purchase"
+
+TTEST_ORACLE = f"""
+WITH m AS (
+  SELECT
+    COUNT(*) FILTER (event_type = '{_TT_A}') AS n1,
+    COUNT(*) FILTER (event_type = '{_TT_B}') AS n2,
+    {dec_sum_sql("CASE WHEN event_type = '" + _TT_A + "' THEN value END")} AS s1,
+    {dec_sum_sql("CASE WHEN event_type = '" + _TT_B + "' THEN value END")} AS s2,
+    {dec_sum_sql("CASE WHEN event_type = '" + _TT_A + "' THEN value * value END", 4)} AS ss1,
+    {dec_sum_sql("CASE WHEN event_type = '" + _TT_B + "' THEN value * value END", 4)} AS ss2
+  FROM events
+), mm AS (
+  SELECT *, s1 / n1 AS m1, s2 / n2 AS m2 FROM m
+), v AS (
+  SELECT *,
+         (ss1 - s1 * m1) / (n1 - 1) AS v1,
+         (ss2 - s2 * m2) / (n2 - 1) AS v2
+  FROM mm
+)
+SELECT n1, n2, m1 AS mean_1, m2 AS mean_2,
+       (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+       (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+         / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+         AS welch_df
+FROM v
+"""
+
+
+@register("stats_welch_ttest", oracle=TTEST_ORACLE, tags=("stats", "agg"))
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of mean event value, click vs
+    purchase, in ONE conditional-aggregate pass over events (no
+    filter-and-join, no second scan). Map-side partials reduce to a
+    single 6-number state; the t statistic and Welch-Satterthwaite df
+    are driver-free scalar arithmetic on that state — the same shape at
+    100 TB as at 60k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    val_a = F.when(F.col("event_type") == _TT_A, F.col("value"))
+    val_b = F.when(F.col("event_type") == _TT_B, F.col("value"))
+    m = ev.agg(
+        F.count(val_a).alias("n1"),
+        F.count(val_b).alias("n2"),
+        dec_sum(val_a).alias("s1"),
+        dec_sum(val_b).alias("s2"),
+        dec_sum(val_a * val_a, 4).alias("ss1"),
+        dec_sum(val_b * val_b, 4).alias("ss2"),
+    )
+    m = m.withColumn("m1", F.col("s1") / F.col("n1")).withColumn(
+        "m2", F.col("s2") / F.col("n2")
+    )
+    m = m.withColumn(
+        "v1", (F.col("ss1") - F.col("s1") * F.col("m1")) / (F.col("n1") - 1)
+    ).withColumn("v2", (F.col("ss2") - F.col("s2") * F.col("m2")) / (F.col("n2") - 1))
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return m.select(
+        "n1",
+        "n2",
+        F.col("m1").alias("mean_1"),
+        F.col("m2").alias("mean_2"),
+        ((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)).alias("t_stat"),
+        (
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1))
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: o_orderpriority × o_orderstatus.
+# ---------------------------------------------------------------------------
+
+CHI2_ORACLE = """
+WITH obs AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+), rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS row_n FROM obs GROUP BY 1),
+   ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS col_n FROM obs GROUP BY 1),
+   n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+   cells AS (
+  SELECT obs.o,
+         CAST(rt.row_n AS DOUBLE) * ct.col_n / n.n AS e
+  FROM obs JOIN rt ON obs.r = rt.r JOIN ct ON obs.c = ct.c, n
+)
+SELECT CAST(SUM(CAST(ROUND((o - e) * (o - e) / e * 1000000) AS BIGINT)) AS BIGINT)
+         AS chi2_e6,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       (SELECT (COUNT(DISTINCT o_orderpriority) - 1)
+              * (COUNT(DISTINCT o_orderstatus) - 1) FROM orders) AS dof
+FROM cells
+"""
+
+
+@register("stats_chi2_independence", oracle=CHI2_ORACLE, tags=("stats", "agg"))
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the priority × status
+    contingency table. One groupBy builds the observed cells; row/
+    column margins are re-aggregated from the ≤15-cell frame (never
+    from the fact table again) and broadcast back. Each cell's
+    (O−E)²/E is quantized to ×1e6 BEFORE the final sum so the statistic
+    is an exact integer — immune to aggregation order on any cluster."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("r").agg(F.sum("o").cast("long").alias("row_n"))
+    ct = obs.groupBy("c").agg(F.sum("o").cast("long").alias("col_n"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            e.alias("e"),
+        )
+    )
+    contrib = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e") * 1_000_000
+    ).cast("long")
+    dims = orders.agg(
+        (
+            (F.countDistinct("o_orderpriority") - 1)
+            * (F.countDistinct("o_orderstatus") - 1)
+        ).alias("dof")
+    )
+    return (
+        cells.agg(
+            F.sum(contrib).cast("long").alias("chi2_e6"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(dims))
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass Pearson correlation matrix over lineitem numeric columns.
+# ---------------------------------------------------------------------------
+
+# (x, y, scale for Σxy) — scales keep |v·10^s| ≲ 2^53 per row while
+# resolving the smallest products (discount·tax ~ 1e-2) finely enough.
+_CORR_COLS = {
+    "l_quantity": (2, 4),  # (Σx scale, Σx² scale)
+    "l_extendedprice": (2, 2),
+    "l_discount": (4, 8),
+    "l_tax": (4, 8),
+}
+_CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice", 2),
+    ("l_quantity", "l_discount", 6),
+    ("l_quantity", "l_tax", 6),
+    ("l_extendedprice", "l_discount", 4),
+    ("l_extendedprice", "l_tax", 4),
+    ("l_discount", "l_tax", 8),
+)
+
+
+def _corr_oracle() -> str:
+    aggs = ["COUNT(*) AS n"]
+    for col, (s1, s2) in _CORR_COLS.items():
+        aggs.append(f"{dec_sum_sql(col, s1)} AS s_{col}")
+        aggs.append(f"{dec_sum_sql(f'{col} * {col}', s2)} AS q_{col}")
+    for x, y, sxy in _CORR_PAIRS:
+        aggs.append(f"{dec_sum_sql(f'{x} * {y}', sxy)} AS p_{x}_{y}")
+    arms = []
+    for x, y, _ in _CORR_PAIRS:
+        arms.append(
+            f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
+       (n * p_{x}_{y} - s_{x} * s_{y})
+         / (sqrt(n * q_{x} - s_{x} * s_{x}) * sqrt(n * q_{y} - s_{y} * s_{y}))
+         AS pearson_r
+FROM m"""
+        )
+    return "WITH m AS (\n  SELECT " + ",\n         ".join(aggs) + "\n  FROM lineitem\n)\n" + "\nUNION ALL\n".join(arms)
+
+
+@register("stats_corr_matrix", oracle=_corr_oracle(), tags=("stats", "agg", "bench"))
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of four lineitem measures from ONE
+    scan: a single aggregate computes every moment (n, Σx, Σx², Σxy for
+    all 6 pairs — 15 decimal-stable sums) as map-side partials, and the
+    6-row matrix is unpivoted from the one-row moment state. At 100 TB
+    this is exactly one pass over the fact table, no shuffle of it, and
+    the moment state is a few hundred bytes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for col, (s1, s2) in _CORR_COLS.items():
+        c = F.col(col)
+        aggs.append(dec_sum(c, s1).alias(f"s_{col}"))
+        aggs.append(dec_sum(c * c, s2).alias(f"q_{col}"))
+    for x, y, sxy in _CORR_PAIRS:
+        aggs.append(dec_sum(F.col(x) * F.col(y), sxy).alias(f"p_{x}_{y}"))
+    m = li.agg(*aggs)
+    arms = []
+    for x, y, _ in _CORR_PAIRS:
+        n = F.col("n")
+        r = (n * F.col(f"p_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")) / (
+            F.sqrt(n * F.col(f"q_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+            * F.sqrt(n * F.col(f"q_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+        )
+        arms.append(
+            m.select(
+                F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), r.alias("pearson_r")
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift: o_totalprice before/after 1995.
+# ---------------------------------------------------------------------------
+
+_KS_SPLIT = "1998-01-01"
+
+KS_ORACLE = f"""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderdate < DATE '{_KS_SPLIT}' THEN 1 ELSE 0 END AS g
+  FROM orders
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n1, CAST(COUNT(*) - SUM(g) AS BIGINT) AS n0 FROM s
+), byv AS (
+  SELECT v, CAST(SUM(g) AS BIGINT) AS c1, CAST(COUNT(*) - SUM(g) AS BIGINT) AS c0
+  FROM s GROUP BY v
+), cum AS (
+  SELECT SUM(c1) OVER (ORDER BY v) AS f1, SUM(c0) OVER (ORDER BY v) AS f0 FROM byv
+)
+SELECT CAST(MAX(ABS(f1 * n0 - f0 * n1)) AS BIGINT) AS ks_num, n0, n1,
+       CAST(MAX(ABS(f1 * n0 - f0 * n1)) AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1) AS ks_stat
+FROM cum, tot GROUP BY n0, n1
+"""
+
+_KS_BUCKETS = 32
+
+
+@register("drift_ks_twosample", oracle=KS_ORACLE, tags=("stats", "drift", "window", "scale"))
+def drift_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between pre- and
+    post-1998 order totals (driver data spans 1995..2001), with NO single-partition pass over
+    the data: per-value counts of each sample are cumulated by the
+    two-level distributed prefix (per-range-bucket window + a prefix
+    over the ≤32-row bucket-totals table — operators/analytics.py's
+    scheme). The empirical-CDF difference is kept as the exact integer
+    ``F1·n0 − F0·n1`` so the max — and the hash — cannot wobble with
+    parallelism; one division at the very end produces the statistic."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.to_date("o_orderdate") < F.lit(_KS_SPLIT).cast("date"), 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    byv = s.groupBy("v").agg(
+        F.sum("g").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c0"),
+    )
+    # Range buckets for load balance only; cumulation stays exact.
+    probs = [i / _KS_BUCKETS for i in range(1, _KS_BUCKETS)]
+    bounds = byv.agg(F.percentile_approx("v", probs, 10_000).alias("_bounds"))
+    bkt = F.aggregate(
+        "_bounds", F.lit(0), lambda acc, x: acc + F.when(x < F.col("v"), 1).otherwise(0)
+    )
+    b = byv.crossJoin(F.broadcast(bounds)).withColumn("_bkt", bkt).drop("_bounds")
+    totals = b.groupBy("_bkt").agg(
+        F.sum("c1").alias("_b1"), F.sum("c0").alias("_b0")
+    )
+    pre_w = (
+        W.partitionBy(tiny_frame_key("_bkt"))
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    all_w = (
+        W.partitionBy(tiny_frame_key("_bkt"))
+        .orderBy(F.lit(1))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    prefix = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_b1").over(pre_w), F.lit(0)).alias("_p1"),
+        F.coalesce(F.sum("_b0").over(pre_w), F.lit(0)).alias("_p0"),
+        F.sum("_b1").over(all_w).cast("long").alias("n1"),
+        F.sum("_b0").over(all_w).cast("long").alias("n0"),
+    )
+    in_w = W.partitionBy("_bkt").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        b.join(F.broadcast(prefix), "_bkt")
+        .select(
+            (F.col("_p1") + F.sum("c1").over(in_w)).alias("f1"),
+            (F.col("_p0") + F.sum("c0").over(in_w)).alias("f0"),
+            "n0",
+            "n1",
+        )
+    )
+    diff = F.abs(F.col("f1") * F.col("n0") - F.col("f0") * F.col("n1"))
+    return cum.groupBy("n0", "n1").agg(
+        F.max(diff).cast("long").alias("ks_num"),
+        (
+            F.max(diff).cast("double") / (F.col("n0").cast("double") * F.col("n1"))
+        ).alias("ks_stat"),
+    ).select("ks_num", "n0", "n1", "ks_stat")
