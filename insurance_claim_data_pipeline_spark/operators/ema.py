@@ -118,3 +118,106 @@ def events_ema_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE that replays the same integer recurrence (module
     docstring has the determinism argument)."""
     return ema_frame(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing of each type's hourly count series.
+# ---------------------------------------------------------------------------
+
+US_1H = 3_600_000_000
+ALPHA_E6 = 300_000  # level smoothing α = 0.3
+BETA_E6 = 100_000   # trend smoothing β = 0.1
+
+HOLT_SCHEMA = (
+    "event_type string, hour_idx bigint, n bigint, level_e6 bigint,"
+    " trend_e6 bigint, forecast_e6 bigint"
+)
+
+# floor-division helper for the oracle: DuckDB // truncates toward zero
+# while the Python worker floors; subtracting the non-negative residue
+# first makes both exact floor (the events_ema_irregular idiom). Here
+# the trend term CAN go negative (a falling series), so this is not
+# just future-proofing.
+def _floordiv_sql(expr: str, d: int) -> str:
+    return f"(({expr}) - (((({expr}) % {d}) + {d}) % {d})) // {d}"
+
+
+HOLT_ORACLE = f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, (epoch_us(ts) // {US_1H}) AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, hour_idx, n, n * {E6} AS x_e6,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour_idx) AS rn
+  FROM hourly
+), rec AS (
+  SELECT event_type, hour_idx, n, rn,
+         x_e6 AS level_e6, CAST(0 AS BIGINT) AS trend_e6
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.hour_idx, s.n, s.rn,
+         {_floordiv_sql(f"{ALPHA_E6} * s.x_e6 + ({E6} - {ALPHA_E6}) * (r.level_e6 + r.trend_e6)", E6)},
+         {_floordiv_sql(
+             f"{BETA_E6} * (" + _floordiv_sql(
+                 f"{ALPHA_E6} * s.x_e6 + ({E6} - {ALPHA_E6}) * (r.level_e6 + r.trend_e6)", E6
+             ) + f" - r.level_e6) + ({E6} - {BETA_E6}) * r.trend_e6", E6)}
+  FROM seq s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, hour_idx, n, level_e6, trend_e6,
+       level_e6 + trend_e6 AS forecast_e6
+FROM rec
+"""
+
+
+@register("events_holt_linear", oracle=HOLT_ORACLE, tags=("events", "llm", "pandas", "forecast"))
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt two-parameter (level + trend) exponential smoothing of each
+    event type's hourly count series, with the one-step-ahead forecast
+    ``level + trend`` per row — the classic operational-forecasting
+    primitive (capacity planning, anomaly baselines).
+
+    Same custom-operator shape as events_ema_irregular: the recurrence
+    depends on its own previous OUTPUT, which no window frame can
+    express, so the tiny per-type hourly series (already reduced
+    engine-side by a partial-aggregated groupBy — the ONLY shuffle of
+    the raw events) is handed to a per-group pandas scan. Both the
+    level and trend updates run in ×1e6 integer fixed point with
+    explicit floor division, replayed exactly by the recursive-CTE
+    oracle; the trend term goes negative on falling series, which is
+    why the floor/truncate reconciliation matters here."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    e6, alpha, beta = E6, ALPHA_E6, BETA_E6
+
+    def holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Closure (not module-level) so cloudpickle ships it by value —
+        # Python workers never import this package (driver contract
+        # runs from an arbitrary cwd).
+        pdf = pdf.sort_values("hour_idx").reset_index(drop=True)
+        x = [int(v) * e6 for v in pdf["n"]]
+        lvl: list[int] = []
+        trd: list[int] = []
+        for i, xi in enumerate(x):
+            if i == 0:
+                lvl.append(xi)
+                trd.append(0)
+            else:
+                nl = (alpha * xi + (e6 - alpha) * (lvl[-1] + trd[-1])) // e6
+                nt = (beta * (nl - lvl[-1]) + (e6 - beta) * trd[-1]) // e6
+                lvl.append(nl)
+                trd.append(nt)
+        out = pdf[["event_type", "hour_idx", "n"]].copy()
+        out["level_e6"] = lvl
+        out["trend_e6"] = trd
+        out["forecast_e6"] = [a + b for a, b in zip(lvl, trd)]
+        return out
+
+    return hourly.groupBy("event_type").applyInPandas(holt_group, schema=HOLT_SCHEMA)

@@ -396,3 +396,64 @@ def events_cap_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= CAP_PER_KEY_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly event-mix Shannon entropy.
+# ---------------------------------------------------------------------------
+
+US_1H = 3_600_000_000
+
+ENTROPY_ORACLE = f"""
+WITH c AS (
+  SELECT (epoch_us(ts) // {US_1H}) AS hour_idx, event_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT hour_idx, CAST(SUM(cnt) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c GROUP BY 1
+), per AS (
+  SELECT c.hour_idx,
+         CAST(ROUND((CAST(c.cnt AS DOUBLE) / t.n_events)
+                    * ln(CAST(c.cnt AS DOUBLE) / t.n_events)
+                    * 1000000) AS BIGINT) AS term
+  FROM c JOIN t ON c.hour_idx = t.hour_idx
+)
+SELECT t.hour_idx, t.n_events, t.n_types,
+       CAST(-SUM(per.term) AS BIGINT) AS entropy_e6
+FROM per JOIN t ON per.hour_idx = t.hour_idx
+GROUP BY t.hour_idx, t.n_events, t.n_types
+"""
+
+
+@register("events_hourly_entropy", oracle=ENTROPY_ORACLE, tags=("events", "analytics", "agg"))
+def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per hour — the standard
+    traffic-composition anomaly signal (a DDoS or a broken client
+    collapses the mix; entropy drops before any single count alarms).
+
+    Two partial-aggregated shuffles on tiny keys (hour × type, then
+    hour). Each type's −p·ln p contribution is quantized to ×1e6
+    BEFORE the per-hour sum (the text_bigram_logprob idiom), so the
+    statistic is an exact integer sum — engine- and order-independent
+    despite ln() being a libm call (rounding at 1e-6 absorbs any
+    last-ulp disagreement)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    c = (
+        ev.select(hour_idx.alias("hour_idx"), "event_type")
+        .groupBy("hour_idx", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = W.partitionBy("hour_idx")
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(tot)
+    term = F.round(p * F.log(p) * 1_000_000).cast("long")
+    per = c.select("hour_idx", "cnt", term.alias("term"))
+    return per.groupBy("hour_idx").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (-F.sum("term")).cast("long").alias("entropy_e6"),
+    )
