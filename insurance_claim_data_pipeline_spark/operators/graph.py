@@ -166,3 +166,53 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_edges.crossJoin(n_tri)
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+DEGREE_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.pkey AS p1, b.pkey AS p2
+  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT p1 AS node FROM edges UNION ALL SELECT p2 AS node FROM edges
+  ) GROUP BY 1
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM deg GROUP BY 1
+"""
+
+
+@register("graph_degree_distribution", oracle=DEGREE_ORACLE, tags=("graph", "agg"))
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph (same canonical p1<p2
+    edge list as graph_triangle_copurchase, lineitem.py parity) — the
+    first thing to look at before any graph algorithm: skew here is
+    what decides salting/orientation strategy for the joins above.
+    min_node per bucket gives the histogram a deterministic witness
+    row. Edge build is one co-keyed self-join; the histogram is two
+    map-side-combinable aggregates over (node) then (degree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")))
+        .select(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("p1").alias("node")).unionAll(
+        edges.select(F.col("p2").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+    )

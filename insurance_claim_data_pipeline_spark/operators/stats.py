@@ -344,3 +344,163 @@ def drift_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(diff).cast("double") / (F.col("n0").cast("double") * F.col("n1"))
         ).alias("ks_stat"),
     ).select("ks_num", "n0", "n1", "ks_stat")
+
+
+# ---------------------------------------------------------------------------
+# One-pass skewness / excess kurtosis per group.
+# ---------------------------------------------------------------------------
+
+# Skewness and kurtosis are scale-invariant, so the price column is
+# pre-divided by 1e6 (making x^4 ~ 1e-4) purely to control quantized
+# magnitudes. Moments are summed as plain ROUNDED x1e10 LONGs — not
+# dec_sum: its oracle mirror ROUND(v*10^s)/10^s re-rounds through a
+# double that is only faithful for small scales (k/1e12 is not exactly
+# representable, and the DECIMAL(18,12) cast of that double flips last
+# digits — observed here before the switch). A single rounded-long per
+# row keeps both engines in exact integer arithmetic end-to-end.
+# Headroom: |x^k|*1e10 <= ~1.1e4 per row -> int64 safe beyond 1e14 rows
+# per group; sums are order-independent by exactness.
+_MOM_DIV = 1_000_000
+_MOM_E = 10_000_000_000  # x1e10 quantization
+
+_MOM_X = f"(l_extendedprice / {_MOM_DIV})"
+
+
+def _mom_sum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * {_MOM_E} + 0.5) AS BIGINT)) AS DOUBLE) / {_MOM_E}"
+
+
+SKEWKURT_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         {_mom_sum_sql(_MOM_X)} AS s1,
+         {_mom_sum_sql(_MOM_X + ' * ' + _MOM_X)} AS s2,
+         {_mom_sum_sql(_MOM_X + ' * ' + _MOM_X + ' * ' + _MOM_X)} AS s3,
+         {_mom_sum_sql(_MOM_X + ' * ' + _MOM_X + ' * ' + _MOM_X + ' * ' + _MOM_X)} AS s4
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT *, s1 / n AS m1 FROM m
+), cm AS (
+  SELECT *,
+         s2 / n - m1 * m1 AS v,
+         s3 / n - 3 * m1 * (s2 / n) + 2 * m1 * m1 * m1 AS m3c,
+         s4 / n - 4 * m1 * (s3 / n) + 6 * m1 * m1 * (s2 / n)
+           - 3 * m1 * m1 * m1 * m1 AS m4c
+  FROM c
+)
+SELECT l_returnflag, n,
+       m3c / (v * sqrt(v)) AS skewness,
+       m4c / (v * v) - 3 AS excess_kurtosis
+FROM cm
+"""
+
+
+def _mom_sum(expr):
+    return F.sum(F.floor(expr * F.lit(_MOM_E) + F.lit(0.5)).cast("long")).cast(
+        "double"
+    ) / F.lit(_MOM_E)
+
+
+@register("stats_skew_kurtosis", oracle=SKEWKURT_ORACLE, tags=("stats", "agg"))
+def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis of l_extendedprice from a
+    single scan: four x1e10 rounded-integer raw moments reduce map-side
+    to a 5-number state per group; central moments and both shape
+    statistics are fixed scalar trees on that state (``v*sqrt(v)``, not
+    ``pow(v,1.5)`` — sqrt is IEEE-exact, pow is a libm gamble). Same
+    one-pass shape at any scale; integer headroom past 1e14 rows/group
+    (module comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice") / _MOM_DIV
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _mom_sum(x).alias("s1"),
+        _mom_sum(x * x).alias("s2"),
+        _mom_sum(x * x * x).alias("s3"),
+        _mom_sum(x * x * x * x).alias("s4"),
+    )
+    m = m.withColumn("m1", F.col("s1") / F.col("n"))
+    m1, n = F.col("m1"), F.col("n")
+    s2n, s3n, s4n = F.col("s2") / n, F.col("s3") / n, F.col("s4") / n
+    m = m.withColumn("v", s2n - m1 * m1)
+    m = m.withColumn("m3c", s3n - F.lit(3) * m1 * s2n + F.lit(2) * m1 * m1 * m1)
+    m = m.withColumn(
+        "m4c",
+        s4n - F.lit(4) * m1 * s3n + F.lit(6) * m1 * m1 * s2n
+        - F.lit(3) * m1 * m1 * m1 * m1,
+    )
+    v = F.col("v")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.col("m3c") / (v * F.sqrt(v))).alias("skewness"),
+        (F.col("m4c") / (v * v) - 3).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KL-divergence drift of the event-type mix, first half vs second half.
+# ---------------------------------------------------------------------------
+
+KL_ORACLE = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+), mid AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM b
+), g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts_us <= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
+         CAST(SUM(CASE WHEN ts_us > mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c_post
+  FROM b, mid GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(c_pre) AS BIGINT) AS n_pre, CAST(SUM(c_post) AS BIGINT) AS n_post
+  FROM g
+)
+SELECT g.event_type, g.c_pre, g.c_post,
+       CAST(ROUND((CAST(g.c_pre AS DOUBLE) / t.n_pre)
+                  * ln((CAST(g.c_pre AS DOUBLE) / t.n_pre)
+                       / (CAST(g.c_post AS DOUBLE) / t.n_post))
+                  * 1000000) AS BIGINT) AS kl_term_e6
+FROM g, t
+WHERE g.c_pre > 0 AND g.c_post > 0
+"""
+
+
+@register("events_kl_drift", oracle=KL_ORACLE, tags=("stats", "drift", "events"))
+def events_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category KL-divergence contributions of the event-type mix,
+    first half of the time range vs second half (midpoint computed from
+    the data as an exact integer, so the query is regen-proof). The
+    ×1e6 term quantization makes downstream totals order-independent;
+    complements drift_psi_orders (PSI) and drift_ks_twosample (KS) as
+    the distribution-shift triad. One scan, two tiny aggregates, one
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("event_type", F.unix_micros("ts").alias("ts_us"))
+    mid = b.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / 2).cast("long").alias("mid_us")
+    )
+    g = (
+        b.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts_us") <= F.col("mid_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_pre"),
+            F.sum(F.when(F.col("ts_us") > F.col("mid_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_post"),
+        )
+    )
+    t = g.agg(
+        F.sum("c_pre").cast("long").alias("n_pre"),
+        F.sum("c_post").cast("long").alias("n_post"),
+    )
+    p = F.col("c_pre").cast("double") / F.col("n_pre")
+    q = F.col("c_post").cast("double") / F.col("n_post")
+    term = F.round(p * F.log(p / q) * 1_000_000).cast("long")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .filter((F.col("c_pre") > 0) & (F.col("c_post") > 0))
+        .select("event_type", "c_pre", "c_post", term.alias("kl_term_e6"))
+    )

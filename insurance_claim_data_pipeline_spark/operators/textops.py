@@ -1197,3 +1197,84 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(oov.cast("double") / n.cast("double"), 6).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (degree/frequency scoring over stopword-
+# delimited phrases).
+# ---------------------------------------------------------------------------
+
+RAKE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), marked AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN w IN {_STOPWORDS!r} THEN 1 ELSE 0 END AS is_stop,
+         SUM(CASE WHEN w IN {_STOPWORDS!r} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM tok WHERE w <> ''
+), words AS (
+  SELECT doc_id, w, phrase_id FROM marked WHERE is_stop = 0
+), plen AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM words GROUP BY 1, 2
+), st AS (
+  SELECT w.w AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS degree
+  FROM words w JOIN plen p
+    ON w.doc_id = p.doc_id AND w.phrase_id = p.phrase_id
+  GROUP BY 1
+)
+SELECT word, freq, degree, (degree * 1000000) // freq AS rake_score_e6
+FROM st
+"""
+
+
+@register("text_rake_keywords", oracle=RAKE_ORACLE, tags=("text", "llm", "window"))
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring over the corpus: phrases are maximal
+    stopword-free token runs (phrase id = running stopword count per
+    doc — one per-doc window, partitioned, linear); each word's degree
+    is the summed length of the phrases containing it (multiplicity
+    included), and score = degree/freq as an exact ×1e6 integer
+    division. Words that travel in long phrases outrank equally
+    frequent loners — the RAKE signal.
+
+    Scale: posexplode + one doc-partitioned running sum + two
+    co-keyed aggregations; per-word state is two longs, so the final
+    vocabulary aggregate is map-side combinable and skew-bounded by
+    vocabulary size, not corpus size."""
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    is_stop = F.col("w").isin(*_STOPWORDS).cast("int")
+    marked = tok.select(
+        "doc_id",
+        "w",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop)
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("phrase_id"),
+    )
+    words = marked.filter(F.col("is_stop") == 0).select("doc_id", "w", "phrase_id")
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    st = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy(F.col("w").alias("word"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    return st.select(
+        "word",
+        "freq",
+        "degree",
+        F.expr("(degree * 1000000) div freq").alias("rake_score_e6"),
+    )
