@@ -586,6 +586,38 @@ GROUP BY vec_id
 """
 
 
+def _pq_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, m, k, dist_e6)`` — nearest codebook entry per
+    (vector, subspace), ties to lower k. Lexicographic struct-min ==
+    the (dist_e6 asc, k asc) window top-1, but as a partial-aggregable
+    MIN: the N·M·K candidate frame is combined map-side to N·M rows
+    BEFORE any exchange — no sort, no shuffle of the expanded frame
+    (the window formulation this replaced sorted it). A fully map-only
+    rewrite via transform/array_min higher-order functions was measured
+    2x SLOWER — HOF lambdas evaluate interpreted, outside whole-stage
+    codegen; this hash-agg form keeps the distance expression
+    codegen'd. Shared by emb_pq_encode and sim_topk_pq (the ADC scan
+    consumes the code ROWS, not the display string)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    anchors = emb.filter(
+        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+    ).select((F.col("vec_id") - IVF_C_LO).alias("k"), F.col("v").alias("a"))
+    m = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    subdist = F.expr(_pq_subdist("v", "a", _SPARK_ELEM))
+    d = (
+        emb.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(anchors))
+        .select("vec_id", "m", "k", subdist.alias("dist_e6"))
+    )
+    return (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist_e6", "k")).alias("b"))
+        .select("vec_id", "m", F.col("b.k").alias("k"), F.col("b.dist_e6").alias("dist_e6"))
+    )
+
+
 @register("emb_pq_encode", oracle=_pq_encode_oracle(), tags=("similarity", "llm"))
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding: split each 64-dim vector into
@@ -605,21 +637,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by vec_id, so AQE reuses one partitioning. 64 floats become
     M small codes — the order-of-magnitude compression that lets a
     100 TB corpus's index fit in cluster RAM for ADC scans."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
-    anchors = emb.filter(
-        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
-    ).select((F.col("vec_id") - IVF_C_LO).alias("k"), F.col("v").alias("a"))
-    m = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    subdist = F.expr(_pq_subdist("v", "a", _SPARK_ELEM))
-    d = (
-        emb.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(anchors))
-        .select("vec_id", "m", "k", subdist.alias("dist_e6"))
-    )
-    w = W.partitionBy("vec_id", "m").orderBy("dist_e6", "k")
-    best = d.select("*", F.row_number().over(w).alias("rnk")).filter(F.col("rnk") == 1)
+    best = _pq_best(spark, sf_dir)
     return best.groupBy("vec_id").agg(
         F.concat_ws(
             "|",
@@ -678,7 +696,6 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the pair, then a per-query top-k window. This is the FAISS
     IVFADC inner loop as a dataflow; compose with the IVF cell
     restriction to probe only candidate cells at 100 TB."""
-    enc = emb_pq_encode(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -695,9 +712,9 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(anchors))
         .select("query_id", "m", "k", subdist.alias("d_e6"))
     )
-    cvec = enc.select(
-        "vec_id", F.posexplode(F.split("codes", "\\|")).alias("m", "code")
-    ).select("vec_id", "m", F.col("code").cast("long").alias("k"))
+    # code rows straight from the encoder core — no concat_ws/split
+    # string round-trip between encode and scan.
+    cvec = _pq_best(spark, sf_dir).select("vec_id", "m", "k")
     scored = (
         cvec.join(F.broadcast(lut), ["m", "k"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -762,12 +779,17 @@ def train_pq_codebooks(emb: DataFrame, iters: int = PQ_KMEANS_ITERS) -> DataFram
     )
     subv = _pq_subvectors(emb)
     for _ in range(iters):
-        w = W.partitionBy("vec_id", "m").orderBy("dist_e6", "k")
+        # struct-min assignment (dist asc, k asc) — map-side combinable,
+        # no window sort of the N·M·K candidate frame; sv rides along in
+        # the struct tail (k is unique per group, so it never compares).
         assigned = (
             subv.join(F.broadcast(cb), "m")
             .select("vec_id", "m", "k", "sv", _l2_e6(F.col("sv"), F.col("a")).alias("dist_e6"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("dist_e6", "k", "sv")).alias("b"))
+            .select(
+                "vec_id", "m", F.col("b.k").alias("k"), F.col("b.sv").alias("sv")
+            )
         )
         means = (
             assigned.select("m", "k", F.posexplode("sv").alias("dim", "val"))
