@@ -1310,3 +1310,68 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(span).alias("covered_sec"),
         F.max(span).alias("longest_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval stabbing: how many orders are open on each day (sweep line).
+# ---------------------------------------------------------------------------
+
+CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS start_day,
+         CAST(MAX(l.l_shipdate) AS DATE) AS end_day
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), deltas AS (
+  SELECT start_day AS day, 1 AS d FROM iv
+  UNION ALL
+  SELECT CAST(end_day + INTERVAL 1 DAY AS DATE) AS day, -1 AS d FROM iv
+), byday AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, delta,
+       CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM byday
+"""
+
+
+@register(
+    "orders_open_concurrency",
+    oracle=CONCURRENCY_ORACLE,
+    tags=("analytics", "window", "events"),
+)
+def orders_open_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval stabbing: each order is open from its order
+    date to its last lineitem ship date; the output is the number of
+    simultaneously-open orders on each breakpoint day (valid until the
+    next breakpoint). +1/−1 boundary deltas are pre-aggregated per day,
+    so the cumulative sweep runs over the DAY axis — bounded by
+    calendar span (a few thousand rows at ANY corpus size), which is
+    what makes a single-partition running sum legitimate here
+    (tiny_frame_key keeps the partition spec non-foldable); the fact
+    tables are touched exactly once, by a co-keyed join + groupBy.
+    Complements events_interval_coverage (union length) with the
+    concurrency profile — capacity planning's other half."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("start_day"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_day"))
+    )
+    deltas = iv.select(F.col("start_day").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    byday = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("delta"))
+    byday = byday.withColumn("_dayn", F.datediff("day", F.lit("1970-01-01").cast("date")))
+    w = (
+        W.partitionBy(tiny_frame_key("_dayn"))
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return byday.select(
+        F.col("day").cast("string").alias("day"),
+        "delta",
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    )

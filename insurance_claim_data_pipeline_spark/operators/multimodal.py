@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.stable import dec_sum, dec_sum_sql
 from ..registry import register
 from ..session import load_table
 
@@ -581,4 +582,47 @@ def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("representative"),
             (F.count(F.lit(1)) > 1).alias("is_dup_cluster"),
         )
+    )
+
+
+ORC_SINK_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {dec_sum_sql('value')} AS total_value,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+FROM events GROUP BY 1
+"""
+
+
+@register("sink_orc_roundtrip", oracle=ORC_SINK_ORACLE, tags=("sink", "multimodal"))
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink verified by round trip: project events to a typed
+    frame (timestamps as epoch-us longs — ORC-portable), write ORC
+    (zlib, Spark's built-in writer), read the files back, aggregate per
+    event type. The oracle aggregates the ORIGINAL parquet table, so a
+    matching hash certifies the second columnar format preserved every
+    long and double bit-for-bit through write+scan — format-fidelity
+    proof, same pattern as sink_partitioned_parquet_stats.
+
+    Scale: columnar→columnar with a fixed maxRecordsPerFile cap; the
+    aggregate is map-side combinable over whatever file split the ORC
+    reader produces."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    out = os.path.join(tempfile.gettempdir(), "icdp_sink_orc_roundtrip")
+    ev.write.mode("overwrite").option("maxRecordsPerFile", 50_000).orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value").alias("total_value"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
     )

@@ -574,3 +574,58 @@ def agg_countmin_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").alias("est_count"))
     )
     return est.select("user_id", "est_count")
+
+
+# ---------------------------------------------------------------- KMV ----
+# K-Minimum-Values distinct sketch: keep the K smallest 60-bit hash
+# values; the K-th smallest normalized hash t estimates NDV as
+# (K-1)/t. Unlike HLL it supports set INTERSECTION estimates (keep the
+# K smallest of the union, count survivors in both sketches), which is
+# why both live here. Deterministic (md5), so fully oracle-checkable.
+
+KMV_K = 64
+_KMV_DOM = float(1 << 60)  # hash domain size as double, both engines
+
+KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT {_h60_sql('user_id')} AS hv
+  FROM events
+), k AS (
+  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM h
+  ORDER BY hv LIMIT {KMV_K}
+)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(MAX(hv) AS BIGINT) AS kth_hash,
+       CAST(({KMV_K} - 1) AS DOUBLE) / (CAST(MAX(hv) AS DOUBLE) / {_KMV_DOM})
+         AS est_distinct,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS true_distinct
+FROM k
+"""
+
+
+@register("agg_kmv_distinct", oracle=KMV_ORACLE, tags=("sketch", "agg", "approx"))
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values NDV sketch over events.user_id: the K smallest
+    distinct md5-60bit hashes; estimate = (K-1) / normalized K-th min.
+    The sketch is a bounded TOP-K BY HASH — Catalyst plans
+    sort+limit as TakeOrdered (per-partition heap of K, tiny driver
+    merge), so the pass is one scan with O(K) state per partition and
+    NO global sort; merging shards = merging K-lists, associative like
+    the HLL registers. true_distinct is computed alongside so the
+    estimate's error is visible in the row itself (~1/sqrt(K) ≈ 12%).
+
+    The distinct-on-hash step dedups BEFORE the heap so repeated keys
+    cannot occupy multiple sketch slots (KMV is defined over the SET)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(_h60(F.col("user_id")).alias("hv")).distinct()
+    k_small = h.orderBy("hv").limit(KMV_K)
+    true_d = ev.agg(F.countDistinct("user_id").cast("long").alias("true_distinct"))
+    est = F.lit(float(KMV_K - 1)) / (F.max("hv").cast("double") / F.lit(_KMV_DOM))
+    return (
+        k_small.agg(
+            F.lit(KMV_K).cast("long").alias("k"),
+            F.max("hv").cast("long").alias("kth_hash"),
+            est.alias("est_distinct"),
+        )
+        .crossJoin(F.broadcast(true_d))
+    )
