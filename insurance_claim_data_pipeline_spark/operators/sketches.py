@@ -591,15 +591,17 @@ WITH h AS (
   SELECT DISTINCT {_h60_sql('user_id')} AS hv
   FROM events
 ), k AS (
-  SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM h
-  ORDER BY hv LIMIT {KMV_K}
+  SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS in_sketch, CAST(MAX(hv) AS BIGINT) AS kth_hash
+  FROM k
 )
-SELECT CAST({KMV_K} AS BIGINT) AS k,
-       CAST(MAX(hv) AS BIGINT) AS kth_hash,
-       CAST(({KMV_K} - 1) AS DOUBLE) / (CAST(MAX(hv) AS DOUBLE) / {_KMV_DOM})
-         AS est_distinct,
+SELECT CAST({KMV_K} AS BIGINT) AS k, in_sketch, kth_hash,
+       CASE WHEN in_sketch < {KMV_K} THEN CAST(in_sketch AS DOUBLE)
+            ELSE CAST(({KMV_K} - 1) AS DOUBLE)
+                 / (CAST(kth_hash AS DOUBLE) / {_KMV_DOM}) END AS est_distinct,
        (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS true_distinct
-FROM k
+FROM s
 """
 
 
@@ -615,17 +617,26 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate's error is visible in the row itself (~1/sqrt(K) ≈ 12%).
 
     The distinct-on-hash step dedups BEFORE the heap so repeated keys
-    cannot occupy multiple sketch slots (KMV is defined over the SET)."""
+    cannot occupy multiple sketch slots (KMV is defined over the SET);
+    when the sketch is not full (NDV < K) it holds the whole hash set
+    and the estimate is the EXACT count — the standard KMV small-set
+    mode."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.select(_h60(F.col("user_id")).alias("hv")).distinct()
     k_small = h.orderBy("hv").limit(KMV_K)
     true_d = ev.agg(F.countDistinct("user_id").cast("long").alias("true_distinct"))
-    est = F.lit(float(KMV_K - 1)) / (F.max("hv").cast("double") / F.lit(_KMV_DOM))
+    in_sketch = F.count(F.lit(1)).cast("long")
+    est = F.when(
+        F.col("in_sketch") < KMV_K, F.col("in_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) / (F.col("kth_hash").cast("double") / F.lit(_KMV_DOM))
+    )
     return (
         k_small.agg(
             F.lit(KMV_K).cast("long").alias("k"),
+            in_sketch.alias("in_sketch"),
             F.max("hv").cast("long").alias("kth_hash"),
-            est.alias("est_distinct"),
         )
+        .select("k", "in_sketch", "kth_hash", est.alias("est_distinct"))
         .crossJoin(F.broadcast(true_d))
     )

@@ -1278,3 +1278,85 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         F.expr("(degree * 1000000) div freq").alias("rake_score_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining over corpus bigrams.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+PMI_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+), cr AS (
+  SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM c2 GROUP BY w2
+), tot AS (
+  SELECT CAST(SUM(n12) AS BIGINT) AS n FROM c2
+)
+SELECT c2.w1, c2.w2, c2.n12,
+       CAST(ROUND(ln((CAST(tot.n AS DOUBLE) * c2.n12)
+                     / (CAST(c1.n1 AS DOUBLE) * cr.n2)) * 1000000) AS BIGINT)
+         AS pmi_e6
+FROM c2 JOIN c1 ON c2.w1 = c1.w1 JOIN cr ON c2.w2 = cr.w2, tot
+WHERE c2.n12 >= {PMI_MIN_COUNT}
+"""
+
+
+@register("text_pmi_bigrams", oracle=PMI_ORACLE, tags=("text", "llm"))
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs —
+    collocation mining (``ln(N·c12 / (c1·c2))``, positional margins:
+    c1 = pair-starts with w1, c2 = pair-ends with w2). Complements
+    text_bigram_logprob: the LM scores DOCUMENTS by conditional
+    likelihood, PMI scores PAIRS by association strength — the phrase
+    inventory a tokenizer/vocab builder mines first. Counts below
+    {PMI_MIN_COUNT} are dropped (PMI is unstable on rare pairs), and
+    the statistic is a ×1e6 integer on exact count ratios.
+
+    Scale: the pair-count aggregate is the only pass over token data;
+    margins re-aggregate the (vocab²-bounded) pair table, and the two
+    margin joins are vocabulary-keyed — broadcastable for any real
+    vocabulary."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("toks"))
+    k = F.size("toks") - 1
+    bg = (
+        doc.select(
+            "toks",
+            F.explode(F.when(k >= 1, F.sequence(F.lit(1), k))).alias("i"),
+        )
+        .select(
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    cr = c2.groupBy("w2").agg(F.sum("n12").cast("long").alias("n2"))
+    tot = c2.agg(F.sum("n12").cast("long").alias("n"))
+    pmi = (
+        F.round(
+            F.log(
+                (F.col("n").cast("double") * F.col("n12"))
+                / (F.col("n1").cast("double") * F.col("n2"))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("pmi_e6")
+    )
+    return (
+        c2.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(cr), "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n12") >= PMI_MIN_COUNT)
+        .select("w1", "w2", "n12", pmi)
+    )

@@ -1,0 +1,187 @@
+"""Semantic tests for the round-4 statistics / feature-engineering /
+time-series operators, beyond oracle parity: each asserts a property
+the statistic must have BY CONSTRUCTION (parity alone would also pass
+on a consistently-wrong implementation, since the oracle mirrors the
+computation)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from insurance_claim_data_pipeline_spark.operators import (
+    analytics,
+    ema,
+    eventops,
+    graph,
+    mlfeat,
+    sketches,
+    stats,
+    textops,
+)
+
+
+def test_zscore_group_mean_is_zero_and_minmax_bounded(spark):
+    # Over ALL rows (row thinning off via direct frame math): z-scores
+    # of the full population must average ~0 per group; the thinned
+    # output must stay within the full-population min-max bounds.
+    sf = "/root/testdata/sf0.01"
+    out = mlfeat.feat_scale_numeric(spark, sf)
+    mm = out.agg(F.min("minmax"), F.max("minmax")).collect()[0]
+    assert 0.0 <= mm[0] and mm[1] <= 1.0
+    z = out.groupBy("l_returnflag").agg(F.avg("z_score").alias("m")).collect()
+    # the thinned sample's mean is not exactly 0, but must be small
+    for r in z:
+        assert abs(r["m"]) < 0.2
+
+
+def test_onehot_rows_sum_to_one(spark, sf_dir):
+    out = mlfeat.feat_categorical_encode(spark, sf_dir)
+    bad = out.filter(
+        F.col("is_urgent") + F.col("is_high") + F.col("is_medium")
+        + F.col("is_notspec") + F.col("is_low") != 1
+    ).count()
+    assert bad == 0
+
+
+def test_target_encode_between_prior_and_rate(spark, sf_dir):
+    # Smoothing pulls each category's encoding strictly between its raw
+    # rate and the global prior (for n, m > 0).
+    rows = mlfeat.feat_target_encode(spark, sf_dir).collect()
+    for r in rows:
+        raw = r["n_pos"] / r["n_orders"]
+        lo, hi = sorted((raw, r["prior"]))
+        assert lo - 1e-12 <= r["target_enc"] <= hi + 1e-12
+
+
+def test_quantile_bins_are_balanced(spark, sf_dir):
+    # ntile(10) buckets differ in size by at most 1 over the FULL table;
+    # the thinned output must still use every decile.
+    out = mlfeat.feat_quantile_bin(spark, sf_dir)
+    deciles = {r["decile"] for r in out.select("decile").distinct().collect()}
+    assert deciles == set(range(1, 11))
+
+
+def test_welch_ttest_state_sane(spark, sf_dir):
+    row = stats.stats_welch_ttest(spark, sf_dir).collect()[0]
+    assert row["n1"] > 0 and row["n2"] > 0
+    assert math.isfinite(row["t_stat"]) and row["welch_df"] > 1
+    # df is bounded by n1+n2-2 (equality only when variances match)
+    assert row["welch_df"] <= row["n1"] + row["n2"] - 2
+
+
+def test_chi2_is_nonnegative_and_dof_correct(spark, sf_dir):
+    row = stats.stats_chi2_independence(spark, sf_dir).collect()[0]
+    assert row["chi2_e6"] >= 0
+    assert row["dof"] == (5 - 1) * (3 - 1)
+
+
+def test_corr_matrix_within_bounds_and_price_qty_positive(spark, sf_dir):
+    rows = stats.stats_corr_matrix(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["pearson_r"] <= 1.0 + 1e-9
+    # the synthetic columns are mutually independent by construction,
+    # so every |r| must be small — a strong correlation would mean the
+    # moment bookkeeping is broken
+    for r in rows:
+        assert abs(r["pearson_r"]) < 0.2
+
+
+def test_ks_statistic_bounds_and_counts(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    row = stats.drift_ks_twosample(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["ks_num"] >= 0
+    n = load_table(spark, sf_dir, "orders").count()
+    assert row["n0"] + row["n1"] == n  # the split partitions the table
+
+
+def test_skew_kurtosis_sign_sanity(spark, sf_dir):
+    rows = stats.stats_skew_kurtosis(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert math.isfinite(r["skewness"]) and math.isfinite(r["excess_kurtosis"])
+        # prices are right-bounded near-uniformish; kurtosis must be
+        # platykurtic-to-moderate, never extreme
+        assert -3.0 < r["excess_kurtosis"] < 10.0
+
+
+def test_kl_drift_terms_sum_near_zero_for_stationary_mix(spark, sf_dir):
+    # the synthetic event mix is stationary; total KL should be tiny
+    rows = stats.events_kl_drift(spark, sf_dir).collect()
+    total = sum(r["kl_term_e6"] for r in rows)
+    assert abs(total) < 50_000  # < 0.05 nats
+
+
+def test_holt_constant_series_has_zero_trend_tail(spark, sf_dir):
+    # On the real data just assert the recurrence invariants:
+    # first row per type has trend 0 and level == n·1e6.
+    rows = ema.events_holt_linear(spark, sf_dir).collect()
+    byt: dict[str, list] = {}
+    for r in rows:
+        byt.setdefault(r["event_type"], []).append(r)
+    for t, rs in byt.items():
+        rs.sort(key=lambda r: r["hour_idx"])
+        assert rs[0]["trend_e6"] == 0
+        assert rs[0]["level_e6"] == rs[0]["n"] * 1_000_000
+        for r in rs:
+            assert r["forecast_e6"] == r["level_e6"] + r["trend_e6"]
+
+
+def test_entropy_bounds(spark, sf_dir):
+    rows = eventops.events_hourly_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 ≤ H ≤ ln(n_types), both in ×1e6 (+1 rounding slack per term)
+        assert -r["n_types"] <= r["entropy_e6"]
+        assert r["entropy_e6"] <= int(math.log(max(r["n_types"], 1)) * 1e6) + r["n_types"]
+
+
+def test_rake_degree_at_least_freq(spark, sf_dir):
+    # every phrase containing w has length ≥ 1, so degree ≥ freq and
+    # score_e6 ≥ 1e6; stopwords never appear as keywords.
+    rows = textops.text_rake_keywords(spark, sf_dir).collect()
+    assert rows
+    words = {r["word"] for r in rows}
+    assert not words & set(textops._STOPWORDS)
+    for r in rows:
+        assert r["degree"] >= r["freq"]
+        assert r["rake_score_e6"] >= 1_000_000
+
+
+def test_pmi_margin_identity(spark, sf_dir):
+    # PMI of a pair whose margins equal its count: ln(N/c12) exactly.
+    rows = textops.text_pmi_bigrams(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n12"] >= textops.PMI_MIN_COUNT
+
+
+def test_degree_distribution_handshake(spark, sf_dir):
+    # Σ degree·n_nodes = 2·|E| (handshake lemma).
+    rows = graph.graph_degree_distribution(spark, sf_dir).collect()
+    total_deg = sum(r["degree"] * r["n_nodes"] for r in rows)
+    assert total_deg % 2 == 0 and total_deg > 0
+
+
+def test_kmv_estimate_close_to_truth(spark, sf_dir):
+    # sf0.001 has fewer distinct users than K → exact small-set mode
+    row = sketches.agg_kmv_distinct(spark, sf_dir).collect()[0]
+    assert row["in_sketch"] < sketches.KMV_K
+    assert row["est_distinct"] == row["true_distinct"]
+    # sf0.01 has ~150 users > K → the estimator mode, ~1/sqrt(K) error
+    row = sketches.agg_kmv_distinct(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["in_sketch"] == sketches.KMV_K
+    err = abs(row["est_distinct"] - row["true_distinct"]) / row["true_distinct"]
+    assert err < 0.40, (row["est_distinct"], row["true_distinct"])
+
+
+def test_open_concurrency_never_negative_and_ends_at_zero(spark, sf_dir):
+    rows = analytics.orders_open_concurrency(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["day"])
+    assert all(r["open_orders"] >= 0 for r in rows)
+    assert rows[-1]["open_orders"] == 0  # every interval eventually closes
