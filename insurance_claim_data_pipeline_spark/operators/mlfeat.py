@@ -292,3 +292,86 @@ def feat_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ntile_from_rank(F.col("_rank"), F.col("_n_total"), 10).alias("decile"),
         )
     )
+
+
+WOE_BINS = 10
+
+WOE_IV_ORACLE = f"""
+WITH returned AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+), labeled AS (
+  SELECT o.o_orderkey, o.o_totalprice,
+         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y,
+         ntile({WOE_BINS}) OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey) AS bin
+  FROM orders o LEFT JOIN returned r ON o.o_orderkey = r.l_orderkey
+), per_bin AS (
+  SELECT bin,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+  FROM labeled GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p_tot, CAST(SUM(n_neg) AS BIGINT) AS n_tot
+  FROM per_bin
+)
+SELECT b.bin, b.n_pos, b.n_neg,
+       CAST(ROUND(ln((CAST(b.n_pos AS DOUBLE) / t.p_tot)
+                     / (CAST(b.n_neg AS DOUBLE) / t.n_tot)) * 1000000) AS BIGINT)
+         AS woe_e6,
+       CAST(ROUND((CAST(b.n_pos AS DOUBLE) / t.p_tot
+                   - CAST(b.n_neg AS DOUBLE) / t.n_tot)
+                  * ln((CAST(b.n_pos AS DOUBLE) / t.p_tot)
+                       / (CAST(b.n_neg AS DOUBLE) / t.n_tot)) * 1000000) AS BIGINT)
+         AS iv_term_e6
+FROM per_bin b, tot t
+WHERE b.n_pos > 0 AND b.n_neg > 0
+"""
+
+
+@register(
+    "feat_woe_iv", oracle=WOE_IV_ORACLE, tags=("mlfeat", "llm", "window", "scale")
+)
+def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binned-target encoding —
+    the scorecard-modeling workhorse: decile-bin o_totalprice (exact
+    distributed rank + closed-form ntile, no single-partition window),
+    label each order by contains-a-returned-lineitem, and emit per-bin
+    WOE = ln(bin-pos-share / bin-neg-share) plus the bin's IV
+    contribution, both as ×1e6 integers (ln rounded once per bin — the
+    downstream IV total is then an exact integer sum). Degenerate bins
+    (all-pos or all-neg) are excluded, the standard WOE convention.
+
+    Scale: the label join is co-keyed on the fact key; ranks come from
+    the two-level bucket-prefix scheme; everything after is a 10-row
+    frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    labeled = (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("l_orderkey").isNull(), 0).otherwise(1).alias("y"),
+        )
+    )
+    ranked = _with_global_rank(labeled, "o_totalprice", "o_orderkey", "_rank")
+    binned = ranked.select(
+        "y", _ntile_from_rank(F.col("_rank"), F.col("_n_total"), WOE_BINS).alias("bin")
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_pos").cast("long").alias("p_tot"),
+        F.sum("n_neg").cast("long").alias("n_tot"),
+    )
+    dp = F.col("n_pos").cast("double") / F.col("p_tot")
+    dn = F.col("n_neg").cast("double") / F.col("n_tot")
+    woe = F.round(F.log(dp / dn) * 1_000_000).cast("long")
+    iv = F.round((dp - dn) * F.log(dp / dn) * 1_000_000).cast("long")
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select("bin", "n_pos", "n_neg", woe.alias("woe_e6"), iv.alias("iv_term_e6"))
+    )
