@@ -234,22 +234,24 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x, y, sxy in _CORR_PAIRS:
         aggs.append(dec_sum(F.col(x) * F.col(y), sxy).alias(f"p_{x}_{y}"))
     m = li.agg(*aggs)
-    arms = []
+    # one aggregate row -> explode a literal 6-struct array; a UNION of
+    # per-pair selects would re-plan the aggregate per branch (6 scans —
+    # observed in the physical plan before this formulation).
+    structs = []
     for x, y, _ in _CORR_PAIRS:
         n = F.col("n")
         r = (n * F.col(f"p_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")) / (
             F.sqrt(n * F.col(f"q_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
             * F.sqrt(n * F.col(f"q_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
         )
-        arms.append(
-            m.select(
+        structs.append(
+            F.struct(
                 F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), r.alias("pearson_r")
             )
         )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionAll(a)
-    return out
+    return m.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.col_x", "p.col_y", "p.pearson_r"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -112,6 +112,26 @@ JVM_ONLY_QUERIES = [
     "emb_gram_matrix",
     "join_asof_nearest",
     "agg_countmin_deterministic",
+    # round-4 additions (mlfeat / stats / drift / text / graph /
+    # sketches) — all pure Column/SQL expressions
+    "feat_scale_numeric",
+    "feat_categorical_encode",
+    "feat_target_encode",
+    "feat_hashing_vectorize",
+    "feat_quantile_bin",
+    "feat_woe_iv",
+    "stats_welch_ttest",
+    "stats_chi2_independence",
+    "stats_corr_matrix",
+    "stats_skew_kurtosis",
+    "drift_ks_twosample",
+    "events_kl_drift",
+    "events_hourly_entropy",
+    "orders_open_concurrency",
+    "text_rake_keywords",
+    "text_pmi_bigrams",
+    "graph_degree_distribution",
+    "agg_kmv_distinct",
 ]
 
 
@@ -392,3 +412,34 @@ def test_zorder_localizes_both_dimensions(spark):
     plan = physical_plan(spark, "/root/testdata/sf0.01", "sort_zorder_interleave")
     assert "rangepartitioning" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_feat_scale_numeric_broadcasts_stats(spark, sf_dir):
+    """The 3-row group-stats frame must broadcast back onto the fact
+    table — a SortMergeJoin here would shuffle the whole fact side for
+    a 3-row dimension."""
+    plan = physical_plan(spark, sf_dir, "feat_scale_numeric")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corr_matrix_single_scan_no_join(spark, sf_dir):
+    """All 15 moments come from ONE aggregate over lineitem; any join
+    node means the one-pass shape regressed to per-pair scans."""
+    plan = physical_plan(spark, sf_dir, "stats_corr_matrix")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
+
+
+def test_woe_iv_no_single_partition_window(spark, sf_dir):
+    """Binning must come from the two-level distributed rank: a window
+    with an empty partition spec over the fact table would be the
+    single-partition anti-pattern."""
+    plan = physical_plan(spark, sf_dir, "feat_woe_iv")
+    import re
+
+    # every Window node must carry a partition spec (windowspecdefinition
+    # with a non-empty partition list renders as "partitionBy" args in
+    # the Window operator's string: Window [...], [part], [order])
+    for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\], \[[^\]]*\]", plan):
+        assert m.group("part").strip() != ""
