@@ -506,3 +506,75 @@ def events_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("c_pre") > 0) & (F.col("c_post") > 0))
         .select("event_type", "c_pre", "c_post", term.alias("kl_term_e6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness of each type's hourly arrival process.
+# ---------------------------------------------------------------------------
+
+_US_1H = 3_600_000_000
+
+BURSTINESS_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_us(ts) // {_US_1H}) AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS t_hours,
+         CAST(SUM(n) AS BIGINT) AS s1,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM hourly GROUP BY 1
+), c AS (
+  SELECT *, CAST(s1 AS DOUBLE) / t_hours AS mu FROM m
+), v AS (
+  SELECT *, (CAST(s2 AS DOUBLE) - s1 * mu) / (t_hours - 1) AS var FROM c
+)
+SELECT event_type, t_hours, s1 AS n_events,
+       var / mu AS fano_factor,
+       (sqrt(var) - mu) / (sqrt(var) + mu) AS burstiness
+FROM v
+"""
+
+
+@register("events_burstiness", oracle=BURSTINESS_ORACLE, tags=("stats", "events", "agg"))
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process burstiness per event type over the observed
+    hourly series: Fano factor (variance/mean of hourly counts — 1 for
+    Poisson, >1 bursty, <1 regular) and the Goh-Barabási burstiness
+    coefficient (σ−μ)/(σ+μ) ∈ [−1, 1]. Counts are integers, so the
+    moment sums are exact; the two statistics are fixed IEEE trees on
+    identical doubles. Hours with zero events don't appear in the
+    series (the driver data has none); an occupancy-complete variant
+    would left-join the gap-filled hour spine of
+    events_gap_fill_locf.
+
+    Scale: one shuffle of events into (type, hour) counts, then a
+    per-type 3-number state."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(_US_1H))) / F.lit(_US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("t_hours"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    m = m.withColumn("mu", F.col("s1").cast("double") / F.col("t_hours"))
+    m = m.withColumn(
+        "var",
+        (F.col("s2").cast("double") - F.col("s1") * F.col("mu")) / (F.col("t_hours") - 1),
+    )
+    sd = F.sqrt(F.col("var"))
+    return m.select(
+        "event_type",
+        "t_hours",
+        F.col("s1").alias("n_events"),
+        (F.col("var") / F.col("mu")).alias("fano_factor"),
+        ((sd - F.col("mu")) / (sd + F.col("mu"))).alias("burstiness"),
+    )

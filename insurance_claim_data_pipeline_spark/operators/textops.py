@@ -1360,3 +1360,79 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n12") >= PMI_MIN_COUNT)
         .select("w1", "w2", "n12", pmi)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the corpus vocabulary.
+# ---------------------------------------------------------------------------
+
+ZIPF_ORACLE = """
+WITH tf AS (
+  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY 1
+), ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk FROM tf
+), pts AS (
+  SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x_e6,
+         CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y_e6
+  FROM ranked
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(x_e6) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y_e6) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x_e6 * y_e6) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(x_e6 * x_e6) AS DECIMAL(38,0)) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n AS n_terms,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / (n * 1000000.0)
+         AS intercept_ln
+FROM mom
+"""
+
+
+@register("text_zipf_fit", oracle=ZIPF_ORACLE, tags=("text", "llm", "window", "scale"))
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: least-squares
+    slope of ln(freq) on ln(rank) (a natural corpus is ≈ −1; a heavily
+    deduplicated or template-filled corpus drifts away — this is a
+    corpus-health gauge). Ranks come from the exact two-level
+    distributed global rank (operators/analytics.py — no
+    single-partition window over the vocabulary); each point's logs are
+    quantized to ×1e6 integers once, so all four regression moments are
+    EXACT integer sums (held as DECIMAL(38) against vocabulary-scale
+    overflow) and the slope is a fixed IEEE tree."""
+    from .analytics import _with_global_rank
+
+    doc = load_table(spark, sf_dir, "documents")
+    tf = (
+        doc.select(F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy(F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ranked = _with_global_rank(tf, "freq", "term", "rnk")
+    x = F.round(F.log(F.col("rnk").cast("double")) * 1_000_000).cast("long")
+    y = F.round(F.log(F.col("freq").cast("double")) * 1_000_000).cast("long")
+    pts = ranked.select(x.alias("x_e6"), y.alias("y_e6"))
+    # cast to DECIMAL per ROW, before the sum — a long SUM would be the
+    # thing that overflows at vocabulary scale (DuckDB's SUM(BIGINT) is
+    # already int128)
+    d = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        d(F.col("x_e6")).alias("sx"),
+        d(F.col("y_e6")).alias("sy"),
+        d(F.col("x_e6") * F.col("y_e6")).alias("sxy"),
+        d(F.col("x_e6") * F.col("x_e6")).alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / (n * F.lit(1_000_000.0))
+    return mom.select(
+        n.alias("n_terms"), slope.alias("zipf_slope"), intercept.alias("intercept_ln")
+    )

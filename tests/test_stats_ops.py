@@ -185,3 +185,19 @@ def test_open_concurrency_never_negative_and_ends_at_zero(spark, sf_dir):
     rows.sort(key=lambda r: r["day"])
     assert all(r["open_orders"] >= 0 for r in rows)
     assert rows[-1]["open_orders"] == 0  # every interval eventually closes
+
+
+def test_burstiness_bounds(spark, sf_dir):
+    rows = stats.events_burstiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["fano_factor"] > 0
+        assert -1.0 <= r["burstiness"] <= 1.0
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    # frequency is non-increasing in rank by construction, so the
+    # fitted slope can never be positive
+    row = textops.text_zipf_fit(spark, sf_dir).collect()[0]
+    assert row["n_terms"] > 10
+    assert row["zipf_slope"] <= 0.0
