@@ -266,3 +266,172 @@ def rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical.join(
         contaminated, ["doc_id", "chunk_idx"], "left_anti"
     ).select("doc_id", "chunk_idx", "chunk_hash", "n_words")
+
+
+# ---------------------------------------------------------------------------
+# Tabular feature-prep pipeline: split -> train-fit encoders -> apply.
+# ---------------------------------------------------------------------------
+
+FEAT_BINS = 10
+FEAT_ROW_MOD = 20  # deterministic output thinning (transform still runs on all rows)
+
+
+def _feature_prep_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    return f"""
+WITH returned AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+), base AS (
+  SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority,
+         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y,
+         CASE WHEN {_bucket_sql('o.o_orderkey')} < {TRAIN_PCT} THEN 'train'
+              WHEN {_bucket_sql('o.o_orderkey')} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM orders o LEFT JOIN returned r ON o.o_orderkey = r.l_orderkey
+), train AS (
+  SELECT * FROM base WHERE split = 'train'
+), stats AS (
+  SELECT COUNT(*) AS n, {dec_sum_sql('o_totalprice')} AS s,
+         {dec_sum_sql('o_totalprice * o_totalprice')} AS ss
+  FROM train
+), mu AS (
+  SELECT *, s / n AS mean FROM stats
+), tb AS (
+  SELECT o_totalprice,
+         ntile({FEAT_BINS}) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS bin
+  FROM train
+), edges AS (
+  SELECT list(lo ORDER BY lo) AS arr FROM (
+    SELECT MIN(o_totalprice) AS lo FROM tb WHERE bin < {FEAT_BINS} GROUP BY bin
+  )
+), binned AS (
+  SELECT b.*, 1 + len(list_filter(e.arr, x -> x > b.o_totalprice)) AS bin
+  FROM base b, edges e
+), woe AS (
+  SELECT bin,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+  FROM binned WHERE split = 'train' GROUP BY 1
+), wt AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p_tot, CAST(SUM(n_neg) AS BIGINT) AS n_tot
+  FROM woe
+), wv AS (
+  SELECT w.bin,
+         CAST(ROUND(ln((CAST(w.n_pos AS DOUBLE) / t.p_tot)
+                       / (CAST(w.n_neg AS DOUBLE) / t.n_tot)) * 1000000) AS BIGINT)
+           AS woe_e6
+  FROM woe w, wt t WHERE w.n_pos > 0 AND w.n_neg > 0
+), freq AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt FROM train GROUP BY 1
+), ft AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train
+)
+SELECT b.o_orderkey, b.split, b.y, b.bin,
+       (b.o_totalprice - m.mean) / sqrt((m.ss - m.s * m.mean) / (m.n - 1)) AS z_price,
+       wv.woe_e6,
+       CAST(f.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS pri_freq_enc
+FROM binned b
+JOIN wv ON b.bin = wv.bin
+JOIN freq f ON b.o_orderpriority = f.o_orderpriority
+JOIN mu m ON true
+JOIN ft t ON true
+WHERE b.o_orderkey % {FEAT_ROW_MOD} = 0
+"""
+
+
+@register(
+    "feature_prep_pipeline",
+    oracle=_feature_prep_oracle(),
+    tags=("mlfeat", "pipeline", "llm"),
+)
+def feature_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LEAKAGE-SAFE tabular feature pipeline, composed and
+    certified as one oracle: hash-split FIRST, then every encoder —
+    z-score stats, decile bin EDGES, per-bin WOE, priority frequency —
+    is fitted on the TRAIN split only and applied to all rows. That
+    ordering (the thing this composition proves, beyond the stages
+    individually) is what keeps target and distribution information
+    from the held-out splits out of the features.
+
+    Scale shape: one label join co-keyed on the fact key; every fitted
+    encoder reduces to a broadcast (3 numbers, 9 edges, ≤10 WOE rows,
+    5 frequencies); application is a map stage. Bin edges use ntile
+    over TRAIN for the fit (the apply is edge-comparison, not
+    ranking), so at 100 TB the fit window would swap in the
+    distributed-rank scheme of feat_quantile_bin unchanged."""
+    from ..functions.stable import dec_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    base = (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderpriority",
+            F.when(F.col("l_orderkey").isNull(), 0).otherwise(1).alias("y"),
+            F.when(hash_bucket("o_orderkey") < TRAIN_PCT, "train")
+            .when(hash_bucket("o_orderkey") < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    train = base.filter(F.col("split") == "train")
+    x = F.col("o_totalprice")
+    stats = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(x).alias("s"),
+        dec_sum(x * x).alias("ss"),
+    ).withColumn("mean", F.col("s") / F.col("n"))
+    wtile = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    tb = train.select("o_totalprice", F.ntile(FEAT_BINS).over(wtile).alias("bin"))
+    edges = (
+        tb.filter(F.col("bin") < FEAT_BINS)
+        .groupBy("bin")
+        .agg(F.min("o_totalprice").alias("lo"))
+        .agg(F.sort_array(F.collect_list("lo")).alias("arr"))
+    )
+    bin_col = F.lit(1) + F.size(F.filter("arr", lambda e: e > F.col("o_totalprice")))
+    binned = base.crossJoin(F.broadcast(edges)).withColumn("bin", bin_col).drop("arr")
+    woe = (
+        binned.filter(F.col("split") == "train")
+        .groupBy("bin")
+        .agg(
+            F.sum("y").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+        )
+    )
+    wt = woe.agg(
+        F.sum("n_pos").cast("long").alias("p_tot"),
+        F.sum("n_neg").cast("long").alias("n_tot"),
+    )
+    dp = F.col("n_pos").cast("double") / F.col("p_tot")
+    dn = F.col("n_neg").cast("double") / F.col("n_tot")
+    wv = (
+        woe.crossJoin(F.broadcast(wt))
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select("bin", F.round(F.log(dp / dn) * 1_000_000).cast("long").alias("woe_e6"))
+    )
+    freq = train.groupBy("o_orderpriority").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ft = train.agg(F.count(F.lit(1)).cast("long").alias("tn"))
+    sigma = F.sqrt((F.col("ss") - F.col("s") * F.col("mean")) / (F.col("n") - 1))
+    return (
+        binned.filter(F.col("o_orderkey") % FEAT_ROW_MOD == 0)
+        .join(F.broadcast(wv), "bin")
+        .join(F.broadcast(freq), "o_orderpriority")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ft))
+        .select(
+            "o_orderkey",
+            "split",
+            "y",
+            "bin",
+            ((F.col("o_totalprice") - F.col("mean")) / sigma).alias("z_price"),
+            "woe_e6",
+            (F.col("cnt").cast("double") / F.col("tn").cast("double")).alias(
+                "pri_freq_enc"
+            ),
+        )
+    )

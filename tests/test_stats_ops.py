@@ -201,3 +201,19 @@ def test_zipf_slope_negative(spark, sf_dir):
     row = textops.text_zipf_fit(spark, sf_dir).collect()[0]
     assert row["n_terms"] > 10
     assert row["zipf_slope"] <= 0.0
+
+
+def test_feature_prep_pipeline_leakage_safety(spark, sf_dir):
+    # encoders are fitted on train only: every split shares the SAME
+    # woe/freq value per (bin, priority) — check by cross-split equality
+    from insurance_claim_data_pipeline_spark.operators import pipeline as P
+
+    rows = P.feature_prep_pipeline(spark, sf_dir).collect()
+    assert rows
+    by_bin: dict[int, set] = {}
+    for r in rows:
+        by_bin.setdefault(r["bin"], set()).add(r["woe_e6"])
+        assert r["split"] in ("train", "val", "test")
+        assert 1 <= r["bin"] <= P.FEAT_BINS
+    for b, woes in by_bin.items():
+        assert len(woes) == 1  # one fitted WOE per bin, applied everywhere
