@@ -1375,3 +1375,89 @@ def orders_open_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         F.sum("delta").over(w).cast("long").alias("open_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution of purchase revenue.
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_US = 3_600_000_000  # touch must be within 1 hour of purchase
+
+
+def _attrib_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    ds = dec_sum_sql("value")
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+  FROM events
+), seq AS (
+  SELECT *,
+         MAX(CASE WHEN event_type <> 'purchase'
+                  THEN struct_pack(ts := ts_us, id := event_id, ty := event_type) END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM ev
+), pur AS (
+  SELECT value,
+         CASE WHEN touch IS NULL THEN 'no_prior_touch'
+              WHEN ts_us - touch.ts <= {{ATTRIB_WINDOW_US}} THEN touch.ty
+              ELSE 'unattributed' END AS touch_type
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases, {{ds}} AS revenue
+FROM pur GROUP BY 1
+""".replace("{ATTRIB_WINDOW_US}", str(ATTRIB_WINDOW_US)).replace("{ds}", ds)
+
+
+@register("events_attribution_last_touch", oracle=_attrib_oracle(), tags=("analytics", "events", "window"))
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the most
+    recent preceding non-purchase event by the same user, but only if
+    it happened within the 1-hour attribution window (older → the
+    'unattributed' bucket; no prior touch at all → 'no_prior_touch').
+    The classic marketing rollup as ONE per-user ordered window pass: a
+    running MAX of a (ts, event_id, type) STRUCT over non-purchase rows
+    is a conditional LOCF that carries the touch's type and time inline
+    — lexicographic struct ordering with the unique event_id as
+    tie-break makes the carried witness deterministic in both engines,
+    and there is NO self-join of the stream against itself (the as-of
+    union+window discipline of join_asof_last_error).
+
+    Scale: one shuffle on user_id, then a tiny rollup."""
+    from ..functions.stable import dec_sum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(
+                F.col("ts_us").alias("ts"),
+                F.col("event_id").alias("id"),
+                F.col("event_type").alias("ty"),
+            ),
+        )
+    ).over(w)
+    seq = ev.withColumn("touch", touch)
+    pur = seq.filter(F.col("event_type") == "purchase").select(
+        "value",
+        F.when(F.col("touch").isNull(), "no_prior_touch")
+        .when(
+            F.col("ts_us") - F.col("touch.ts") <= ATTRIB_WINDOW_US, F.col("touch.ty")
+        )
+        .otherwise("unattributed")
+        .alias("touch_type"),
+    )
+    return pur.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        dec_sum("value").alias("revenue"),
+    )
