@@ -640,3 +640,91 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "in_sketch", "kth_hash", est.alias("est_distinct"))
         .crossJoin(F.broadcast(true_d))
     )
+
+
+KMV_INTER_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT {_h60_sql('user_id')} AS hv FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT DISTINCT {_h60_sql('user_id')} AS hv FROM events WHERE event_type = 'purchase'
+), uni AS (
+  SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b) ORDER BY hv LIMIT {KMV_K}
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS in_sketch,
+         CAST(MAX(hv) AS BIGINT) AS kth_hash,
+         CAST(SUM(CASE WHEN u.hv IN (SELECT hv FROM a)
+                        AND u.hv IN (SELECT hv FROM b) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM uni u
+), est AS (
+  SELECT *,
+         CASE WHEN in_sketch < {KMV_K} THEN CAST(in_sketch AS DOUBLE)
+              ELSE CAST(({KMV_K} - 1) AS DOUBLE)
+                   / (CAST(kth_hash AS DOUBLE) / {_KMV_DOM}) END AS est_union
+  FROM s
+)
+SELECT in_sketch, n_both, est_union,
+       CAST(n_both AS DOUBLE) / in_sketch * est_union AS est_intersection,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT hv FROM a INTERSECT SELECT hv FROM b)) AS true_intersection
+FROM est
+"""
+
+
+@register("agg_kmv_intersection", oracle=KMV_INTER_ORACLE, tags=("sketch", "agg", "approx"))
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection estimate from KMV sketches — the capability HLL
+    lacks and the reason agg_kmv_distinct exists: sketch the K smallest
+    hashes of clicking-users ∪ purchasing-users, count how many of
+    those union-sketch members belong to BOTH sets (an exact check —
+    the sketch members are real hashes, not register residues), and
+    scale: est∩ = (n_both / K) · est∪. true_intersection rides along
+    so the error is visible in the row.
+
+    Scale: two distinct-hash passes (map-side partial), one K-limit
+    TakeOrdered, two broadcast membership joins against the K-row
+    sketch — nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def hs(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(_h60(F.col("user_id")).alias("hv"))
+            .distinct()
+        )
+
+    a, b = hs("click"), hs("purchase")
+    uni = a.unionByName(b).distinct().orderBy("hv").limit(KMV_K)
+    marked = (
+        uni.join(a.withColumnRenamed("hv", "ha"), uni.hv == F.col("ha"), "left")
+        .join(b.withColumnRenamed("hv", "hb"), uni.hv == F.col("hb"), "left")
+        .select(
+            "hv",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("int").alias("both"),
+        )
+    )
+    s = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("in_sketch"),
+        F.max("hv").cast("long").alias("kth_hash"),
+        F.sum("both").cast("long").alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("in_sketch") < KMV_K, F.col("in_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) / (F.col("kth_hash").cast("double") / F.lit(_KMV_DOM))
+    )
+    true_inter = a.join(b, "hv", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("true_intersection")
+    )
+    return (
+        s.withColumn("est_union", est_union)
+        .select(
+            "in_sketch",
+            "n_both",
+            "est_union",
+            (
+                F.col("n_both").cast("double") / F.col("in_sketch") * F.col("est_union")
+            ).alias("est_intersection"),
+        )
+        .crossJoin(F.broadcast(true_inter))
+    )
