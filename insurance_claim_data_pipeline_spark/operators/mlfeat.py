@@ -353,6 +353,10 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.when(F.col("l_orderkey").isNull(), 0).otherwise(1).alias("y"),
         )
+        # consumed by the rank's bounds sketch, bucket counts, AND the
+        # final pass — cut lineage so the orders⋈lineitem label join
+        # runs once (10 parquet scans observed without it).
+        .localCheckpoint(eager=False)
     )
     ranked = _with_global_rank(labeled, "o_totalprice", "o_orderkey", "_rank")
     binned = ranked.select(

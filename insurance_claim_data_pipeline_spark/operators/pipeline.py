@@ -377,6 +377,14 @@ def feature_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test")
             .alias("split"),
         )
+        # the labeled+split base feeds SEVEN consumers (train filter,
+        # stats, bin fit, WOE fit, freq fit, apply join, output);
+        # without a lineage cut each branch re-scans orders+lineitem
+        # (12 parquet scans observed in the executed plan). One
+        # materialization = one pass over the fact tables — at 100 TB
+        # this is the "persist the labeled training frame" step every
+        # feature pipeline has.
+        .localCheckpoint(eager=False)
     )
     train = base.filter(F.col("split") == "train")
     x = F.col("o_totalprice")

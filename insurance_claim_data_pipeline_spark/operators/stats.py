@@ -301,7 +301,7 @@ def drift_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     byv = s.groupBy("v").agg(
         F.sum("g").cast("long").alias("c1"),
         (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c0"),
-    )
+    ).localCheckpoint(eager=False)  # feeds bounds sketch + bucket pass + totals: one orders scan, not four
     # Range buckets for load balance only; cumulation stays exact.
     probs = [i / _KS_BUCKETS for i in range(1, _KS_BUCKETS)]
     bounds = byv.agg(F.percentile_approx("v", probs, 10_000).alias("_bounds"))
