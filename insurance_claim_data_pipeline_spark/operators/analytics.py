@@ -857,6 +857,14 @@ def _with_global_rank(df: DataFrame, value: str, key: str, out: str) -> DataFram
     global row_number exactly.
     """
     probs = [i / _DIST_BUCKETS for i in range(1, _DIST_BUCKETS)]
+    # Materialize the input once: it feeds BOTH the bounds sketch and
+    # the bucket pass, and when ranks are CHAINED (rfm_dist ranks three
+    # measures in sequence) un-cut lineage recomputes the whole
+    # upstream DAG per branch — 4^3 = 64 parquet scans observed for the
+    # three-rank RFM before this cut. The frame entering a global rank
+    # is a reduced per-key aggregate, exactly what production would
+    # persist.
+    df = df.localCheckpoint(eager=False)
     bounds = df.agg(F.percentile_approx(value, probs, 10_000).alias("_bounds"))
     bkt = F.aggregate(
         "_bounds",

@@ -157,6 +157,9 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")))
         .select(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
         .distinct()
+        # consumed 4x (three self-join roles + the edge count); without
+        # the cut each role re-runs the co-occurrence join from parquet
+        .localCheckpoint(eager=False)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = e1.join(e2, F.col("e2.p1") == F.col("e1.p2")).join(
@@ -207,6 +210,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")))
         .select(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
         .distinct()
+        .localCheckpoint(eager=False)  # both union arms read the same edge list
     )
     nodes = edges.select(F.col("p1").alias("node")).unionAll(
         edges.select(F.col("p2").alias("node"))
