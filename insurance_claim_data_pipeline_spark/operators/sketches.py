@@ -693,7 +693,10 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    a, b = hs("click"), hs("purchase")
+    # each hash set feeds the union sketch, a membership probe, and the
+    # truth join — materialize once per side
+    a = hs("click").localCheckpoint(eager=False)
+    b = hs("purchase").localCheckpoint(eager=False)
     uni = a.unionByName(b).distinct().orderBy("hv").limit(KMV_K)
     marked = (
         uni.join(a.withColumnRenamed("hv", "ha"), uni.hv == F.col("ha"), "left")

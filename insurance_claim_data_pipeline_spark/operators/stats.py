@@ -144,7 +144,9 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     obs = orders.groupBy(
         F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint(eager=False)
+    # ^ the <=15-cell table feeds margins, total, dof AND the cell pass —
+    # one orders scan instead of five
     rt = obs.groupBy("r").agg(F.sum("o").cast("long").alias("row_n"))
     ct = obs.groupBy("c").agg(F.sum("o").cast("long").alias("col_n"))
     n = obs.agg(F.sum("o").cast("long").alias("n"))
@@ -161,11 +163,8 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = F.round(
         (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e") * 1_000_000
     ).cast("long")
-    dims = orders.agg(
-        (
-            (F.countDistinct("o_orderpriority") - 1)
-            * (F.countDistinct("o_orderstatus") - 1)
-        ).alias("dof")
+    dims = obs.agg(
+        ((F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)).alias("dof")
     )
     return (
         cells.agg(

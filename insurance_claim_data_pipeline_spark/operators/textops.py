@@ -841,7 +841,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = per_term[0]
     for p in per_term[1:]:
         tf = tf.unionByName(p)
-    tf = tf.filter(F.col("tf") > 0)
+    tf = tf.filter(F.col("tf") > 0).localCheckpoint(eager=False)  # df + scoring both read it
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
