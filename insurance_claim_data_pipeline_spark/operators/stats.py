@@ -577,3 +577,64 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("var") / F.col("mu")).alias("fano_factor"),
         ((sd - F.col("mu")) / (sd + F.col("mu"))).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD-based) outlier detection.
+# ---------------------------------------------------------------------------
+
+MAD_K_E4 = 14_826  # 1.4826 (consistency constant for normal data), x1e4
+MAD_CUTOFF = 3.5   # |modified z| above this => outlier
+
+MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         abs(e.value - m.med) AS ad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+), scored AS (
+  SELECT d.event_type, d.event_id, d.value,
+         ROUND((d.value - d.med) / (({MAD_K_E4} / 10000.0) * m.mad), 4) AS mod_z
+  FROM dev d JOIN mad m ON d.event_type = m.event_type
+)
+SELECT event_type, event_id, value, mod_z
+FROM scored WHERE abs(mod_z) > {MAD_CUTOFF}
+"""
+
+
+@register("events_outlier_mad", oracle=MAD_ORACLE, tags=("stats", "events", "agg"))
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the modified z-score
+    ``(x − median) / (1.4826 · MAD)``: unlike events_anomaly_zscore's
+    mean/std (which outliers themselves inflate — masking), median and
+    MAD have a 50% breakdown point, so a burst of extreme values cannot
+    hide itself. Two grouped exact-percentile aggregates (both engines
+    share the (n−1)·p interpolation; scores rounded to 4 dp to absorb
+    last-ulp interpolation drift before the threshold compare) and two
+    broadcast joins of the tiny per-type medians — the fact table is
+    scanned twice (once per percentile pass), never shuffled.
+
+    At 100 TB the exact per-group percentile becomes
+    percentile_approx with a high accuracy knob — MAD tolerates sketch
+    error by construction; the threshold semantics stay identical."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    mod_z = F.round(
+        (F.col("value") - F.col("med"))
+        / ((F.lit(MAD_K_E4) / F.lit(10_000.0)) * F.col("mad")),
+        4,
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_type", "event_id", "value", mod_z.alias("mod_z"))
+        .filter(F.abs(F.col("mod_z")) > MAD_CUTOFF)
+    )
