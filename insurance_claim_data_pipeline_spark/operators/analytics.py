@@ -1469,3 +1469,58 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         dec_sum("value").alias("revenue"),
     )
+
+
+def with_global_prefix_sums(df: DataFrame, order_col: str, sum_cols: list[str]) -> DataFrame:
+    """Exact inclusive running sums ``cum_<c>`` (plus totals ``tot_<c>``)
+    of ``sum_cols`` under the global ascending order of ``order_col``
+    (values must be unique per row), with NO single-partition pass over
+    the data: percentile_approx supplies ~uniform range-bucket bounds
+    (load balance only), each bucket cumulates in parallel, and a
+    prefix over the ≤32-row bucket-totals table stitches the offsets —
+    the same two-level scheme as _with_global_rank, generalized from
+    ranks to arbitrary integer sums. Shared by drift_ks_twosample
+    (CDF cumulation) and text_heaps_fit (vocabulary growth)."""
+    probs = [i / _DIST_BUCKETS for i in range(1, _DIST_BUCKETS)]
+    bounds = df.agg(F.percentile_approx(order_col, probs, 10_000).alias("_bounds"))
+    bkt = F.aggregate(
+        "_bounds",
+        F.lit(0),
+        lambda acc, x: acc + F.when(x < F.col(order_col), 1).otherwise(0),
+    )
+    b = df.crossJoin(F.broadcast(bounds)).withColumn("_bkt", bkt).drop("_bounds")
+    totals = b.groupBy("_bkt").agg(
+        *[F.sum(c).alias(f"_bt_{c}") for c in sum_cols]
+    )
+    pre_w = (
+        W.partitionBy(tiny_frame_key("_bkt"))
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    all_w = (
+        W.partitionBy(tiny_frame_key("_bkt"))
+        .orderBy(F.lit(1))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    prefix = totals.select(
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_bt_{c}").over(pre_w), F.lit(0)).alias(f"_pre_{c}")
+            for c in sum_cols
+        ],
+        *[
+            F.sum(f"_bt_{c}").over(all_w).cast("long").alias(f"tot_{c}")
+            for c in sum_cols
+        ],
+    )
+    in_w = (
+        W.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = b.join(F.broadcast(prefix), "_bkt")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", (F.col(f"_pre_{c}") + F.sum(c).over(in_w)).cast("long")
+        )
+    return out.drop("_bkt", *[f"_pre_{c}" for c in sum_cols])

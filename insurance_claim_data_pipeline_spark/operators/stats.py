@@ -28,12 +28,12 @@ Cross-engine exactness:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum, dec_sum_sql
 from ..registry import register
-from ..session import load_table, tiny_frame_key
+from ..session import load_table
 
 # ---------------------------------------------------------------------------
 # Welch's unequal-variance t-test: click vs purchase event values.
@@ -277,9 +277,6 @@ SELECT CAST(MAX(ABS(f1 * n0 - f0 * n1)) AS BIGINT) AS ks_num, n0, n1,
 FROM cum, tot GROUP BY n0, n1
 """
 
-_KS_BUCKETS = 32
-
-
 @register("drift_ks_twosample", oracle=KS_ORACLE, tags=("stats", "drift", "window", "scale"))
 def drift_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between pre- and
@@ -301,42 +298,13 @@ def drift_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").cast("long").alias("c1"),
         (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c0"),
     ).localCheckpoint(eager=False)  # feeds bounds sketch + bucket pass + totals: one orders scan, not four
-    # Range buckets for load balance only; cumulation stays exact.
-    probs = [i / _KS_BUCKETS for i in range(1, _KS_BUCKETS)]
-    bounds = byv.agg(F.percentile_approx("v", probs, 10_000).alias("_bounds"))
-    bkt = F.aggregate(
-        "_bounds", F.lit(0), lambda acc, x: acc + F.when(x < F.col("v"), 1).otherwise(0)
-    )
-    b = byv.crossJoin(F.broadcast(bounds)).withColumn("_bkt", bkt).drop("_bounds")
-    totals = b.groupBy("_bkt").agg(
-        F.sum("c1").alias("_b1"), F.sum("c0").alias("_b0")
-    )
-    pre_w = (
-        W.partitionBy(tiny_frame_key("_bkt"))
-        .orderBy("_bkt")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    all_w = (
-        W.partitionBy(tiny_frame_key("_bkt"))
-        .orderBy(F.lit(1))
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    prefix = totals.select(
-        "_bkt",
-        F.coalesce(F.sum("_b1").over(pre_w), F.lit(0)).alias("_p1"),
-        F.coalesce(F.sum("_b0").over(pre_w), F.lit(0)).alias("_p0"),
-        F.sum("_b1").over(all_w).cast("long").alias("n1"),
-        F.sum("_b0").over(all_w).cast("long").alias("n0"),
-    )
-    in_w = W.partitionBy("_bkt").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = (
-        b.join(F.broadcast(prefix), "_bkt")
-        .select(
-            (F.col("_p1") + F.sum("c1").over(in_w)).alias("f1"),
-            (F.col("_p0") + F.sum("c0").over(in_w)).alias("f0"),
-            "n0",
-            "n1",
-        )
+    from .analytics import with_global_prefix_sums
+
+    cum = with_global_prefix_sums(byv, "v", ["c1", "c0"]).select(
+        F.col("cum_c1").alias("f1"),
+        F.col("cum_c0").alias("f0"),
+        F.col("tot_c0").alias("n0"),
+        F.col("tot_c1").alias("n1"),
     )
     diff = F.abs(F.col("f1") * F.col("n0") - F.col("f0") * F.col("n1"))
     return cum.groupBy("n0", "n1").agg(

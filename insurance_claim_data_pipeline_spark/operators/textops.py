@@ -1436,3 +1436,115 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         n.alias("n_terms"), slope.alias("zipf_slope"), intercept.alias("intercept_ln")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth along the corpus.
+# ---------------------------------------------------------------------------
+
+HEAPS_ANCHOR_MOD = 5  # fit on every 5th document's prefix point
+
+HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), occ AS (
+  SELECT doc_id, t FROM tok WHERE t <> ''
+), first_seen AS (
+  SELECT t, MIN(doc_id) AS d FROM occ GROUP BY 1
+), new_terms AS (
+  SELECT d AS doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM first_seen GROUP BY 1
+), toks_per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tk FROM occ GROUP BY 1
+), per_doc AS (
+  SELECT p.doc_id, COALESCE(n.nt, 0) AS nt, p.tk
+  FROM toks_per_doc p LEFT JOIN new_terms n ON p.doc_id = n.doc_id
+), cum AS (
+  SELECT doc_id,
+         SUM(nt) OVER (ORDER BY doc_id) AS v,
+         SUM(tk) OVER (ORDER BY doc_id) AS n
+  FROM per_doc
+), pts AS (
+  SELECT CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS x_e6,
+         CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS y_e6
+  FROM cum WHERE doc_id % {HEAPS_ANCHOR_MOD} = 0 AND v > 0 AND n > 0
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(CAST(SUM(x_e6) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y_e6) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x_e6 * y_e6) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(x_e6 * x_e6) AS DECIMAL(38,0)) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT np AS n_points,
+       (np * sxy - sx * sy) / (np * sxx - sx * sx) AS heaps_beta,
+       (sy - (np * sxy - sx * sy) / (np * sxx - sx * sx) * sx) / (np * 1000000.0)
+         AS heaps_lnk
+FROM mom
+"""
+
+
+@register("text_heaps_fit", oracle=HEAPS_ORACLE, tags=("text", "llm", "window", "scale"))
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β, estimated as
+    the log-log regression of cumulative distinct vocabulary against
+    cumulative token count along the corpus (doc_id order). A natural
+    corpus fits β ≈ 0.4-0.6; duplicated or template-heavy data flattens
+    the curve — the companion corpus-health gauge to text_zipf_fit.
+
+    The cumulative-distinct count needs no distinct-state at all: each
+    term contributes at exactly its FIRST document (min doc_id per
+    term), so V(d) is a plain prefix sum of first-occurrence counts —
+    computed, together with the token prefix sum, by the shared
+    two-level with_global_prefix_sums scheme (no single-partition
+    window). Log points are quantized ×1e6 and the regression moments
+    are per-row DECIMAL(38) sums (the text_zipf_fit idiom)."""
+    from .analytics import with_global_prefix_sums
+
+    doc = load_table(spark, sf_dir, "documents")
+    occ = (
+        doc.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    new_terms = (
+        occ.groupBy("t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    )
+    toks_per_doc = occ.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("tk"))
+    per_doc = (
+        toks_per_doc.join(new_terms, "doc_id", "left")
+        .select("doc_id", F.coalesce("nt", F.lit(0)).alias("nt"), "tk")
+    )
+    cum = with_global_prefix_sums(per_doc, "doc_id", ["nt", "tk"])
+    pts = (
+        cum.filter(
+            (F.col("doc_id") % HEAPS_ANCHOR_MOD == 0)
+            & (F.col("cum_nt") > 0)
+            & (F.col("cum_tk") > 0)
+        )
+        .select(
+            F.round(F.log(F.col("cum_tk").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("x_e6"),
+            F.round(F.log(F.col("cum_nt").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("y_e6"),
+        )
+    )
+    d = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        d(F.col("x_e6")).alias("sx"),
+        d(F.col("y_e6")).alias("sy"),
+        d(F.col("x_e6") * F.col("y_e6")).alias("sxy"),
+        d(F.col("x_e6") * F.col("x_e6")).alias("sxx"),
+    )
+    np_ = F.col("np")
+    slope = (np_ * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        np_ * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    lnk = (F.col("sy") - slope * F.col("sx")) / (np_ * F.lit(1_000_000.0))
+    return mom.select(
+        np_.alias("n_points"), slope.alias("heaps_beta"), lnk.alias("heaps_lnk")
+    )

@@ -217,3 +217,19 @@ def test_feature_prep_pipeline_leakage_safety(spark, sf_dir):
         assert 1 <= r["bin"] <= P.FEAT_BINS
     for b, woes in by_bin.items():
         assert len(woes) == 1  # one fitted WOE per bin, applied everywhere
+
+
+def test_heaps_beta_in_unit_interval(spark, sf_dir):
+    # vocabulary can't grow faster than tokens (beta <= 1) and must
+    # grow (beta > 0) while new terms keep appearing
+    row = textops.text_heaps_fit(spark, sf_dir).collect()[0]
+    assert row["n_points"] > 5
+    assert 0.0 < row["heaps_beta"] <= 1.0
+
+
+def test_mad_outliers_are_extreme(spark, sf_dir):
+    # every flagged value must be beyond the cutoff on the robust scale
+    rows = stats.events_outlier_mad(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["mod_z"]) > stats.MAD_CUTOFF
