@@ -2121,3 +2121,89 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("f_t") - F.col("t_us"))
         .alias("delta_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join via time-grid bucketing.
+# ---------------------------------------------------------------------------
+
+IVL_GRID_DAYS = 90  # grid cell width; candidates must share a cell
+IVL_SAMPLE_MOD = 100  # orders subset (o_orderkey % MOD == 0) to bound pair volume
+
+IVL_OVERLAP_ORACLE = f"""
+WITH iv AS (
+  SELECT o.o_orderkey AS k,
+         CAST(o.o_orderdate AS DATE) AS s,
+         CAST(MAX(l.l_shipdate) AS DATE) AS e
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % {IVL_SAMPLE_MOD} = 0
+  GROUP BY 1, 2
+)
+SELECT a.k AS key_a, b.k AS key_b,
+       CAST(date_diff('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)) + 1 AS BIGINT)
+         AS overlap_days
+FROM iv a JOIN iv b
+  ON a.k < b.k AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+@register(
+    "join_interval_overlap",
+    oracle=IVL_OVERLAP_ORACLE,
+    tags=("join", "range", "scale"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (order lifespans that coincide,
+    with the overlap length) — the temporal-join shape a naive
+    non-equi self-join turns into a cartesian at scale. Here each
+    interval is exploded onto a {IVL_GRID_DAYS}-day grid and pairs are
+    generated ONLY within grid cells (equi-join on cell id — hash
+    partitionable), then exactness-filtered and deduplicated by
+    crediting each pair to ONE cell (the cell of the later start):
+    candidate-complete because two overlapping intervals always share
+    the cell containing max(s_a, s_b), and duplicate-free without a
+    distinct over the pair set. Work scales with overlap density per
+    cell, not with n². The oracle runs the naive predicate join — same
+    pairs, proving the grid decomposition exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.filter(F.col("o_orderkey") % IVL_SAMPLE_MOD == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_orderkey").alias("k"),
+            F.to_date("o_orderdate").alias("s"),
+        )
+        .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    cell = lambda c: F.floor(F.datediff(c, epoch) / IVL_GRID_DAYS).cast("long")
+    g = iv.select(
+        "k", "s", "e",
+        cell(F.col("s")).alias("c_lo"),
+        cell(F.col("e")).alias("c_hi"),
+    ).withColumn("cell", F.explode(F.sequence("c_lo", "c_hi")))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        # credit the pair to exactly one shared cell: the one holding
+        # the later of the two starts
+        & (F.col("a.cell") == cell(F.greatest(F.col("a.s"), F.col("b.s")))),
+    )
+    return pairs.select(
+        F.col("a.k").alias("key_a"),
+        F.col("b.k").alias("key_b"),
+        (
+            F.datediff(
+                F.least(F.col("a.e"), F.col("b.e")),
+                F.greatest(F.col("a.s"), F.col("b.s")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )

@@ -403,3 +403,87 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s2.ts_us").alias("new_ts_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade audit.
+# ---------------------------------------------------------------------------
+
+FORGET_PCT = 5  # md5(c_custkey) bucket < 5 -> the erasure request set
+
+
+def _forget_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql("c_custkey")
+    return f"""
+WITH forget AS (
+  SELECT c_custkey FROM customer WHERE {b} < {FORGET_PCT}
+), c AS (
+  SELECT 'customer' AS table_name,
+         CAST(COUNT(*) FILTER (c_custkey IN (SELECT c_custkey FROM forget)) AS BIGINT)
+           AS n_purged,
+         CAST(COUNT(*) FILTER (c_custkey NOT IN (SELECT c_custkey FROM forget)) AS BIGINT)
+           AS n_kept
+  FROM customer
+), o AS (
+  SELECT 'orders',
+         CAST(COUNT(*) FILTER (o_custkey IN (SELECT c_custkey FROM forget)) AS BIGINT),
+         CAST(COUNT(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM forget)) AS BIGINT)
+  FROM orders
+), l AS (
+  SELECT 'lineitem',
+         CAST(COUNT(*) FILTER (l_orderkey IN
+           (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM forget))) AS BIGINT),
+         CAST(COUNT(*) FILTER (l_orderkey NOT IN
+           (SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM forget))) AS BIGINT)
+  FROM lineitem
+)
+SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+"""
+
+
+@register("warehouse_forget_cascade", oracle=_forget_oracle(), tags=("warehouse", "join", "dq"))
+def warehouse_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: for a deterministic erasure
+    request set (md5 bucket of c_custkey, {FORGET_PCT}% of customers),
+    count exactly which rows each table must purge vs keep, following
+    the FK chain customer → orders → lineitem. This is the counting
+    pass a GDPR/CCPA delete job runs BEFORE rewriting partitions —
+    and the same frame re-run after the rewrite must show n_purged=0,
+    which makes the audit its own verification.
+
+    Plan shape: the forget set and the affected-orders key set are
+    semi/anti-join sides (broadcast when small; the orderkey set of a
+    5% customer sample stays broadcastable at warehouse scale because
+    it's keys only); each fact table is scanned once with both
+    memberships resolved in that single pass via a left join + flag
+    aggregation, not one scan per verdict."""
+    from .sampling import hash_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    forget = cust.filter(hash_bucket("c_custkey") < FORGET_PCT).select("c_custkey")
+
+    def audit(table: DataFrame, key: str, purge_keys: DataFrame, name: str) -> DataFrame:
+        flagged = table.select(F.col(key)).join(
+            F.broadcast(purge_keys.withColumnRenamed(purge_keys.columns[0], "_pk")),
+            F.col(key) == F.col("_pk"),
+            "left",
+        )
+        return flagged.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(F.col("_pk").isNotNull().cast("long")).cast("long").alias("n_purged"),
+            F.sum(F.col("_pk").isNull().cast("long")).cast("long").alias("n_kept"),
+        )
+    affected_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    return (
+        audit(cust, "c_custkey", forget, "customer")
+        .unionByName(audit(orders, "o_custkey", forget, "orders"))
+        .unionByName(audit(li, "l_orderkey", affected_orders, "lineitem"))
+    )
