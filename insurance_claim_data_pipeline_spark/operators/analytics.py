@@ -1524,3 +1524,117 @@ def with_global_prefix_sums(df: DataFrame, order_col: str, sum_cols: list[str]) 
             f"cum_{c}", (F.col(f"_pre_{c}") + F.sum(c).over(in_w)).cast("long")
         )
     return out.drop("_bkt", *[f"_pre_{c}" for c in sum_cols])
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve: time from first signup to first purchase.
+# ---------------------------------------------------------------------------
+
+KM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+         MAX(epoch_us(ts)) AS t_end
+  FROM events GROUP BY 1
+), obs AS (
+  SELECT user_id,
+         CASE WHEN tp IS NOT NULL AND tp >= t0 THEN (tp - t0) // 3600000000
+              ELSE (t_end - t0) // 3600000000 END AS dur_h,
+         CASE WHEN tp IS NOT NULL AND tp >= t0 THEN 1 ELSE 0 END AS converted
+  FROM per_user WHERE t0 IS NOT NULL
+), n_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs
+), byt AS (
+  SELECT dur_h,
+         CAST(SUM(converted) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM obs GROUP BY 1
+), cum AS (
+  SELECT dur_h, d, c,
+         CAST(SUM(c) OVER (ORDER BY dur_h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS removed_before
+  FROM byt
+), terms AS (
+  SELECT dur_h, d,
+         n.n - COALESCE(removed_before, 0) AS at_risk,
+         CASE WHEN d > 0
+              THEN CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+                                      / (n.n - COALESCE(removed_before, 0)))
+                              * 1000000) AS BIGINT)
+              ELSE 0 END AS lns_e6
+  FROM cum, n_tot n
+)
+SELECT dur_h, d AS n_events, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(SUM(lns_e6) OVER (ORDER BY dur_h) AS BIGINT) AS log_surv_e6
+FROM terms WHERE d > 0
+"""
+
+
+@register("events_survival_km", oracle=KM_ORACLE, tags=("analytics", "stats", "events", "window"))
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of hours from a user's first
+    signup to first purchase, users without a purchase right-censored
+    at their last observed event — the survival-analysis primitive
+    (time-to-conversion, churn, SLA) with censoring handled correctly
+    (a plain average of conversion times would be biased toward fast
+    converters).
+
+    The KM product Π(1 − d_i/n_i) is carried as a CUMULATIVE SUM of
+    ×1e6-quantized ln(1 − d/n) terms (log_surv_e6) — products become
+    order-proof integer prefix sums, the same quantize-then-cumulate
+    discipline as the engine's other log pipelines; at-risk counts come
+    from an exclusive prefix of removals. Both cumulations run on the
+    distinct-duration axis (hours — bounded), so the windows operate on
+    a tiny frame after one shuffle of events into per-user rows."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+        F.max(us).alias("t_end"),
+    )
+    converted = F.col("tp").isNotNull() & (F.col("tp") >= F.col("t0"))
+    obs = per_user.filter(F.col("t0").isNotNull()).select(
+        F.when(converted, F.floor((F.col("tp") - F.col("t0")) / 3_600_000_000))
+        .otherwise(F.floor((F.col("t_end") - F.col("t0")) / 3_600_000_000))
+        .cast("long")
+        .alias("dur_h"),
+        converted.cast("int").alias("converted"),
+    )
+    n_tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    byt = obs.groupBy("dur_h").agg(
+        F.sum("converted").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    pre_w = (
+        W.partitionBy(tiny_frame_key("dur_h"))
+        .orderBy("dur_h")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = byt.crossJoin(F.broadcast(n_tot)).withColumn(
+        "at_risk", F.col("n") - F.coalesce(F.sum("c").over(pre_w), F.lit(0))
+    )
+    lns = F.when(
+        F.col("d") > 0,
+        F.round(
+            F.log(1.0 - F.col("d").cast("double") / F.col("at_risk")) * 1_000_000
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    terms = cum.withColumn("lns_e6", lns)
+    inc_w = (
+        W.partitionBy(tiny_frame_key("dur_h"))
+        .orderBy("dur_h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        terms.withColumn("log_surv_e6", F.sum("lns_e6").over(inc_w).cast("long"))
+        .filter(F.col("d") > 0)
+        .select(
+            "dur_h",
+            F.col("d").alias("n_events"),
+            F.col("at_risk").cast("long").alias("at_risk"),
+            "log_surv_e6",
+        )
+    )

@@ -233,3 +233,18 @@ def test_mad_outliers_are_extreme(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r["mod_z"]) > stats.MAD_CUTOFF
+
+
+def test_km_survival_monotone_nonincreasing(spark, sf_dir):
+    # S(t) = exp(log_surv) must be non-increasing in t, at-risk counts
+    # strictly decreasing across event times
+    rows = analytics.events_survival_km(spark, sf_dir).collect()
+    assert rows
+    rows.sort(key=lambda r: r["dur_h"])
+    prev_ls, prev_risk = 1, None
+    for r in rows:
+        assert r["log_surv_e6"] <= 0
+        assert r["log_surv_e6"] <= prev_ls or prev_ls == 1
+        if prev_risk is not None:
+            assert r["at_risk"] < prev_risk
+        prev_ls, prev_risk = r["log_surv_e6"], r["at_risk"]
