@@ -448,3 +448,79 @@ def sample_systematic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         jj.filter(pick > prev_pick)
         .select("o_orderkey", "w_cents", pick.alias("pick_idx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic contrastive (anchor, positive, negative) triplets.
+# ---------------------------------------------------------------------------
+
+NEG_SALT = "neg1"  # namespaces the negative-draw hash away from other md5 uses
+
+
+NEGATIVE_PAIRS_ORACLE = f"""
+WITH n_docs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rnk FROM documents
+), anchors AS (
+  SELECT d.doc_id, r.rnk,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{NEG_SALT}'), 1, 8))::BIGINT
+           AS h
+  FROM documents d JOIN ranked r ON d.doc_id = r.doc_id
+), draw AS (
+  SELECT a.doc_id, a.rnk,
+         CASE WHEN (a.h % n.n) = a.rnk THEN ((a.h + 1) % n.n) ELSE (a.h % n.n) END
+           AS neg_rnk
+  FROM anchors a, n_docs n
+)
+SELECT d.doc_id AS anchor_doc, d.doc_id AS positive_doc, r2.doc_id AS negative_doc
+FROM draw d JOIN ranked r2 ON d.neg_rnk = r2.rnk
+"""
+
+
+@register("sample_negative_pairs", oracle=NEGATIVE_PAIRS_ORACLE, tags=("sampling", "llm"))
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-pair sampling for embedding training:
+    per anchor document, the positive is the document itself (in
+    practice: two different chunks/augmentations of it — the chunker is
+    text_chunk_overlap) and the negative is a uniform draw over OTHER
+    documents via a salted md5 mapped through the dense doc RANK — no
+    RNG, so the epoch's pair set is reproducible across runs, engines,
+    and cluster sizes (the property that makes contrastive training
+    debuggable). A draw that lands on the anchor shifts to the next
+    rank cyclically, keeping the draw uniform over the other n−1 docs.
+
+    Scale: the rank comes from the exact distributed global rank
+    (no single-partition window); the negative lookup is a join on
+    rank — co-partitionable, and at in-batch-negatives scale this
+    whole table IS the batch sampler."""
+    from ..operators.analytics import _with_global_rank
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id")
+    # rank 0..n-1 ascending by doc_id: _with_global_rank ranks DESC by
+    # value, so rank ascending = n - rank_desc
+    ranked = _with_global_rank(doc, "doc_id", "doc_id", "_rd").select(
+        "doc_id", (F.col("_n_total") - F.col("_rd")).alias("rnk"),
+        F.col("_n_total").alias("n"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(NEG_SALT))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    draw = ranked.withColumn("h", h).select(
+        "doc_id",
+        "rnk",
+        F.when(F.pmod("h", F.col("n")) == F.col("rnk"), F.pmod(F.col("h") + 1, F.col("n")))
+        .otherwise(F.pmod("h", F.col("n")))
+        .alias("neg_rnk"),
+    )
+    r2 = ranked.select(F.col("rnk").alias("neg_rnk"), F.col("doc_id").alias("negative_doc"))
+    return (
+        draw.join(r2, "neg_rnk")
+        .select(
+            F.col("doc_id").alias("anchor_doc"),
+            F.col("doc_id").alias("positive_doc"),
+            "negative_doc",
+        )
+    )

@@ -248,3 +248,14 @@ def test_km_survival_monotone_nonincreasing(spark, sf_dir):
         if prev_risk is not None:
             assert r["at_risk"] < prev_risk
         prev_ls, prev_risk = r["log_surv_e6"], r["at_risk"]
+
+
+def test_negative_pairs_never_anchor(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.operators import sampling
+
+    rows = sampling.sample_negative_pairs(spark, sf_dir).collect()
+    assert rows
+    assert all(r["negative_doc"] != r["anchor_doc"] for r in rows)
+    # deterministic: second run identical
+    again = sampling.sample_negative_pairs(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
