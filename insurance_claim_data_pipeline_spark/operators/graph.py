@@ -23,7 +23,7 @@ no lost-mass redistribution term.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -219,4 +219,83 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.min("node").cast("long").alias("min_node"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering over co-purchase counts.
+# ---------------------------------------------------------------------------
+
+CF_TOPK = 3
+CF_MIN_COMMON = 2  # ignore single-co-occurrence noise pairs
+
+CF_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), deg AS (
+  SELECT pkey, CAST(COUNT(*) AS BIGINT) AS d FROM op GROUP BY 1
+), co AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey <> b.pkey
+  GROUP BY 1, 2
+), scored AS (
+  SELECT co.p1, co.p2, co.n_common,
+         ROUND(CAST(co.n_common AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * db.d), 6)
+           AS cosine_sim
+  FROM co JOIN deg da ON co.p1 = da.pkey JOIN deg db ON co.p2 = db.pkey
+  WHERE co.n_common >= {CF_MIN_COMMON}
+)
+SELECT p1 AS item, p2 AS similar_item, n_common, cosine_sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p1
+                               ORDER BY cosine_sim DESC, p2) AS rnk
+  FROM scored
+) WHERE rnk <= {CF_TOPK}
+"""
+
+
+@register("graph_item_cf_topk", oracle=CF_ORACLE, tags=("graph", "similarity", "join"))
+def graph_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, the top-{CF_TOPK}
+    most-similar parts by co-purchase cosine
+    ``n_common / sqrt(deg_a · deg_b)`` (the classic Amazon-style
+    item-to-item recommender). Candidates are ONLY pairs that actually
+    co-occur in an order — the co-occurrence join is keyed on the
+    order (hash join, output bounded by basket sizes squared, never
+    |items|²) — and a minimum-support filter (n_common ≥
+    {CF_MIN_COMMON}) drops one-off noise before ranking. Similarity is
+    rounded at 6 dp with an item-id tie-break, so the per-item top-k is
+    a deterministic total order shared with the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct().localCheckpoint(eager=False)  # feeds degrees AND the pair join
+    deg = op.groupBy("pkey").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = op.alias("a"), op.alias("b")
+    co = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") != F.col("b.pkey")))
+        .groupBy(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= CF_MIN_COMMON)
+    )
+    da = deg.select(F.col("pkey").alias("p1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("pkey").alias("p2"), F.col("d").alias("d2"))
+    sim = F.round(
+        F.col("n_common").cast("double")
+        / F.sqrt(F.col("d1").cast("double") * F.col("d2")),
+        6,
+    )
+    scored = co.join(da, "p1").join(db, "p2").select(
+        "p1", "p2", "n_common", sim.alias("cosine_sim")
+    )
+    w = W.partitionBy("p1").orderBy(F.desc("cosine_sim"), "p2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= CF_TOPK)
+        .select(
+            F.col("p1").alias("item"),
+            F.col("p2").alias("similar_item"),
+            "n_common",
+            "cosine_sim",
+            "rnk",
+        )
     )
