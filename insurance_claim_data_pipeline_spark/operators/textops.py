@@ -1548,3 +1548,123 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         np_.alias("n_points"), slope.alias("heaps_beta"), lnk.alias("heaps_lnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-validated bigram-LM perplexity (train-fit, held-out-scored).
+# ---------------------------------------------------------------------------
+
+LM_TRAIN_PCT = 80  # md5(doc_id) bucket < 80 trains the LM; the rest is scored
+
+
+def _lm_crossval_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql("doc_id")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, {b} AS bkt FROM documents
+), bg AS (
+  SELECT doc_id, bkt, toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+  FROM bg WHERE bkt < {LM_TRAIN_PCT} GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c2 GROUP BY 1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+    SELECT unnest(toks) AS t FROM tok WHERE bkt < {LM_TRAIN_PCT}
+  ) WHERE t <> ''
+), scored AS (
+  SELECT h.doc_id,
+         CAST(ROUND(ln((COALESCE(c2.n12, 0) + 1.0)
+                       / (COALESCE(c1.n1, 0) + vocab.v)) * 1000000) AS BIGINT)
+           AS logp_e6
+  FROM bg h
+  LEFT JOIN c2 ON h.w1 = c2.w1 AND h.w2 = c2.w2
+  LEFT JOIN c1 ON h.w1 = c1.w1
+  CROSS JOIN vocab
+  WHERE h.bkt >= {LM_TRAIN_PCT}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(logp_e6) AS BIGINT) AS sum_logp_e6,
+       ROUND(exp(-(CAST(SUM(logp_e6) AS DOUBLE) / 1000000.0) / COUNT(*)), 6)
+         AS perplexity
+FROM scored GROUP BY 1
+"""
+
+
+@register("text_lm_crossval", oracle=_lm_crossval_oracle(), tags=("text", "llm", "pipeline"))
+def text_lm_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity, the LM-eval composition done leakage-free:
+    an add-one-smoothed bigram LM is FIT on the md5-bucket train split
+    ({LM_TRAIN_PCT}%) only, then every held-out document is scored —
+    unseen bigrams get (0+1)/(n1+V), unseen histories fall back to the
+    uniform 1/V — and per-doc perplexity is exp(−mean log p). Unlike
+    text_bigram_logprob (which scores the corpus under a model of
+    ITSELF), the split-fit here measures generalization; documents that
+    only look good under self-fit (duplicates of training boilerplate)
+    separate immediately.
+
+    Determinism: each bigram's log-prob is quantized ×1e6 before the
+    per-doc sum (order-proof); the final exp() is one libm call on an
+    identical double in both engines. Scale: the model is two
+    vocabulary-keyed count tables (broadcastable), the scoring pass is
+    two left joins on those keys."""
+    from .sampling import hash_bucket
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks"), hash_bucket("doc_id").alias("bkt")
+    )
+    k = F.size("toks") - 1
+    bg = (
+        doc.select(
+            "doc_id",
+            "bkt",
+            "toks",
+            F.explode(F.when(k >= 1, F.sequence(F.lit(1), k))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "bkt",
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    train = bg.filter(F.col("bkt") < LM_TRAIN_PCT)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    vocab = (
+        doc.filter(F.col("bkt") < LM_TRAIN_PCT)
+        .select(F.explode("toks").alias("t"))
+        .filter(F.col("t") != "")
+        .agg(F.countDistinct("t").cast("long").alias("v"))
+    )
+    held = bg.filter(F.col("bkt") >= LM_TRAIN_PCT)
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("n12"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("n1"), F.lit(0)) + F.col("v"))
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        held.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", logp.alias("logp_e6"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("logp_e6").cast("long").alias("sum_logp_e6"),
+        F.round(
+            F.exp(
+                -(F.sum("logp_e6").cast("double") / F.lit(1_000_000.0))
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("perplexity"),  # exp() is libm (Java vs C differ in the last ulp) — round once
+    )
