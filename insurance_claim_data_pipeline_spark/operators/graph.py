@@ -299,3 +299,77 @@ def graph_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase edge churn between time halves.
+# ---------------------------------------------------------------------------
+
+EDGE_CHURN_SPLIT = "1998-01-01"
+
+EDGE_CHURN_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT o.o_orderdate < DATE '{EDGE_CHURN_SPLIT}' AS early,
+         l.l_orderkey AS okey, l.l_partkey AS pkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), ed AS (
+  SELECT DISTINCT a.early, a.pkey AS p1, b.pkey AS p2
+  FROM op a JOIN op b
+    ON a.okey = b.okey AND a.early = b.early AND a.pkey < b.pkey
+), flags AS (
+  SELECT p1, p2,
+         CAST(MAX(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS in_early,
+         CAST(MAX(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS in_late
+  FROM ed GROUP BY 1, 2
+)
+SELECT CASE WHEN in_early = 1 AND in_late = 1 THEN 'stable'
+            WHEN in_early = 1 THEN 'removed' ELSE 'added' END AS edge_status,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM flags GROUP BY 1
+"""
+
+
+@register("graph_edge_churn", oracle=EDGE_CHURN_ORACLE, tags=("graph", "drift", "agg"))
+def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph evolution: co-purchase edges classified as
+    stable / added / removed between the pre- and post-{EDGE_CHURN_SPLIT}
+    halves — the structural-drift counterpart of the value-distribution
+    drift family (PSI/KS/KL): a merchandising change shows up as edge
+    churn long before degree distributions move. One co-occurrence join
+    keyed on (order, half), then a two-flag aggregate per edge — the
+    period comparison is a MAX over flags, not a join of two separately
+    built graphs (half the scans, no full-outer edge join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.to_date("o_orderdate") < F.lit(EDGE_CHURN_SPLIT).cast("date")).alias("early"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("pkey"),
+        )
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    ed = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.early") == F.col("b.early"))
+            & (F.col("a.pkey") < F.col("b.pkey")),
+        )
+        .select(F.col("a.early").alias("early"), F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        .distinct()
+    )
+    flags = ed.groupBy("p1", "p2").agg(
+        F.max(F.when(F.col("early"), 1).otherwise(0)).cast("long").alias("in_early"),
+        F.max(F.when(F.col("early"), 0).otherwise(1)).cast("long").alias("in_late"),
+    )
+    status = (
+        F.when((F.col("in_early") == 1) & (F.col("in_late") == 1), "stable")
+        .when(F.col("in_early") == 1, "removed")
+        .otherwise("added")
+    )
+    return flags.groupBy(status.alias("edge_status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )

@@ -1364,3 +1364,56 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(picked)
     return sel.select("query_id", "neighbor_id", F.col("step").cast("long").alias("step"))
+
+
+# ---------------------------------------------------------------------------
+# Exact squared-L2 top-k (the PQ/ADC family's exact baseline).
+# ---------------------------------------------------------------------------
+
+L2_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(ROUND(list_reduce(list_transform(list_zip(q.v, e.v),
+                t -> (CAST(t[1] AS DOUBLE) - t[2]) * (CAST(t[1] AS DOUBLE) - t[2])),
+                (x, y) -> x + y) * 1000000) AS BIGINT) AS dist_e6
+  FROM q JOIN e ON q.vec_id != e.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY dist_e6, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, dist_e6, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_topk_l2", oracle=L2_ORACLE, tags=("similarity", "llm"))
+def sim_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-k — the metric the PQ/ADC scale path
+    approximates, surfaced as its oracle-visible exact baseline (the
+    cosine family has sim_topk_bruteforce; recall of sim_topk_pq is
+    measured against THIS metric in tests/test_llm_ops.py). Distances
+    are ×1e6 integers (one round after the codegen'd zip_with fold), so
+    ranking ties break identically in both engines; the scan side is
+    never shuffled — Q·N scored rows feed a per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sq = F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y))
+    d_e6 = F.round(
+        F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) * 1_000_000
+    ).cast("long")
+    scored = emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), d_e6.alias("dist_e6")
+    )
+    w = W.partitionBy("query_id").orderBy("dist_e6", "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -606,3 +606,119 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", "value", mod_z.alias("mod_z"))
         .filter(F.abs(F.col("mod_z")) > MAD_CUTOFF)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap CI for the mean.
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds (cumulative, capped at 7) — literal
+# doubles inlined identically into both engines.
+_POIS_CDF = (
+    0.36787944117144233,  # P(X<=0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _boot_u_sql() -> str:
+    return "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+
+
+def _bootstrap_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    u = _boot_u_sql()
+    w_case = "CASE " + " ".join(
+        f"WHEN {u} < {c!r} THEN {i}" for i, c in enumerate(_POIS_CDF)
+    ) + " ELSE 7 END"
+    return f"""
+WITH reps AS (
+  SELECT o_orderkey, o_totalprice, unnest(generate_series(1, {BOOT_B})) AS b
+  FROM orders
+), weighted AS (
+  SELECT b, o_totalprice, {w_case} AS w FROM reps
+), means AS (
+  SELECT b, {dec_sum_sql('w * o_totalprice')} / CAST(SUM(w) AS BIGINT) AS m
+  FROM weighted GROUP BY b
+), full_m AS (
+  SELECT {dec_sum_sql('o_totalprice')} / COUNT(*) AS mean_full FROM orders
+)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       ROUND(f.mean_full, 4) AS mean_full,
+       ROUND(quantile_cont(means.m, 0.025), 4) AS ci_lo,
+       ROUND(quantile_cont(means.m, 0.975), 4) AS ci_hi
+FROM means, full_m f GROUP BY f.mean_full
+"""
+
+
+@register("agg_bootstrap_ci", oracle=_bootstrap_oracle(), tags=("stats", "agg", "scale"))
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap: a 95% CI for the mean order
+    total from {BOOT_B} resamples, where each row's multiplicity in
+    replicate b is Poisson(1) drawn by inverse-CDF over a salted-md5
+    uniform — the STANDARD distributed bootstrap (per-row independent
+    weights, no resample-by-index shuffling), made fully reproducible
+    (no RNG: same CI on any cluster, any partitioning, any rerun, and
+    in the DuckDB oracle). Replicate means use decimal-stable sums; the
+    percentile over the {BOOT_B}-value means frame is exact.
+
+    Scale: one scan exploded ×{BOOT_B} with map-side combine straight
+    into B running sums — state is B numbers per partition; B scales
+    the CPU of one pass, never the shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    reps = orders.select(
+        "o_orderkey", "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(7)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+    weighted = reps.select("b", "o_totalprice", w.alias("w"))
+    means = weighted.groupBy("b").agg(
+        (
+            dec_sum(F.col("w") * F.col("o_totalprice"))
+            / F.sum("w").cast("long")
+        ).alias("m")
+    )
+    full_m = orders.agg(
+        (dec_sum("o_totalprice") / F.count(F.lit(1))).alias("mean_full")
+    )
+    return (
+        means.crossJoin(F.broadcast(full_m))
+        .groupBy("mean_full")
+        .agg(
+            F.lit(BOOT_B).cast("long").alias("n_replicates"),
+            F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+            F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+        )
+        .select(
+            "n_replicates",
+            F.round("mean_full", 4).alias("mean_full"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -259,3 +259,10 @@ def test_negative_pairs_never_anchor(spark, sf_dir):
     # deterministic: second run identical
     again = sampling.sample_negative_pairs(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    row = stats.agg_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert row["ci_lo"] <= row["mean_full"] <= row["ci_hi"]
+    assert row["ci_lo"] < row["ci_hi"]
+    assert row["n_replicates"] == stats.BOOT_B
