@@ -722,3 +722,194 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences over a deterministic exposure split.
+# ---------------------------------------------------------------------------
+
+DID_TREAT_PCT = 50  # md5(user_id) bucket < 50 -> "treated"
+
+
+def _did_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql("user_id")
+    return f"""
+WITH base AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         CASE WHEN {b} < {DID_TREAT_PCT} THEN 1 ELSE 0 END AS treated
+  FROM events
+), mid AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM base
+), cells AS (
+  SELECT treated, CASE WHEN ts_us <= mid_us THEN 0 ELSE 1 END AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {dec_sum_sql('value')} AS s
+  FROM base, mid GROUP BY 1, 2
+), m AS (
+  SELECT treated, post, n, s / n AS mu FROM cells
+)
+SELECT
+  (SELECT mu FROM m WHERE treated = 1 AND post = 1) AS mu_t_post,
+  (SELECT mu FROM m WHERE treated = 1 AND post = 0) AS mu_t_pre,
+  (SELECT mu FROM m WHERE treated = 0 AND post = 1) AS mu_c_post,
+  (SELECT mu FROM m WHERE treated = 0 AND post = 0) AS mu_c_pre,
+  ((SELECT mu FROM m WHERE treated = 1 AND post = 1)
+   - (SELECT mu FROM m WHERE treated = 1 AND post = 0))
+  - ((SELECT mu FROM m WHERE treated = 0 AND post = 1)
+     - (SELECT mu FROM m WHERE treated = 0 AND post = 0)) AS did_estimate
+"""
+
+
+@register("stats_diff_in_diff", oracle=_did_oracle(), tags=("stats", "events", "agg"))
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over a deterministic md5
+    exposure split (treated = hash bucket < {DID_TREAT_PCT}) and the
+    data-derived time midpoint: DiD = (T_post − T_pre) − (C_post −
+    C_pre), the workhorse causal estimate when randomization happens at
+    assignment time but trends must be netted out. One conditional
+    aggregate produces all four cell means (decimal-stable sums); the
+    estimate is a fixed IEEE tree on those four doubles. Under a null
+    split like this synthetic one, the estimate hovers near zero — the
+    A/A sanity reading an experimentation platform checks first."""
+    from .sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        (hash_bucket("user_id") < DID_TREAT_PCT).cast("int").alias("treated"),
+    )
+    mid = base.agg(((F.min("ts_us") + F.max("ts_us")) / 2).cast("long").alias("mid_us"))
+    cells = (
+        base.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "treated",
+            F.when(F.col("ts_us") <= F.col("mid_us"), 0).otherwise(1).alias("post"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("s"))
+        .withColumn("mu", F.col("s") / F.col("n"))
+    )
+    g = cells.agg(
+        F.first(F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("mu")), True).alias("mu_t_post"),
+        F.first(F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("mu")), True).alias("mu_t_pre"),
+        F.first(F.when((F.col("treated") == 0) & (F.col("post") == 1), F.col("mu")), True).alias("mu_c_post"),
+        F.first(F.when((F.col("treated") == 0) & (F.col("post") == 0), F.col("mu")), True).alias("mu_c_pre"),
+    )
+    return g.select(
+        "*",
+        (
+            (F.col("mu_t_post") - F.col("mu_t_pre"))
+            - (F.col("mu_c_post") - F.col("mu_c_pre"))
+        ).alias("did_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction using the pre-period covariate.
+# ---------------------------------------------------------------------------
+
+_CUPED_E = 100_000_000  # x1e8 quantization of per-user moment terms
+
+
+def _cuped_mom_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * {_CUPED_E} + 0.5) AS BIGINT)) AS DOUBLE) / {_CUPED_E}"
+
+
+def _cuped_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    return f"""
+WITH base AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+), mid AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM base
+), per_user AS (
+  SELECT user_id,
+         {dec_sum_sql("CASE WHEN ts_us <= mid_us THEN value END")}
+           / COUNT(CASE WHEN ts_us <= mid_us THEN 1 END) AS x,
+         {dec_sum_sql("CASE WHEN ts_us > mid_us THEN value END")}
+           / COUNT(CASE WHEN ts_us > mid_us THEN 1 END) AS y
+  FROM base, mid GROUP BY user_id
+  HAVING COUNT(CASE WHEN ts_us <= mid_us THEN 1 END) > 0
+     AND COUNT(CASE WHEN ts_us > mid_us THEN 1 END) > 0
+), m AS (
+  SELECT COUNT(*) AS n,
+         {_cuped_mom_sql('x')} AS sx, {_cuped_mom_sql('y')} AS sy,
+         {_cuped_mom_sql('x * x')} AS sxx,
+         {_cuped_mom_sql('x * y')} AS sxy,
+         {_cuped_mom_sql('y * y')} AS syy
+  FROM per_user
+), v AS (
+  SELECT n,
+         sxx / n - (sx / n) * (sx / n) AS var_x,
+         syy / n - (sy / n) * (sy / n) AS var_y,
+         sxy / n - (sx / n) * (sy / n) AS cov_xy
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(cov_xy / var_x, 6) AS theta,
+       ROUND(var_y, 6) AS var_y,
+       ROUND(var_y - cov_xy * cov_xy / var_x, 6) AS var_y_cuped
+FROM v
+"""
+
+
+@register("stats_cuped_adjustment", oracle=_cuped_oracle(), tags=("stats", "events", "agg"))
+def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-existing data): per user,
+    the pre-period mean value is the covariate X and the post-period
+    mean the metric Y; θ = cov(X,Y)/var(X) and the adjusted metric
+    Y − θ(X − X̄) has variance var(Y) − cov²/var(X) — the experiment-
+    platform trick that shrinks confidence intervals without touching
+    the treatment effect. Per-user means come from one conditional
+    decimal-stable pass; the user-level moments are ×1e8 rounded-long
+    sums (order-proof), and θ / variances are fixed IEEE trees rounded
+    at 6 dp. Pairs with stats_diff_in_diff and agg_bootstrap_ci as the
+    experimentation-analytics family."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "value", F.unix_micros("ts").alias("ts_us"))
+    mid = base.agg(((F.min("ts_us") + F.max("ts_us")) / 2).cast("long").alias("mid_us"))
+    pre = F.when(F.col("ts_us") <= F.col("mid_us"), F.col("value"))
+    post = F.when(F.col("ts_us") > F.col("mid_us"), F.col("value"))
+    per_user = (
+        base.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            (dec_sum(pre) / F.count(pre)).alias("x"),
+            (dec_sum(post) / F.count(post)).alias("y"),
+            F.count(pre).alias("_np"),
+            F.count(post).alias("_nq"),
+        )
+        .filter((F.col("_np") > 0) & (F.col("_nq") > 0))
+    )
+
+    def mom(expr):
+        return F.sum(F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("long")).cast(
+            "double"
+        ) / F.lit(_CUPED_E)
+
+    x, y = F.col("x"), F.col("y")
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        mom(x).alias("sx"),
+        mom(y).alias("sy"),
+        mom(x * x).alias("sxx"),
+        mom(x * y).alias("sxy"),
+        mom(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    var_x = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    var_y = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    v = m.select(n.alias("n"), var_x.alias("var_x"), var_y.alias("var_y"), cov.alias("cov_xy"))
+    return v.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(F.col("cov_xy") / F.col("var_x"), 6).alias("theta"),
+        F.round("var_y", 6).alias("var_y"),
+        F.round(
+            F.col("var_y") - F.col("cov_xy") * F.col("cov_xy") / F.col("var_x"), 6
+        ).alias("var_y_cuped"),
+    )

@@ -266,3 +266,18 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
     assert row["ci_lo"] <= row["mean_full"] <= row["ci_hi"]
     assert row["ci_lo"] < row["ci_hi"]
     assert row["n_replicates"] == stats.BOOT_B
+
+
+def test_cuped_reduces_or_preserves_variance(spark, sf_dir):
+    row = stats.stats_cuped_adjustment(spark, sf_dir).collect()[0]
+    # var(Y) - cov^2/var(X) <= var(Y) always (Cauchy-Schwarz)
+    assert row["var_y_cuped"] <= row["var_y"] + 1e-6
+    assert row["var_y_cuped"] >= 0
+    assert row["n_users"] > 0
+
+
+def test_did_near_zero_under_null_split(spark, sf_dir):
+    # the md5 split is an A/A on stationary data: DiD must be small
+    # relative to the outcome scale (~value means of O(100))
+    row = stats.stats_diff_in_diff(spark, sf_dir).collect()[0]
+    assert abs(row["did_estimate"]) < 30.0
