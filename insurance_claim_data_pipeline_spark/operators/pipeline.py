@@ -343,7 +343,7 @@ WHERE b.o_orderkey % {FEAT_ROW_MOD} = 0
 @register(
     "feature_prep_pipeline",
     oracle=_feature_prep_oracle(),
-    tags=("mlfeat", "pipeline", "llm"),
+    tags=("mlfeat", "pipeline", "llm", "bench"),
 )
 def feature_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LEAKAGE-SAFE tabular feature pipeline, composed and
