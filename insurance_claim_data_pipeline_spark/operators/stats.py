@@ -913,3 +913,63 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("var_y") - F.col("cov_xy") * F.col("cov_xy") / F.col("var_x"), 6
         ).alias("var_y_cuped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail for the exposure split.
+# ---------------------------------------------------------------------------
+
+SRM_CHI2_CRIT_E6 = 3_841_459  # chi-square 1-dof 95% critical value, x1e6
+
+
+def _srm_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql("user_id")
+    return f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), g AS (
+  SELECT CAST(SUM(CASE WHEN {b} < {DID_TREAT_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN {b} < {DID_TREAT_PCT} THEN 0 ELSE 1 END) AS BIGINT) AS n_c
+  FROM u
+)
+SELECT n_t, n_c,
+       CAST(ROUND(((n_t - (n_t + n_c) / 2.0) * (n_t - (n_t + n_c) / 2.0))
+                  / ((n_t + n_c) / 2.0) * 2 * 1000000) AS BIGINT) AS chi2_e6,
+       (CAST(ROUND(((n_t - (n_t + n_c) / 2.0) * (n_t - (n_t + n_c) / 2.0))
+                   / ((n_t + n_c) / 2.0) * 2 * 1000000) AS BIGINT)
+          > {SRM_CHI2_CRIT_E6}) AS srm_detected
+FROM g
+"""
+
+
+@register("stats_srm_check", oracle=_srm_oracle(), tags=("stats", "dq", "agg"))
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi-square (1 dof) of the
+    observed unit split against the intended 50/50 — the first gate an
+    experimentation platform runs, because a skewed assignment
+    invalidates every downstream estimate (including the DiD and CUPED
+    queries this pairs with). Units are DISTINCT users (assignment
+    happens per unit, not per event); the statistic is an exact ×1e6
+    integer and the verdict a pure integer compare against the 95%
+    critical value — no p-value libm in the gate."""
+    from .sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    t_flag = (hash_bucket("user_id") < DID_TREAT_PCT).cast("int")
+    g = u.agg(
+        F.sum(t_flag).cast("long").alias("n_t"),
+        F.sum(1 - t_flag).cast("long").alias("n_c"),
+    )
+    exp_half = (F.col("n_t") + F.col("n_c")) / F.lit(2.0)
+    chi2 = F.round(
+        (F.col("n_t") - exp_half) * (F.col("n_t") - exp_half) / exp_half * 2 * 1_000_000
+    ).cast("long")
+    return g.select(
+        "n_t",
+        "n_c",
+        chi2.alias("chi2_e6"),
+        (chi2 > SRM_CHI2_CRIT_E6).alias("srm_detected"),
+    )
