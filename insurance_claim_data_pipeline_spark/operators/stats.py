@@ -973,3 +973,79 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_e6"),
         (chi2 > SRM_CHI2_CRIT_E6).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across the event-type groups.
+# ---------------------------------------------------------------------------
+
+ANOVA_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n,
+         {{DS}} AS s,
+         {{DSS}} AS ss
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(CAST(ROUND(s * 1000000) AS BIGINT)) AS BIGINT) AS s_tot_e6,
+         CAST(SUM(CAST(ROUND((s * s / n) * 1000000) AS BIGINT)) AS BIGINT) AS ssb_part_e6,
+         CAST(SUM(CAST(ROUND((ss - s * (s / n)) * 1000000) AS BIGINT)) AS BIGINT) AS ssw_e6
+  FROM g
+)
+SELECT k, n_tot,
+       ((ssb_part_e6 / 1000000.0
+         - (s_tot_e6 / 1000000.0) * (s_tot_e6 / 1000000.0) / n_tot) / (k - 1))
+       / ((ssw_e6 / 1000000.0) / (n_tot - k)) AS f_stat
+FROM m
+"""
+
+
+def _anova_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    return ANOVA_ORACLE.replace("{DS}", dec_sum_sql("value")).replace(
+        "{DSS}", dec_sum_sql("value * value", 4)
+    )
+
+
+@register("stats_anova_oneway", oracle=_anova_oracle(), tags=("stats", "agg"))
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for mean event value across the five
+    event-type groups — the k-group generalization of
+    stats_welch_ttest. Per-group (n, Σx, Σx²) come from one
+    decimal-stable pass; the between/within sums of squares are
+    assembled from ×1e6-quantized per-group terms so the k-row
+    reduction is an exact integer sum, and F is a fixed IEEE tree on
+    the two double quotients. Under the synthetic data's identical
+    group distributions F ≈ 1 — the null reading."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("s"),
+        dec_sum(F.col("value") * F.col("value"), 4).alias("ss"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(F.round(F.col("s") * 1_000_000).cast("long")).cast("long").alias("s_tot_e6"),
+        F.sum(
+            F.round((F.col("s") * F.col("s") / F.col("n")) * 1_000_000).cast("long")
+        ).cast("long").alias("ssb_part_e6"),
+        F.sum(
+            F.round((F.col("ss") - F.col("s") * (F.col("s") / F.col("n"))) * 1_000_000)
+            .cast("long")
+        ).cast("long").alias("ssw_e6"),
+    )
+    ssb = (
+        F.col("ssb_part_e6") / F.lit(1_000_000.0)
+        - (F.col("s_tot_e6") / F.lit(1_000_000.0))
+        * (F.col("s_tot_e6") / F.lit(1_000_000.0))
+        / F.col("n_tot")
+    )
+    ssw = F.col("ssw_e6") / F.lit(1_000_000.0)
+    return m.select(
+        "k",
+        "n_tot",
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k")))).alias("f_stat"),
+    )
