@@ -846,7 +846,9 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIST_BUCKETS = 32
 
 
-def _with_global_rank(df: DataFrame, value: str, key: str, out: str) -> DataFrame:
+def _with_global_rank(
+    df: DataFrame, value: str, key: str, out: str, materialize: bool = True
+) -> DataFrame:
     """Add ``out`` = exact global row_number under (value DESC, key ASC)
     without a single-partition window, plus ``_n_total``.
 
@@ -863,8 +865,11 @@ def _with_global_rank(df: DataFrame, value: str, key: str, out: str) -> DataFram
     # upstream DAG per branch — 4^3 = 64 parquet scans observed for the
     # three-rank RFM before this cut. The frame entering a global rank
     # is a reduced per-key aggregate, exactly what production would
-    # persist.
-    df = df.localCheckpoint(eager=False)
+    # persist. Callers whose input is already materialized (a projection
+    # of a checkpointed frame) pass materialize=False to skip the second
+    # block-write.
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     bounds = df.agg(F.percentile_approx(value, probs, 10_000).alias("_bounds"))
     bkt = F.aggregate(
         "_bounds",

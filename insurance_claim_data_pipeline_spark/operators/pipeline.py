@@ -343,7 +343,7 @@ WHERE b.o_orderkey % {FEAT_ROW_MOD} = 0
 @register(
     "feature_prep_pipeline",
     oracle=_feature_prep_oracle(),
-    tags=("mlfeat", "pipeline", "llm", "bench"),
+    tags=("mlfeat", "pipeline", "llm"),
 )
 def feature_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LEAKAGE-SAFE tabular feature pipeline, composed and
@@ -393,8 +393,23 @@ def feature_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(x).alias("s"),
         dec_sum(x * x).alias("ss"),
     ).withColumn("mean", F.col("s") / F.col("n"))
-    wtile = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    tb = train.select("o_totalprice", F.ntile(FEAT_BINS).over(wtile).alias("bin"))
+    # exact distributed rank + closed-form ntile (same construction
+    # feat_quantile_bin hash-proves) — a bare W.orderBy ntile here was a
+    # single-partition window over the whole train split and re-polluted
+    # the bench tail with WindowExec warnings
+    from .analytics import _ntile_from_rank, _with_global_rank
+
+    rk = _with_global_rank(
+        train.select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        "o_orderkey",
+        "_r",
+        materialize=False,  # train projects the checkpointed base
+    )
+    tb = rk.select(
+        "o_totalprice",
+        _ntile_from_rank(F.col("_r"), F.col("_n_total"), FEAT_BINS).alias("bin"),
+    )
     edges = (
         tb.filter(F.col("bin") < FEAT_BINS)
         .groupBy("bin")

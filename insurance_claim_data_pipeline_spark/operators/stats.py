@@ -277,7 +277,7 @@ SELECT CAST(MAX(ABS(f1 * n0 - f0 * n1)) AS BIGINT) AS ks_num, n0, n1,
 FROM cum, tot GROUP BY n0, n1
 """
 
-@register("drift_ks_twosample", oracle=KS_ORACLE, tags=("stats", "drift", "window", "scale", "bench"))
+@register("drift_ks_twosample", oracle=KS_ORACLE, tags=("stats", "drift", "window", "scale"))
 def drift_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between pre- and
     post-1998 order totals (driver data spans 1995..2001), with NO single-partition pass over
