@@ -1643,3 +1643,71 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_surv_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue concentration.
+# ---------------------------------------------------------------------------
+
+GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS rnk
+  FROM per_cust
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(rev_c) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+         CAST(CAST(SUM(rnk * rev_c) AS DECIMAL(38,0)) AS DOUBLE) AS sr
+  FROM ranked
+)
+SELECT n AS n_customers,
+       ROUND(2.0 * sr / (n * s) - (n + 1.0) / n, 6) AS gini
+FROM m
+"""
+
+
+@register("orders_gini_concentration", oracle=GINI_ORACLE, tags=("analytics", "window", "scale"))
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — THE concentration
+    gauge (0 = every customer spends alike, →1 = revenue lives in a few
+    whales), computed from the rank identity
+    ``G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n`` over ascending revenue ranks.
+    Revenues are ×100 exact integers (cents), ranks come from the
+    distributed two-level global rank (no single-partition window), and
+    both big sums are per-row DECIMAL(38) casts — overflow-proof at any
+    customer count; the final expression is one fixed IEEE tree rounded
+    at 6 dp."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    # _with_global_rank orders (value DESC, key ASC); ranking the
+    # NEGATED revenue yields ascending-revenue ranks. Within a revenue
+    # tie the key order differs from the oracle's ascending custkey,
+    # but every tied row shares the same rev_c and the tie group
+    # occupies the same rank SET either way, so SUM(rank*rev) — the only
+    # thing the statistic uses — is permutation-invariant.
+    neg = per_cust.select(
+        (-F.col("o_custkey")).alias("nk"), (-F.col("rev_c")).alias("nrev"), "rev_c"
+    )
+    ranked = _with_global_rank(neg, "nrev", "nk", "rnk")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((F.col("rnk") * F.col("rev_c")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sr"),
+    )
+    n = F.col("n")
+    return m.select(
+        n.alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.col("sr") / (n * F.col("s")) - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
+    )

@@ -457,3 +457,57 @@ def events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
         (-F.sum("term")).cast("long").alias("entropy_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median of the hourly count series (robust trend).
+# ---------------------------------------------------------------------------
+
+ROLL_MED_HALF = 12  # centered 25-hour window
+
+ROLL_MED_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, (epoch_us(ts) // {US_1H}) AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_idx, n,
+       ROUND(quantile_cont(n, 0.5) OVER (
+         PARTITION BY event_type ORDER BY hour_idx
+         RANGE BETWEEN {ROLL_MED_HALF} PRECEDING AND {ROLL_MED_HALF} FOLLOWING
+       ), 4) AS rolling_median
+FROM hourly
+"""
+
+
+@register("events_rolling_median", oracle=ROLL_MED_ORACLE, tags=("events", "analytics", "window"))
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 25-hour rolling MEDIAN of each type's hourly counts —
+    the robust trend line (a traffic spike shifts a rolling mean for a
+    full window width; the median shrugs it off — pairs with
+    events_outlier_mad as the robust-statistics family's smoother).
+    A RANGE frame keyed on the hour index keeps calendar gaps from
+    misaligning the window (the events_seasonal_decompose discipline);
+    both engines share the (n−1)·p percentile interpolation, rounded at
+    4 dp. The window partitions by event type over the tiny hourly
+    series — parallel, never single-partition."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-ROLL_MED_HALF, ROLL_MED_HALF)
+    )
+    return hourly.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        F.round(F.percentile("n", F.lit(0.5)).over(w), 4).alias("rolling_median"),
+    )
