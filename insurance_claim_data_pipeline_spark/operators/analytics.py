@@ -1711,3 +1711,181 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * F.col("sr") / (n * F.col("s")) - (n + F.lit(1.0)) / n, 6
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the user-journey Markov chain.
+# ---------------------------------------------------------------------------
+
+ENTROPY_RATE_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), pairs AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM pairs GROUP BY 1
+), grand AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM pairs
+), terms AS (
+  SELECT p.src,
+         CAST(ROUND(-(CAST(p.n AS DOUBLE) / g.n_all)
+                    * ln(CAST(p.n AS DOUBLE) / t.n_src) * 1000000) AS BIGINT)
+           AS term_e6
+  FROM pairs p JOIN tot t ON p.src = t.src, grand g
+)
+SELECT CAST((SELECT COUNT(*) FROM tot) AS BIGINT) AS n_states,
+       CAST(SUM(term_e6) AS BIGINT) AS entropy_rate_e6
+FROM terms
+"""
+
+
+@register("events_markov_entropy_rate", oracle=ENTROPY_RATE_ORACLE, tags=("events", "analytics", "stats"))
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey chain,
+    ``H = −Σ_i π_i Σ_j p_ij·ln p_ij`` with the empirical source
+    distribution as π — the predictability ceiling of next-action
+    models (H near ln(k) ⇒ journeys are noise and no model can help;
+    H near 0 ⇒ deterministic flows). Collapsing π_i·p_ij to the joint
+    n_ij/n_all means ONE quantized term per observed transition pair —
+    each rounded at ×1e6 before the integer sum (order-proof). Same
+    single window pass as events_markov_transitions plus two tiny
+    aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(order).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    grand = pairs.agg(F.sum("n").cast("long").alias("n_all"))
+    n_states = tot.agg(F.count(F.lit(1)).cast("long").alias("n_states"))
+    term = F.round(
+        -(F.col("n").cast("double") / F.col("n_all"))
+        * F.log(F.col("n").cast("double") / F.col("n_src"))
+        * 1_000_000
+    ).cast("long")
+    terms = (
+        pairs.join(F.broadcast(tot), "src")
+        .crossJoin(F.broadcast(grand))
+        .select(term.alias("term_e6"))
+    )
+    return (
+        terms.agg(F.sum("term_e6").cast("long").alias("entropy_rate_e6"))
+        .crossJoin(F.broadcast(n_states))
+        .select("n_states", "entropy_rate_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / XYZ inventory classification matrix.
+# ---------------------------------------------------------------------------
+
+XYZ_CV_X_E6, XYZ_CV_Y_E6 = 500_000, 1_000_000  # CV < 0.5 -> X, < 1.0 -> Y
+
+ABC_XYZ_ORACLE = f"""
+WITH monthly AS (
+  SELECT l_partkey,
+         date_trunc('month', l_shipdate) AS mon,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_c
+  FROM lineitem GROUP BY 1, 2
+), var_stats AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_mon,
+         CAST(CAST(SUM(q_c) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+         CAST(CAST(SUM(q_c * q_c) AS DECIMAL(38,0)) AS DOUBLE) AS ss
+  FROM monthly GROUP BY 1
+), cv AS (
+  SELECT l_partkey, n_mon,
+         CASE WHEN n_mon > 1 AND s > 0
+              THEN CAST(ROUND(sqrt((ss - s * (s / n_mon)) / (n_mon - 1))
+                             / (s / n_mon) * 1000000) AS BIGINT)
+              ELSE NULL END AS cv_e6
+  FROM var_stats
+), rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT r.l_partkey, r.rev_c, c.cv_e6,
+         SUM(r.rev_c) OVER (ORDER BY r.rev_c DESC, r.l_partkey) AS cum_rev,
+         SUM(r.rev_c) OVER () AS tot_rev
+  FROM rev r JOIN cv c ON r.l_partkey = c.l_partkey
+), classed AS (
+  SELECT CASE WHEN CAST(cum_rev AS DOUBLE) / tot_rev <= 0.8 THEN 'A'
+              WHEN CAST(cum_rev AS DOUBLE) / tot_rev <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc,
+         CASE WHEN cv_e6 IS NULL THEN 'Z'
+              WHEN cv_e6 < {XYZ_CV_X_E6} THEN 'X'
+              WHEN cv_e6 < {XYZ_CV_Y_E6} THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM ranked
+)
+SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM classed GROUP BY 1, 2
+"""
+
+
+@register("lineitem_abc_xyz", oracle=ABC_XYZ_ORACLE, tags=("analytics", "window", "scale"))
+def lineitem_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification matrix: revenue importance
+    (A = top 80% of cumulative revenue, B = next 15%, C = tail) crossed
+    with demand variability (X = monthly-quantity CV < 0.5, Y < 1.0,
+    Z = erratic or single-month) — the supply-chain planning grid
+    (AX = forecast & automate, CZ = stop stocking). Quantities and
+    revenues are cents-exact integers; the CV threshold compares a
+    ×1e6-rounded integer (no float epsilon at the class boundary); the
+    cumulative revenue share reuses lineitem_pareto_abc's running-sum
+    discipline (the _dist twin shows the two-level form of that
+    window at scale — same classes, so the compact form is used
+    here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q_c = F.round(F.col("l_quantity") * 100).cast("long")
+    monthly = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mon")
+    ).agg(F.sum(q_c).cast("long").alias("q_c"))
+    vs = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mon"),
+        F.sum(F.col("q_c").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum((F.col("q_c") * F.col("q_c")).cast("decimal(38,0)")).cast("double").alias("ss"),
+    )
+    n = F.col("n_mon")
+    cv_e6 = F.when(
+        (n > 1) & (F.col("s") > 0),
+        F.round(
+            F.sqrt((F.col("ss") - F.col("s") * (F.col("s") / n)) / (n - 1))
+            / (F.col("s") / n)
+            * 1_000_000
+        ).cast("long"),
+    )
+    cv = vs.select("l_partkey", "n_mon", cv_e6.alias("cv_e6"))
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(rev_c).cast("long").alias("rev_c"))
+    joined = rev.join(cv, "l_partkey")
+    cum_w = (
+        W.partitionBy(tiny_frame_key("l_partkey"))
+        .orderBy(F.desc("rev_c"), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    all_w = W.partitionBy(tiny_frame_key("l_partkey"))
+    ranked = joined.select(
+        "cv_e6",
+        F.sum("rev_c").over(cum_w).alias("cum_rev"),
+        F.sum("rev_c").over(all_w).alias("tot_rev"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("tot_rev")
+    abc = F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    xyz = (
+        F.when(F.col("cv_e6").isNull(), "Z")
+        .when(F.col("cv_e6") < XYZ_CV_X_E6, "X")
+        .when(F.col("cv_e6") < XYZ_CV_Y_E6, "Y")
+        .otherwise("Z")
+    )
+    return ranked.groupBy(abc.alias("abc"), xyz.alias("xyz")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
