@@ -487,3 +487,89 @@ def warehouse_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(orders, "o_custkey", forget, "orders"))
         .unionByName(audit(li, "l_orderkey", affected_orders, "lineitem"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table fingerprints (replica reconciliation).
+# ---------------------------------------------------------------------------
+
+
+def _fp_oracle() -> str:
+    def h(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    return f"""
+SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor({h("CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment")}) AS BIGINT) AS fingerprint
+FROM customer
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       CAST(bit_xor({h("CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || CAST(ROUND(o_totalprice * 100) AS BIGINT) || '|' || o_orderstatus")}) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       CAST(bit_xor({h("CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(ROUND(l_extendedprice * 100) AS BIGINT) || '|' || l_returnflag")}) AS BIGINT)
+FROM lineitem
+"""
+
+
+@register("warehouse_table_fingerprint", oracle=_fp_oracle(), tags=("warehouse", "dq", "agg"))
+def warehouse_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprint per table: XOR of per-row
+    md5-60bit hashes over the canonical key+payload projection (money
+    as exact cents) plus the row count — the cross-replica
+    reconciliation primitive (same fingerprint+count ⇒ same rows, any
+    partitioning, any order; a single flipped row flips the XOR).
+    XOR is commutative/associative and width-preserving, so the
+    aggregate is map-side combinable with 8 bytes of state and merges
+    across shards/days exactly — the same algebraic-aggregate property
+    the engine's HLL/Bloom sketches exploit. One scan per table."""
+
+    def h(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+    def fp(df: DataFrame, name: str, payload) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(h(payload)).cast("long").alias("fingerprint"),
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        fp(
+            cust,
+            "customer",
+            F.concat_ws(
+                "|", F.col("c_custkey").cast("string"), "c_name", "c_mktsegment"
+            ),
+        )
+        .unionByName(
+            fp(
+                orders,
+                "orders",
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                    "o_orderstatus",
+                ),
+            )
+        )
+        .unionByName(
+            fp(
+                li,
+                "lineitem",
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+                    "l_returnflag",
+                ),
+            )
+        )
+    )
