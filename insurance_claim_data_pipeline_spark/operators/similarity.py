@@ -1417,3 +1417,88 @@ def sim_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out kNN label-prediction accuracy (embedding-quality eval).
+# ---------------------------------------------------------------------------
+
+KNN_EVAL_K = 5
+KNN_SAMPLE_MOD = 5  # evaluate every 5th vector as the held-out query
+
+KNN_EVAL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT * FROM e WHERE vec_id % {KNN_SAMPLE_MOD} = 0
+), scored AS (
+  SELECT q.vec_id AS qid, q.label AS true_label, e.label AS n_label,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           ORDER BY ROUND({cosine_sql('q.v', 'e.v')}, 6) DESC, e.vec_id) AS rnk
+  FROM q JOIN e ON q.vec_id != e.vec_id
+), votes AS (
+  SELECT qid, true_label, n_label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM scored WHERE rnk <= {KNN_EVAL_K} GROUP BY 1, 2, 3
+), pred AS (
+  SELECT qid, true_label, n_label AS pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY n_votes DESC, n_label) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred GROUP BY 1
+"""
+
+
+@register("emb_knn_eval", oracle=KNN_EVAL_ORACLE, tags=("similarity", "llm", "window"))
+def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification accuracy over the labeled
+    embeddings: every {KNN_SAMPLE_MOD}th vector is held out, its
+    {KNN_EVAL_K} nearest neighbors (exact cosine, self excluded) vote,
+    majority label wins (ties to the smaller label id) — per-class
+    correct counts. THE intrinsic embedding-quality gauge: if
+    neighbors can't predict the label, no downstream retrieval will.
+    Exact O(Q·N) scoring is the oracle baseline (documented pattern:
+    dedup_embedding_cosine); at corpus scale the candidate stage swaps
+    in the IVF/PQ path and the voting/eval frames are unchanged.
+    Rounded similarities + id/label tie-breaks keep the vote
+    deterministic in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = emb.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).select(
+        "qid",
+        "true_label",
+        F.col("label").alias("n_label"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        "vec_id",
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= KNN_EVAL_K
+    )
+    votes = top.groupBy("qid", "true_label", "n_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = W.partitionBy("qid").orderBy(F.desc("n_votes"), "n_label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
