@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -221,3 +221,64 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return hourly.groupBy("event_type").applyInPandas(holt_group, schema=HOLT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# One-step-ahead backtest of the Holt forecast vs naive persistence.
+# ---------------------------------------------------------------------------
+
+BACKTEST_ORACLE = f"""
+WITH holt AS ({HOLT_ORACLE}),
+seq AS (
+  SELECT event_type, hour_idx, n, forecast_e6,
+         LEAD(n) OVER (PARTITION BY event_type ORDER BY hour_idx) AS n_next,
+         LEAD(hour_idx) OVER (PARTITION BY event_type ORDER BY hour_idx) AS h_next
+  FROM holt
+), steps AS (
+  -- only true one-hour-ahead steps: a calendar gap breaks the pairing
+  SELECT event_type,
+         abs(forecast_e6 - n_next * {E6}) AS err_holt_e6,
+         abs(n * {E6} - n_next * {E6}) AS err_naive_e6
+  FROM seq WHERE n_next IS NOT NULL AND h_next = hour_idx + 1
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(SUM(err_holt_e6) AS BIGINT) AS sum_abs_err_holt_e6,
+       CAST(SUM(err_naive_e6) AS BIGINT) AS sum_abs_err_naive_e6,
+       ROUND(1.0 - CAST(SUM(err_holt_e6) AS DOUBLE) / SUM(err_naive_e6), 6)
+         AS skill_vs_naive
+FROM steps GROUP BY 1
+"""
+
+
+@register("events_forecast_backtest", oracle=BACKTEST_ORACLE, tags=("events", "forecast", "stats"))
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of events_holt_linear against the naive
+    persistence forecast (next hour = this hour): per type, summed
+    absolute errors and the skill score 1 − MAE_holt/MAE_naive (> 0 ⇒
+    the model earns its keep; persistence is THE baseline every
+    forecast must beat before shipping). Only true consecutive-hour
+    steps count — a calendar gap breaks the pairing. Errors live in the
+    forecast's own ×1e6 integer domain, so the sums are exact and the
+    single division per type is the only float."""
+    holt = events_holt_linear(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("hour_idx")
+    seq = holt.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        "forecast_e6",
+        F.lead("n").over(w).alias("n_next"),
+        F.lead("hour_idx").over(w).alias("h_next"),
+    ).filter(F.col("n_next").isNotNull() & (F.col("h_next") == F.col("hour_idx") + 1))
+    err_h = F.abs(F.col("forecast_e6") - F.col("n_next") * E6)
+    err_n = F.abs(F.col("n") * E6 - F.col("n_next") * E6)
+    steps = seq.select("event_type", err_h.alias("eh"), err_n.alias("en"))
+    return steps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum("eh").cast("long").alias("sum_abs_err_holt_e6"),
+        F.sum("en").cast("long").alias("sum_abs_err_naive_e6"),
+        F.round(
+            F.lit(1.0) - F.sum("eh").cast("double") / F.sum("en"), 6
+        ).alias("skill_vs_naive"),
+    )
