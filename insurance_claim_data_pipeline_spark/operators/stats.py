@@ -1049,3 +1049,55 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tot",
         ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k")))).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (robust location estimate).
+# ---------------------------------------------------------------------------
+
+WINSOR_P_LO, WINSOR_P_HI = 0.05, 0.95
+
+
+def _winsorized_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    return f"""
+WITH b AS (
+  SELECT event_type, quantile_cont(value, {WINSOR_P_LO}) AS lo,
+         quantile_cont(value, {WINSOR_P_HI}) AS hi
+  FROM events GROUP BY 1
+), clipped AS (
+  SELECT e.event_type,
+         LEAST(GREATEST(e.value, b.lo), b.hi) AS cv
+  FROM events e JOIN b ON e.event_type = b.event_type
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {dec_sum_sql('cv', 4)} / COUNT(*) AS winsorized_mean
+FROM clipped GROUP BY 1
+"""
+
+
+@register("agg_winsorized_mean", oracle=_winsorized_oracle(), tags=("stats", "agg"))
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value per type: values clipped to the
+    exact [p5, p95] group percentiles before averaging — the robust
+    location estimate metric pipelines use when trimming would change N
+    (revenue-per-user dashboards live on this). Percentile bounds are a
+    tiny broadcast; clipping is pure codegen; the mean is a
+    decimal-stable sum over the clipped column (quantized at 1e-4 —
+    clipped values are percentile interpolations, not 2-dp raw money).
+    Complements events_outlier_mad: MAD FLAGS the tails, winsorizing
+    NEUTRALIZES them."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINSOR_P_LO)).alias("lo"),
+        F.percentile("value", F.lit(WINSOR_P_HI)).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("cv"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (dec_sum("cv", 4) / F.count(F.lit(1))).alias("winsorized_mean"),
+    )

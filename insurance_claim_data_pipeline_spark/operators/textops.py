@@ -1668,3 +1668,51 @@ def text_lm_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("perplexity"),  # exp() is libm (Java vs C differ in the last ulp) — round once
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: BPE pre-tokens per whitespace word.
+# ---------------------------------------------------------------------------
+
+FERTILITY_ORACLE = f"""
+WITH bpe AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '{{BPE_RE}}', 0)) AS BIGINT) AS n_bpe
+  FROM documents
+), ws AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws
+  FROM documents
+)
+SELECT b.doc_id, b.n_bpe, w.n_ws,
+       (b.n_bpe * 1000000) // w.n_ws AS fertility_e6
+FROM bpe b JOIN ws w ON b.doc_id = w.doc_id
+WHERE w.n_ws > 0
+"""
+
+
+def _fertility_oracle() -> str:
+    return FERTILITY_ORACLE.replace("{BPE_RE}", BPE_PRETOKEN_RE.replace("'", "''"))
+
+
+@register("text_tokenizer_fertility", oracle=_fertility_oracle(), tags=("text", "llm"))
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per document: BPE pre-tokens per whitespace
+    word as an exact ×1e6 integer ratio — THE tokenizer-efficiency
+    metric (fertility ≫ 1 means the vocabulary fragments this text and
+    every training step pays for it; multilingual corpora are routinely
+    budgeted this way). Composes the two token-counting passes the
+    engine already proves (text_bpe_pretokenize, text_token_stats) into
+    the ratio both of them individually miss; integer division keeps
+    the boundary exact in both engines."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0)).cast("long")
+    n_ws = F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long")
+    base = doc.select("doc_id", n_bpe.alias("n_bpe"), n_ws.alias("n_ws")).filter(
+        F.col("n_ws") > 0
+    )
+    return base.select(
+        "doc_id",
+        "n_bpe",
+        "n_ws",
+        F.expr("(n_bpe * 1000000) div n_ws").alias("fertility_e6"),
+    )
