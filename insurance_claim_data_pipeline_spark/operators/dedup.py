@@ -843,3 +843,82 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate quality: estimated vs exact Jaccard per candidate.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_eval_oracle() -> str:
+    return f"""
+WITH mh AS ({MINHASH_ORACLE}),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+), common AS (
+  SELECT m.doc_a, m.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM mh m
+  JOIN sh a ON a.doc_id = m.doc_a
+  JOIN sh b ON b.doc_id = m.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b, m.est_jaccard,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(c.n_common, 0)), 6) AS exact_jaccard,
+       abs(CAST(ROUND(m.est_jaccard * 1000000) AS BIGINT)
+           - CAST(ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+                        / (sa.sz + sb.sz - COALESCE(c.n_common, 0)) * 1000000) AS BIGINT))
+         AS abs_err_e6
+FROM mh m
+LEFT JOIN common c ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+JOIN sizes sa ON m.doc_a = sa.doc_id
+JOIN sizes sb ON m.doc_b = sb.doc_id
+"""
+
+
+@register("dedup_minhash_eval", oracle=_minhash_eval_oracle(), tags=("dedup", "llm"))
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality eval for the MinHash pipeline: for every LSH
+    candidate pair, the 12-hash Jaccard ESTIMATE next to the EXACT
+    shingle Jaccard and their ×1e6 absolute error — the measurement
+    that justifies (or indicts) the sketch size before anyone trusts
+    dedup decisions to it (12 hashes ⇒ σ ≈ 0.14 at J=0.5; pairs
+    outside ~3σ mean the signature build is broken, which is exactly
+    what this query would catch). Exact Jaccard is computed ONLY for
+    the candidate pairs — an index probe keyed by the pair's own
+    shingles, never the all-pairs exact job."""
+    doc = load_table(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    sh = shingle_rows(doc).select("doc_id", F.xxhash64("shingle").alias("k"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("db"), F.col("k").alias("kb")),
+            (F.col("doc_b") == F.col("db")) & (F.col("k") == F.col("kb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ja = F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / (
+        F.col("sza") + F.col("szb") - F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(ja, 6).alias("exact_jaccard"),
+            F.abs(
+                F.round(F.col("est_jaccard") * 1_000_000).cast("long")
+                - F.round(ja * 1_000_000).cast("long")
+            ).alias("abs_err_e6"),
+        )
+    )

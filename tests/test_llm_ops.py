@@ -776,3 +776,18 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
     for q in queries:
         assert mmr[(q, 1)] == top[(q, 1)]  # step 1 == most relevant
         assert len({mmr[(q, s)] for s in range(1, similarity.MMR_K + 1)}) == similarity.MMR_K
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """Aggregate sketch quality, not worst-case: a banded false
+    positive can carry a large conditional error (it matched 4 hashes
+    by luck — that is priced into LSH), but the MEAN error must stay
+    within the 12-hash envelope and genuinely similar pairs must
+    estimate high (the recall direction dedup decisions rely on)."""
+    rows = dedup.dedup_minhash_eval(spark, sf_dir).collect()
+    assert rows
+    mean_err = sum(r["abs_err_e6"] for r in rows) / len(rows)
+    assert mean_err < 250_000, mean_err
+    for r in rows:
+        if r["exact_jaccard"] >= 0.8:
+            assert r["est_jaccard"] >= 0.5, (r["doc_a"], r["doc_b"])
