@@ -511,3 +511,101 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.percentile("n", F.lit(0.5)).over(w), 4).alias("rolling_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SRE error-budget burn rate (multi-window alerting).
+# ---------------------------------------------------------------------------
+
+SLO_TARGET_E6 = 990_000  # 99.0% success SLO
+BURN_FAST_E6, BURN_SLOW_E6 = 14_400_000, 6_000_000  # 14.4x / 6x (Google SRE)
+
+BURN_ORACLE = f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {US_1H}) AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+), win AS (
+  SELECT hour_idx, n, n_err,
+         CAST(SUM(n) OVER w1 AS BIGINT) AS n_1h,
+         CAST(SUM(n_err) OVER w1 AS BIGINT) AS e_1h,
+         CAST(SUM(n) OVER w6 AS BIGINT) AS n_6h,
+         CAST(SUM(n_err) OVER w6 AS BIGINT) AS e_6h
+  FROM hourly
+  WINDOW w1 AS (ORDER BY hour_idx RANGE BETWEEN 0 PRECEDING AND CURRENT ROW),
+         w6 AS (ORDER BY hour_idx RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+), burn AS (
+  SELECT hour_idx,
+         (e_1h * 1000000) // n_1h AS err_rate_1h_e6,
+         (e_6h * 1000000) // n_6h AS err_rate_6h_e6,
+         ((e_1h * 1000000) // n_1h) * 1000000 // (1000000 - {SLO_TARGET_E6})
+           AS burn_1h_e6,
+         ((e_6h * 1000000) // n_6h) * 1000000 // (1000000 - {SLO_TARGET_E6})
+           AS burn_6h_e6
+  FROM win
+)
+SELECT hour_idx, err_rate_1h_e6, err_rate_6h_e6, burn_1h_e6, burn_6h_e6,
+       (burn_1h_e6 > {BURN_FAST_E6} AND burn_6h_e6 > {BURN_SLOW_E6}) AS page
+FROM burn
+"""
+
+
+@register("events_error_budget_burn", oracle=BURN_ORACLE, tags=("events", "analytics", "window", "dq"))
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget burn-rate alerting against a 99% success SLO:
+    per hour, the 1h and 6h error rates as multiples of the budget
+    (burn = rate / (1 − SLO)) and the Google-SRE multiwindow page
+    condition (burn_1h > 14.4 AND burn_6h > 6 — fast burn confirmed by
+    the slower window, so a one-hour blip can't page and a slow leak
+    still does). Every rate and burn is an exact ×1e6 integer
+    (integer division), so the page verdict is bit-stable — no float
+    epsilon at the alert boundary. RANGE frames on the hour index keep
+    calendar gaps honest. The single unpartitioned window runs over the
+    HOURLY frame (calendar-bounded, tiny at any corpus size — the
+    orders_open_concurrency argument); tiny_frame_key keeps the spec
+    non-foldable."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select(hour_idx.alias("hour_idx"), "event_type")
+        .groupBy("hour_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("event_type") == "error").cast("long")).cast("long").alias("n_err"),
+        )
+    )
+    from ..session import tiny_frame_key
+
+    w1 = (
+        W.partitionBy(tiny_frame_key("hour_idx"))
+        .orderBy("hour_idx")
+        .rangeBetween(0, 0)
+    )
+    w6 = (
+        W.partitionBy(tiny_frame_key("hour_idx"))
+        .orderBy("hour_idx")
+        .rangeBetween(-5, 0)
+    )
+    win = hourly.select(
+        "hour_idx",
+        F.sum("n").over(w1).cast("long").alias("n_1h"),
+        F.sum("n_err").over(w1).cast("long").alias("e_1h"),
+        F.sum("n").over(w6).cast("long").alias("n_6h"),
+        F.sum("n_err").over(w6).cast("long").alias("e_6h"),
+    )
+    budget = 1_000_000 - SLO_TARGET_E6
+    r1 = F.expr("(e_1h * 1000000) div n_1h")
+    r6 = F.expr("(e_6h * 1000000) div n_6h")
+    b1 = F.expr(f"((e_1h * 1000000) div n_1h) * 1000000 div {budget}")
+    b6 = F.expr(f"((e_6h * 1000000) div n_6h) * 1000000 div {budget}")
+    return win.select(
+        "hour_idx",
+        r1.alias("err_rate_1h_e6"),
+        r6.alias("err_rate_6h_e6"),
+        b1.alias("burn_1h_e6"),
+        b6.alias("burn_6h_e6"),
+        ((b1 > BURN_FAST_E6) & (b6 > BURN_SLOW_E6)).alias("page"),
+    )

@@ -573,3 +573,55 @@ def warehouse_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time travel: the dimension AS OF a point in time, from SCD2 history.
+# ---------------------------------------------------------------------------
+
+
+def _asof_snapshot_oracle() -> str:
+    return f"""
+WITH hist AS ({SCD2_ORACLE}),
+snap AS (
+  SELECT (MIN(valid_from_us) + MAX(valid_from_us)) // 2 AS t FROM hist
+)
+SELECT h.user_id, h.event_type AS state_at_t, h.valid_from_us, h.n_events,
+       a.t AS asof_us
+FROM hist h, snap a
+WHERE h.valid_from_us <= a.t
+  AND (h.valid_to_us IS NULL OR h.valid_to_us > a.t)
+"""
+
+
+@register("warehouse_asof_snapshot", oracle=_asof_snapshot_oracle(), tags=("warehouse", "window"))
+def warehouse_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: each user's state AS OF a
+    single instant (the data-derived midpoint of version start times) —
+    the query pattern every history table exists to answer ("what did
+    the dimension look like when the model trained?"). The predicate
+    ``valid_from ≤ t < valid_to`` (open upper bound, NULL = current)
+    returns EXACTLY ONE row per user whose history covers t — the
+    versioning invariant, asserted in tests. Snapshot selection is a
+    pure filter over the history frame: no window, no join beyond the
+    broadcast scalar."""
+    hist = scd2_history(load_table(spark, sf_dir, "events"))
+    asof = hist.agg(
+        ((F.min("valid_from_us") + F.max("valid_from_us")) / 2)
+        .cast("long")
+        .alias("t")
+    )
+    return (
+        hist.crossJoin(F.broadcast(asof))
+        .filter(
+            (F.col("valid_from_us") <= F.col("t"))
+            & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > F.col("t")))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_at_t"),
+            "valid_from_us",
+            "n_events",
+            F.col("t").alias("asof_us"),
+        )
+    )
