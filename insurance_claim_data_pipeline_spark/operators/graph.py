@@ -373,3 +373,92 @@ def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.groupBy(status.alias("edge_status")).agg(
         F.count(F.lit(1)).cast("long").alias("n_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+ASSORT_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.pkey AS p1, b.pkey AS p2
+  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT p1 AS node FROM edges UNION ALL SELECT p2 AS node FROM edges
+  ) GROUP BY 1
+), ends AS (
+  -- each undirected edge contributes BOTH orientations (standard
+  -- assortativity convention: sum over directed stubs)
+  SELECT da.d AS dx, db.d AS dy
+  FROM edges e JOIN deg da ON e.p1 = da.node JOIN deg db ON e.p2 = db.node
+  UNION ALL
+  SELECT db.d, da.d
+  FROM edges e JOIN deg da ON e.p1 = da.node JOIN deg db ON e.p2 = db.node
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(dx) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(dy) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(dx * dy) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(dx * dx) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(dy * dy) AS DECIMAL(38,0)) AS DOUBLE) AS syy
+  FROM ends
+)
+SELECT n AS n_stubs,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS assortativity
+FROM m
+"""
+
+
+@register("graph_assortativity", oracle=ASSORT_ORACLE, tags=("graph", "stats", "agg"))
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson
+    correlation of endpoint degrees over directed stubs (both
+    orientations of every edge — the standard convention). Positive ⇒
+    hubs buy with hubs (social-network-like); negative ⇒ hub-and-spoke
+    (typical for baskets). Degree moments are exact integers held as
+    per-row DECIMAL(38) sums; r is one fixed IEEE tree rounded at 6 dp.
+    Reuses the checkpointed canonical edge list discipline — degrees
+    and the stub join read one materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")))
+        .select(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("p1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("node").alias("p2"), F.col("d").alias("d2"))
+    joined = edges.join(da, "p1").join(db, "p2")
+    ends = joined.select(F.col("d1").alias("dx"), F.col("d2").alias("dy")).unionAll(
+        joined.select(F.col("d2").alias("dx"), F.col("d1").alias("dy"))
+    )
+    dsum = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    m = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("dx")).alias("sx"),
+        dsum(F.col("dy")).alias("sy"),
+        dsum(F.col("dx") * F.col("dy")).alias("sxy"),
+        dsum(F.col("dx") * F.col("dx")).alias("sxx"),
+        dsum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(n.alias("n_stubs"), F.round(r, 6).alias("assortativity"))

@@ -1716,3 +1716,56 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ws",
         F.expr("(n_bpe * 1000000) div n_ws").alias("fertility_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of the corpus term distribution (exact rational).
+# ---------------------------------------------------------------------------
+
+SIMPSON_ORACLE = """
+WITH tf AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(CAST(SUM(c) AS DECIMAL(38,0)) AS BIGINT) AS n_tok,
+         CAST(CAST(SUM(c * (c - 1)) AS DECIMAL(38,0)) AS BIGINT) AS coll
+  FROM tf
+)
+SELECT n_terms, n_tok,
+       CAST(coll AS DOUBLE) / (CAST(n_tok AS DOUBLE) * (n_tok - 1)) AS simpson_l,
+       1.0 - CAST(coll AS DOUBLE) / (CAST(n_tok AS DOUBLE) * (n_tok - 1))
+         AS simpson_diversity
+FROM m
+"""
+
+
+@register("text_simpson_diversity", oracle=SIMPSON_ORACLE, tags=("text", "llm", "agg"))
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of the corpus unigram distribution:
+    L = Σ c_i(c_i−1) / (N(N−1)) — the probability two random tokens
+    coincide — and 1−L, the diversity. Unlike the entropy gauges this
+    statistic is an EXACT INTEGER RATIONAL (no logs, no quantization):
+    both big sums are per-row DECIMAL(38) casts and the single division
+    happens once on identical exact operands. The repetition-collapse
+    companion to text_zipf_fit/text_heaps_fit: template-flooded corpora
+    spike L long before the Zipf slope moves."""
+    doc = load_table(spark, sf_dir, "documents")
+    tf = (
+        doc.select(F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("long").alias("n_tok"),
+        F.sum((F.col("c") * (F.col("c") - 1)).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("coll"),
+    )
+    l = F.col("coll").cast("double") / (
+        F.col("n_tok").cast("double") * (F.col("n_tok") - 1)
+    )
+    return m.select("n_terms", "n_tok", l.alias("simpson_l"), (F.lit(1.0) - l).alias("simpson_diversity"))
