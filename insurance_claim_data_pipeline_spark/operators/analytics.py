@@ -1889,3 +1889,83 @@ def lineitem_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy(abc.alias("abc"), xyz.alias("xyz")).agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: weekly new / retained / resurrected / churned.
+# ---------------------------------------------------------------------------
+
+US_1W = 7 * 24 * 3_600_000_000
+
+GROWTH_ORACLE = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // {US_1W}) AS wk FROM events
+), seq AS (
+  SELECT user_id, wk,
+         MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+         LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+  FROM act
+), states AS (
+  SELECT wk,
+         CASE WHEN wk = first_wk THEN 'new'
+              WHEN prev_wk = wk - 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM seq
+), bounds AS (SELECT MAX(wk) AS max_wk FROM act),
+churn AS (
+  SELECT a.wk + 1 AS wk, 'churned' AS state
+  FROM act a, bounds
+  WHERE a.wk + 1 <= bounds.max_wk
+    AND NOT EXISTS (SELECT 1 FROM act n
+                    WHERE n.user_id = a.user_id AND n.wk = a.wk + 1)
+)
+SELECT wk, state, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT wk, state FROM states UNION ALL SELECT wk, state FROM churn)
+GROUP BY 1, 2
+"""
+
+
+@register("events_growth_accounting", oracle=GROWTH_ORACLE, tags=("analytics", "events", "window"))
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active (user, week) classified
+    as new (first week ever), retained (also active last week) or
+    resurrected (returning after a gap), plus churned (active last
+    week, absent this week, attributed to the absent week) — the
+    decomposition behind every growth dashboard, closing the identities
+    ``active_w = new + retained + resurrected`` and ``active_{w-1} =
+    retained_w + churned_w``. One distinct-shuffle on (user, week),
+    per-user windows on the tiny weekly frame, churn as a co-keyed
+    anti-join — no calendar crossJoin."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1W))) / F.lit(US_1W)
+    ).cast("long")
+    act = ev.select("user_id", wk.alias("wk")).distinct().localCheckpoint(eager=False)
+    w_all = W.partitionBy("user_id")
+    w_ord = W.partitionBy("user_id").orderBy("wk")
+    seq = act.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(w_all).alias("first_wk"),
+        F.lag("wk").over(w_ord).alias("prev_wk"),
+    )
+    states = seq.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    bounds = act.agg(F.max("wk").alias("max_wk"))
+    nxt = act.select("user_id", (F.col("wk") + 1).alias("wk"))
+    churn = (
+        nxt.join(act, ["user_id", "wk"], "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("wk") <= F.col("max_wk"))
+        .select("wk", F.lit("churned").alias("state"))
+    )
+    return (
+        states.unionByName(churn)
+        .groupBy("wk", "state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

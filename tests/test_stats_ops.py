@@ -281,3 +281,19 @@ def test_did_near_zero_under_null_split(spark, sf_dir):
     # relative to the outcome scale (~value means of O(100))
     row = stats.stats_diff_in_diff(spark, sf_dir).collect()[0]
     assert abs(row["did_estimate"]) < 30.0
+
+
+def test_growth_accounting_identities(spark):
+    # active_w = new + retained + resurrected; active_{w-1} = retained_w + churned_w
+    sf = "/root/testdata/sf0.01"
+    rows = analytics.events_growth_accounting(spark, sf).collect()
+    byw: dict[int, dict[str, int]] = {}
+    for r in rows:
+        byw.setdefault(r["wk"], {})[r["state"]] = r["n_users"]
+    active = {
+        w: d.get("new", 0) + d.get("retained", 0) + d.get("resurrected", 0)
+        for w, d in byw.items()
+    }
+    for w, d in sorted(byw.items()):
+        if w - 1 in active:
+            assert active[w - 1] == d.get("retained", 0) + d.get("churned", 0), w
