@@ -1502,3 +1502,57 @@ def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
         ).cast("long").alias("n_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall@k of the IVF path against the exact baseline, per query.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+WITH exact AS ({TOPK_ORACLE}),
+approx AS ({IVF_ORACLE})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 1
+"""
+
+
+@register("sim_ivf_recall_eval", oracle=_ivf_recall_oracle(), tags=("similarity", "llm"))
+def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF approximate path against the exact
+    cosine baseline, per query — the accuracy/cost dial every ANN
+    deployment is tuned by (N_PROBE trades this number against scan
+    fraction), surfaced as a hash-proven QUERY instead of a test-only
+    assertion so the driver certifies the measurement itself. A left
+    join of exact top-k onto IVF results; both sides are the engine's
+    own oracled operators."""
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim_topk_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    j = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    hit = F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0)).cast("long")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        hit.alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("an").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall_at_k"),
+    )

@@ -1769,3 +1769,63 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("double") * (F.col("n_tok") - 1)
     )
     return m.select("n_terms", "n_tok", l.alias("simpson_l"), (F.lit(1.0) - l).alias("simpson_diversity"))
+
+
+# ---------------------------------------------------------------------------
+# Lexical sophistication: mean log corpus-rank of each document's words.
+# ---------------------------------------------------------------------------
+
+SOPHISTICATION_ORACLE = """
+WITH tf AS (
+  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY 1
+), ranked AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk FROM tf
+), occ AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> ''
+), scored AS (
+  SELECT o.doc_id,
+         CAST(ROUND(ln(CAST(r.rnk AS DOUBLE)) * 1000000) AS BIGINT) AS lr_e6
+  FROM occ o JOIN ranked r ON o.t = r.term
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lr_e6) AS BIGINT) AS sum_log_rank_e6,
+       CAST(SUM(lr_e6) AS BIGINT) // COUNT(*) AS mean_log_rank_e6
+FROM scored GROUP BY 1
+"""
+
+
+@register("text_lexical_sophistication", oracle=SOPHISTICATION_ORACLE, tags=("text", "llm", "window"))
+def text_lexical_sophistication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical sophistication per document: mean log corpus-frequency
+    RANK of its tokens — documents built from rare vocabulary score
+    high, stop-word soup scores low; a standard quality-filter feature
+    that catches keyword-stuffed or boilerplate text that length and
+    stopword ratios miss. Term ranks come from the exact distributed
+    global rank; each token's ln(rank) is quantized ×1e6 before the
+    per-doc sum (order-proof), and the mean is an exact integer
+    division."""
+    from .analytics import _with_global_rank
+
+    doc = load_table(spark, sf_dir, "documents")
+    occ = (
+        doc.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    tf = occ.groupBy(F.col("t").alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    ranked = _with_global_rank(tf, "freq", "term", "rnk").select("term", "rnk")
+    lr = F.round(F.log(F.col("rnk").cast("double")) * 1_000_000).cast("long")
+    scored = occ.join(
+        F.broadcast(ranked), occ.t == ranked.term
+    ).select("doc_id", lr.alias("lr_e6"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("lr_e6").cast("long").alias("sum_log_rank_e6"),
+        F.expr("CAST(sum(lr_e6) AS BIGINT) div count(1)").alias("mean_log_rank_e6"),
+    )
