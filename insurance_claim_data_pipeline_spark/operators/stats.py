@@ -1101,3 +1101,89 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         (dec_sum("cv", 4) / F.count(F.lit(1))).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis: minimum detectable effect for the experiment family.
+# ---------------------------------------------------------------------------
+
+Z_ALPHA_2 = 1.959963984540054  # two-sided 5%
+Z_BETA = 0.8416212335729143    # 80% power
+
+
+def _power_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql("user_id")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN {b} < {DID_TREAT_PCT} THEN 1 ELSE 0 END AS treated,
+         {dec_sum_sql('value')} AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(treated) AS BIGINT) AS n_t,
+         {_cuped_mom_sql('y')} AS s,
+         {_cuped_mom_sql('y * y')} AS ss
+  FROM per_user
+), v AS (
+  SELECT n_units, n_t, s / n_units AS mu,
+         (ss - s * (s / n_units)) / (n_units - 1) AS var
+  FROM m
+)
+SELECT n_units, n_t, ROUND(mu, 6) AS mean_metric,
+       ROUND(({Z_ALPHA_2!r} + {Z_BETA!r}) * sqrt(2 * var / (n_units / 2.0)), 6)
+         AS mde_abs,
+       ROUND(({Z_ALPHA_2!r} + {Z_BETA!r}) * sqrt(2 * var / (n_units / 2.0)) / mu, 6)
+         AS mde_rel
+FROM v
+"""
+
+
+@register("stats_power_mde", oracle=_power_oracle(), tags=("stats", "agg"))
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the minimum detectable effect at 80%
+    power / 5% two-sided alpha for the per-user revenue metric under a
+    50/50 split — ``MDE = (z_a/2 + z_b)·sqrt(2σ²/(n/2))`` — the number
+    that decides whether an experiment is worth RUNNING before any
+    assignment happens (an MDE above the plausible effect size means
+    the test can only produce noise). Per-user metric from one
+    decimal-stable pass; unit-level variance from ×1e8 rounded-long
+    moments; z constants inlined as identical double literals so
+    neither engine computes a quantile function. Completes the
+    experimentation family: power → SRM gate → DiD → CUPED →
+    bootstrap CI."""
+    from .sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((hash_bucket("user_id") < DID_TREAT_PCT).cast("int")).alias("treated"),
+        dec_sum("value").alias("y"),
+    )
+
+    def mom(expr):
+        return F.sum(F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("long")).cast(
+            "double"
+        ) / F.lit(_CUPED_E)
+
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("treated").cast("long").alias("n_t"),
+        mom(F.col("y")).alias("s"),
+        mom(F.col("y") * F.col("y")).alias("ss"),
+    )
+    mu = F.col("s") / F.col("n_units")
+    var = (F.col("ss") - F.col("s") * mu) / (F.col("n_units") - 1)
+    v = m.select("n_units", "n_t", mu.alias("mu"), var.alias("var"))
+    mde = (F.lit(Z_ALPHA_2) + F.lit(Z_BETA)) * F.sqrt(
+        2 * F.col("var") / (F.col("n_units") / F.lit(2.0))
+    )
+    return v.select(
+        "n_units",
+        "n_t",
+        F.round("mu", 6).alias("mean_metric"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("mu"), 6).alias("mde_rel"),
+    )

@@ -1829,3 +1829,87 @@ def text_lexical_sophistication(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lr_e6").cast("long").alias("sum_log_rank_e6"),
         F.expr("CAST(sum(lr_e6) AS BIGINT) div count(1)").alias("mean_log_rank_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between the train and held-out vocabularies.
+# ---------------------------------------------------------------------------
+
+
+def _jsd_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql("doc_id")
+    return f"""
+WITH occ AS (
+  SELECT t, {b} < {LM_TRAIN_PCT} AS in_train FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> ''
+), c AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN in_train THEN 0 ELSE 1 END) AS BIGINT) AS cq
+  FROM occ GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq FROM c
+), terms AS (
+  SELECT
+    CASE WHEN c.cp > 0 THEN CAST(ROUND(
+      0.5 * (CAST(c.cp AS DOUBLE) / t.np)
+      * ln((CAST(c.cp AS DOUBLE) / t.np)
+           / (0.5 * (CAST(c.cp AS DOUBLE) / t.np + CAST(c.cq AS DOUBLE) / t.nq)))
+      * 1000000) AS BIGINT) ELSE 0 END
+    + CASE WHEN c.cq > 0 THEN CAST(ROUND(
+      0.5 * (CAST(c.cq AS DOUBLE) / t.nq)
+      * ln((CAST(c.cq AS DOUBLE) / t.nq)
+           / (0.5 * (CAST(c.cp AS DOUBLE) / t.np + CAST(c.cq AS DOUBLE) / t.nq)))
+      * 1000000) AS BIGINT) ELSE 0 END AS term_e6
+  FROM c, tot t
+)
+SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_terms,
+       CAST(SUM(term_e6) AS BIGINT) AS jsd_e6
+FROM terms
+"""
+
+
+@register("text_jsd_split_shift", oracle=_jsd_oracle(), tags=("text", "llm", "drift"))
+def text_jsd_split_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the train-split and held-out
+    unigram distributions (same md5 split as text_lm_crossval):
+    bounded [0, ln 2], symmetric, finite even where one side has zero
+    mass — the companion reading for held-out perplexity (a high JSD
+    means the perplexity gap is DISTRIBUTION SHIFT, not model
+    quality; under a random split it should hover near 0). Each term's
+    two halves are quantized ×1e6 before the single integer sum."""
+    from .sampling import hash_bucket
+
+    doc = load_table(spark, sf_dir, "documents")
+    occ = (
+        doc.select(
+            (hash_bucket("doc_id") < LM_TRAIN_PCT).alias("in_train"),
+            F.explode(tokens("text")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    c = occ.groupBy("t").agg(
+        F.sum(F.col("in_train").cast("long")).cast("long").alias("cp"),
+        F.sum((~F.col("in_train")).cast("long")).cast("long").alias("cq"),
+    )
+    tot = c.agg(
+        F.sum("cp").cast("long").alias("np"), F.sum("cq").cast("long").alias("nq")
+    )
+    n_terms = c.agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    p = F.col("cp").cast("double") / F.col("np")
+    q = F.col("cq").cast("double") / F.col("nq")
+    mmix = 0.5 * (p + q)
+    half = lambda r, cnt: F.when(
+        cnt > 0, F.round(F.lit(0.5) * r * F.log(r / mmix) * 1_000_000).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        (half(p, F.col("cp")) + half(q, F.col("cq"))).alias("term_e6")
+    )
+    return (
+        terms.agg(F.sum("term_e6").cast("long").alias("jsd_e6"))
+        .crossJoin(F.broadcast(n_terms))
+        .select("n_terms", "jsd_e6")
+    )
