@@ -922,3 +922,39 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size histogram (dedup planning).
+# ---------------------------------------------------------------------------
+
+
+def _cluster_sizes_oracle() -> str:
+    return f"""
+WITH comp AS ({COMPONENTS_ORACLE})
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component_id
+)
+GROUP BY 1
+"""
+
+
+@register("dedup_cluster_sizes", oracle=_cluster_sizes_oracle(), tags=("dedup", "llm", "iterative"))
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup components — the dedup
+    PLANNING number: how many docs sit in clusters of each size decides
+    the dedup yield (docs − clusters = removals) and flags pathological
+    mega-clusters (one boilerplate family swallowing the corpus ⇒
+    tighten the threshold or max_df before deduping). Two tiny
+    aggregates over the component labels; inherits the iterative
+    min-label propagation and its oracle's recursive closure."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )

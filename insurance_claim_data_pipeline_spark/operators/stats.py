@@ -1187,3 +1187,82 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / F.col("mu"), 6).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paired t-test: post- vs pre-period metric per user.
+# ---------------------------------------------------------------------------
+
+
+def _paired_ttest_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    return f"""
+WITH base AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+), mid AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM base
+), per_user AS (
+  SELECT user_id,
+         {dec_sum_sql("CASE WHEN ts_us > mid_us THEN value END")}
+           / COUNT(CASE WHEN ts_us > mid_us THEN 1 END)
+         - {dec_sum_sql("CASE WHEN ts_us <= mid_us THEN value END")}
+           / COUNT(CASE WHEN ts_us <= mid_us THEN 1 END) AS d
+  FROM base, mid GROUP BY user_id
+  HAVING COUNT(CASE WHEN ts_us <= mid_us THEN 1 END) > 0
+     AND COUNT(CASE WHEN ts_us > mid_us THEN 1 END) > 0
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {_cuped_mom_sql('d')} AS s, {_cuped_mom_sql('d * d')} AS ss
+  FROM per_user
+)
+SELECT n AS n_pairs,
+       ROUND(s / n, 6) AS mean_diff,
+       ROUND((s / n) / sqrt(((ss - s * (s / n)) / (n - 1)) / n), 6) AS t_stat
+FROM m
+"""
+
+
+@register("stats_paired_ttest", oracle=_paired_ttest_oracle(), tags=("stats", "events", "agg"))
+def stats_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test of each user's post-minus-pre mean value: pairing
+    on the unit removes between-user variance entirely, which is why a
+    paired design detects effects an unpaired Welch test of the same
+    size misses — completing the family two-sample (Welch) → k-group
+    (ANOVA) → paired. Per-user differences from one conditional
+    decimal-stable pass; difference moments as ×1e8 rounded-long sums;
+    the t statistic is one fixed IEEE tree rounded at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", "value", F.unix_micros("ts").alias("ts_us"))
+    mid = base.agg(((F.min("ts_us") + F.max("ts_us")) / 2).cast("long").alias("mid_us"))
+    pre = F.when(F.col("ts_us") <= F.col("mid_us"), F.col("value"))
+    post = F.when(F.col("ts_us") > F.col("mid_us"), F.col("value"))
+    per_user = (
+        base.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            (dec_sum(post) / F.count(post) - dec_sum(pre) / F.count(pre)).alias("d"),
+            F.count(pre).alias("_np"),
+            F.count(post).alias("_nq"),
+        )
+        .filter((F.col("_np") > 0) & (F.col("_nq") > 0))
+    )
+
+    def mom(expr):
+        return F.sum(F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("long")).cast(
+            "double"
+        ) / F.lit(_CUPED_E)
+
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        mom(F.col("d")).alias("s"),
+        mom(F.col("d") * F.col("d")).alias("ss"),
+    )
+    n = F.col("n")
+    mean_d = F.col("s") / n
+    var_d = (F.col("ss") - F.col("s") * mean_d) / (n - 1)
+    return m.select(
+        n.alias("n_pairs"),
+        F.round(mean_d, 6).alias("mean_diff"),
+        F.round(mean_d / F.sqrt(var_d / n), 6).alias("t_stat"),
+    )
