@@ -1969,3 +1969,62 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wk", "state")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer monetary-quintile migration between time halves.
+# ---------------------------------------------------------------------------
+
+MIGRATION_SPLIT = "1998-01-01"
+
+MIGRATION_ORACLE = f"""
+WITH halves AS (
+  SELECT o_custkey,
+         o_orderdate < DATE '{MIGRATION_SPLIT}' AS early,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1, 2
+), q AS (
+  SELECT o_custkey, early,
+         ntile(5) OVER (PARTITION BY early ORDER BY rev_c DESC, o_custkey) AS quintile
+  FROM halves
+), paired AS (
+  SELECT a.quintile AS q_early, b.quintile AS q_late
+  FROM q a JOIN q b ON a.o_custkey = b.o_custkey AND a.early AND NOT b.early
+)
+SELECT q_early, q_late, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM paired GROUP BY 1, 2
+"""
+
+
+@register("orders_quintile_migration", oracle=MIGRATION_ORACLE, tags=("analytics", "window", "scale"))
+def orders_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value migration matrix: each customer's monetary
+    quintile in the pre-{MIGRATION_SPLIT} half crossed with their
+    quintile in the post half — the CRM lifecycle view (diagonal =
+    stable value, below = upgrades, above = decay; column 5 exits are
+    the churn-risk list). Quintiles per half come from the exact
+    two-level distributed rank (ranking runs twice on the per-customer
+    halves frame, partition-keyed by half — never a single-partition
+    window over customers); revenues are exact cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    halves = orders.groupBy(
+        "o_custkey",
+        (F.to_date("o_orderdate") < F.lit(MIGRATION_SPLIT).cast("date")).alias("early"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("rev_c"))
+    # per-half exact rank: reuse the distributed scheme once per half
+    # (the rank helper is global; partition by filtering per half)
+    def quintiles(flag: bool) -> DataFrame:
+        part = halves.filter(F.col("early") == flag).select("o_custkey", "rev_c")
+        rk = _with_global_rank(part, "rev_c", "o_custkey", "_r")
+        return rk.select(
+            "o_custkey",
+            _ntile_from_rank(F.col("_r"), F.col("_n_total"), 5).alias("quintile"),
+        )
+
+    early_q = quintiles(True).withColumnRenamed("quintile", "q_early")
+    late_q = quintiles(False).withColumnRenamed("quintile", "q_late")
+    return (
+        early_q.join(late_q, "o_custkey")
+        .groupBy("q_early", "q_late")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import shingle_rows, shingles_sql
+from ..functions.text import shingle_rows, shingles_sql, tokens
 from ..functions.vectors import as_double, cosine_sql, dot, norm
 from ..registry import register
 from ..session import load_table
@@ -957,4 +957,67 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup yield in TOKENS (training-budget impact).
+# ---------------------------------------------------------------------------
+
+
+def _dedup_yield_oracle() -> str:
+    return f"""
+WITH comp AS ({COMPONENTS_ORACLE}),
+tok AS (
+  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                      AS BIGINT) AS n_tok
+  FROM documents
+), flagged AS (
+  SELECT t.doc_id, t.n_tok,
+         CASE WHEN c.component_id IS NOT NULL AND c.component_id <> t.doc_id
+              THEN 1 ELSE 0 END AS removed
+  FROM tok t LEFT JOIN comp c ON t.doc_id = c.doc_id
+)
+SELECT CAST(SUM(removed) AS BIGINT) AS n_docs_removed,
+       CAST(SUM(CASE WHEN removed = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_removed,
+       CAST(SUM(CASE WHEN removed = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM flagged
+"""
+
+
+@register("dedup_token_yield", oracle=_dedup_yield_oracle(), tags=("dedup", "llm"))
+def dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield measured in TOKENS, not documents: canonical-keep
+    (doc survives iff it IS its component's min-id representative),
+    summed token counts for removed vs kept — the number a training
+    budget actually turns on (removing 10% of docs that hold 40% of
+    tokens is a very different decision). One left join of per-doc
+    token counts against the component labels; inherits the iterative
+    propagation and its recursive-closure oracle."""
+    comp = dedup_components(spark, sf_dir)
+    doc = load_table(spark, sf_dir, "documents")
+    tok = doc.select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda t: t != "")).cast("long").alias("n_tok"),
+    )
+    flagged = tok.join(comp, "doc_id", "left").select(
+        "n_tok",
+        F.when(
+            F.col("component_id").isNotNull()
+            & (F.col("component_id") != F.col("doc_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("removed"),
+    )
+    return flagged.agg(
+        F.sum("removed").cast("long").alias("n_docs_removed"),
+        F.sum(F.when(F.col("removed") == 1, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_removed"),
+        F.sum(F.when(F.col("removed") == 0, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
     )
