@@ -1556,3 +1556,63 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ quantization-distortion summary.
+# ---------------------------------------------------------------------------
+
+
+def _pq_distortion_oracle() -> str:
+    return f"""
+WITH enc AS ({_pq_encode_oracle()}),
+nrm AS (
+  SELECT vec_id,
+         CAST(ROUND(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * x), (a, b) -> a + b) * 1000000) AS BIGINT)
+           AS sqnorm_e6
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(CAST(SUM(e.quant_err_e6) AS DECIMAL(38,0)) AS BIGINT) AS total_err_e6,
+       CAST(MAX(e.quant_err_e6) AS BIGINT) AS max_err_e6,
+       ROUND(CAST(CAST(SUM(e.quant_err_e6) AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(SUM(n.sqnorm_e6) AS DECIMAL(38,0)) AS DOUBLE), 6)
+         AS relative_distortion
+FROM enc e JOIN nrm n ON e.vec_id = n.vec_id
+"""
+
+
+@register("emb_pq_distortion", oracle=_pq_distortion_oracle(), tags=("similarity", "llm", "agg"))
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-quality summary for the PQ encoder: total and max
+    per-vector quantization error plus the RELATIVE distortion
+    Σerr / Σ‖v‖² — the dial that says whether PQ_M/PQ_K are adequate
+    for this embedding distribution BEFORE anyone reads ADC results
+    (relative distortion near 1 means the codes carry almost no
+    signal; train_pq_codebooks exists to push it down). Errors are the
+    encoder's own exact ×1e6 integers; norms quantized once; both sums
+    DECIMAL(38)-safe."""
+    enc = emb_pq_encode(spark, sf_dir).select("vec_id", "quant_err_e6")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    sqn = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * 1_000_000
+    ).cast("long")
+    nrm = emb.select("vec_id", sqn.alias("sqnorm_e6"))
+    j = enc.join(nrm, "vec_id")
+    dsum = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        dsum("quant_err_e6").cast("long").alias("total_err_e6"),
+        F.max("quant_err_e6").cast("long").alias("max_err_e6"),
+        F.round(
+            dsum("quant_err_e6").cast("double") / dsum("sqnorm_e6").cast("double"), 6
+        ).alias("relative_distortion"),
+    )

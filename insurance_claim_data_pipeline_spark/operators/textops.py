@@ -1913,3 +1913,76 @@ def text_jsd_split_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_terms))
         .select("n_terms", "jsd_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram entropy rate (oracled compressibility proxy).
+# ---------------------------------------------------------------------------
+
+CHAR_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id,
+         substr(text, i, 1) AS c1,
+         substr(text, i + 1, 1) AS c2
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i)
+  WHERE length(text) >= 2
+), pairs AS (
+  SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2
+), tot AS (
+  SELECT c1, CAST(SUM(n) AS BIGINT) AS n1 FROM pairs GROUP BY 1
+), grand AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM pairs
+), terms AS (
+  SELECT CAST(ROUND(-(CAST(p.n AS DOUBLE) / g.n_all)
+                    * ln(CAST(p.n AS DOUBLE) / t.n1) * 1000000) AS BIGINT) AS term_e6
+  FROM pairs p JOIN tot t ON p.c1 = t.c1, grand g
+)
+SELECT CAST((SELECT COUNT(*) FROM tot) AS BIGINT) AS n_chars,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_bigrams,
+       CAST(SUM(term_e6) AS BIGINT) AS entropy_rate_e6
+FROM terms
+"""
+
+
+@register("text_char_entropy_rate", oracle=CHAR_ENTROPY_ORACLE, tags=("text", "llm", "agg"))
+def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram entropy rate of the corpus — the ORACLED
+    compressibility proxy: Shannon's H(c₂|c₁) lower-bounds what any
+    entropy coder can achieve, so it tracks text_compression_ratio
+    (zlib-backed, forever rows-only: no SQL can replay a codec) while
+    being hash-provable. The character explode stays JVM-side
+    (substring over generated positions, no UDF); per-pair terms are
+    joint-probability quantized ×1e6 (the markov_entropy_rate idiom)
+    so the statistic is an exact integer sum."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = (
+        doc.filter(F.length("text") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"), "text"
+        )
+        .select(
+            F.expr("substr(text, i, 1)").alias("c1"),
+            F.expr("substr(text, i + 1, 1)").alias("c2"),
+        )
+    )
+    pairs = ch.groupBy("c1", "c2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = pairs.groupBy("c1").agg(F.sum("n").cast("long").alias("n1"))
+    grand = pairs.agg(F.sum("n").cast("long").alias("n_all"))
+    n_chars = tot.agg(F.count(F.lit(1)).cast("long").alias("n_chars"))
+    n_bi = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+    term = F.round(
+        -(F.col("n").cast("double") / F.col("n_all"))
+        * F.log(F.col("n").cast("double") / F.col("n1"))
+        * 1_000_000
+    ).cast("long")
+    s = (
+        pairs.join(F.broadcast(tot), "c1")
+        .crossJoin(F.broadcast(grand))
+        .agg(F.sum(term).cast("long").alias("entropy_rate_e6"))
+    )
+    return (
+        s.crossJoin(F.broadcast(n_chars))
+        .crossJoin(F.broadcast(n_bi))
+        .select("n_chars", "n_bigrams", "entropy_rate_e6")
+    )
