@@ -2028,3 +2028,59 @@ def orders_quintile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_early", "q_late")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase time: distribution of per-customer median order gaps.
+# ---------------------------------------------------------------------------
+
+INTERPURCHASE_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+), med AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         ROUND(quantile_cont(gap_days, 0.5), 1) AS med_gap
+  FROM gaps WHERE gap_days IS NOT NULL GROUP BY 1
+)
+SELECT CAST(FLOOR(med_gap / 30) AS BIGINT) AS gap_month_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_gaps) AS BIGINT) AS n_gaps
+FROM med GROUP BY 1
+"""
+
+
+@register("orders_interpurchase_time", oracle=INTERPURCHASE_ORACLE, tags=("analytics", "window"))
+def orders_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile: each customer's MEDIAN days between
+    consecutive orders (lag over their own timeline — robust to one
+    vacation gap the way a mean is not), bucketed into months — the
+    replenishment-cycle histogram behind reorder nudges and
+    churn-definition windows ("inactive" should mean 3× YOUR cadence,
+    not a global constant). One shuffle on customer, exact per-customer
+    median (tiny per-key frames), tiny histogram; the median is
+    rounded at 0.1 day before bucketing so the boundary decision is
+    engine-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    med = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 1).alias("med_gap"),
+    )
+    return med.groupBy(
+        F.floor(F.col("med_gap") / 30).cast("long").alias("gap_month_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_gaps").cast("long").alias("n_gaps"),
+    )

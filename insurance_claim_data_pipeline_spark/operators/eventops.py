@@ -609,3 +609,49 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         b6.alias("burn_6h_e6"),
         ((b1 > BURN_FAST_E6) & (b6 > BURN_SLOW_E6)).alias("page"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour-of-day activity heatmap.
+# ---------------------------------------------------------------------------
+
+HEATMAP_ORACLE = """
+WITH c AS (
+  SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+         CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM c)
+SELECT c.dow, c.hod, c.n,
+       (c.n * 1000000) // t.n_all AS share_e6
+FROM c, t
+"""
+
+
+@register("events_dow_hour_heatmap", oracle=HEATMAP_ORACLE, tags=("events", "analytics", "agg"))
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix with each cell's
+    traffic share — the usage-heatmap primitive behind capacity plans
+    and maintenance-window picks. Day-of-week comes from pure epoch
+    arithmetic ((days since 1970-01-01 + 4) mod 7; Jan 1 1970 was a
+    Thursday, so 0 = Monday … 6 = Sunday) — identical integer math in
+    both engines, no locale-dependent date function anywhere near the
+    hash. Shares are exact ×1e6 integer divisions. One
+    map-side-combined aggregate over ≤168 cells."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    c = (
+        ev.select(
+            F.pmod(F.floor(us / 86_400_000_000) + 4, F.lit(7)).cast("long").alias("dow"),
+            F.floor(F.pmod(us, F.lit(86_400_000_000)) / 3_600_000_000)
+            .cast("long")
+            .alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("long").alias("n_all"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select("dow", "hod", "n", F.expr("(n * 1000000) div n_all").alias("share_e6"))
+    )
