@@ -2084,3 +2084,86 @@ def orders_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("n_gaps").cast("long").alias("n_gaps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box white-noise test over the hourly series ACF.
+# ---------------------------------------------------------------------------
+
+LB_LAGS = 6
+LB_CHI2_CRIT_E6 = 12_591_587  # chi-square 6-dof 95% critical value, x1e6
+
+
+def _ljung_box_oracle() -> str:
+    rho_ctes = []
+    for k in range(1, LB_LAGS + 1):
+        rho_ctes.append(f"""rho{k} AS (
+  SELECT ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+               / (SQRT(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE))
+                  * SQRT(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE))), 6)
+           AS r
+  FROM (SELECT n AS x, lag(n, {k}) OVER (ORDER BY hour_us) AS y FROM hourly)
+  WHERE y IS NOT NULL
+)""")
+    q_terms = " + ".join(f"(rho{k}.r * rho{k}.r) / (t.t_hours - {k})" for k in range(1, LB_LAGS + 1))
+    froms = ", ".join(f"rho{k}" for k in range(1, LB_LAGS + 1))
+    return f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {US_1H}) * {US_1H} AS hour_us, COUNT(*) AS n
+  FROM events GROUP BY 1
+), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_hours FROM hourly),
+{', '.join(rho_ctes)}
+SELECT t.t_hours,
+       CAST(ROUND(t.t_hours * (t.t_hours + 2) * ({q_terms}) * 1000000) AS BIGINT)
+         AS q_stat_e6,
+       (CAST(ROUND(t.t_hours * (t.t_hours + 2) * ({q_terms}) * 1000000) AS BIGINT)
+          > {LB_CHI2_CRIT_E6}) AS white_noise_rejected
+FROM t, {froms}
+"""
+
+
+@register("events_ljung_box", oracle=_ljung_box_oracle(), tags=("events", "analytics", "stats"))
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the hourly count series:
+    ``Q = T(T+2) Σ_{{k≤6}} ρ_k²/(T−k)`` against the χ²(6) 95% critical
+    value — the formal is-there-structure test the ACF readings
+    (events_autocorrelation) only eyeball; a rejected null is the
+    go-signal for the Holt/seasonal models downstream. Each ρ_k is the
+    engine's established integer-sum Pearson rounded at 6 dp, the
+    six-term Q sum is an EXPLICIT expression (fixed order, not an
+    aggregation), and the verdict is an integer compare — deterministic
+    end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))).alias("hour_us")
+    hourly = ev.select(hour_us).groupBy("hour_us").agg(F.count(F.lit(1)).alias("n"))
+    t = hourly.agg(F.count(F.lit(1)).cast("long").alias("t_hours"))
+
+    def rho(k: int) -> DataFrame:
+        w = W.partitionBy(tiny_frame_key("hour_us")).orderBy("hour_us")
+        pairs = hourly.select(
+            F.col("n").alias("x"), F.lag("n", k).over(w).alias("y")
+        ).filter(F.col("y").isNotNull())
+        cnt = F.count(F.lit(1))
+        r = (
+            (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (
+                F.sqrt((cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast("double"))
+                * F.sqrt((cnt * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")).cast("double"))
+            )
+        )
+        return pairs.agg(F.round(r, 6).alias(f"r{k}"))
+
+    out = t
+    for k in range(1, LB_LAGS + 1):
+        out = out.crossJoin(F.broadcast(rho(k)))
+    th = F.col("t_hours")
+    q_sum = None
+    for k in range(1, LB_LAGS + 1):
+        term = (F.col(f"r{k}") * F.col(f"r{k}")) / (th - k)
+        q_sum = term if q_sum is None else q_sum + term
+    q_e6 = F.round(th * (th + 2) * q_sum * 1_000_000).cast("long")
+    return out.select(
+        "t_hours",
+        q_e6.alias("q_stat_e6"),
+        (q_e6 > LB_CHI2_CRIT_E6).alias("white_noise_rejected"),
+    )

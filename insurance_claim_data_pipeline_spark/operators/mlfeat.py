@@ -379,3 +379,43 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .select("bin", "n_pos", "n_neg", woe.alias("woe_e6"), iv.alias("iv_term_e6"))
     )
+
+
+CROSS_BUCKETS = 32
+
+
+def _cross_oracle() -> str:
+    from .sampling import _bucket_sql
+
+    b = _bucket_sql("o_orderpriority || 'x' || o_orderstatus", CROSS_BUCKETS)
+    return f"""
+SELECT {b} AS cross_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_orderpriority || 'x' || o_orderstatus) AS BIGINT)
+         AS n_raw_crosses
+FROM orders GROUP BY 1
+"""
+
+
+@register("feat_hashed_crosses", oracle=_cross_oracle(), tags=("mlfeat", "llm"))
+def feat_hashed_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed feature CROSSES: the priority×status interaction mapped
+    into a fixed {CROSS_BUCKETS}-bucket space by the engine's md5
+    bucket — the wide-model recipe for interaction features without a
+    fitted cross vocabulary (and the n_raw_crosses column per bucket
+    makes hash collisions VISIBLE: a bucket holding >1 raw cross is a
+    collision the model will conflate — the dial for sizing the cross
+    space). Pure projection + one tiny aggregate; the feature id is
+    stable across runs, engines, and vocab drift."""
+    orders = load_table(spark, sf_dir, "orders")
+    raw = F.concat(F.col("o_orderpriority"), F.lit("x"), F.col("o_orderstatus"))
+    return (
+        orders.select(
+            hash_bucket(raw, CROSS_BUCKETS).alias("cross_bucket"), raw.alias("_raw")
+        )
+        .groupBy("cross_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("_raw").cast("long").alias("n_raw_crosses"),
+        )
+    )
