@@ -2167,3 +2167,61 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_e6.alias("q_stat_e6"),
         (q_e6 > LB_CHI2_CRIT_E6).alias("white_noise_rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue seasonality index.
+# ---------------------------------------------------------------------------
+
+
+def _month_index_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    return f"""
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {dec_sum_sql('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(CAST(ROUND(rev * 100) AS BIGINT)) AS BIGINT) AS rev_tot_c,
+         CAST(SUM(n_orders) AS BIGINT) AS n_tot
+  FROM m
+)
+SELECT m.mon, m.n_orders, ROUND(m.rev, 2) AS revenue,
+       ROUND((m.rev / m.n_orders)
+             / ((t.rev_tot_c / 100.0) / t.n_tot), 6) AS seasonality_index
+FROM m, t
+"""
+
+
+@register("orders_month_seasonality", oracle=_month_index_oracle(), tags=("analytics", "agg"))
+def orders_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonality index of average order value: month AOV over
+    the all-time AOV (index 1.1 ⇒ that month's orders run 10% richer) —
+    the merchandising calendar's first chart. Month totals are
+    decimal-stable; the cross-month total re-sums the per-month
+    aggregates as exact cents (quantize-before-sum, the ANOVA
+    discipline) so the denominator cannot wobble with the 12-row
+    aggregation order."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.month("o_orderdate").cast("long").alias("mon")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dec_sum("o_totalprice").alias("rev"),
+    )
+    t = m.agg(
+        F.sum(F.round(F.col("rev") * 100).cast("long")).cast("long").alias("rev_tot_c"),
+        F.sum("n_orders").cast("long").alias("n_tot"),
+    )
+    idx = (F.col("rev") / F.col("n_orders")) / (
+        (F.col("rev_tot_c") / F.lit(100.0)) / F.col("n_tot")
+    )
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            "mon",
+            "n_orders",
+            F.round("rev", 2).alias("revenue"),
+            F.round(idx, 6).alias("seasonality_index"),
+        )
+    )

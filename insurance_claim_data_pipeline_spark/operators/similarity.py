@@ -1616,3 +1616,79 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("quant_err_e6").cast("double") / dsum("sqnorm_e6").cast("double"), 6
         ).alias("relative_distortion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift: centroid shift between corpus halves.
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+
+def _emb_drift_oracle() -> str:
+    dims_a = ", ".join(
+        f"CAST(SUM(CAST(FLOOR(CAST(embedding[{i}] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000 AS s{i}"
+        for i in range(1, EMB_DIM + 1)
+    )
+    diff_terms = " + ".join(
+        f"((a.s{i} / a.n - b.s{i} / b.n) * (a.s{i} / a.n - b.s{i} / b.n))"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"""
+WITH half_a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {dims_a}
+  FROM embeddings WHERE vec_id % 2 = 0
+), half_b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {dims_a}
+  FROM embeddings WHERE vec_id % 2 = 1
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       ROUND(sqrt({diff_terms}), 6) AS centroid_shift_l2
+FROM half_a a, half_b b
+"""
+
+
+@register("emb_centroid_drift", oracle=_emb_drift_oracle(), tags=("similarity", "llm", "drift", "agg"))
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: L2 distance between the centroids
+    of two deterministic corpus halves (even/odd vec_id — swap in
+    yesterday/today partitions in production) — the vector-space member
+    of the drift family (PSI/KS/KL watch scalars; a model-upgrade or
+    pipeline bug shifts the EMBEDDING distribution first). Per-dim
+    sums are ×1e8 rounded-long (order-proof); the 64-term distance is
+    one explicit fixed-order expression, rounded at 6 dp. One scan,
+    two 64-number states."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+
+    def half(parity: int) -> DataFrame:
+        h = emb.filter(F.pmod("vec_id", F.lit(2)) == parity)
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+            (
+                F.sum(
+                    F.floor(F.element_at("v", i) * F.lit(100_000_000) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(100_000_000)
+            ).alias(f"s{i}")
+            for i in range(1, EMB_DIM + 1)
+        ]
+        return h.agg(*aggs)
+
+    a = half(0)
+    b = half(1).select(
+        F.col("n").alias("bn"), *[F.col(f"s{i}").alias(f"t{i}") for i in range(1, EMB_DIM + 1)]
+    )
+    j = a.crossJoin(F.broadcast(b))
+    diff = None
+    for i in range(1, EMB_DIM + 1):
+        d = F.col(f"s{i}") / F.col("n") - F.col(f"t{i}") / F.col("bn")
+        term = d * d
+        diff = term if diff is None else diff + term
+    return j.select(
+        F.col("n").alias("n_a"),
+        F.col("bn").alias("n_b"),
+        F.round(F.sqrt(diff), 6).alias("centroid_shift_l2"),
+    )
