@@ -647,7 +647,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_oracle() -> str:
+def _pq_adc_oracle(k: int = TOP_K) -> str:
     subdist_q = _pq_subdist("q.v", "anchors.a", _DUCK_ELEM)
     return f"""
 WITH codes AS ({_pq_encode_oracle()}),
@@ -676,7 +676,7 @@ lut AS (
                                ORDER BY adc_dist_e6, neighbor_id) AS rnk
   FROM scored
 )
-SELECT query_id, neighbor_id, adc_dist_e6, rnk FROM ranked WHERE rnk <= {TOP_K}
+SELECT query_id, neighbor_id, adc_dist_e6, rnk FROM ranked WHERE rnk <= {k}
 """
 
 
@@ -696,6 +696,18 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the pair, then a per-query top-k window. This is the FAISS
     IVFADC inner loop as a dataflow; compose with the IVF cell
     restriction to probe only candidate cells at 100 TB."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy("adc_dist_e6", "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def _pq_query_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(query_id, m, k, d_e6)`` — each query's asymmetric distance
+    lookup table to every codebook entry, exact ×1e6 integers. Q·M·K
+    rows total (constant per query), always broadcast."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -707,17 +719,222 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
     subdist = F.expr(_pq_subdist("v", "a", _SPARK_ELEM))
-    lut = (
+    return (
         q.crossJoin(F.broadcast(m))
         .crossJoin(F.broadcast(anchors))
         .select("query_id", "m", "k", subdist.alias("d_e6"))
     )
-    # code rows straight from the encoder core — no concat_ws/split
-    # string round-trip between encode and scan.
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(query_id, neighbor_id, adc_dist_e6)`` — the full ADC scan:
+    corpus code rows hash-join the broadcast query LUT on (m, k) and
+    re-aggregate per (query, vector). Code rows come straight from the
+    encoder core — no concat_ws/split string round-trip between encode
+    and scan."""
+    lut = _pq_query_lut(spark, sf_dir)
     cvec = _pq_best(spark, sf_dir).select("vec_id", "m", "k")
-    scored = (
+    return (
         cvec.join(F.broadcast(lut), ["m", "k"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d_e6").alias("adc_dist_e6"))
+    )
+
+
+PQ_SHORTLIST = 20  # ADC candidates per query handed to the exact re-rank
+
+
+def _pq_rerank_oracle() -> str:
+    return f"""
+WITH shortlist AS ({_pq_adc_oracle(PQ_SHORTLIST)}),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND({cosine_sql('qe.v', 'ne.v')}, 6) AS cos_sim
+  FROM shortlist s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_pq_rerank", oracle=_pq_rerank_oracle(), tags=("similarity", "llm", "approx")
+)
+def sim_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: PQ ADC shortlist → exact re-rank — the
+    standard production ANN shape (FAISS's IndexRefine). Stage 1 scans
+    the corpus in code space only and keeps each query's PQ_SHORTLIST
+    best candidates by approximate distance; stage 2 fetches the
+    original floats for those few candidates and re-ranks them by exact
+    cosine, returning the top TOP_K.
+
+    Why this matters at 100 TB: the float table is ~64× the code table,
+    so the expensive exact math touches Q·SHORTLIST rows instead of
+    Q·N — the shortlist join back to the float store is a selective
+    point-lookup join (at scale: against the vector store keyed by id),
+    and recall approaches exact search as SHORTLIST grows while the
+    full-precision work stays constant per query. Recall@k ≥ plain ADC
+    recall is asserted in tests/test_llm_ops.py."""
+    scored = _pq_adc_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy("adc_dist_e6", "neighbor_id")
+    shortlist = (
+        scored.select("*", F.row_number().over(w).alias("srnk"))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        shortlist.join(emb, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rescored.select("*", F.row_number().over(w2).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def _ivfpq_oracle() -> str:
+    subdist_q = _pq_subdist("q.v", "anchors.a", _DUCK_ELEM)
+    subdist_e = _pq_subdist("e.v", "anchors.a", _DUCK_ELEM)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, v AS c_emb FROM e
+  WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_HI}
+), assign AS (
+  SELECT e.vec_id, cent.c_id, ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({cosine_sql('e.v', 'cent.c_emb')}, 6) DESC, cent.c_id) AS crnk
+  FROM e, cent
+), clustered AS (SELECT vec_id, c_id AS cluster FROM assign WHERE crnk = 1),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT * FROM (
+    SELECT q.query_id, cent.c_id AS probe_cluster, ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND({cosine_sql('q.v', 'cent.c_emb')}, 6) DESC, cent.c_id) AS prnk
+    FROM q, cent
+  ) WHERE prnk <= {N_PROBE}
+), anchors AS (
+  SELECT vec_id - {IVF_C_LO} AS k, v AS a FROM e
+  WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_HI}
+), s AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+d AS (
+  SELECT e.vec_id, s.m, anchors.k, {subdist_e} AS dist_e6
+  FROM e, s, anchors
+), cvec AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_e6, k) AS rnk
+    FROM d
+  ) WHERE rnk = 1
+), lut AS (
+  SELECT q.query_id, s.m, anchors.k, {subdist_q} AS d_e6
+  FROM q, s, anchors
+), scored AS (
+  SELECT p.query_id, cv.vec_id AS neighbor_id,
+         CAST(SUM(lut.d_e6) AS BIGINT) AS adc_dist_e6
+  FROM clustered c
+  JOIN probes p ON p.probe_cluster = c.cluster AND c.vec_id != p.query_id
+  JOIN cvec cv ON cv.vec_id = c.vec_id
+  JOIN lut ON lut.query_id = p.query_id AND lut.m = cv.m AND lut.k = cv.k
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist_e6, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_dist_e6, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_ivfpq", oracle=_ivfpq_oracle(), tags=("similarity", "llm", "approx", "scale")
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the actual FAISS IVFADC index as a dataflow:
+    every corpus vector lives in one IVF cell (nearest fixed centroid)
+    AND is stored as M PQ codes; a query probes its N_PROBE best cells
+    and runs the broadcast-LUT ADC scan over ONLY the codes in those
+    cells. Both stages are deterministic (fixed centroids, fixed
+    anchors, exact ×1e6 integer distances), so unlike real FAISS the
+    whole composed index is DuckDB-oracle-checkable.
+
+    Scale shape — this is the query plan that survives 100 TB:
+    cell assignment and PQ encoding are narrow broadcast passes done
+    ONCE at index-build time (here inline; at scale: materialized,
+    partitioned BY cluster so a probe prunes partitions); the per-query
+    work is N_PROBE/K of the corpus scanned in code space (M bytes per
+    vector, not 64 floats) against a broadcast Q·M·K LUT, then one
+    (query, vector)-keyed partial-aggregated shuffle. Q·N appears
+    nowhere; neither floats nor un-probed cells are ever touched at
+    query time."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cent = emb.filter(
+        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
+    # cell assignment as a partial-aggregable struct-max (ccos desc,
+    # c_id asc tie-break via negated id) — combined map-side, no window
+    # sort of the N·K candidate frame.
+    clustered = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("c_emb")), 6).alias("ccos"),
+            F.col("c_id"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("ccos"), (-F.col("c_id")).alias("nc"))).alias("b"))
+        .select("vec_id", (-F.col("b.nc")).alias("cluster"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("qcos"), "c_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            F.round(cosine(F.col("qv"), F.col("c_emb")), 6).alias("qcos"),
+            "c_id",
+        )
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= N_PROBE)
+        .select("query_id", F.col("c_id").alias("probe_cluster"))
+    )
+    # (vec, m, k, cluster): codes + cell in one vec_id-keyed join — the
+    # materialized index layout. Probe restriction is a broadcast join
+    # on cluster (Q·N_PROBE rows), then the ADC LUT lookup.
+    coded = _pq_best(spark, sf_dir).select("vec_id", "m", "k").join(clustered, "vec_id")
+    lut = _pq_query_lut(spark, sf_dir)
+    scored = (
+        coded.join(F.broadcast(probes), F.col("cluster") == F.col("probe_cluster"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "k"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d_e6").alias("adc_dist_e6"))
     )
