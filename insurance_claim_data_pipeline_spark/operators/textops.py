@@ -1986,3 +1986,114 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_bi))
         .select("n_chars", "n_bigrams", "entropy_rate_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span coverage (cross-document substring dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8  # span length in tokens; 50-token spans at corpus scale
+
+SPAN_DEDUP_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+{SPAN_N - 1}], ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - {SPAN_N - 1})) AS i)
+  WHERE len(toks) >= {SPAN_N}
+), dup AS (
+  SELECT shingle FROM pos GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT p.doc_id, p.i FROM pos p JOIN dup d USING (shingle)
+), merged AS (
+  SELECT doc_id, i,
+         MAX(i + {SPAN_N}) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hits
+), cov AS (
+  SELECT doc_id,
+         SUM(GREATEST(0, (i + {SPAN_N}) - GREATEST(COALESCE(prev_end, i), i))) AS dup_tokens
+  FROM merged GROUP BY doc_id
+), sizes AS (SELECT doc_id, len(toks) AS n_tokens FROM tok)
+SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_span_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) * 1000000 // s.n_tokens AS BIGINT) AS dup_frac_e6
+FROM sizes s LEFT JOIN cov c USING (doc_id)
+"""
+
+
+def span_dedup_frame(doc: DataFrame) -> DataFrame:
+    """Core of :func:`text_span_dedup` over any ``(doc_id, text)`` frame."""
+    from pyspark.sql import Window as W
+
+    toks = F.split("text", " ")
+    sizes = doc.select("doc_id", F.size(toks).alias("n_tokens"))
+    k = F.size("toks") - (SPAN_N - 1)
+    pos = doc.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.explode(F.when(k >= 1, F.sequence(F.lit(1), k))).alias("i"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + j) for j in range(SPAN_N)]
+    )
+    # 8-byte span keys, not strings, through the df aggregate and the
+    # probe join (same collision trade as the hashed-shingle dedups:
+    # a 64-bit collision could mark a unique span duplicated,
+    # P ≈ n²/2⁶⁵ — diagnosable via the oracle's raw-string twin).
+    sh = pos.select("doc_id", "i", F.xxhash64(shingle).alias("sh_key"))
+    dup = (
+        sh.groupBy("sh_key")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("sh_key")
+    )
+    hits = sh.join(dup, "sh_key").select("doc_id", "i")
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    merged = hits.select(
+        "doc_id", "i", F.max(F.col("i") + SPAN_N).over(w).alias("prev_end")
+    )
+    cov = merged.groupBy("doc_id").agg(
+        F.sum(
+            F.greatest(
+                F.lit(0),
+                (F.col("i") + SPAN_N)
+                - F.greatest(F.coalesce("prev_end", F.col("i")), F.col("i")),
+            )
+        ).alias("dup_tokens")
+    )
+    return (
+        sizes.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_span_tokens"),
+            F.expr(
+                "CAST(coalesce(dup_tokens, 0) * 1000000 div n_tokens AS BIGINT)"
+            ).alias("dup_frac_e6"),
+        )
+    )
+
+
+@register("text_span_dedup", oracle=SPAN_DEDUP_ORACLE, tags=("text", "dedup", "llm", "scale"))
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN coverage — the substring-level dedup signal
+    (the document-level family's complement): for every doc, how many of
+    its token positions sit inside an 8-token span that also occurs
+    verbatim in at least one OTHER document. Document dedup removes
+    whole near-copies; span coverage finds the boilerplate runs INSIDE
+    otherwise-unique docs (licenses, navigation chrome, quote chains) —
+    the thing exact-substring training-data dedup pipelines cut.
+
+    Dataflow: positional 8-gram shingles (position kept) → df count on
+    8-byte span keys (the inverted-index aggregate) → probe join marks
+    duplicated positions → per-doc gaps-and-islands interval union
+    (prior-max-end window over positions) turns overlapping span hits
+    into exact covered-token counts. The only corpus-wide shuffles are
+    the df aggregate and the probe join, both keyed by span hash; the
+    merge window is per-doc, bounded by doc length. At 100 TB the df
+    table is the materialized index and boilerplate hot spans (huge df)
+    stay one ROW here — df is an aggregate, never a pair enumeration,
+    so there is no quadratic hot key anywhere."""
+    return span_dedup_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )

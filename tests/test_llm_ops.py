@@ -840,3 +840,34 @@ def test_ivfpq_distances_match_full_adc(spark, sf_dir):
     for r in iv:
         key = (r["query_id"], r["neighbor_id"])
         assert full[key] == r["adc_dist_e6"], key
+
+
+def test_span_dedup_interval_merge_exact(spark):
+    """Planted-span fixture proves the gaps-and-islands union is exact:
+    overlapping duplicated 8-grams merge into one covered interval
+    (shared 10-token run → 10 covered tokens, not 3×8), disjoint runs
+    sum, and a unique doc reports zero coverage."""
+    from insurance_claim_data_pipeline_spark.operators.textops import span_dedup_frame
+
+    run = [f"t{i}" for i in range(1, 11)]  # 10-token shared run
+    r1 = [f"r{i}" for i in range(1, 9)]  # 8-token shared run 1
+    r2 = [f"s{i}" for i in range(1, 9)]  # 8-token shared run 2
+    doc = spark.createDataFrame(
+        [
+            (0, " ".join(run + ["u", "v"])),  # run at pos 1-10 of 12
+            (1, " ".join(["p", "q"] + run)),  # run at pos 3-12 of 12
+            (2, "m n o pp qq rr ss tt"),  # 8 unique tokens
+            (3, " ".join(r1 + ["g1", "g2", "g3"] + r2)),  # two islands
+            (4, " ".join(r2 + ["g4", "g5", "g6"] + r1)),  # different gap
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup_frame(doc).collect()}
+    assert got[0]["dup_span_tokens"] == 10 and got[0]["n_tokens"] == 12
+    assert got[1]["dup_span_tokens"] == 10
+    assert got[2]["dup_span_tokens"] == 0
+    # islands: only the pure 8-gram of each run duplicates (gap tokens
+    # differ between docs 3 and 4), so coverage = 8 + 8
+    assert got[3]["dup_span_tokens"] == 16 and got[3]["n_tokens"] == 19
+    assert got[4]["dup_span_tokens"] == 16
+    assert got[0]["dup_frac_e6"] == 10 * 1_000_000 // 12
