@@ -1266,3 +1266,104 @@ def stats_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_d, 6).alias("mean_diff"),
         F.round(mean_d / F.sqrt(var_d / n), 6).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test: view vs click event values.
+# ---------------------------------------------------------------------------
+
+_MW_A, _MW_B = "view", "click"
+
+MANN_WHITNEY_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc,
+         CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS g
+  FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+), byv AS (
+  SELECT vc, CAST(SUM(g) AS BIGINT) AS c1,
+         CAST(COUNT(*) - SUM(g) AS BIGINT) AS c0
+  FROM s GROUP BY 1
+), cum AS (
+  SELECT vc, c1, c0, c1 + c0 AS cnt,
+         CAST(COALESCE(SUM(c1 + c0) OVER (ORDER BY vc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM byv
+), agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c0) AS BIGINT) AS n2,
+         CAST(SUM(c1 * (2 * cum_before + cnt + 1)) AS BIGINT) AS r1_x2,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+  FROM cum
+)
+SELECT n1, n2,
+       r1_x2 - n1 * (n1 + 1) AS u1_x2,
+       (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+         / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                * ((n1 + n2 + 1) - CAST(tie_t AS DOUBLE)
+                   / ((n1 + n2) * (n1 + n2 - 1)))) AS z_stat
+FROM agg
+"""
+
+
+def mann_whitney_frame(s: DataFrame) -> DataFrame:
+    """Core of :func:`stats_mann_whitney` over a ``(vc BIGINT, g INT)``
+    frame (g=1 → group 1). Midranks are carried ×2 so tied-rank halves
+    stay integers: midrank2(v) = 2·|{values < v}| + count(v) + 1, and
+    the rank sum R1 (×2) is an exact order-independent integer."""
+    from .analytics import with_global_prefix_sums
+
+    byv = (
+        s.groupBy("vc")
+        .agg(
+            F.sum("g").cast("long").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c0"),
+        )
+        .withColumn("cnt", F.col("c1") + F.col("c0"))
+        .localCheckpoint(eager=False)  # feeds bounds sketch + bucket pass
+    )
+    cum = with_global_prefix_sums(byv, "vc", ["c1", "cnt"])
+    midrank2 = 2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1
+    agg = cum.groupBy("tot_c1", "tot_cnt").agg(
+        F.sum(F.col("c1") * midrank2).cast("long").alias("r1_x2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie_t"),
+    )
+    n1 = F.col("tot_c1")
+    n2 = F.col("tot_cnt") - F.col("tot_c1")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    nn = n1 + n2
+    z = (u1_x2.cast("double") / 2 - n1.cast("double") * n2 / 2) / F.sqrt(
+        n1.cast("double") * n2 / 12
+        * ((nn + 1) - F.col("tie_t").cast("double") / (nn * (nn - 1)))
+    )
+    return agg.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        u1_x2.alias("u1_x2"),
+        z.alias("z_stat"),
+    )
+
+
+@register("stats_mann_whitney", oracle=MANN_WHITNEY_ORACLE, tags=("stats", "agg", "scale"))
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test of view vs click event
+    values — the nonparametric complement to stats_welch_ttest: no
+    normality assumption, so it is the right two-sample test for the
+    heavy-tailed value distributions drift monitors actually see.
+
+    Exactness: values quantize to integer cents, so ties are exact
+    cross-engine; midranks are carried ×2 (always integers), making the
+    rank sum an exact integer no matter the aggregation order; the only
+    floating math is the final z-score on that exact state (tie-
+    corrected normal approximation). Distribution: per-value counts
+    cumulate through the two-level distributed prefix (range buckets +
+    ≤32-row offsets table — drift_ks_twosample's scheme), so there is
+    no single-partition rank pass at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin(_MW_A, _MW_B)).select(
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.when(F.col("event_type") == _MW_A, 1).otherwise(0).alias("g"),
+    )
+    return mann_whitney_frame(s)

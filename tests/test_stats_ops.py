@@ -297,3 +297,22 @@ def test_growth_accounting_identities(spark):
     for w, d in sorted(byw.items()):
         if w - 1 in active:
             assert active[w - 1] == d.get("retained", 0) + d.get("churned", 0), w
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    """Planted fixture with a 3-way tie, checked against the hand-worked
+    rank-sum: A=[1,2,2,3], B=[2,4,5] → the three 2s share midrank 3, so
+    R1 = 1+3+3+5 = 12, U1 = R1 − n1(n1+1)/2 = 2 (u1_x2 = 4), and the
+    tie term is 3³−3 = 24."""
+    import math
+
+    from insurance_claim_data_pipeline_spark.operators.stats import mann_whitney_frame
+
+    rows = [(1, 1), (2, 1), (2, 1), (3, 1), (2, 0), (4, 0), (5, 0)]
+    s = spark.createDataFrame(rows, "vc long, g int")
+    got = mann_whitney_frame(s).collect()[0]
+    assert (got["n1"], got["n2"], got["u1_x2"]) == (4, 3, 4)
+    n1, n2, tie_t = 4, 3, 24
+    u1 = got["u1_x2"] / 2
+    var = n1 * n2 / 12 * ((n1 + n2 + 1) - tie_t / ((n1 + n2) * (n1 + n2 - 1)))
+    assert abs(got["z_stat"] - (u1 - n1 * n2 / 2) / math.sqrt(var)) < 1e-12
