@@ -1909,3 +1909,73 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bn").alias("n_b"),
         F.round(F.sqrt(diff), 6).alias("centroid_shift_l2"),
     )
+
+
+def _ndcg_oracle() -> str:
+    return f"""
+WITH sys AS ({_pq_rerank_oracle()}),
+ideal AS ({TOPK_ORACLE}),
+j AS (
+  SELECT s.query_id, s.rnk AS pos,
+         COALESCE({TOP_K} + 1 - i.rnk, 0) AS rel
+  FROM sys s LEFT JOIN ideal i
+    ON i.query_id = s.query_id AND i.neighbor_id = s.neighbor_id
+), dcg AS (
+  SELECT query_id,
+         CAST(SUM(CAST(ROUND(rel * 1000000 / (ln(pos + 1) / ln(2))) AS BIGINT))
+              AS BIGINT) AS dcg_e6
+  FROM j GROUP BY 1
+), icg AS (
+  SELECT CAST(SUM(CAST(ROUND(({TOP_K} + 1 - i) * 1000000 / (ln(i + 1) / ln(2)))
+                       AS BIGINT)) AS BIGINT) AS idcg_e6
+  FROM (SELECT unnest(generate_series(1, {TOP_K})) AS i)
+)
+SELECT d.query_id, d.dcg_e6, icg.idcg_e6,
+       CAST(d.dcg_e6 * 1000000 // icg.idcg_e6 AS BIGINT) AS ndcg_e6
+FROM dcg d, icg
+"""
+
+
+@register("sim_ndcg_eval", oracle=_ndcg_oracle(), tags=("similarity", "llm", "agg"))
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the two-stage (PQ shortlist → exact re-rank) retrieval
+    against the exact cosine baseline — the position-weighted companion
+    to sim_ivf_recall_eval: recall counts how many true neighbors
+    surface, NDCG also prices WHERE they land. Graded relevance is the
+    inverted exact rank (5..1, miss = 0); per-position log2 discounts
+    are quantized ×1e6 per term so the per-query sums are exact
+    integers, and the final NDCG ratio is integer division against the
+    identically-quantized ideal DCG.
+
+    Scale: both inputs are per-query top-k frames (Q·k rows); the eval
+    join, discounting and aggregation are all keyed by query — constant
+    work per query regardless of corpus size, the eval you re-run per
+    index-tuning sweep."""
+    sys_rank = sim_topk_pq_rerank(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("pos")
+    )
+    ideal = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("irnk")
+    )
+    rel = F.coalesce(F.lit(TOP_K) + 1 - F.col("irnk"), F.lit(0))
+    term = F.round(
+        rel * 1_000_000 / (F.log(F.col("pos") + 1) / F.log(F.lit(2.0)))
+    ).cast("long")
+    dcg = (
+        sys_rank.join(ideal, ["query_id", "neighbor_id"], "left")
+        .select("query_id", term.alias("term_e6"))
+        .groupBy("query_id")
+        .agg(F.sum("term_e6").cast("long").alias("dcg_e6"))
+    )
+    i = spark.range(1, TOP_K + 1).select(F.col("id").alias("i"))
+    iterm = F.round(
+        (F.lit(TOP_K) + 1 - F.col("i")) * 1_000_000
+        / (F.log(F.col("i") + 1) / F.log(F.lit(2.0)))
+    ).cast("long")
+    icg = i.agg(F.sum(iterm).cast("long").alias("idcg_e6"))
+    return dcg.crossJoin(F.broadcast(icg)).select(
+        "query_id",
+        "dcg_e6",
+        "idcg_e6",
+        F.expr("CAST(dcg_e6 * 1000000 div idcg_e6 AS BIGINT)").alias("ndcg_e6"),
+    )

@@ -871,3 +871,24 @@ def test_span_dedup_interval_merge_exact(spark):
     assert got[3]["dup_span_tokens"] == 16 and got[3]["n_tokens"] == 19
     assert got[4]["dup_span_tokens"] == 16
     assert got[0]["dup_frac_e6"] == 10 * 1_000_000 // 12
+
+
+def test_ndcg_eval_bounds_and_perfect_queries(spark, sf_dir):
+    """NDCG semantics: every score in [0, 1e6]; a query scores exactly
+    1e6 iff its re-ranked top-5 equals the exact top-5 in order; and a
+    query whose re-rank recalls nothing scores 0."""
+    nd = {r["query_id"]: r["ndcg_e6"] for r in similarity.sim_ndcg_eval(spark, sf_dir).collect()}
+    assert all(0 <= v <= 1_000_000 for v in nd.values())
+    bf = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    rr = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in similarity.sim_topk_pq_rerank(spark, sf_dir).collect()
+    }
+    for q, v in nd.items():
+        exact_order = all(
+            rr.get((q, p)) == bf.get((q, p)) for p in range(1, similarity.TOP_K + 1)
+        )
+        assert (v == 1_000_000) == exact_order, (q, v)
