@@ -524,3 +524,95 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "negative_doc",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mixture (upsample/downsample plan)
+# ---------------------------------------------------------------------------
+
+TEMPERATURE_MIXTURE_ORACLE = f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+s AS (
+  SELECT lang, n,
+         CAST(ROUND(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS s_e6
+  FROM cnt
+), d AS (
+  SELECT CAST(SUM(s_e6) AS BIGINT) AS denom, CAST(SUM(n) AS BIGINT) AS n_tot
+  FROM s
+), plan AS (
+  SELECT lang, n, s_e6,
+         (s_e6 * 1000000) // denom AS weight_e6,
+         (n_tot * s_e6) // denom AS target_rows,
+         ((n_tot * s_e6) // denom) * 1000000 // n AS repeat_x1e6,
+         LEAST(1000000, ((n_tot * s_e6) // denom) * 1000000 // n) AS rate_e6
+  FROM s, d
+)
+SELECT p.lang, ANY_VALUE(p.n) AS n_docs, ANY_VALUE(p.weight_e6) AS weight_e6,
+       ANY_VALUE(p.target_rows) AS target_rows,
+       ANY_VALUE(p.repeat_x1e6) AS repeat_x1e6,
+       COUNT(*) FILTER (WHERE {_bucket_sql('d2.doc_id', 1000000)} < p.rate_e6)
+         AS n_kept
+FROM documents d2 JOIN plan p ON d2.lang = p.lang
+GROUP BY p.lang
+"""
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=TEMPERATURE_MIXTURE_ORACLE,
+    tags=("sampling", "llm"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (α = 0.5): sampling weight
+    w_l ∝ n_l^α — the multilingual-pretraining standard that flattens
+    the head languages and boosts the tail without ever equalizing
+    (α=1 is proportional, α=0 uniform). Emits the full mixing plan per
+    language: weight, target row count against an N_total budget, the
+    upsampling factor ×1e6 (>1e6 → the tail language repeats across
+    epochs), and the hash-materialized kept count for downsampled
+    languages.
+
+    Exactness: the ONLY float op is one sqrt per language, immediately
+    quantized ×1e6 to an integer score; the normalizing denominator is
+    then an exact integer SUM, so weights, targets and rates are pure
+    integer division — no order-dependent double accumulation.
+    (Integer headroom: n_tot·s_e6 < 2⁶³ holds to ~10⁹ docs per lang;
+    at larger corpora drop the quantization to ×1e3.) Scale shape:
+    one |langs|-row aggregate, a broadcast plan, and one narrow hash
+    compare per row — the corpus never shuffles."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cnt = doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    s = cnt.select(
+        "lang",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("s_e6"),
+    )
+    d = s.agg(
+        F.sum("s_e6").cast("long").alias("denom"),
+        F.sum("n").cast("long").alias("n_tot"),
+    )
+    plan = s.crossJoin(F.broadcast(d)).select(
+        "lang",
+        "n",
+        F.expr("(s_e6 * 1000000) div denom").alias("weight_e6"),
+        F.expr("(n_tot * s_e6) div denom").alias("target_rows"),
+        F.expr("((n_tot * s_e6) div denom) * 1000000 div n").alias("repeat_x1e6"),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("((n_tot * s_e6) div denom) * 1000000 div n"),
+        ).alias("rate_e6"),
+    )
+    b = hash_bucket("doc_id", 1_000_000)
+    return (
+        doc.join(F.broadcast(plan), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("n").alias("n_docs"),
+            F.any_value("weight_e6").alias("weight_e6"),
+            F.any_value("target_rows").alias("target_rows"),
+            F.any_value("repeat_x1e6").alias("repeat_x1e6"),
+            F.count(F.when(b < F.col("rate_e6"), 1)).alias("n_kept"),
+        )
+    )

@@ -316,3 +316,26 @@ def test_mann_whitney_hand_computed_with_ties(spark):
     u1 = got["u1_x2"] / 2
     var = n1 * n2 / 12 * ((n1 + n2 + 1) - tie_t / ((n1 + n2) * (n1 + n2 - 1)))
     assert abs(got["z_stat"] - (u1 - n1 * n2 / 2) / math.sqrt(var)) < 1e-12
+
+
+def test_temperature_mixture_flattens_but_preserves_order(spark):
+    """α=0.5 semantics: sampling weights keep the language-size order
+    but compress the ratios (w_head/w_tail < n_head/n_tail — the whole
+    point of temperature mixing); targets conserve the total budget up
+    to per-language integer rounding; repeat factor exceeds 1e6 exactly
+    for languages whose target exceeds their corpus."""
+    from insurance_claim_data_pipeline_spark.operators.sampling import (
+        sample_temperature_mixture,
+    )
+
+    rows = sample_temperature_mixture(spark, "/root/testdata/sf0.001").collect()
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    head, tail = by_n[-1], by_n[0]
+    assert head["weight_e6"] > tail["weight_e6"]
+    assert head["weight_e6"] * tail["n_docs"] < tail["weight_e6"] * head["n_docs"]
+    n_tot = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["target_rows"] for r in rows) - n_tot) <= len(rows)
+    for r in rows:
+        assert (r["repeat_x1e6"] > 1_000_000) == (r["target_rows"] > r["n_docs"])
+        if r["repeat_x1e6"] <= 1_000_000:
+            assert r["n_kept"] <= r["n_docs"]
