@@ -1367,3 +1367,102 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == _MW_A, 1).otherwise(0).alias("g"),
     )
     return mann_whitney_frame(s)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: lineitem quantity vs extended price.
+# ---------------------------------------------------------------------------
+
+SPEARMAN_ORACLE = """
+WITH pts AS (
+  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS xv,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yv
+  FROM lineitem
+), bx AS (SELECT xv, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY 1),
+cx AS (
+  SELECT xv, 2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY xv
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    + cnt + 1 AS mr2
+  FROM bx
+), byv AS (SELECT yv, CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY 1),
+cy AS (
+  SELECT yv, 2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY yv
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    + cnt + 1 AS mr2
+  FROM byv
+), r AS (
+  SELECT cx.mr2 AS rx, cy.mr2 AS ry
+  FROM pts JOIN cx USING (xv) JOIN cy USING (yv)
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(rx) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(ry) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(rx * ry) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(rx * rx) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(ry * ry) AS DECIMAL(38,0)) AS DOUBLE) AS syy
+  FROM r
+)
+SELECT n,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS rho_spearman
+FROM mom
+"""
+
+
+def _spearman_midranks(byv: DataFrame, vcol: str) -> DataFrame:
+    """``(vcol, mr2)`` — per-value doubled midranks via the two-level
+    distributed prefix (no single-partition window over the values)."""
+    from .analytics import with_global_prefix_sums
+
+    cum = with_global_prefix_sums(byv, vcol, ["cnt"])
+    return cum.select(
+        vcol,
+        (2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1).alias("mr2"),
+    )
+
+
+@register("stats_spearman_corr", oracle=SPEARMAN_ORACLE, tags=("stats", "agg", "scale"))
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of order quantity vs extended price —
+    Pearson over midranks, the monotone-association measure that is
+    immune to the outliers and skew that bend stats_corr_matrix's
+    moment-based r. Both variables quantize to integer cents (exact
+    ties), midranks are carried ×2 (exact integers), and all five
+    regression moments are exact DECIMAL(38) integer sums — the only
+    floats are the final fixed IEEE expression tree.
+
+    Scale: per-variable rank tables come from the two-level distributed
+    prefix over per-value counts (drift_ks_twosample's scheme); rows
+    join their two rank tables on value keys (quantity's ~50 distinct
+    values broadcast; price's rank table shuffles once on the cent
+    key). No N-row window anywhere."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xv"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yv"),
+    )
+    return spearman_frame(pts)
+
+
+def spearman_frame(pts: DataFrame) -> DataFrame:
+    """Core of :func:`stats_spearman_corr` over any ``(xv, yv)`` BIGINT
+    frame."""
+    li = pts.localCheckpoint(eager=False)  # feeds both rank passes + the row join
+    bx = li.groupBy("xv").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    by = li.groupBy("yv").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cx = _spearman_midranks(bx, "xv").withColumnRenamed("mr2", "rx")
+    cy = _spearman_midranks(by, "yv").withColumnRenamed("mr2", "ry")
+    r = li.join(F.broadcast(cx), "xv").join(cy, "yv")
+    d = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    mom = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        d(F.col("rx")).alias("sx"),
+        d(F.col("ry")).alias("sy"),
+        d(F.col("rx") * F.col("ry")).alias("sxy"),
+        d(F.col("rx") * F.col("rx")).alias("sxx"),
+        d(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mom.select("n", rho.alias("rho_spearman"))

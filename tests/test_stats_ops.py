@@ -339,3 +339,25 @@ def test_temperature_mixture_flattens_but_preserves_order(spark):
         assert (r["repeat_x1e6"] > 1_000_000) == (r["target_rows"] > r["n_docs"])
         if r["repeat_x1e6"] <= 1_000_000:
             assert r["n_kept"] <= r["n_docs"]
+
+
+def test_spearman_monotone_and_antitone_are_exact_extremes(spark):
+    """Spearman semantics on planted data: any strictly monotone
+    relation scores exactly +1 (regardless of nonlinearity — the
+    property Pearson lacks), strictly antitone scores exactly −1, and
+    tied midranks keep |rho| < 1 when the tie breaks strictness."""
+    from insurance_claim_data_pipeline_spark.operators.stats import spearman_frame
+
+    mono = spark.createDataFrame(
+        [(i, i * i * i) for i in range(1, 30)], "xv long, yv long"
+    )
+    anti = spark.createDataFrame(
+        [(i, 1000 - i * i) for i in range(1, 30)], "xv long, yv long"
+    )
+    tied = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 20), (4, 40)], "xv long, yv long"
+    )
+    assert spearman_frame(mono).collect()[0]["rho_spearman"] == 1.0
+    assert spearman_frame(anti).collect()[0]["rho_spearman"] == -1.0
+    r = spearman_frame(tied).collect()[0]["rho_spearman"]
+    assert 0.9 < r < 1.0
