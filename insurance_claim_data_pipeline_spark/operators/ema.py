@@ -282,3 +282,156 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.sum("eh").cast("double") / F.sum("en"), 6
         ).alias("skill_vs_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Holt (Holt-Winters-style): deseasonalize -> Holt -> re-seasonalize
+# ---------------------------------------------------------------------------
+
+HW_SCHEMA = (
+    "event_type string, hour_idx bigint, n bigint, level_e6 bigint,"
+    " trend_e6 bigint, forecast_e6 bigint"
+)
+
+HW_ORACLE = f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, (epoch_us(ts) // {US_1H}) AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), sidx AS (
+  SELECT event_type, hour_idx % 24 AS hod,
+         (CAST(SUM(n) AS BIGINT) * {E6}) // CAST(COUNT(*) AS BIGINT) AS m_hod_e6
+  FROM hourly GROUP BY 1, 2
+), overall AS (
+  SELECT event_type,
+         (CAST(SUM(n) AS BIGINT) * {E6}) // CAST(COUNT(*) AS BIGINT) AS m_all_e6
+  FROM hourly GROUP BY 1
+), sadj AS (
+  SELECT s.event_type, s.hod, s.m_hod_e6 - o.m_all_e6 AS s_e6
+  FROM sidx s JOIN overall o ON s.event_type = o.event_type
+), seq AS (
+  SELECT h.event_type, h.hour_idx, h.n,
+         h.n * {E6} - sa.s_e6 AS x_e6,
+         ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.hour_idx) AS rn
+  FROM hourly h
+  JOIN sadj sa ON sa.event_type = h.event_type AND sa.hod = h.hour_idx % 24
+), rec AS (
+  SELECT event_type, hour_idx, n, rn,
+         x_e6 AS level_e6, CAST(0 AS BIGINT) AS trend_e6
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.hour_idx, s.n, s.rn,
+         {_floordiv_sql(f"{ALPHA_E6} * s.x_e6 + ({E6} - {ALPHA_E6}) * (r.level_e6 + r.trend_e6)", E6)},
+         {_floordiv_sql(
+             f"{BETA_E6} * (" + _floordiv_sql(
+                 f"{ALPHA_E6} * s.x_e6 + ({E6} - {ALPHA_E6}) * (r.level_e6 + r.trend_e6)", E6
+             ) + f" - r.level_e6) + ({E6} - {BETA_E6}) * r.trend_e6", E6)}
+  FROM seq s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT r.event_type, r.hour_idx, r.n, r.level_e6, r.trend_e6,
+       r.level_e6 + r.trend_e6 + sn.s_e6 AS forecast_e6
+FROM rec r
+JOIN sadj sn ON sn.event_type = r.event_type AND sn.hod = (r.hour_idx + 1) % 24
+"""
+
+
+@register(
+    "events_holt_winters", oracle=HW_ORACLE, tags=("events", "llm", "pandas", "forecast")
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal operational forecasting — the classical-decomposition
+    composition (seasonal adjustment + Holt, the STL→ETS production
+    pattern): per event type, (1) an additive hour-of-day seasonal
+    index (mean of that hod minus the overall mean, exact ×1e6 floor
+    arithmetic — the denominators are positive counts so truncation IS
+    floor on both engines), (2) the existing Holt level+trend
+    recurrence run on the DEseasonalized series, (3) the one-hour-ahead
+    forecast re-seasonalized with the next wall-clock hour's index.
+    The oracle replays the whole chain — index, adjustment, recursion,
+    re-seasonalization — so the composition is certified, not just the
+    stages (the llm_prep_pipeline pattern applied to forecasting).
+
+    Scale shape: one partial-aggregated shuffle of raw events to the
+    hourly grid; the seasonal index is a 24·|types|-row aggregate
+    joined back broadcast; only the tiny per-type hourly series enters
+    the Arrow closure (the recurrence depends on its own output — no
+    window frame can express it)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds index build + adjusted series
+    )
+    sidx = hourly.groupBy(
+        "event_type", F.pmod("hour_idx", F.lit(24)).alias("hod")
+    ).agg(F.expr(f"(SUM(n) * {E6}) div COUNT(*)").cast("long").alias("m_hod_e6"))
+    overall = hourly.groupBy("event_type").agg(
+        F.expr(f"(SUM(n) * {E6}) div COUNT(*)").cast("long").alias("m_all_e6")
+    )
+    # seasonal index under RENAMED key columns: hourly, seq and rec all
+    # share lineage with sadj, and qualified self-join refs would be
+    # ambiguous.
+    sadj = sidx.join(overall, "event_type").select(
+        F.col("event_type").alias("s_et"),
+        "hod",
+        (F.col("m_hod_e6") - F.col("m_all_e6")).alias("s_e6"),
+    )
+    seq = (
+        hourly.join(
+            F.broadcast(sadj),
+            (F.col("event_type") == F.col("s_et"))
+            & (F.col("hod") == F.pmod(F.col("hour_idx"), F.lit(24))),
+        )
+        .select(
+            "event_type",
+            "hour_idx",
+            "n",
+            (F.col("n") * E6 - F.col("s_e6")).alias("x_e6"),
+        )
+    )
+    e6, alpha, beta = E6, ALPHA_E6, BETA_E6
+
+    def hw_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour_idx").reset_index(drop=True)
+        x = [int(v) for v in pdf["x_e6"]]
+        lvl: list[int] = []
+        trd: list[int] = []
+        for i, xi in enumerate(x):
+            if i == 0:
+                lvl.append(xi)
+                trd.append(0)
+            else:
+                nl = (alpha * xi + (e6 - alpha) * (lvl[-1] + trd[-1])) // e6
+                nt = (beta * (nl - lvl[-1]) + (e6 - beta) * trd[-1]) // e6
+                lvl.append(nl)
+                trd.append(nt)
+        out = pdf[["event_type", "hour_idx", "n"]].copy()
+        out["level_e6"] = lvl
+        out["trend_e6"] = trd
+        out["forecast_e6"] = [a + b for a, b in zip(lvl, trd)]
+        return out
+
+    rec = seq.groupBy("event_type").applyInPandas(hw_group, schema=HW_SCHEMA)
+    # re-seasonalize the one-hour-ahead forecast with the NEXT hod's index
+    nxt = sadj.select(
+        F.col("s_et").alias("n_et"), F.col("hod").alias("nhod"), F.col("s_e6").alias("sn_e6")
+    )
+    return (
+        rec.join(
+            F.broadcast(nxt),
+            (F.col("event_type") == F.col("n_et"))
+            & (F.col("nhod") == F.pmod(F.col("hour_idx") + 1, F.lit(24))),
+        )
+        .select(
+            "event_type",
+            "hour_idx",
+            "n",
+            "level_e6",
+            "trend_e6",
+            (F.col("forecast_e6") + F.col("sn_e6")).alias("forecast_e6"),
+        )
+    )

@@ -361,3 +361,34 @@ def test_spearman_monotone_and_antitone_are_exact_extremes(spark):
     assert spearman_frame(anti).collect()[0]["rho_spearman"] == -1.0
     r = spearman_frame(tied).collect()[0]["rho_spearman"]
     assert 0.9 < r < 1.0
+
+
+def test_holt_winters_seasonal_structure(spark):
+    """Structural contract of the composition: the re-seasonalized
+    forecast minus (level + trend) must be a pure function of
+    (event_type, next hour-of-day) — i.e. exactly the additive seasonal
+    index — and the index must be non-trivial (hours genuinely differ)
+    while each type's hourly grid matches the plain Holt twin's."""
+    from insurance_claim_data_pipeline_spark.operators.ema import (
+        events_holt_linear,
+        events_holt_winters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hw = events_holt_winters(spark, sf)
+    chk = (
+        hw.select(
+            "event_type",
+            F.pmod(F.col("hour_idx") + 1, F.lit(24)).alias("nhod"),
+            (F.col("forecast_e6") - F.col("level_e6") - F.col("trend_e6")).alias("s"),
+        )
+        .groupBy("event_type", "nhod")
+        .agg(F.countDistinct("s").alias("k"), F.first("s").alias("s1"))
+        .collect()
+    )
+    assert chk and all(r["k"] == 1 for r in chk)
+    per_type: dict[str, set] = {}
+    for r in chk:
+        per_type.setdefault(r["event_type"], set()).add(r["s1"])
+    assert any(len(v) > 1 for v in per_type.values())
+    assert hw.count() == events_holt_linear(spark, sf).count()
