@@ -458,3 +458,155 @@ def feature_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: span-dedup gate -> quality gate -> temperature mixture
+# ---------------------------------------------------------------------------
+
+SPAN_MAX_E6 = 500_000  # drop docs with >= 50% cross-doc duplicated-span cover
+
+CURATION_ORACLE = f"""
+WITH spanstats AS ({{SPAN_ORACLE}}),
+tokc AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), mc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_unique,
+         CAST(len(list_filter(toks, t -> t IN {_STOPWORDS!r})) AS DOUBLE) AS n_stop
+  FROM tokc
+), qc AS (
+  SELECT doc_id,
+         ROUND(0.4 * (1.0 - n_stop / n_tokens)
+             + 0.4 * (n_unique / n_tokens)
+             + 0.2 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality_score
+  FROM mc
+), s1 AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  JOIN spanstats sp ON d.doc_id = sp.doc_id
+  WHERE sp.dup_frac_e6 < {SPAN_MAX_E6}
+), s2 AS (
+  SELECT s1.doc_id, s1.lang FROM s1 JOIN qc ON s1.doc_id = qc.doc_id
+  WHERE qc.quality_score >= {QUALITY_MIN}
+), cnt AS (SELECT lang, COUNT(*) AS n FROM s2 GROUP BY 1),
+sc AS (
+  SELECT lang, n,
+         CAST(ROUND(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS s_e6
+  FROM cnt
+), den AS (
+  SELECT CAST(SUM(s_e6) AS BIGINT) AS denom, CAST(SUM(n) AS BIGINT) AS n_tot
+  FROM sc
+), plan AS (
+  SELECT lang, n,
+         LEAST(1000000, ((n_tot * s_e6) // denom) * 1000000 // n) AS rate_e6
+  FROM sc, den
+), raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+a1 AS (SELECT lang, COUNT(*) AS n_span FROM s1 GROUP BY 1),
+fin AS (
+  SELECT s2.lang,
+         COUNT(*) FILTER (WHERE {_bucket_sql('s2.doc_id', 1000000)} < p.rate_e6)
+           AS n_final
+  FROM s2 JOIN plan p ON s2.lang = p.lang GROUP BY 1
+)
+SELECT r.lang, CAST(r.n_raw AS BIGINT) AS n_raw,
+       CAST(a1.n_span AS BIGINT) AS n_kept_span,
+       CAST(p.n AS BIGINT) AS n_kept_quality,
+       p.rate_e6,
+       CAST(fin.n_final AS BIGINT) AS n_final
+FROM raw r
+JOIN a1 ON r.lang = a1.lang
+JOIN plan p ON r.lang = p.lang
+JOIN fin ON r.lang = fin.lang
+"""
+
+
+def _curation_oracle() -> str:
+    from .textops import SPAN_DEDUP_ORACLE
+
+    return CURATION_ORACLE.replace("{SPAN_ORACLE}", SPAN_DEDUP_ORACLE)
+
+
+@register("curation_prep_pipeline", oracle=_curation_oracle(), tags=("llm", "pipeline"))
+def curation_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation attrition funnel as ONE oracled composition:
+    boilerplate gate (cross-doc duplicated-span coverage < 50%, from
+    text_span_dedup) → quality gate (llm_prep_pipeline's blended score)
+    → α=0.5 temperature language mixture computed ON THE SURVIVORS —
+    the stage ordering a real pretraining corpus build uses, where the
+    mixture must be rebalanced after the filters because attrition is
+    not language-uniform. Emits the per-language funnel (raw →
+    span-kept → quality-kept → sampled-final plus the applied rate),
+    which is exactly the curation report reviewed before a training
+    run. The oracle replays all three stages and their ordering;
+    monotone attrition is additionally gated in tests.
+
+    Scale: the span stage's df index and the quality pass are the
+    constituent operators' plans; everything downstream operates on
+    |langs|-row aggregates and broadcast plans — the funnel costs one
+    extra narrow pass over the survivors."""
+    from .sampling import hash_bucket as _hb
+    from .textops import span_dedup_frame
+
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    span = span_dedup_frame(doc.select("doc_id", "text")).select(
+        "doc_id", "dup_frac_e6"
+    )
+    toks = tokens("text")
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+    score = F.round(
+        0.4 * (F.lit(1.0) - n_stop / n)
+        + 0.4 * (uniq / n)
+        + 0.2 * F.least(n / 100.0, F.lit(1.0)),
+        6,
+    )
+    q = doc.select("doc_id", score.alias("quality_score"))
+    s1 = (
+        doc.join(span, "doc_id")
+        .filter(F.col("dup_frac_e6") < SPAN_MAX_E6)
+        .select("doc_id", "lang")
+    )
+    s2 = (
+        s1.join(q, "doc_id")
+        .filter(F.col("quality_score") >= QUALITY_MIN)
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=False)  # feeds mixture counts + final sample
+    )
+    cnt = s2.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    sc = cnt.select(
+        "lang",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("s_e6"),
+    )
+    den = sc.agg(
+        F.sum("s_e6").cast("long").alias("denom"),
+        F.sum("n").cast("long").alias("n_tot"),
+    )
+    plan = sc.crossJoin(F.broadcast(den)).select(
+        "lang",
+        "n",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("((n_tot * s_e6) div denom) * 1000000 div n"),
+        ).alias("rate_e6"),
+    )
+    raw = doc.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    a1 = s1.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_kept_span"))
+    b = _hb("doc_id", 1_000_000)
+    fin = (
+        s2.join(F.broadcast(plan), "lang")
+        .groupBy("lang")
+        .agg(F.count(F.when(b < F.col("rate_e6"), 1)).alias("n_final"))
+    )
+    return (
+        raw.join(a1, "lang")
+        .join(plan.select("lang", F.col("n").cast("long").alias("n_kept_quality"), "rate_e6"), "lang")
+        .join(fin, "lang")
+        .select(
+            "lang", "n_raw", "n_kept_span", "n_kept_quality", "rate_e6", "n_final"
+        )
+    )

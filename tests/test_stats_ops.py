@@ -392,3 +392,22 @@ def test_holt_winters_seasonal_structure(spark):
         per_type.setdefault(r["event_type"], set()).add(r["s1"])
     assert any(len(v) > 1 for v in per_type.values())
     assert hw.count() == events_holt_linear(spark, sf).count()
+
+
+def test_curation_funnel_monotone_attrition(spark):
+    """Funnel contract: every stage only removes rows
+    (raw ≥ span-kept ≥ quality-kept ≥ final), every language survives,
+    and the temperature stage actually binds somewhere (at least one
+    language sampled below its quality-kept count) while rate-1e6
+    languages keep everything."""
+    from insurance_claim_data_pipeline_spark.operators.pipeline import (
+        curation_prep_pipeline,
+    )
+
+    rows = curation_prep_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_raw"] >= r["n_kept_span"] >= r["n_kept_quality"] >= r["n_final"]
+        if r["rate_e6"] == 1_000_000:
+            assert r["n_final"] == r["n_kept_quality"]
+    assert any(r["n_final"] < r["n_kept_quality"] for r in rows)
