@@ -462,3 +462,92 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select(n.alias("n_stubs"), F.round(r, 6).alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (fixed-round) over the customer-supplier trade graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ITERS = 4
+
+
+def _kcore_oracle() -> str:
+    prev = "a0"
+    its = []
+    for i in range(1, KCORE_ITERS + 1):
+        its.append(
+            f"""a{i} AS (
+  SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges e
+  JOIN {prev} s ON e.src = s.node
+  JOIN {prev} d ON e.dst = d.node
+  GROUP BY 1
+  HAVING COUNT(*) >= {KCORE_K}
+)"""
+        )
+        prev = f"a{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+), a0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS deg FROM edges),
+{', '.join(its)}
+SELECT node, deg FROM {prev}
+"""
+
+
+@register("graph_kcore", oracle=_kcore_oracle(), tags=("graph", "iterative", "join"))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling (k=KCORE_K over KCORE_ITERS rounds) of
+    the customer-supplier trade graph: each round recomputes degrees
+    over the surviving subgraph and drops nodes below k — removing a
+    weak node can strip its neighbors below k, which is why peeling
+    must iterate and why single-shot degree filtering (the degree-
+    distribution view) overstates the core. Surviving nodes with their
+    within-core degree are the dense trading backbone (the community-
+    detection / fraud-ring pre-filter). Fixed rounds keep the unrolled
+    CTE oracle exact; the peel-to-fixpoint variant adds a convergence
+    loop like dedup_components, same plan shape per round.
+
+    Scale shape per round: the edge list joins the shrinking alive set
+    on BOTH endpoints (two hash joins keyed src/dst — the alive side
+    only ever shrinks) and one map-side-combined degree aggregate;
+    lineage is cut per round so the plan does not compound."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return kcore_frame(edges)
+
+
+def kcore_frame(
+    edges: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS
+) -> DataFrame:
+    """Core of :func:`graph_kcore` over any symmetric ``(src, dst)``
+    edge list."""
+    edges = edges.localCheckpoint(eager=False)  # joined twice per round
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(iters):
+        alive = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .localCheckpoint(eager=False)
+        )
+    return alive.select("node", "deg")

@@ -411,3 +411,53 @@ def test_curation_funnel_monotone_attrition(spark):
         if r["rate_e6"] == 1_000_000:
             assert r["n_final"] == r["n_kept_quality"]
     assert any(r["n_final"] < r["n_kept_quality"] for r in rows)
+
+
+def test_kcore_iteration_beats_single_shot_filter(spark):
+    """Peeling semantics: removing a weak node can strip neighbors
+    below k, so the fixed-round core must be strictly smaller than the
+    naive one-shot degree>=k filter on this graph, and every survivor's
+    reported degree is its WITHIN-CORE degree (>= k, and <= its raw
+    degree)."""
+    from insurance_claim_data_pipeline_spark.operators.graph import (
+        KCORE_K,
+        graph_kcore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    core = {r["node"]: r["deg"] for r in graph_kcore(spark, sf).collect()}
+    assert core and all(d >= KCORE_K for d in core.values())
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select((F.col("o_custkey") * 2).alias("c"), (F.col("l_suppkey") * 2 + 1).alias("s"))
+        .distinct()
+    )
+    edges = [(r["c"], r["s"]) for r in pairs.collect()]
+    from collections import Counter
+
+    deg = Counter()
+    for c, s in edges:
+        deg[c] += 1
+        deg[s] += 1
+    one_shot = {n for n, d in deg.items() if d >= KCORE_K}
+    assert set(core) <= one_shot
+    for n, d in core.items():
+        assert d <= deg[n]
+
+
+def test_kcore_cascade_on_planted_graph(spark):
+    """Planted cascade: a hub whose only neighbors are three degree-1
+    leaves passes the one-shot degree>=3 filter but must fall in round
+    2 once its leaves are peeled — only the 5-clique is the true
+    3-core."""
+    from insurance_claim_data_pipeline_spark.operators.graph import kcore_frame
+
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a != b]
+    hub = [(100, l) for l in (201, 202, 203)] + [(l, 100) for l in (201, 202, 203)]
+    edges = spark.createDataFrame(clique + hub, "src long, dst long")
+    core = {r["node"]: r["deg"] for r in kcore_frame(edges).collect()}
+    assert set(core) == {1, 2, 3, 4, 5}
+    assert all(d == 4 for d in core.values())
