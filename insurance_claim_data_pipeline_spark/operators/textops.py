@@ -2097,3 +2097,76 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_frame(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity head/middle/tail bucketing
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS_ORACLE = f"""
+WITH lp AS ({BIGRAM_LM_ORACLE}),
+m AS (
+  SELECT doc_id, n_bigrams,
+         {{FLOORDIV}} AS mlp_e6
+  FROM lp
+), ranked AS (
+  SELECT doc_id, n_bigrams, mlp_e6,
+         ROW_NUMBER() OVER (ORDER BY mlp_e6 DESC, doc_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM m
+)
+SELECT doc_id, n_bigrams, mlp_e6,
+       CASE (rnk - 1) * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ranked
+"""
+
+
+def _ppl_buckets_oracle() -> str:
+    # mean log-prob via exact FLOOR division (sum is negative, so the
+    # truncate-vs-floor reconciliation from the Holt oracle applies:
+    # subtract the non-negative residue first).
+    fd = "((sum_logp_e6 - (((sum_logp_e6 % n_bigrams) + n_bigrams) % n_bigrams)) // n_bigrams)"
+    return PPL_BUCKETS_ORACLE.replace("{FLOORDIV}", fd)
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle=_ppl_buckets_oracle(),
+    tags=("text", "llm", "window", "scale"),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing: score every document with the
+    corpus bigram LM (mean log-prob per bigram, exact ×1e6 floor
+    arithmetic — the sum is negative, so floor/truncate reconciliation
+    matters), rank the corpus by that score and cut it into
+    head / middle / tail thirds. Real pipelines train on head+middle
+    and audit the tail; the bucket label (not the raw score) is the
+    interface the downstream mixture consumes.
+
+    Scale: the LM and per-doc scores are text_bigram_logprob's plan;
+    the corpus-wide cut uses the exact two-level distributed rank
+    (operators/analytics.py) rather than a single-partition window, so
+    the ranking pass holds at any corpus size."""
+    from .analytics import _with_global_rank
+
+    lp = text_bigram_logprob(spark, sf_dir)
+    m = lp.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr(
+            "CAST((sum_logp_e6 - (((sum_logp_e6 % n_bigrams) + n_bigrams) % n_bigrams))"
+            " div n_bigrams AS BIGINT)"
+        ).alias("mlp_e6"),
+    )
+    ranked = _with_global_rank(m, "mlp_e6", "doc_id", "rnk")
+    bucket = F.expr("(rnk - 1) * 3 div _n_total")
+    return ranked.select(
+        "doc_id",
+        "n_bigrams",
+        "mlp_e6",
+        F.when(bucket == 0, "head")
+        .when(bucket == 1, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -922,3 +922,24 @@ def test_pca_project_cauchy_schwarz_and_anisotropy(spark):
     wrow = {r["dim"]: r["w_e6"] for r in w.collect()}
     top = max(wrow, key=lambda d: abs(wrow[d]))
     assert top == 0  # the direction found the signal axis
+
+
+def test_perplexity_buckets_are_ordered_thirds(spark, sf_dir):
+    """Bucket contract: the corpus splits into near-equal thirds, and
+    the score ranges are strictly ordered — min(head) ≥ max(middle)
+    boundary-wise (every head doc scores at least as high as every
+    middle doc, etc.), which is what 'train on head, audit tail'
+    relies on."""
+    from collections import Counter
+
+    from insurance_claim_data_pipeline_spark.operators.textops import (
+        text_perplexity_buckets,
+    )
+
+    rows = text_perplexity_buckets(spark, sf_dir).collect()
+    cnt = Counter(r["ppl_bucket"] for r in rows)
+    assert set(cnt) == {"head", "middle", "tail"}
+    assert max(cnt.values()) - min(cnt.values()) <= 1
+    by = {b: [r["mlp_e6"] for r in rows if r["ppl_bucket"] == b] for b in cnt}
+    assert min(by["head"]) >= max(by["middle"])
+    assert min(by["middle"]) >= max(by["tail"])
