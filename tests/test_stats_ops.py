@@ -461,3 +461,19 @@ def test_kcore_cascade_on_planted_graph(spark):
     core = {r["node"]: r["deg"] for r in kcore_frame(edges).collect()}
     assert set(core) == {1, 2, 3, 4, 5}
     assert all(d == 4 for d in core.values())
+
+
+def test_croston_hand_computed_recurrence(spark):
+    """Hand-worked Croston fixture: demands 1000c at weeks 0, 2, 5 with
+    α=0.3 — z stays at 1e9 (constant size), p tracks the widening
+    interval: p₁=1e6, p₂=0.3·2e6+0.7·1e6=1.3e6, p₃=0.3·3e6+0.7·1.3e6
+    =1.81e6, and the rate falls as gaps widen."""
+    from insurance_claim_data_pipeline_spark.operators import ema as ema_mod
+
+    rows = [(7, 0, 1000), (7, 2, 1000), (7, 5, 1000)]
+    wk = spark.createDataFrame(rows, "l_partkey long, week_idx long, demand_c long")
+    got = {r["week_idx"]: r for r in ema_mod.croston_frame(wk).collect()}
+    assert got[0]["p_e6"] == 1_000_000 and got[0]["z_e6"] == 1_000_000_000
+    assert got[2]["p_e6"] == 1_300_000
+    assert got[5]["p_e6"] == 1_810_000
+    assert got[0]["rate_e6"] > got[2]["rate_e6"] > got[5]["rate_e6"]
