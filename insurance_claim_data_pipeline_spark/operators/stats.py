@@ -1466,3 +1466,131 @@ def spearman_frame(pts: DataFrame) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return mom.select("n", rho.alias("rho_spearman"))
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap CI for A/B lift: treated-vs-control difference of mean order value
+# ---------------------------------------------------------------------------
+
+
+def _lift_boot_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+    from .sampling import _bucket_sql
+
+    u = _boot_u_sql()
+    w_case = "CASE " + " ".join(
+        f"WHEN {u} < {c!r} THEN {i}" for i, c in enumerate(_POIS_CDF)
+    ) + " ELSE 7 END"
+    b = _bucket_sql("o_custkey")
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN {b} < {DID_TREAT_PCT} THEN 1 ELSE 0 END AS treated
+  FROM orders
+), obs AS (
+  SELECT
+    (SELECT {dec_sum_sql('o_totalprice')} / COUNT(*) FROM base WHERE treated = 1)
+  - (SELECT {dec_sum_sql('o_totalprice')} / COUNT(*) FROM base WHERE treated = 0)
+    AS lift_obs
+), reps AS (
+  SELECT o_orderkey, o_totalprice, treated,
+         unnest(generate_series(1, {BOOT_B})) AS b
+  FROM base
+), weighted AS (
+  SELECT b, treated, o_totalprice, {w_case} AS w FROM reps
+), means AS (
+  SELECT b, treated,
+         {dec_sum_sql('w * o_totalprice')} / CAST(SUM(w) AS BIGINT) AS m
+  FROM weighted GROUP BY b, treated
+), diffs AS (
+  SELECT b, MAX(CASE WHEN treated = 1 THEN m END)
+          - MAX(CASE WHEN treated = 0 THEN m END) AS d
+  FROM means GROUP BY b
+)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       ROUND(o.lift_obs, 4) AS lift_obs,
+       ROUND(quantile_cont(d.d, 0.025), 4) AS ci_lo,
+       ROUND(quantile_cont(d.d, 0.975), 4) AS ci_hi
+FROM diffs d, obs o GROUP BY o.lift_obs
+"""
+
+
+@register("stats_lift_bootstrap_ci", oracle=_lift_boot_oracle(), tags=("stats", "agg", "scale"))
+def stats_lift_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for the A/B LIFT (treated-minus-control
+    difference of mean order value, exposure = the DiD md5 customer
+    split) — the interval the experimentation readout actually ships,
+    completing the family: power_mde sizes the test, srm_check guards
+    the assignment, diff_in_diff/CUPED estimate, this bounds. Each
+    Poisson replicate resamples BOTH arms with the same salted-md5
+    weights as agg_bootstrap_ci, so the replicate difference
+    distribution needs no variance formula and no normality — and is
+    bit-reproducible on any partitioning, any rerun, and in the oracle.
+
+    Scale: one scan exploded ×B with map-side combine into 2B running
+    decimal-stable sums; the diff/quantile step touches a B-row frame."""
+    from .sampling import hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(hash_bucket("o_custkey") < DID_TREAT_PCT, 1).otherwise(0).alias("treated"),
+    ).localCheckpoint(eager=False)  # feeds observed means + B replicates
+    arm = lambda t: F.when(F.col("treated") == t, F.col("o_totalprice"))  # noqa: E731
+    obs = base.agg(
+        (dec_sum(arm(1)) / F.count(arm(1)))
+        .alias("m1"),
+        (dec_sum(arm(0)) / F.count(arm(0))).alias("m0"),
+    ).select((F.col("m1") - F.col("m0")).alias("lift_obs"))
+    reps = base.select(
+        "o_orderkey",
+        "o_totalprice",
+        "treated",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(7)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+    means = (
+        reps.select("b", "treated", "o_totalprice", w.alias("w"))
+        .groupBy("b", "treated")
+        .agg(
+            (
+                dec_sum(F.col("w") * F.col("o_totalprice"))
+                / F.sum("w").cast("long")
+            ).alias("m")
+        )
+    )
+    diffs = means.groupBy("b").agg(
+        (
+            F.max(F.when(F.col("treated") == 1, F.col("m")))
+            - F.max(F.when(F.col("treated") == 0, F.col("m")))
+        ).alias("d")
+    )
+    ci = diffs.agg(
+        F.lit(BOOT_B).cast("long").alias("n_replicates"),
+        F.round(F.expr("percentile(d, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(d, 0.975)"), 4).alias("ci_hi"),
+    )
+    return ci.crossJoin(F.broadcast(obs)).select(
+        "n_replicates", F.round("lift_obs", 4).alias("lift_obs"), "ci_lo", "ci_hi"
+    )

@@ -477,3 +477,16 @@ def test_croston_hand_computed_recurrence(spark):
     assert got[2]["p_e6"] == 1_300_000
     assert got[5]["p_e6"] == 1_810_000
     assert got[0]["rate_e6"] > got[2]["rate_e6"] > got[5]["rate_e6"]
+
+
+def test_lift_bootstrap_ci_brackets_null_effect(spark):
+    """The exposure is a hash split with no real treatment, so the 95%
+    bootstrap CI must straddle zero and contain the observed (noise)
+    lift; bounds must be ordered."""
+    from insurance_claim_data_pipeline_spark.operators.stats import (
+        stats_lift_bootstrap_ci,
+    )
+
+    r = stats_lift_bootstrap_ci(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["ci_lo"] <= r["lift_obs"] <= r["ci_hi"]
+    assert r["ci_lo"] < 0 < r["ci_hi"]
