@@ -132,6 +132,19 @@ JVM_ONLY_QUERIES = [
     "text_pmi_bigrams",
     "graph_degree_distribution",
     "agg_kmv_distinct",
+    # round-4 late-session additions — all pure Column/SQL expressions
+    "sim_topk_ivfpq",
+    "sim_topk_pq_rerank",
+    "sim_ndcg_eval",
+    "emb_pca_project",
+    "text_span_dedup",
+    "text_perplexity_buckets",
+    "stats_mann_whitney",
+    "stats_spearman_corr",
+    "stats_lift_bootstrap_ci",
+    "sample_temperature_mixture",
+    "graph_kcore",
+    "curation_prep_pipeline",
 ]
 
 
@@ -443,3 +456,34 @@ def test_woe_iv_no_single_partition_window(spark, sf_dir):
     # the Window operator's string: Window [...], [part], [order])
     for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\], \[[^\]]*\]", plan):
         assert m.group("part").strip() != ""
+
+
+def test_ivfpq_probe_shape(spark, sf_dir):
+    """The composed IVFADC plan must keep its scale guarantees: probes
+    and the query LUT broadcast (no shuffled Q-side), the code/cluster
+    index joined on vec_id, and no cartesian product anywhere."""
+    plan = physical_plan(spark, sf_dir, "sim_topk_ivfpq")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_windows_are_per_doc(spark, sf_dir):
+    """The interval-merge window must be partitioned by doc_id — an
+    empty partition spec would serialize the whole corpus through one
+    task."""
+    import re
+
+    plan = physical_plan(spark, sf_dir, "text_span_dedup")
+    for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\], \[[^\]]*\]", plan):
+        assert m.group("part").strip() != ""
+
+
+def test_rank_stats_no_single_partition_window(spark, sf_dir):
+    """Mann-Whitney and Spearman must rank through the two-level
+    distributed prefix: every Window node carries a partition spec."""
+    import re
+
+    for name in ("stats_mann_whitney", "stats_spearman_corr"):
+        plan = physical_plan(spark, sf_dir, name)
+        for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\], \[[^\]]*\]", plan):
+            assert m.group("part").strip() != "", name
