@@ -891,6 +891,18 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, vector)-keyed partial-aggregated shuffle. Q·N appears
     nowhere; neither floats nor un-probed cells are ever touched at
     query time."""
+    scored = _ivfpq_adc_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy("adc_dist_e6", "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def _ivfpq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(query_id, neighbor_id, adc_dist_e6)`` over probed cells only
+    — the IVF-restricted ADC scan shared by sim_topk_ivfpq and its
+    re-ranked variant."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -931,17 +943,12 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on cluster (Q·N_PROBE rows), then the ADC LUT lookup.
     coded = _pq_best(spark, sf_dir).select("vec_id", "m", "k").join(clustered, "vec_id")
     lut = _pq_query_lut(spark, sf_dir)
-    scored = (
+    return (
         coded.join(F.broadcast(probes), F.col("cluster") == F.col("probe_cluster"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "m", "k"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d_e6").alias("adc_dist_e6"))
-    )
-    w = W.partitionBy("query_id").orderBy("adc_dist_e6", "neighbor_id")
-    return (
-        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
-        .filter(F.col("rnk") <= TOP_K)
     )
 
 
@@ -2055,4 +2062,75 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dcg_e6",
         "idcg_e6",
         F.expr("CAST(dcg_e6 * 1000000 div idcg_e6 AS BIGINT)").alias("ndcg_e6"),
+    )
+
+
+def _ivfpq_rerank_oracle() -> str:
+    ivfpq = _ivfpq_oracle().replace(
+        f"WHERE rnk <= {TOP_K}", f"WHERE rnk <= {PQ_SHORTLIST}"
+    )
+    return f"""
+WITH shortlist AS ({ivfpq}),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND({cosine_sql('qe.v', 'ne.v')}, 6) AS cos_sim
+  FROM shortlist s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_ivfpq_rerank",
+    oracle=_ivfpq_rerank_oracle(),
+    tags=("similarity", "llm", "approx", "scale"),
+)
+def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN stack in one oracled dataflow — FAISS's
+    IVFADC + refine: (1) IVF cell probe restricts candidates to
+    N_PROBE/K of the corpus, (2) the broadcast-LUT ADC scan ranks those
+    candidates in code space, (3) the PQ_SHORTLIST best fetch their
+    floats for an exact cosine re-rank. Stage economics at 100 TB:
+    stage 1 prunes partitions, stage 2 reads M bytes/vector, stage 3
+    touches Q·SHORTLIST rows of full-precision data — each stage costs
+    ~1/64th of the one before, which is the whole design.
+
+    Every stage is deterministic, so the three-stage composition —
+    probe set, code ranking, refine cut — is hash-proven end to end,
+    not just per stage."""
+    adc = _ivfpq_adc_scored(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist_e6", "neighbor_id")
+    shortlist = (
+        adc.select("*", F.row_number().over(w).alias("srnk"))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        shortlist.join(emb, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rescored.select("*", F.row_number().over(w2).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
     )

@@ -943,3 +943,28 @@ def test_perplexity_buckets_are_ordered_thirds(spark, sf_dir):
     by = {b: [r["mlp_e6"] for r in rows if r["ppl_bucket"] == b] for b in cnt}
     assert min(by["head"]) >= max(by["middle"])
     assert min(by["middle"]) >= max(by["tail"])
+
+
+def test_ivfpq_rerank_scores_are_exact_cosines(spark, sf_dir):
+    """Three-stage contract: every returned score equals the
+    brute-force cosine for that pair (refine is exact), candidates are
+    restricted to the IVFPQ candidate set (each returned pair appears
+    in the IVF-restricted ADC frame), and per-query k holds."""
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    adc_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity._ivfpq_adc_scored(spark, sf_dir).collect()
+    }
+    rr = similarity.sim_topk_ivfpq_rerank(spark, sf_dir).collect()
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in rr)
+    assert all(v <= similarity.TOP_K for v in per_q.values())
+    for r in rr:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in adc_pairs
+        if key in bf:
+            assert r["cos_sim"] == bf[key]
