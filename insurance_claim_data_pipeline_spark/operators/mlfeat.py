@@ -32,6 +32,7 @@ on):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum, dec_sum_sql
@@ -418,4 +419,128 @@ def feat_hashed_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.countDistinct("_raw").cast("long").alias("n_raw_crosses"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe point-in-time features at label timestamps
+# ---------------------------------------------------------------------------
+
+PIT_WINDOW_US = 7 * 86_400_000_000  # trailing 7 days
+
+PIT_FEATURES_ORACLE = f"""
+WITH views AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS val_c
+  FROM events WHERE event_type = 'view'
+), labels AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+  FROM events WHERE event_type = 'purchase'
+), stream AS (
+  SELECT user_id, ts_us, 1 AS kind, event_id AS uid,
+         CAST(NULL AS BIGINT) AS probe_id, CAST(NULL AS VARCHAR) AS side,
+         CAST(1 AS BIGINT) AS cnt, val_c
+  FROM views
+  UNION ALL
+  SELECT user_id, ts_us - {PIT_WINDOW_US}, 0, event_id * 2, event_id, 's',
+         0, CAST(0 AS BIGINT)
+  FROM labels
+  UNION ALL
+  SELECT user_id, ts_us, 0, event_id * 2 + 1, event_id, 'e',
+         0, CAST(0 AS BIGINT)
+  FROM labels
+), cum AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER w AS BIGINT) AS cum_cnt,
+         CAST(SUM(val_c) OVER w AS BIGINT) AS cum_val
+  FROM stream
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, uid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, probe_id AS label_event_id,
+       CAST(MAX(CASE WHEN side = 'e' THEN cum_cnt END)
+          - MAX(CASE WHEN side = 's' THEN cum_cnt END) AS BIGINT) AS n_views_7d,
+       CAST(MAX(CASE WHEN side = 'e' THEN cum_val END)
+          - MAX(CASE WHEN side = 's' THEN cum_val END) AS BIGINT) AS view_value_c_7d
+FROM cum WHERE kind = 0
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_pit_features", oracle=PIT_FEATURES_ORACLE, tags=("mlfeat", "events", "window", "scale")
+)
+def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe point-in-time feature extraction: for every label
+    event (purchase) compute trailing-7-day behavioral features —
+    view count and view-value sum over [t−7d, t) — STRICTLY before the
+    label instant. This is the feature-store backfill primitive; doing
+    it wrong (including the label instant, or joining a feature table
+    computed 'as of today') is the classic training-serving leakage.
+
+    The plan is the as-of union+window trick, not a range join: label
+    timestamps inject two zero-weight PROBE rows (window start and
+    end) into the feature stream, one per-user ordered running sum
+    prices every probe, and end−start differences the exact window —
+    O((features+2·labels) log) per user with NO per-pair fanout, where
+    the naive range join explodes labels × features-in-window. Strict
+    '<' comes from the deterministic total sort key (ts, kind, uid):
+    probes sort before same-instant feature rows, so a view AT the
+    label timestamp is excluded on both engines by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("val_c"),
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    return pit_features_frame(views, labels)
+
+
+def pit_features_frame(views: DataFrame, labels: DataFrame) -> DataFrame:
+    """Core of :func:`events_pit_features` over ``(user_id, ts_us,
+    event_id, val_c)`` feature rows and ``(user_id, ts_us, event_id)``
+    label rows."""
+    views = views.select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("uid"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(1).cast("long").alias("cnt"),
+        "val_c",
+    )
+    probe = lambda shift, s, u: labels.select(  # noqa: E731
+        "user_id",
+        (F.col("ts_us") + shift).alias("ts_us"),
+        F.lit(0).alias("kind"),
+        u.alias("uid"),
+        F.col("event_id").alias("probe_id"),
+        F.lit(s).alias("side"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("val_c"),
+    )
+    stream = views.unionByName(
+        probe(-PIT_WINDOW_US, "s", F.col("event_id") * 2)
+    ).unionByName(probe(0, "e", F.col("event_id") * 2 + 1))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "uid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = stream.select(
+        "*",
+        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+        F.sum("val_c").over(w).cast("long").alias("cum_val"),
+    ).filter(F.col("kind") == 0)
+    side = lambda s, c: F.max(F.when(F.col("side") == s, F.col(c)))  # noqa: E731
+    return cum.groupBy("user_id", F.col("probe_id").alias("label_event_id")).agg(
+        (side("e", "cum_cnt") - side("s", "cum_cnt")).cast("long").alias("n_views_7d"),
+        (side("e", "cum_val") - side("s", "cum_val"))
+        .cast("long")
+        .alias("view_value_c_7d"),
     )

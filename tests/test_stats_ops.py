@@ -490,3 +490,34 @@ def test_lift_bootstrap_ci_brackets_null_effect(spark):
     r = stats_lift_bootstrap_ci(spark, "/root/testdata/sf0.001").collect()[0]
     assert r["ci_lo"] <= r["lift_obs"] <= r["ci_hi"]
     assert r["ci_lo"] < 0 < r["ci_hi"]
+
+
+def test_pit_features_boundary_semantics(spark):
+    """Planted leakage boundary: a view AT the label instant is
+    excluded (strict '<' — the leakage case), one microsecond earlier
+    is included, a view exactly at t−7d is included (closed start),
+    and one microsecond before the window opens is excluded."""
+    from insurance_claim_data_pipeline_spark.operators.mlfeat import (
+        PIT_WINDOW_US,
+        pit_features_frame,
+    )
+
+    t = 10_000_000_000_000
+    views = spark.createDataFrame(
+        [
+            (1, t, 101, 100),                      # at label instant -> excluded
+            (1, t - 1, 102, 200),                  # just inside -> included
+            (1, t - PIT_WINDOW_US, 103, 400),      # exactly at start -> included
+            (1, t - PIT_WINDOW_US - 1, 104, 800),  # before start -> excluded
+        ],
+        "user_id long, ts_us long, event_id long, val_c long",
+    )
+    labels = spark.createDataFrame(
+        [(1, t, 900)], "user_id long, ts_us long, event_id long"
+    )
+    got = pit_features_frame(views, labels).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["label_event_id"] == 900
+    assert r["n_views_7d"] == 2
+    assert r["view_value_c_7d"] == 600
