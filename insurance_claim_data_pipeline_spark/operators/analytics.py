@@ -2225,3 +2225,69 @@ def orders_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(idx, 6).alias("seasonality_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top journey paths: event-type trigrams per user session stream
+# ---------------------------------------------------------------------------
+
+PATHS_TOP_K = 10
+
+TRIGRAM_PATHS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), paths AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+  FROM seq WHERE t3 IS NOT NULL GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM paths),
+ranked AS (
+  SELECT path, CAST(n AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+  FROM paths
+)
+SELECT r.path, r.n, r.rnk,
+       CAST(r.n * 1000000 // t.n_tot AS BIGINT) AS share_e6
+FROM ranked r, tot t WHERE r.rnk <= {PATHS_TOP_K}
+"""
+
+
+@register("events_trigram_paths", oracle=TRIGRAM_PATHS_ORACLE, tags=("events", "window"))
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATHS_TOP_K} three-step journey paths (the Sankey/flow
+    view): consecutive event-type trigrams per user in (ts, event_id)
+    order, globally counted and ranked with a deterministic (count
+    desc, path) tie-break, with each path's ×1e6 share of all
+    trigrams. First-order Markov transitions (events_markov_transitions)
+    see only pairwise hops; path counts expose the actual multi-step
+    flows product teams act on (view>view>purchase vs view>error>view).
+
+    Scale: the lead windows are per-user (bounded); paths aggregate
+    with map-side combine to the distinct-path frame; the global top-k
+    is TakeOrderedAndProject over that small frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = paths.agg(F.sum("n").cast("long").alias("n_tot"))
+    wr = W.partitionBy(tiny_frame_key("n")).orderBy(F.desc("n"), "path")
+    return (
+        paths.select("*", F.row_number().over(wr).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= PATHS_TOP_K)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            "rnk",
+            F.expr("CAST(n * 1000000 div n_tot AS BIGINT)").alias("share_e6"),
+        )
+    )

@@ -521,3 +521,32 @@ def test_pit_features_boundary_semantics(spark):
     assert r["label_event_id"] == 900
     assert r["n_views_7d"] == 2
     assert r["view_value_c_7d"] == 600
+
+
+def test_trigram_paths_consistent_with_markov_pairs(spark):
+    """Cross-operator consistency: summing trigram-path counts over the
+    leading pair can never exceed that pair's first-order transition
+    count (every trigram starts with a transition; the last pair of
+    each user stream has no third step), and ranks are dense from 1."""
+    from insurance_claim_data_pipeline_spark.operators.analytics import (
+        events_markov_transitions,
+        events_trigram_paths,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    paths = events_trigram_paths(spark, sf).collect()
+    assert [r["rnk"] for r in sorted(paths, key=lambda r: r["rnk"])] == list(
+        range(1, len(paths) + 1)
+    )
+    pairs = {
+        (r["src"], r["dst"]): r["n_transitions"]
+        for r in events_markov_transitions(spark, sf).collect()
+    }
+    from collections import Counter
+
+    lead = Counter()
+    for r in paths:
+        t1, t2, _ = r["path"].split(">")
+        lead[(t1, t2)] += r["n"]
+    for k, n in lead.items():
+        assert n <= pairs[k], k
