@@ -1594,3 +1594,101 @@ def stats_lift_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ci.crossJoin(F.broadcast(obs)).select(
         "n_replicates", F.round("lift_obs", 4).alias("lift_obs"), "ci_lo", "ci_hi"
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-equality test (Levene on medians)
+# ---------------------------------------------------------------------------
+
+BF_ORACLE = """
+WITH vc AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+), med AS (
+  SELECT event_type, CAST(ROUND(2 * quantile_cont(v, 0.5)) AS BIGINT) AS med2
+  FROM vc GROUP BY 1
+), x AS (
+  SELECT vc.event_type, ABS(2 * vc.v - med.med2) / 200.0 AS d
+  FROM vc JOIN med ON vc.event_type = med.event_type
+), g AS (
+  SELECT event_type, COUNT(*) AS n, {DS} AS s, {DSS} AS ss
+  FROM x GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(CAST(ROUND(s * 1000000) AS BIGINT)) AS BIGINT) AS s_tot_e6,
+         CAST(SUM(CAST(ROUND((s * s / n) * 1000000) AS BIGINT)) AS BIGINT) AS ssb_part_e6,
+         CAST(SUM(CAST(ROUND((ss - s * (s / n)) * 1000000) AS BIGINT)) AS BIGINT) AS ssw_e6
+  FROM g
+)
+SELECT k, n_tot,
+       ((ssb_part_e6 / 1000000.0
+         - (s_tot_e6 / 1000000.0) * (s_tot_e6 / 1000000.0) / n_tot) / (k - 1))
+       / ((ssw_e6 / 1000000.0) / (n_tot - k)) AS f_stat
+FROM m
+"""
+
+
+def _bf_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    return BF_ORACLE.replace("{DS}", dec_sum_sql("d")).replace(
+        "{DSS}", dec_sum_sql("d * d", 4)
+    )
+
+
+@register("stats_brown_forsythe", oracle=_bf_oracle(), tags=("stats", "agg"))
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test: one-way ANOVA run on
+    absolute deviations from each group's MEDIAN — the robust check
+    that the t-test/ANOVA equal-variance reading isn't an artifact of
+    heavy tails (mean-based Levene breaks down exactly when variances
+    differ by outliers; the median centre doesn't). Completes the
+    location/dispersion pair: anova asks 'same mean?', this asks
+    'same spread?'.
+
+    Exactness: values quantize to cents, group medians carried ×2 (the
+    0.5-quantile midpoint a+b is an exact integer), deviations are
+    |2v−med2|/200 — one division from exact integers — and the F
+    assembly is stats_anova_oneway's ×1e6-quantized per-group terms.
+    Scale: one cents pass + per-group exact percentile, medians
+    broadcast back, one decimal-stable aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = ev.select("event_type", F.round(F.col("value") * 100).cast("long").alias("v"))
+    med = vc.groupBy("event_type").agg(
+        F.round(2 * F.expr("percentile(v, 0.5)")).cast("long").alias("med2")
+    )
+    x = vc.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        (F.abs(2 * F.col("v") - F.col("med2")) / F.lit(200.0)).alias("d"),
+    )
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("d").alias("s"),
+        dec_sum(F.col("d") * F.col("d"), 4).alias("ss"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(F.round(F.col("s") * 1_000_000).cast("long")).cast("long").alias("s_tot_e6"),
+        F.sum(
+            F.round((F.col("s") * F.col("s") / F.col("n")) * 1_000_000).cast("long")
+        ).cast("long").alias("ssb_part_e6"),
+        F.sum(
+            F.round((F.col("ss") - F.col("s") * (F.col("s") / F.col("n"))) * 1_000_000)
+            .cast("long")
+        ).cast("long").alias("ssw_e6"),
+    )
+    ssb = (
+        F.col("ssb_part_e6") / F.lit(1_000_000.0)
+        - (F.col("s_tot_e6") / F.lit(1_000_000.0))
+        * (F.col("s_tot_e6") / F.lit(1_000_000.0))
+        / F.col("n_tot")
+    )
+    ssw = F.col("ssw_e6") / F.lit(1_000_000.0)
+    return m.select(
+        "k",
+        "n_tot",
+        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k")))).alias(
+            "f_stat"
+        ),
+    )

@@ -550,3 +550,17 @@ def test_trigram_paths_consistent_with_markov_pairs(spark):
         lead[(t1, t2)] += r["n"]
     for k, n in lead.items():
         assert n <= pairs[k], k
+
+
+def test_brown_forsythe_null_and_f_positive(spark):
+    """The synthetic event-value groups share one distribution, so the
+    variance-equality F must sit in the unremarkable range around 1
+    (no rejection at any sane threshold), and the statistic is positive
+    by construction."""
+    from insurance_claim_data_pipeline_spark.operators.stats import (
+        stats_brown_forsythe,
+    )
+
+    r = stats_brown_forsythe(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["k"] == 5 and r["n_tot"] == 1000
+    assert 0.0 < r["f_stat"] < 3.0
