@@ -239,3 +239,78 @@ def profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key / foreign-key discovery across the star schema
+# ---------------------------------------------------------------------------
+
+_FK_PAIRS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_discovery_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in _FK_PAIRS:
+        parts.append(f"""
+SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+       (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct}) AS n_child_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {pt}) AS n_parent_rows,
+       (SELECT CAST(COUNT(DISTINCT {pc}) AS BIGINT) FROM {pt}) AS n_parent_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.v)) AS n_orphans""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("dq_fk_discovery", oracle=_fk_discovery_oracle(), tags=("profile", "quality", "join"))
+def dq_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key/foreign-key discovery report over the star schema: for every
+    candidate (child → parent) relationship, the child's distinct key
+    count, whether the parent column is actually a unique key
+    (n_parent_distinct vs n_parent_rows), and the number of ORPHAN
+    child values with no parent row — the referential-integrity sweep a
+    warehouse runs before trusting joins (and the evidence a catalog
+    tool uses to propose constraints). All seven declared TPC-H-style
+    relationships are checked in one result.
+
+    Scale shape per pair: the child side reduces to its DISTINCT key
+    set first (map-side combined), so the anti-join probes |keys| not
+    |rows|; parents are dimension tables (broadcast). Uniqueness is two
+    counts on the parent. Nothing shuffles the fact tables beyond the
+    distinct aggregates."""
+    out = None
+    for ct, cc, pt, pc in _FK_PAIRS:
+        child = load_table(spark, sf_dir, ct).select(F.col(cc).alias("v"))
+        parent = load_table(spark, sf_dir, pt).select(F.col(pc).alias("p"))
+        ckeys = child.filter(F.col("v").isNotNull()).distinct()
+        orphans = ckeys.join(
+            F.broadcast(parent.distinct()), ckeys["v"] == F.col("p"), "left_anti"
+        )
+        row = (
+            ckeys.agg(F.count(F.lit(1)).cast("long").alias("n_child_distinct"))
+            .crossJoin(
+                parent.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_parent_rows"),
+                    F.count_distinct("p").cast("long").alias("n_parent_distinct"),
+                )
+            )
+            .crossJoin(orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans")))
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                "n_child_distinct",
+                "n_parent_rows",
+                "n_parent_distinct",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

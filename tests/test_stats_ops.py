@@ -564,3 +564,18 @@ def test_brown_forsythe_null_and_f_positive(spark):
     r = stats_brown_forsythe(spark, "/root/testdata/sf0.001").collect()[0]
     assert r["k"] == 5 and r["n_tot"] == 1000
     assert 0.0 < r["f_stat"] < 3.0
+
+
+def test_fk_discovery_reports_intact_star_schema(spark):
+    """On the generated star schema every declared relationship must
+    hold: all seven pairs reported, every parent key unique, zero
+    orphans — this doubles as a testdata referential-integrity canary
+    (a regen that broke FK containment would surface here first)."""
+    from insurance_claim_data_pipeline_spark.operators.profile import dq_fk_discovery
+
+    rows = dq_fk_discovery(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["n_parent_rows"] == r["n_parent_distinct"], r["parent"]
+        assert r["n_orphans"] == 0, r["child"]
+        assert 0 < r["n_child_distinct"] <= r["n_parent_distinct"]
