@@ -179,3 +179,109 @@ def sink_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+# ---- curriculum-ordered packing -----------------------------------------
+
+CURRICULUM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_unique,
+         CAST(len(list_filter(toks, t -> t IN {{STOPWORDS}})) AS DOUBLE) AS n_stop
+  FROM tok
+), q AS (
+  SELECT doc_id, n_tok,
+         ROUND(0.4 * (1.0 - n_stop / n_tokens)
+             + 0.4 * (n_unique / n_tokens)
+             + 0.2 * LEAST(n_tokens / 100.0, 1.0), 6) AS quality_score
+  FROM m
+), c AS (
+  SELECT doc_id, n_tok, quality_score,
+         ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS r,
+         CAST(SUM(n_tok) OVER (ORDER BY quality_score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM q
+)
+SELECT doc_id, quality_score, CAST(r AS BIGINT) AS r, n_tok,
+       cum_end - n_tok AS start_offset,
+       (cum_end - n_tok) // {SEQ_LEN} AS chunk_id
+FROM c
+"""
+
+
+def _curriculum_oracle() -> str:
+    from .textops import _STOPWORDS
+
+    return CURRICULUM_ORACLE.replace("{STOPWORDS}", repr(_STOPWORDS))
+
+
+@register(
+    "pack_curriculum_chunks",
+    oracle=_curriculum_oracle(),
+    tags=("llm", "packing", "window", "scale"),
+)
+def pack_curriculum_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered packing: documents laid out by DESCENDING
+    quality score (ties by doc_id) before the token stream is cut into
+    SEQ_LEN chunks — so early training chunks contain the highest-
+    quality text (the curriculum/annealing data-ordering trick; with
+    the sort flipped it is the same plan as quality-annealed tails).
+
+    The layout order is no longer doc_id, so the prefix sum buckets by
+    the exact two-level distributed RANK over (quality desc, doc_id)
+    instead of id ranges: rank → rank-bucket → per-bucket running sum
+    + broadcast bucket offsets — the pack_concat_chunks construction
+    composed with _with_global_rank, every stage scale-safe."""
+    from .analytics import _with_global_rank
+    from .textops import _STOPWORDS
+    from ..functions.text import tokens
+
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+    score = F.round(
+        0.4 * (F.lit(1.0) - n_stop / n)
+        + 0.4 * (uniq / n)
+        + 0.2 * F.least(n / 100.0, F.lit(1.0)),
+        6,
+    )
+    q = doc.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        score.alias("quality_score"),
+    )
+    ranked = _with_global_rank(q, "quality_score", "doc_id", "r").drop("_n_total")
+    d = ranked.withColumn(
+        "bkt", F.expr(f"(r - 1) div {PACK_BUCKET_W}")
+    )
+    cum_in_bkt = F.sum("n_tok").over(Window.partitionBy("bkt").orderBy("r"))
+    d = d.withColumn("cum_in_bkt", cum_in_bkt)
+    bkt_off = F.coalesce(
+        F.sum("bkt_tok").over(
+            Window.partitionBy(tiny_frame_key("bkt"))
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = (
+        d.groupBy("bkt")
+        .agg(F.sum("n_tok").alias("bkt_tok"))
+        .select("bkt", bkt_off.alias("bkt_off"))
+    )
+    j = d.join(F.broadcast(offsets), "bkt")
+    cum_end = F.col("bkt_off") + F.col("cum_in_bkt")
+    return j.select(
+        "doc_id",
+        "quality_score",
+        F.col("r").cast("long").alias("r"),
+        "n_tok",
+        (cum_end - F.col("n_tok")).alias("start_offset"),
+        F.floor((cum_end - F.col("n_tok")) / SEQ_LEN).cast("long").alias("chunk_id"),
+    )

@@ -968,3 +968,27 @@ def test_ivfpq_rerank_scores_are_exact_cosines(spark, sf_dir):
         assert key in adc_pairs
         if key in bf:
             assert r["cos_sim"] == bf[key]
+
+
+def test_curriculum_pack_orders_by_quality_and_conserves_tokens(spark, sf_dir):
+    """Curriculum contract: offsets follow the quality ranking (higher
+    quality ⇒ strictly earlier offset), rank 1 starts at 0, total
+    token count equals the id-ordered packing's (layout permutes, never
+    drops), and chunk ids are consistent with offsets."""
+    from insurance_claim_data_pipeline_spark.operators.packing import (
+        SEQ_LEN,
+        pack_concat_chunks,
+        pack_curriculum_chunks,
+    )
+
+    cur = pack_curriculum_chunks(spark, sf_dir).collect()
+    by_r = sorted(cur, key=lambda r: r["r"])
+    assert by_r[0]["r"] == 1 and by_r[0]["start_offset"] == 0
+    for a, b in zip(by_r, by_r[1:]):
+        assert (a["quality_score"], -a["doc_id"]) >= (b["quality_score"], -b["doc_id"])
+        assert b["start_offset"] == a["start_offset"] + a["n_tok"]
+    assert sum(r["n_tok"] for r in cur) == sum(
+        r["n_tok"] for r in pack_concat_chunks(spark, sf_dir).collect()
+    )
+    for r in cur:
+        assert r["chunk_id"] == r["start_offset"] // SEQ_LEN
