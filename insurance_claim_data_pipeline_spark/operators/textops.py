@@ -2170,3 +2170,54 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier eval against labels)
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+WITH pred AS ({_langid_oracle()}),
+conf AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), tot AS (
+  SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_label FROM conf GROUP BY 1
+)
+SELECT c.labeled_lang, c.predicted_lang, c.n, t.n_label,
+       CAST(c.n * 1000000 // t.n_label AS BIGINT) AS rate_e6
+FROM conf c JOIN tot t ON c.labeled_lang = t.labeled_lang
+"""
+
+
+@register(
+    "text_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    tags=("text", "llm", "agg"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval view of the language-ID heuristic: the full
+    labeled×predicted confusion matrix with exact per-label rates —
+    what you read before trusting a lang filter in a curation pipeline
+    (per-class recall sits on the diagonal; systematic confusions jump
+    out as hot off-diagonal cells). The synthetic corpus draws from one
+    shared vocabulary, so the matrix shows heavy cross-language
+    confusion BY DESIGN — exactly the failure mode this report exists
+    to catch.
+
+    Scale: composes the langid scan (narrow, broadcast word profiles)
+    with a |langs|²-bounded aggregate — one pass, one tiny shuffle."""
+    pred = text_langid(spark, sf_dir)
+    conf = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = conf.groupBy("labeled_lang").agg(F.sum("n").cast("long").alias("n_label"))
+    return conf.join(F.broadcast(tot), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        "n_label",
+        F.expr("CAST(n * 1000000 div n_label AS BIGINT)").alias("rate_e6"),
+    )

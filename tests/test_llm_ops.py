@@ -992,3 +992,25 @@ def test_curriculum_pack_orders_by_quality_and_conserves_tokens(spark, sf_dir):
     )
     for r in cur:
         assert r["chunk_id"] == r["start_offset"] // SEQ_LEN
+
+
+def test_langid_confusion_rates_partition_each_label(spark, sf_dir):
+    """Matrix contract: per-label rates sum to ~1e6 (integer-division
+    remainder < number of cells), every cell count is consistent with
+    its label total, and the cell set covers every labeled language."""
+    from collections import defaultdict
+
+    from insurance_claim_data_pipeline_spark.operators.textops import (
+        text_langid_confusion,
+    )
+
+    rows = text_langid_confusion(spark, sf_dir).collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r["labeled_lang"]].append(r)
+    assert set(by_label) == {"en", "es", "fr", "de", "zh"}
+    for label, cells in by_label.items():
+        n_label = cells[0]["n_label"]
+        assert sum(c["n"] for c in cells) == n_label
+        rate_sum = sum(c["rate_e6"] for c in cells)
+        assert 1_000_000 - len(cells) < rate_sum <= 1_000_000, label
