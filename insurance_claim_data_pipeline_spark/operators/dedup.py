@@ -1021,3 +1021,67 @@ def dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): cosine graph -> components -> keep flags
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH pairs AS ({EMB_COSINE_ORACLE}),
+sym AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+  UNION SELECT vec_a, vec_a FROM pairs
+  UNION SELECT vec_b, vec_b FROM pairs
+), reach AS (
+  WITH RECURSIVE r(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM r JOIN sym s ON r.v = s.u
+  )
+  SELECT * FROM r
+), comp AS (
+  SELECT u AS vec_id, MIN(v) AS component_id FROM reach GROUP BY u
+)
+SELECT e.vec_id,
+       COALESCE(c.component_id, e.vec_id) AS component_id,
+       (COALESCE(c.component_id, e.vec_id) = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_components",
+    oracle=SEMANTIC_DEDUP_ORACLE,
+    tags=("dedup", "llm", "iterative", "embedding"),
+)
+def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shaped: build the cosine
+    near-dup graph over EMBEDDINGS (meaning-level duplicates that share
+    no n-grams — the class every lexical dedup in this engine misses),
+    collapse it to connected components by iterative min-label
+    propagation, and emit every vector with its cluster canonical and a
+    keep flag true for exactly one member per cluster.
+    ``filter(keep)`` IS the semantically deduplicated corpus — the same
+    apply-step interface as dedup_apply_representatives, so lexical and
+    semantic dedup compose interchangeably in a curation chain.
+
+    Scale: the pair stage here is the oracle-checkable brute-force
+    baseline; at 100 TB swap in the hyperplane-bucketed candidates
+    (sim_topk_lsh's plan) — everything downstream (components, keep
+    flags) consumes only the pair frame and is bounded by near-dup
+    density, not corpus size. The oracle replays the full chain
+    including the recursive closure."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = min_label_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return emb.join(comp, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("component_id", "vec_id").alias("component_id"),
+        (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("keep"),
+    )

@@ -1014,3 +1014,27 @@ def test_langid_confusion_rates_partition_each_label(spark, sf_dir):
         assert sum(c["n"] for c in cells) == n_label
         rate_sum = sum(c["rate_e6"] for c in cells)
         assert 1_000_000 - len(cells) < rate_sum <= 1_000_000, label
+
+
+def test_semantic_dedup_component_invariants(spark, sf_dir):
+    """Cluster contract: exactly one kept member per component (the
+    canonical = min vec_id), every pair above threshold lands in one
+    component, and isolated vectors keep themselves."""
+    from collections import defaultdict
+
+    from insurance_claim_data_pipeline_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_semantic_components,
+    )
+
+    rows = dedup_semantic_components(spark, sf_dir).collect()
+    comp = {r["vec_id"]: r["component_id"] for r in rows}
+    members = defaultdict(list)
+    for r in rows:
+        members[r["component_id"]].append(r)
+    for cid, ms in members.items():
+        assert cid == min(m["vec_id"] for m in ms)
+        assert sum(1 for m in ms if m["keep"]) == 1
+        assert next(m for m in ms if m["keep"])["vec_id"] == cid
+    for p in dedup_embedding_cosine(spark, sf_dir).collect():
+        assert comp[p["vec_a"]] == comp[p["vec_b"]], (p["vec_a"], p["vec_b"])
