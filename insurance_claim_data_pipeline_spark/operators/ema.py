@@ -541,3 +541,104 @@ def croston_frame(wk: DataFrame) -> DataFrame:
         return out
 
     return wk.groupBy("l_partkey").applyInPandas(croston_group, schema=CROSTON_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM alarm: online upward-drift detection on hourly event counts
+# ---------------------------------------------------------------------------
+
+# allowance k = mu/10, alarm threshold h = 3*mu — integer-exact monitor
+# parameters (no sigma, no sqrt): right for count series where the mean
+# sets the scale.
+
+CUSUM_SCHEMA = (
+    "event_type string, hour_idx bigint, n bigint, s_plus_e6 bigint, alarm boolean"
+)
+
+CUSUM_ORACLE = f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, (epoch_us(ts) // {US_1H}) AS hour_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), mu AS (
+  SELECT event_type,
+         (CAST(SUM(n) AS BIGINT) * {E6}) // CAST(COUNT(*) AS BIGINT) AS mu_e6
+  FROM hourly GROUP BY 1
+), seq AS (
+  SELECT h.event_type, h.hour_idx, h.n,
+         h.n * {E6} - m.mu_e6 - m.mu_e6 // 10 AS inc_e6,
+         m.mu_e6 * 3 AS h_e6,
+         ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.hour_idx) AS rn
+  FROM hourly h JOIN mu m ON h.event_type = m.event_type
+), rec AS (
+  SELECT event_type, hour_idx, n, rn, h_e6,
+         GREATEST(CAST(0 AS BIGINT), inc_e6) AS s_plus_e6
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.hour_idx, s.n, s.rn, s.h_e6,
+         GREATEST(CAST(0 AS BIGINT), r.s_plus_e6 + s.inc_e6)
+  FROM seq s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, hour_idx, n, s_plus_e6, s_plus_e6 > h_e6 AS alarm
+FROM rec
+"""
+
+
+@register("events_cusum_alarm", oracle=CUSUM_ORACLE, tags=("events", "pandas", "drift"))
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor on each type's hourly count
+    series: S⁺ accumulates excursions above mean+allowance and resets
+    at zero; an alarm fires when S⁺ crosses the threshold. This is the
+    ONLINE complement to events_changepoint_meanshift (which dates a
+    shift retrospectively) — CUSUM is what pagers run, because it
+    bounds detection delay for a given false-alarm rate. Allowance
+    k = μ/10 and threshold h = 3μ are integer-exact (count series:
+    the mean sets the scale; no σ, no sqrt — the all-integer monitor).
+
+    Same recurrence shape as Holt: S⁺ depends on its own previous
+    value through a max-with-zero (no window frame can express the
+    reset), so the tiny per-type hourly series runs through an Arrow
+    closure, replayed exactly by the recursive-CTE oracle (GREATEST is
+    exact on integers, so floor/truncate reconciliation never arises)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return cusum_frame(hourly)
+
+
+def cusum_frame(hourly: DataFrame) -> DataFrame:
+    """Core of :func:`events_cusum_alarm` over any
+    ``(event_type, hour_idx, n)`` hourly-count frame."""
+    hourly = hourly.localCheckpoint(eager=False)  # feeds mu + the series
+    mu = hourly.groupBy("event_type").agg(
+        F.expr(f"(SUM(n) * {E6}) div COUNT(*)").cast("long").alias("mu_e6")
+    )
+    seq = hourly.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "hour_idx",
+        "n",
+        (F.col("n") * E6 - F.col("mu_e6") - F.expr("mu_e6 div 10")).alias("inc_e6"),
+        (F.col("mu_e6") * 3).alias("h_e6"),
+    )
+
+    def cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hour_idx").reset_index(drop=True)
+        s = 0
+        out_s: list[int] = []
+        alarms: list[bool] = []
+        for inc, h in zip(pdf["inc_e6"], pdf["h_e6"]):
+            s = max(0, s + int(inc))
+            out_s.append(s)
+            alarms.append(s > int(h))
+        out = pdf[["event_type", "hour_idx", "n"]].copy()
+        out["s_plus_e6"] = out_s
+        out["alarm"] = alarms
+        return out
+
+    return seq.groupBy("event_type").applyInPandas(cusum_group, schema=CUSUM_SCHEMA)

@@ -579,3 +579,23 @@ def test_fk_discovery_reports_intact_star_schema(spark):
         assert r["n_parent_rows"] == r["n_parent_distinct"], r["parent"]
         assert r["n_orphans"] == 0, r["child"]
         assert 0 < r["n_child_distinct"] <= r["n_parent_distinct"]
+
+
+def test_cusum_fires_on_planted_level_shift(spark):
+    """Monitor semantics on planted data: a stationary prefix (n=10)
+    followed by a sustained +50% shift (n=15) must stay quiet before
+    the shift and fire within the shifted region; a fully stationary
+    twin series never alarms."""
+    from insurance_claim_data_pipeline_spark.operators.ema import cusum_frame
+
+    shifted = [("a", h, 10) for h in range(40)] + [("a", h, 15) for h in range(40, 80)]
+    flat = [("b", h, 10) for h in range(80)]
+    hourly = spark.createDataFrame(
+        shifted + flat, "event_type string, hour_idx long, n long"
+    )
+    rows = {(r["event_type"], r["hour_idx"]): r for r in cusum_frame(hourly).collect()}
+    assert not any(rows[("b", h)]["alarm"] for h in range(80))
+    assert not any(rows[("a", h)]["alarm"] for h in range(40))
+    assert any(rows[("a", h)]["alarm"] for h in range(40, 80))
+    # S resets at zero during the stationary prefix
+    assert rows[("a", 39)]["s_plus_e6"] == 0
