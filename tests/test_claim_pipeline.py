@@ -235,3 +235,15 @@ def test_o1_order_survives_multisplit_csv(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
     assert got == [f"C{i:06d}" for i in range(n)]
+
+
+def test_cli_list_queries_and_unknown_query(capsys):
+    """The query CLI surfaces the whole registry without touching Spark
+    (list mode) and fails cleanly on unknown names; the legacy
+    file-args mode is untouched (covered by the golden CLI test)."""
+    from insurance_claim_data_pipeline_spark.__main__ import main
+
+    assert main(["list-queries", "--tag", "bench"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "[oracle]" in out
+    assert main(["query", "no_such_query"]) == 2
