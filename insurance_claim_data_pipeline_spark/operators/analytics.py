@@ -2291,3 +2291,118 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n * 1000000 div n_tot AS BIGINT)").alias("share_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention power-law decay fit (log-log OLS over the blended curve)
+# ---------------------------------------------------------------------------
+
+RETENTION_FIT_MAX_OFFSET = 30
+
+RETENTION_FIT_ORACLE = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), cohort AS (
+  SELECT user_id, MIN(d) AS cohort_day FROM activity GROUP BY user_id
+), bounds AS (SELECT MAX(d) AS max_d FROM activity),
+ret AS (
+  SELECT date_diff('day', c.cohort_day, a.d) AS o, CAST(COUNT(*) AS BIGINT) AS retained
+  FROM activity a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY 1
+), offs AS (
+  SELECT unnest(generate_series(1, {RETENTION_FIT_MAX_OFFSET})) AS o
+), risk AS (
+  SELECT offs.o, CAST(COUNT(*) AS BIGINT) AS at_risk
+  FROM offs, cohort c, bounds b
+  WHERE c.cohort_day <= b.max_d - CAST(offs.o AS INTEGER)
+  GROUP BY 1
+), pts AS (
+  SELECT CAST(ROUND(ln(CAST(r.o AS DOUBLE)) * 1000000) AS BIGINT) AS x_e6,
+         CAST(ROUND(ln(CAST(r.retained AS DOUBLE) / k.at_risk) * 1000000) AS BIGINT) AS y_e6
+  FROM ret r JOIN risk k ON r.o = k.o
+  WHERE r.retained > 0 AND k.at_risk > 0
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(x_e6) AS BIGINT) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y_e6) AS BIGINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x_e6 * y_e6) AS BIGINT) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(x_e6 * x_e6) AS BIGINT) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS decay_exponent,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / (n * 1000000.0)
+         AS intercept_ln
+FROM mom
+"""
+
+
+@register(
+    "events_retention_decay_fit",
+    oracle=RETENTION_FIT_ORACLE,
+    tags=("events", "analytics", "agg"),
+)
+def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the blended retention curve: retention at day
+    offset o (retained ÷ at-risk, censoring-aware — only cohorts whose
+    observation window reaches o count in the denominator) follows
+    rate ≈ C·o^k on healthy products; the fitted exponent k is the ONE
+    number that summarizes the retention triangle, and regime changes
+    in k flag onboarding or cohort-quality shifts. Offsets 1..30,
+    log-log OLS with the zipf/heaps quantized-moment idiom (per-point
+    ×1e6 integer logs, exact moment sums, fixed IEEE slope tree).
+
+    Scale: reuses the cohort triangle's aggregates; the at-risk
+    denominator is a 30×|users| broadcast-filtered count and the fit
+    runs on ≤30 points."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    activity = activity.localCheckpoint(eager=False)  # cohort + bounds + ret
+    cohort = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    bounds = activity.agg(F.max("d").alias("max_d"))
+    ret = (
+        activity.join(cohort, "user_id")
+        .groupBy(F.datediff("d", "cohort_day").alias("o"))
+        .agg(F.count(F.lit(1)).cast("long").alias("retained"))
+    )
+    offs = spark.range(1, RETENTION_FIT_MAX_OFFSET + 1).select(
+        F.col("id").cast("int").alias("o")
+    )
+    risk = (
+        cohort.crossJoin(F.broadcast(offs))
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("cohort_day") <= F.expr("date_sub(max_d, o)"))
+        .groupBy("o")
+        .agg(F.count(F.lit(1)).cast("long").alias("at_risk"))
+    )
+    pts = (
+        ret.join(risk, "o")
+        .filter((F.col("retained") > 0) & (F.col("at_risk") > 0))
+        .select(
+            F.round(F.log(F.col("o").cast("double")) * 1_000_000)
+            .cast("long")
+            .alias("x_e6"),
+            F.round(
+                F.log(F.col("retained").cast("double") / F.col("at_risk")) * 1_000_000
+            )
+            .cast("long")
+            .alias("y_e6"),
+        )
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_e6").cast("long").cast("double").alias("sx"),
+        F.sum("y_e6").cast("long").cast("double").alias("sy"),
+        F.sum(F.col("x_e6") * F.col("y_e6")).cast("long").cast("double").alias("sxy"),
+        F.sum(F.col("x_e6") * F.col("x_e6")).cast("long").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("n").alias("n_points"),
+        slope.alias("decay_exponent"),
+        ((F.col("sy") - slope * F.col("sx")) / (F.col("n") * F.lit(1_000_000.0))).alias(
+            "intercept_ln"
+        ),
+    )

@@ -599,3 +599,19 @@ def test_cusum_fires_on_planted_level_shift(spark):
     assert any(rows[("a", h)]["alarm"] for h in range(40, 80))
     # S resets at zero during the stationary prefix
     assert rows[("a", 39)]["s_plus_e6"] == 0
+
+
+def test_retention_decay_fit_null_reading(spark):
+    """The synthetic users are uniformly active, so the blended
+    retention curve is nearly flat: the fitted power-law exponent must
+    be a small non-positive-ish value (|k| < 0.5), with a full
+    offsets-1..30 point set (minus any zero-retention offsets)."""
+    from insurance_claim_data_pipeline_spark.operators.analytics import (
+        events_retention_decay_fit,
+    )
+
+    r = events_retention_decay_fit(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 10 <= r["n_points"] <= 30
+    assert abs(r["decay_exponent"]) < 0.5
+    # intercept_ln is ln(rate at offset 1): a probability, so <= 0
+    assert r["intercept_ln"] <= 0.0
