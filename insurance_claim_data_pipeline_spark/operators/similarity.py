@@ -2134,3 +2134,87 @@ def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.select("*", F.row_number().over(w2).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+MATRYOSHKA_DIMS = 16  # prefix dims for the truncated index
+
+
+def _matryoshka_oracle() -> str:
+    trunc = "list_transform(embedding[1:{d}], x -> CAST(x AS DOUBLE))".format(
+        d=MATRYOSHKA_DIMS
+    )
+    return f"""
+WITH full_rank AS ({TOPK_ORACLE}),
+e AS (SELECT vec_id, {trunc} AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND({cosine_sql('q.v', 'e.v')}, 6) AS cos_sim
+  FROM q JOIN e ON q.vec_id != e.vec_id
+), trunc_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t.neighbor_id) * 1000000 // {TOP_K} AS BIGINT) AS recall_e6
+FROM full_rank f
+LEFT JOIN trunc_rank t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY 1
+"""
+
+
+@register(
+    "emb_matryoshka_eval", oracle=_matryoshka_oracle(), tags=("similarity", "llm", "agg")
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation retrieval eval (the Matryoshka question): how
+    much of the full-precision top-5 survives when the index keeps only
+    the first MATRYOSHKA_DIMS of 64 dimensions? Per query: overlap
+    count and recall@5 of the truncated exact search against the
+    full-dimension exact search. For MRL-trained embeddings this is the
+    dial that prices a 4× index-size cut; for arbitrary embeddings
+    (these synthetic ones) it measures how much ranking signal the
+    leading dims happen to carry — the number you check BEFORE
+    truncating a production index.
+
+    Scale: two broadcast-query scans (one on 16-dim prefixes — ¼ the
+    fold work), two per-query top-k windows, one Q·k-sized eval join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    t = emb.select(
+        "vec_id", as_double(F.slice("embedding", 1, MATRYOSHKA_DIMS)).alias("v")
+    )
+    q = t.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = t.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    trunc_rank = (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", F.col("neighbor_id").alias("t_neighbor"))
+    )
+    return (
+        full.join(
+            trunc_rank,
+            (full["query_id"] == trunc_rank["query_id"])
+            & (full["neighbor_id"] == F.col("t_neighbor")),
+            "left",
+        )
+        .groupBy(full["query_id"])
+        .agg(
+            F.count("t_neighbor").cast("long").alias("n_overlap"),
+            F.expr(f"CAST(COUNT(t_neighbor) * 1000000 div {TOP_K} AS BIGINT)").alias(
+                "recall_e6"
+            ),
+        )
+    )

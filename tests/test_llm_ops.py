@@ -1038,3 +1038,22 @@ def test_semantic_dedup_component_invariants(spark, sf_dir):
         assert next(m for m in ms if m["keep"])["vec_id"] == cid
     for p in dedup_embedding_cosine(spark, sf_dir).collect():
         assert comp[p["vec_a"]] == comp[p["vec_b"]], (p["vec_a"], p["vec_b"])
+
+
+def test_matryoshka_eval_bounds_and_signal(spark, sf_dir):
+    """Eval contract: one row per query, overlap bounded by k, recall
+    is the exact overlap ratio, and the 16-dim prefix carries more
+    ranking signal than random guessing (expected overlap at chance is
+    k²/N ≈ 0.05 per query — the observed mean must clearly beat it)."""
+    from insurance_claim_data_pipeline_spark.operators.similarity import (
+        TOP_K,
+        emb_matryoshka_eval,
+    )
+
+    rows = emb_matryoshka_eval(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= TOP_K
+        assert r["recall_e6"] == r["n_overlap"] * 1_000_000 // TOP_K
+    mean_overlap = sum(r["n_overlap"] for r in rows) / len(rows)
+    assert mean_overlap > 0.2
