@@ -486,6 +486,13 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     the algorithmic/scale discussion; extracted so pipeline
     compositions (operators/pipeline.py) can canonicalize their own
     candidate graphs."""
+    # Cut lineage on the INPUT once: every propagation round references
+    # the pair frame through edges/verts, and each round adds an eager
+    # checkpoint plus a convergence count — without this cut the
+    # upstream candidate-generation plan (for the semantic caller, a
+    # quadratic cosine scan) re-executes per round (measured: the
+    # sf0.1 semantic-dedup run went from tens of minutes to seconds).
+    pairs = pairs.localCheckpoint(eager=False)
     # vertices that participate in at least one near-dup pair
     verts = (
         pairs.select(F.col("doc_a").alias("doc_id"))
