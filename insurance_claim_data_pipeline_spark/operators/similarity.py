@@ -2218,3 +2218,125 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization: sign-bit codes, Hamming shortlist, exact re-rank
+# ---------------------------------------------------------------------------
+
+BQ_SHORTLIST = 20
+
+
+def _sign_word_sql(v: str, lo: int) -> str:
+    """32 sign bits of ``v[lo+1 .. lo+32]`` packed into a BIGINT —
+    64 CASE terms total per vector, identical text on both engines."""
+    return " + ".join(
+        f"(CASE WHEN {v}[{lo + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(32)
+    )
+
+
+def _sign_word_spark(v: str, lo: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN element_at({v}, {lo + j + 1}) >= 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(32)
+    )
+
+
+def _binary_hamming_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), code AS (
+  SELECT vec_id, v,
+         CAST({_sign_word_sql('v', 0)} AS BIGINT) AS w0,
+         CAST({_sign_word_sql('v', 32)} AS BIGINT) AS w1
+  FROM e
+), q AS (SELECT * FROM code WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS BIGINT)
+           AS hamming
+  FROM q JOIN code c ON q.vec_id != c.vec_id
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, neighbor_id) AS srnk
+    FROM scored
+  ) WHERE srnk <= {BQ_SHORTLIST}
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND({cosine_sql('qe.v', 'ne.v')}, 6) AS cos_sim
+  FROM shortlist s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_binary_hamming",
+    oracle=_binary_hamming_oracle(),
+    tags=("similarity", "llm", "approx", "scale"),
+)
+def sim_topk_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization retrieval — the 1-bit compression point
+    completing the int8 → PQ → binary ladder: each vector collapses to
+    its 64 SIGN BITS packed into two BIGINT words (512× smaller than
+    the floats), candidates rank by Hamming distance (two XOR+popcount
+    ops per pair — the cheapest similarity primitive that exists), and
+    the BQ_SHORTLIST best re-rank by exact cosine. This is the
+    modern binary-quantization recipe vector stores ship because the
+    Hamming scan is memory-bandwidth-bound, not FLOP-bound.
+
+    Everything is deterministic (sign bits from the raw floats, integer
+    Hamming, the shared exact re-rank), so the full pipeline is
+    hash-proven. Sign-bit packing is a 64-term integer CASE sum —
+    whole-stage codegen, no HOF lambda, identical expression text in
+    the oracle. Scale: codes build in one narrow pass; the scan
+    touches 16 bytes/vector against broadcast query words."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    code = emb.select(
+        "vec_id",
+        "v",
+        F.expr(f"CAST({_sign_word_spark('v', 0)} AS BIGINT)").alias("w0"),
+        F.expr(f"CAST({_sign_word_spark('v', 32)} AS BIGINT)").alias("w1"),
+    )
+    q = code.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = code.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "v",
+        "qv",
+        F.expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)").alias(
+            "hamming"
+        ),
+    )
+    ws = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    shortlist = (
+        scored.select("*", F.row_number().over(ws).alias("srnk"))
+        .filter(F.col("srnk") <= BQ_SHORTLIST)
+    )
+    rescored = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rescored.select("*", F.row_number().over(w2).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

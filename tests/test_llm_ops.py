@@ -1057,3 +1057,26 @@ def test_matryoshka_eval_bounds_and_signal(spark, sf_dir):
         assert r["recall_e6"] == r["n_overlap"] * 1_000_000 // TOP_K
     mean_overlap = sum(r["n_overlap"] for r in rows) / len(rows)
     assert mean_overlap > 0.2
+
+
+def test_binary_hamming_scores_exact_and_recall(spark, sf_dir):
+    """1-bit retrieval contract: returned scores are exact cosines
+    (shared refine), per-query k holds, and the sign-bit Hamming
+    shortlist recalls materially more of the true top-5 than chance
+    (sign bits of cosine-similar vectors agree — the hyperplane-LSH
+    argument with coordinate planes)."""
+    from collections import Counter
+
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    bq = similarity.sim_topk_binary_hamming(spark, sf_dir).collect()
+    per_q = Counter(r["query_id"] for r in bq)
+    assert all(v <= similarity.TOP_K for v in per_q.values())
+    for r in bq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert r["cos_sim"] == bf[key]
+    recall = len({(r["query_id"], r["neighbor_id"]) for r in bq} & set(bf)) / len(bf)
+    assert recall >= 0.2, recall
