@@ -2406,3 +2406,104 @@ def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_ln"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Metric-tree decomposition: revenue growth = users x frequency x AOV
+# ---------------------------------------------------------------------------
+
+METRIC_TREE_ORACLE = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS val_c
+  FROM events WHERE event_type = 'purchase'
+), mid AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM p
+), halves AS (
+  SELECT CASE WHEN ts_us <= mid_us THEN 0 ELSE 1 END AS half,
+         user_id, val_c
+  FROM p, mid
+), agg AS (
+  SELECT half,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+         CAST(COUNT(*) AS BIGINT) AS orders,
+         CAST(SUM(val_c) AS BIGINT) AS rev_c
+  FROM halves GROUP BY 1
+), lns AS (
+  SELECT half, users, orders, rev_c,
+         CAST(ROUND(ln(CAST(users AS DOUBLE)) * 1000000) AS BIGINT) AS ln_users_e6,
+         CAST(ROUND(ln(CAST(orders AS DOUBLE) / users) * 1000000) AS BIGINT) AS ln_freq_e6,
+         CAST(ROUND(ln(CAST(rev_c AS DOUBLE) / orders) * 1000000) AS BIGINT) AS ln_aov_e6,
+         CAST(ROUND(ln(CAST(rev_c AS DOUBLE)) * 1000000) AS BIGINT) AS ln_rev_e6
+  FROM agg
+)
+SELECT b.users - a.users AS d_users,
+       b.rev_c - a.rev_c AS d_rev_c,
+       b.ln_rev_e6 - a.ln_rev_e6 AS dln_rev_e6,
+       b.ln_users_e6 - a.ln_users_e6 AS dln_users_e6,
+       b.ln_freq_e6 - a.ln_freq_e6 AS dln_freq_e6,
+       b.ln_aov_e6 - a.ln_aov_e6 AS dln_aov_e6
+FROM lns a JOIN lns b ON a.half = 0 AND b.half = 1
+"""
+
+
+@register(
+    "events_metric_tree", oracle=METRIC_TREE_ORACLE, tags=("events", "analytics", "agg")
+)
+def events_metric_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver decomposition of revenue growth between the two halves of
+    the event window — the metric-tree identity every growth review
+    runs: ln(revenue) = ln(buyers) + ln(orders/buyer) + ln(AOV), so the
+    log-deltas attribute the period-over-period change EXACTLY to its
+    three drivers (Δln_rev = Δln_users + Δln_freq + Δln_aov up to the
+    four independent ×1e6 roundings — the identity is gated in tests
+    within that tolerance). Log attribution is the standard because
+    multiplicative factors become additive contributions.
+
+    Exactness: integer-cent revenue, exact distinct/count/sum state per
+    half (one conditional-aggregate pass), logs quantized ×1e6 from
+    identical exact integers. Scale: one purchase-filtered scan to a
+    2-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("val_c"),
+    ).localCheckpoint(eager=False)  # feeds the midpoint + both halves
+    mid = p.agg(
+        F.expr("(MIN(ts_us) + MAX(ts_us)) div 2").cast("long").alias("mid_us")
+    )
+    halves = p.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("ts_us") <= F.col("mid_us"), 0).otherwise(1).alias("half"),
+        "user_id",
+        "val_c",
+    )
+    agg = halves.groupBy("half").agg(
+        F.count_distinct("user_id").cast("long").alias("users"),
+        F.count(F.lit(1)).cast("long").alias("orders"),
+        F.sum("val_c").cast("long").alias("rev_c"),
+    )
+    ln_e6 = lambda c: F.round(F.log(c) * 1_000_000).cast("long")  # noqa: E731
+    lns = agg.select(
+        "half",
+        "users",
+        "rev_c",
+        ln_e6(F.col("users").cast("double")).alias("ln_users_e6"),
+        ln_e6(F.col("orders").cast("double") / F.col("users")).alias("ln_freq_e6"),
+        ln_e6(F.col("rev_c").cast("double") / F.col("orders")).alias("ln_aov_e6"),
+        ln_e6(F.col("rev_c").cast("double")).alias("ln_rev_e6"),
+    )
+    a = lns.filter(F.col("half") == 0).select(
+        *[F.col(c).alias(f"a_{c}") for c in lns.columns]
+    )
+    b = lns.filter(F.col("half") == 1).select(
+        *[F.col(c).alias(f"b_{c}") for c in lns.columns]
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        (F.col("b_users") - F.col("a_users")).alias("d_users"),
+        (F.col("b_rev_c") - F.col("a_rev_c")).alias("d_rev_c"),
+        (F.col("b_ln_rev_e6") - F.col("a_ln_rev_e6")).alias("dln_rev_e6"),
+        (F.col("b_ln_users_e6") - F.col("a_ln_users_e6")).alias("dln_users_e6"),
+        (F.col("b_ln_freq_e6") - F.col("a_ln_freq_e6")).alias("dln_freq_e6"),
+        (F.col("b_ln_aov_e6") - F.col("a_ln_aov_e6")).alias("dln_aov_e6"),
+    )

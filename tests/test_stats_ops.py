@@ -615,3 +615,18 @@ def test_retention_decay_fit_null_reading(spark):
     assert abs(r["decay_exponent"]) < 0.5
     # intercept_ln is ln(rate at offset 1): a probability, so <= 0
     assert r["intercept_ln"] <= 0.0
+
+
+def test_metric_tree_log_identity(spark):
+    """The decomposition is exact in logs: Δln(revenue) must equal the
+    sum of the three driver deltas up to the four independent ×1e6
+    roundings (|residue| ≤ 4)."""
+    from insurance_claim_data_pipeline_spark.operators.analytics import (
+        events_metric_tree,
+    )
+
+    r = events_metric_tree(spark, "/root/testdata/sf0.001").collect()[0]
+    residue = r["dln_rev_e6"] - (
+        r["dln_users_e6"] + r["dln_freq_e6"] + r["dln_aov_e6"]
+    )
+    assert abs(residue) <= 4, residue
