@@ -2507,3 +2507,121 @@ def events_metric_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b_ln_freq_e6") - F.col("a_ln_freq_e6")).alias("dln_freq_e6"),
         (F.col("b_ln_aov_e6") - F.col("a_ln_aov_e6")).alias("dln_aov_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price indices: Laspeyres / Paasche / Fisher across shipdate halves
+# ---------------------------------------------------------------------------
+
+PRICE_INDEX_SPLIT = "1997-01-01"
+
+PRICE_INDEX_ORACLE = f"""
+WITH li AS (
+  SELECT l_partkey,
+         CASE WHEN CAST(l_shipdate AS DATE) < DATE '{PRICE_INDEX_SPLIT}'
+              THEN 0 ELSE 1 END AS half,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS rev_c,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_u
+  FROM lineitem
+), agg AS (
+  SELECT l_partkey, half,
+         CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+         CAST(SUM(qty_u) AS BIGINT) AS qty_u
+  FROM li GROUP BY 1, 2
+), both_h AS (
+  SELECT a.l_partkey,
+         a.rev_c AS rev0, a.qty_u AS qty0,
+         b.rev_c AS rev1, b.qty_u AS qty1
+  FROM agg a JOIN agg b
+    ON a.l_partkey = b.l_partkey AND a.half = 0 AND b.half = 1
+), terms AS (
+  SELECT l_partkey, rev0, rev1,
+         CAST(ROUND((CAST(rev1 AS DOUBLE) / qty1) * qty0) AS BIGINT) AS l_num,
+         CAST(ROUND((CAST(rev0 AS DOUBLE) / qty0) * qty1) AS BIGINT) AS p_den
+  FROM both_h
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(l_num) AS BIGINT) AS sl_num,
+         CAST(SUM(rev0) AS BIGINT) AS sl_den,
+         CAST(SUM(rev1) AS BIGINT) AS sp_num,
+         CAST(SUM(p_den) AS BIGINT) AS sp_den
+  FROM terms
+)
+SELECT n_parts,
+       CAST(sl_num * 1000000 // sl_den AS BIGINT) AS laspeyres_e6,
+       CAST(sp_num * 1000000 // sp_den AS BIGINT) AS paasche_e6,
+       CAST(ROUND(sqrt(CAST(sl_num * 1000000 // sl_den AS DOUBLE)
+                       * CAST(sp_num * 1000000 // sp_den AS BIGINT)))
+            AS BIGINT) AS fisher_e6
+FROM s
+"""
+
+
+@register(
+    "lineitem_price_index", oracle=PRICE_INDEX_ORACLE, tags=("analytics", "agg")
+)
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-weighted price indices between the pre/post-1997 halves
+    of lineitem — the economics-grade inflation read on the part
+    catalog: Laspeyres weights price relatives by the BASE-period
+    basket (Σp₁q₀/Σp₀q₀ — overstates, consumers substitute), Paasche
+    by the CURRENT basket (Σp₁q₁/Σp₀q₁ — understates), Fisher is their
+    geometric mean (the superlative index statistical agencies
+    publish). Only parts traded in both periods enter (matched-model
+    indexing).
+
+    Exactness: period unit prices are ratios of exact integer sums;
+    each part's cross-period term is rounded once to an integer so the
+    basket sums are order-independent; Σp₀q₀ and Σp₁q₁ need no
+    rounding at all (they ARE the exact revenue sums). One fact scan,
+    one (part, half) aggregate, one part-keyed self-join of that small
+    frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(
+            F.to_date("l_shipdate") < F.lit(PRICE_INDEX_SPLIT).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("rev_c"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_u"),
+    )
+    agg = li.groupBy("l_partkey", "half").agg(
+        F.sum("rev_c").cast("long").alias("rev_c"),
+        F.sum("qty_u").cast("long").alias("qty_u"),
+    ).localCheckpoint(eager=False)  # self-joined across halves
+    a = agg.filter(F.col("half") == 0).select(
+        "l_partkey",
+        F.col("rev_c").alias("rev0"),
+        F.col("qty_u").alias("qty0"),
+    )
+    b = agg.filter(F.col("half") == 1).select(
+        "l_partkey",
+        F.col("rev_c").alias("rev1"),
+        F.col("qty_u").alias("qty1"),
+    )
+    terms = a.join(b, "l_partkey").select(
+        "rev0",
+        "rev1",
+        F.round((F.col("rev1").cast("double") / F.col("qty1")) * F.col("qty0"))
+        .cast("long")
+        .alias("l_num"),
+        F.round((F.col("rev0").cast("double") / F.col("qty0")) * F.col("qty1"))
+        .cast("long")
+        .alias("p_den"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("l_num").cast("long").alias("sl_num"),
+        F.sum("rev0").cast("long").alias("sl_den"),
+        F.sum("rev1").cast("long").alias("sp_num"),
+        F.sum("p_den").cast("long").alias("sp_den"),
+    )
+    lasp = F.expr("CAST(sl_num * 1000000 div sl_den AS BIGINT)")
+    paas = F.expr("CAST(sp_num * 1000000 div sp_den AS BIGINT)")
+    return s.select(
+        "n_parts",
+        lasp.alias("laspeyres_e6"),
+        paas.alias("paasche_e6"),
+        F.round(F.sqrt(lasp.cast("double") * paas)).cast("long").alias("fisher_e6"),
+    )

@@ -630,3 +630,17 @@ def test_metric_tree_log_identity(spark):
         r["dln_users_e6"] + r["dln_freq_e6"] + r["dln_aov_e6"]
     )
     assert abs(residue) <= 4, residue
+
+
+def test_price_index_fisher_between_bounds(spark):
+    """Index-number algebra: Fisher is the geometric mean of Laspeyres
+    and Paasche, so it must lie between them; all indices are positive;
+    matched-model part count is bounded by the catalog."""
+    from insurance_claim_data_pipeline_spark.operators.analytics import (
+        lineitem_price_index,
+    )
+
+    r = lineitem_price_index(spark, "/root/testdata/sf0.001").collect()[0]
+    lo, hi = sorted((r["laspeyres_e6"], r["paasche_e6"]))
+    assert 0 < lo <= r["fisher_e6"] <= hi
+    assert 0 < r["n_parts"] <= 200
