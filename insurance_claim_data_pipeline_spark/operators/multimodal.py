@@ -678,3 +678,53 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("first_us"),
         F.max("ts_us").alias("last_us"),
     )
+
+
+BUCKETED_JOIN_ORACLE = f"""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {dec_sum_sql('l.l_extendedprice')} AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+@register(
+    "sink_bucketed_join_roundtrip",
+    oracle=BUCKETED_JOIN_ORACLE,
+    tags=("sink", "join", "scale"),
+)
+def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table round trip proven by JOIN: write orders and
+    lineitem as 8-bucket tables hashed on the join key (sorted within
+    buckets), read them back through the catalog, join and aggregate —
+    the oracle runs the same join over the ORIGINAL parquet, so a
+    matching hash certifies the bucketed layout preserved every row and
+    join match. Bucketing is THE 100 TB lever for the star schema: both
+    sides pre-shuffled on disk means the orders⋈lineitem Exchange —
+    the biggest shuffle in every TPC-H-style plan — disappears from
+    every downstream join forever (shuffle-freedom itself is
+    plan-gated in tests/test_bucketing.py; this query makes the layout
+    driver-visible and value-proven)."""
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "icdp_bucketed_tables")
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(f"icdp_bkt_{name}")
+        )
+    o = spark.table("icdp_bkt_orders")
+    li = spark.table("icdp_bkt_lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dec_sum("l_extendedprice").alias("revenue"),
+        )
+    )
