@@ -642,3 +642,111 @@ def cusum_frame(hourly: DataFrame) -> DataFrame:
         return out
 
     return seq.groupBy("event_type").applyInPandas(cusum_group, schema=CUSUM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Forecast model selection: persistence vs Holt vs seasonal Holt
+# ---------------------------------------------------------------------------
+
+ENSEMBLE_ORACLE = f"""
+WITH holt AS ({HOLT_ORACLE}),
+hw AS ({HW_ORACLE}),
+j AS (
+  SELECT h.event_type, h.hour_idx, h.n,
+         h.forecast_e6 AS f_holt, w.forecast_e6 AS f_hw,
+         LEAD(h.n) OVER win AS n_next,
+         LEAD(h.hour_idx) OVER win AS h_next
+  FROM holt h JOIN hw w
+    ON h.event_type = w.event_type AND h.hour_idx = w.hour_idx
+  WINDOW win AS (PARTITION BY h.event_type ORDER BY h.hour_idx)
+), err AS (
+  SELECT event_type,
+         ABS(n_next * {E6} - n * {E6}) AS e_pers,
+         ABS(n_next * {E6} - f_holt) AS e_holt,
+         ABS(n_next * {E6} - f_hw) AS e_hw
+  FROM j WHERE n_next IS NOT NULL AND h_next = hour_idx + 1
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_steps,
+         CAST(SUM(e_pers) AS BIGINT) // COUNT(*) AS mae_pers_e6,
+         CAST(SUM(e_holt) AS BIGINT) // COUNT(*) AS mae_holt_e6,
+         CAST(SUM(e_hw) AS BIGINT) // COUNT(*) AS mae_hw_e6
+  FROM err GROUP BY 1
+)
+SELECT event_type, n_steps, mae_pers_e6, mae_holt_e6, mae_hw_e6,
+       CASE WHEN mae_pers_e6 <= mae_holt_e6 AND mae_pers_e6 <= mae_hw_e6
+              THEN 'persistence'
+            WHEN mae_holt_e6 <= mae_hw_e6 THEN 'holt'
+            ELSE 'holt_winters' END AS best_model
+FROM agg
+"""
+
+
+@register(
+    "events_forecast_ensemble", oracle=ENSEMBLE_ORACLE, tags=("events", "forecast", "pandas")
+)
+def events_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest-driven model selection across the forecasting family:
+    for every event type, one-step-ahead MAE of naive persistence,
+    Holt (level+trend) and seasonal Holt on the SAME evaluation sample
+    — only contiguous-hour steps count, so all three models predict an
+    identically-defined target and the comparison is fair — then pick
+    the winner (ties resolve simplest-model-first, the parsimony
+    rule). This is the selection layer a forecasting service runs per
+    series: nobody ships 'the Holt-Winters number', they ship the
+    backtest champion.
+
+    All errors are exact integers in the shared ×1e6 forecast domain;
+    MAEs are floor divisions of exact sums. Scale: two per-type hourly
+    recursions (tiny Arrow closures) + one window + a |types|-row
+    aggregate."""
+    holt = events_holt_linear(spark, sf_dir).select(
+        "event_type", "hour_idx", "n", F.col("forecast_e6").alias("f_holt")
+    )
+    hw = events_holt_winters(spark, sf_dir).select(
+        "event_type", "hour_idx", F.col("forecast_e6").alias("f_hw")
+    )
+    win = W.partitionBy("event_type").orderBy("hour_idx")
+    j = (
+        holt.join(hw, ["event_type", "hour_idx"])
+        .select(
+            "event_type",
+            "hour_idx",
+            "n",
+            "f_holt",
+            "f_hw",
+            F.lead("n").over(win).alias("n_next"),
+            F.lead("hour_idx").over(win).alias("h_next"),
+        )
+        .filter(
+            F.col("n_next").isNotNull() & (F.col("h_next") == F.col("hour_idx") + 1)
+        )
+    )
+    err = j.select(
+        "event_type",
+        F.abs(F.col("n_next") * E6 - F.col("n") * E6).alias("e_pers"),
+        F.abs(F.col("n_next") * E6 - F.col("f_holt")).alias("e_holt"),
+        F.abs(F.col("n_next") * E6 - F.col("f_hw")).alias("e_hw"),
+    )
+    agg = err.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.expr("CAST(SUM(e_pers) AS BIGINT) div COUNT(*)").alias("mae_pers_e6"),
+        F.expr("CAST(SUM(e_holt) AS BIGINT) div COUNT(*)").alias("mae_holt_e6"),
+        F.expr("CAST(SUM(e_hw) AS BIGINT) div COUNT(*)").alias("mae_hw_e6"),
+    )
+    best = (
+        F.when(
+            (F.col("mae_pers_e6") <= F.col("mae_holt_e6"))
+            & (F.col("mae_pers_e6") <= F.col("mae_hw_e6")),
+            "persistence",
+        )
+        .when(F.col("mae_holt_e6") <= F.col("mae_hw_e6"), "holt")
+        .otherwise("holt_winters")
+    )
+    return agg.select(
+        "event_type",
+        "n_steps",
+        "mae_pers_e6",
+        "mae_holt_e6",
+        "mae_hw_e6",
+        best.alias("best_model"),
+    )

@@ -644,3 +644,35 @@ def test_price_index_fisher_between_bounds(spark):
     lo, hi = sorted((r["laspeyres_e6"], r["paasche_e6"]))
     assert 0 < lo <= r["fisher_e6"] <= hi
     assert 0 < r["n_parts"] <= 200
+
+
+def test_forecast_ensemble_winner_consistent_and_seasonal_dominates(spark):
+    """The winner field must be the argmin of the three reported MAEs
+    under the simplest-first tie rule (structural, any scale), and at
+    sf0.01 — where the hourly series are dense — the seasonal model
+    must beat naive persistence on a majority of types (the hour-of-day
+    pattern in the synthetic traffic is real signal, and the ensemble
+    detects it)."""
+    from insurance_claim_data_pipeline_spark.operators.ema import (
+        events_forecast_ensemble,
+    )
+
+    rows = events_forecast_ensemble(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    hw_beats = 0
+    for r in rows:
+        maes = {
+            "persistence": r["mae_pers_e6"],
+            "holt": r["mae_holt_e6"],
+            "holt_winters": r["mae_hw_e6"],
+        }
+        if maes["persistence"] <= maes["holt"] and maes["persistence"] <= maes["holt_winters"]:
+            expect = "persistence"
+        elif maes["holt"] <= maes["holt_winters"]:
+            expect = "holt"
+        else:
+            expect = "holt_winters"
+        assert r["best_model"] == expect
+        if maes["holt_winters"] < maes["persistence"]:
+            hw_beats += 1
+    assert hw_beats >= 3
