@@ -544,3 +544,94 @@ def pit_features_frame(views: DataFrame, labels: DataFrame) -> DataFrame:
         .cast("long")
         .alias("view_value_c_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature drift monitor: PSI of the PIT feature between label halves
+# ---------------------------------------------------------------------------
+
+FEATURE_DRIFT_ORACLE = f"""
+WITH feats AS ({PIT_FEATURES_ORACLE}),
+lab AS (
+  SELECT event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM lab),
+fx AS (
+  SELECT LEAST(f.n_views_7d, 4) AS bucket,
+         CASE WHEN l.ts_us <= m.mid_us THEN 0 ELSE 1 END AS half
+  FROM feats f
+  JOIN lab l ON f.label_event_id = l.event_id, mid m
+), cnt AS (
+  SELECT bucket,
+         CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS n0,
+         CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS n1
+  FROM fx GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n0) AS BIGINT) AS t0, CAST(SUM(n1) AS BIGINT) AS t1 FROM cnt
+), terms AS (
+  SELECT c.bucket, c.n0, c.n1,
+         CAST(ROUND(((c.n1 + 1) * 1.0 / (t.t1 + 5) - (c.n0 + 1) * 1.0 / (t.t0 + 5))
+              * ln(((c.n1 + 1) * 1.0 / (t.t1 + 5)) / ((c.n0 + 1) * 1.0 / (t.t0 + 5)))
+              * 1000000) AS BIGINT) AS psi_term_e6
+  FROM cnt c, tot t
+)
+SELECT bucket, n0, n1, psi_term_e6,
+       CAST(SUM(psi_term_e6) OVER () AS BIGINT) AS psi_total_e6
+FROM terms
+"""
+
+
+@register(
+    "feat_drift_psi", oracle=FEATURE_DRIFT_ORACLE, tags=("mlfeat", "drift", "events")
+)
+def feat_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-serving skew monitor ON A FEATURE, not a raw column:
+    the population-stability index of the point-in-time trailing-view
+    count (events_pit_features) between the early and late halves of
+    the label stream — the check an ML platform runs against every
+    feature-store column before trusting a model trained on last
+    quarter's backfill. Buckets 0..3 and 4+ views; Laplace-smoothed
+    (+1/+5) shares so empty buckets stay finite; per-bucket PSI terms
+    are ×1e6-quantized so the total is an exact integer sum and each
+    bucket's contribution is attributable (the drift_psi_orders
+    reporting shape).
+
+    Scale: the feature side is the PIT plan; the monitor adds one
+    5-bucket conditional aggregate and a scalar smoothing tree."""
+    from pyspark.sql import Window as WW
+
+    feats = events_pit_features(spark, sf_dir).select("label_event_id", "n_views_7d")
+    ev = load_table(spark, sf_dir, "events")
+    lab = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    ).localCheckpoint(eager=False)  # feeds midpoint + the half split
+    mid = lab.agg(F.expr("(MIN(ts_us) + MAX(ts_us)) div 2").alias("mid_us"))
+    fx = (
+        feats.join(lab, feats["label_event_id"] == lab["event_id"])
+        .crossJoin(F.broadcast(mid))
+        .select(
+            F.least(F.col("n_views_7d"), F.lit(4)).alias("bucket"),
+            F.when(F.col("ts_us") <= F.col("mid_us"), 0).otherwise(1).alias("half"),
+        )
+    )
+    cnt = fx.groupBy("bucket").agg(
+        F.count(F.when(F.col("half") == 0, 1)).cast("long").alias("n0"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("long").alias("n1"),
+    )
+    tot = cnt.agg(
+        F.sum("n0").cast("long").alias("t0"), F.sum("n1").cast("long").alias("t1")
+    )
+    p0 = (F.col("n0") + 1) * 1.0 / (F.col("t0") + 5)
+    p1 = (F.col("n1") + 1) * 1.0 / (F.col("t1") + 5)
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n0",
+        "n1",
+        F.round((p1 - p0) * F.log(p1 / p0) * 1_000_000).cast("long").alias("psi_term_e6"),
+    )
+    w = WW.partitionBy(F.pmod(F.col("bucket"), F.lit(1))).rowsBetween(
+        WW.unboundedPreceding, WW.unboundedFollowing
+    )
+    return terms.select(
+        "*", F.sum("psi_term_e6").over(w).cast("long").alias("psi_total_e6")
+    )

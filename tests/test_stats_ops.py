@@ -676,3 +676,20 @@ def test_forecast_ensemble_winner_consistent_and_seasonal_dominates(spark):
         if maes["holt_winters"] < maes["persistence"]:
             hw_beats += 1
     assert hw_beats >= 3
+
+
+def test_feat_drift_psi_terms_nonnegative_and_sum(spark):
+    """PSI algebra: every bucket term (p1−p0)·ln(p1/p0) is non-negative
+    by construction, the reported total equals the exact term sum, and
+    the monitor sees the real structural drift in this data (later
+    labels accumulate more view history → PSI well above the 0.1
+    watch threshold)."""
+    from insurance_claim_data_pipeline_spark.operators.mlfeat import feat_drift_psi
+
+    rows = feat_drift_psi(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    total = rows[0]["psi_total_e6"]
+    assert all(r["psi_total_e6"] == total for r in rows)
+    assert total == sum(r["psi_term_e6"] for r in rows)
+    assert all(r["psi_term_e6"] >= 0 for r in rows)
+    assert total > 100_000  # the drift is real, not noise
