@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, tiny_frame_key
 
 PR_SCALE = 10**12
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
@@ -551,3 +551,110 @@ def kcore_frame(
             .localCheckpoint(eager=False)
         )
     return alive.select("node", "deg")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbors / Adamic-Adar over co-purchase
+# ---------------------------------------------------------------------------
+
+LINKPRED_TOP_K = 20
+
+LINKPRED_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.pkey AS p1, b.pkey AS p2
+  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+), sym AS (
+  SELECT p1 AS u, p2 AS v FROM edges
+  UNION ALL SELECT p2, p1 FROM edges
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1
+), wedge AS (
+  SELECT a.u AS u, b.u AS v, a.v AS w
+  FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+), nonedge AS (
+  SELECT w.u, w.v, w.w FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.p1 = w.u AND e.p2 = w.v)
+), scored AS (
+  SELECT n.u, n.v,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(CAST(ROUND(1000000 / ln(CAST(d.d AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS adamic_adar_e6
+  FROM nonedge n JOIN deg d ON n.w = d.node
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY adamic_adar_e6 DESC, u, v) AS rnk
+  FROM scored
+)
+SELECT u, v, common_neighbors, adamic_adar_e6, rnk
+FROM ranked WHERE rnk <= {LINKPRED_TOP_K}
+"""
+
+
+@register(
+    "graph_link_prediction", oracle=LINKPRED_ORACLE, tags=("graph", "join", "window")
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for every
+    NON-adjacent pair reachable in two hops, the common-neighbor count
+    and the Adamic-Adar score (Σ 1/ln deg(w) — rare shared neighbors
+    weigh more than promiscuous hubs), global top-{LINKPRED_TOP_K} —
+    the classic 'parts likely to be bought together next' /
+    recommendation-candidate generator, and the evaluation baseline
+    every graph-ML link model must beat.
+
+    Exactness: every common neighbor has degree ≥ 2 (it touches both
+    endpoints), so ln(d) > 0; per-neighbor terms quantize ×1e6 once,
+    making the pair score an exact integer sum with a total-order
+    tie-break. Scale: candidates come from the wedge join (two-hop
+    paths — bounded by Σ deg², the quantity the degree-distribution
+    op monitors), never from all-pairs; the existing-edge exclusion is
+    an anti-join on the pair key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sym (x2), the anti-join
+    )
+    sym = edges.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    sa = sym.alias("sa")
+    sb = sym.alias("sb")
+    wedge = sa.join(
+        sb, (F.col("sa.v") == F.col("sb.v")) & (F.col("sa.u") < F.col("sb.u"))
+    ).select(F.col("sa.u").alias("u"), F.col("sb.u").alias("v"), F.col("sa.v").alias("w"))
+    nonedge = wedge.join(
+        edges,
+        (wedge["u"] == edges["p1"]) & (wedge["v"] == edges["p2"]),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(deg, nonedge["w"] == deg["node"])
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(
+                F.round(1_000_000 / F.log(F.col("d").cast("double"))).cast("long")
+            )
+            .cast("long")
+            .alias("adamic_adar_e6"),
+        )
+    )
+    # global top-k via TakeOrderedAndProject (orderBy+limit), NOT a
+    # single-partition window over the full candidate frame; the rank
+    # column is then computed on the tiny k-row result.
+    top = scored.orderBy(F.desc("adamic_adar_e6"), "u", "v").limit(LINKPRED_TOP_K)
+    w_rank = W.partitionBy(tiny_frame_key("common_neighbors")).orderBy(
+        F.desc("adamic_adar_e6"), "u", "v"
+    )
+    return top.select("*", F.row_number().over(w_rank).cast("long").alias("rnk"))

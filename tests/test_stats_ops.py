@@ -693,3 +693,36 @@ def test_feat_drift_psi_terms_nonnegative_and_sum(spark):
     assert total == sum(r["psi_term_e6"] for r in rows)
     assert all(r["psi_term_e6"] >= 0 for r in rows)
     assert total > 100_000  # the drift is real, not noise
+
+
+def test_link_prediction_candidates_are_nonedges_with_real_paths(spark):
+    """Prediction contract: no returned pair is an existing edge, every
+    pair really shares the reported number of common neighbors
+    (recomputed independently in Python), and Adamic-Adar orders the
+    result."""
+    from collections import defaultdict
+
+    from insurance_claim_data_pipeline_spark.operators.graph import (
+        graph_link_prediction,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    orders = defaultdict(set)
+    for r in li.distinct().collect():
+        orders[r["l_orderkey"]].add(r["l_partkey"])
+    adj = defaultdict(set)
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, p1 in enumerate(ps):
+            for p2 in ps[i + 1:]:
+                adj[p1].add(p2)
+                adj[p2].add(p1)
+    rows = graph_link_prediction(spark, sf).collect()
+    assert rows
+    aa = [r["adamic_adar_e6"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert aa == sorted(aa, reverse=True)
+    for r in rows:
+        u, v = r["u"], r["v"]
+        assert v not in adj[u], (u, v)
+        assert len(adj[u] & adj[v]) == r["common_neighbors"], (u, v)
