@@ -2340,3 +2340,132 @@ def sim_topk_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.select("*", F.row_number().over(w2).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two rankers (hybrid-search combiner)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant
+
+
+def _rrf_oracle() -> str:
+    pq = _pq_adc_oracle(PQ_SHORTLIST)
+    # the second ranker is the RAW Hamming ordering (not the binary
+    # op's cosine-refined output — fusion wants the rankers' own views)
+    return f"""
+WITH pq_rank AS ({pq}),
+e2 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), code2 AS (
+  SELECT vec_id,
+         CAST({_sign_word_sql('v', 0)} AS BIGINT) AS w0,
+         CAST({_sign_word_sql('v', 32)} AS BIGINT) AS w1
+  FROM e2
+), q2 AS (SELECT * FROM code2 WHERE vec_id < {N_QUERIES}),
+hscored AS (
+  SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q2.w0, c.w0)) + bit_count(xor(q2.w1, c.w1)) AS BIGINT)
+           AS hamming
+  FROM q2 JOIN code2 c ON q2.vec_id != c.vec_id
+), bq_rank AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, neighbor_id) AS rnk
+    FROM hscored
+  ) WHERE rnk <= {PQ_SHORTLIST}
+),
+u AS (
+  SELECT query_id, neighbor_id, rnk AS r_pq, CAST(NULL AS BIGINT) AS r_bq
+  FROM pq_rank
+  UNION ALL
+  SELECT query_id, neighbor_id, CAST(NULL AS BIGINT), rnk FROM bq_rank
+), cand AS (
+  SELECT query_id, neighbor_id,
+         MIN(r_pq) AS r_pq, MIN(r_bq) AS r_bq
+  FROM u GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, neighbor_id, r_pq, r_bq,
+         COALESCE(CAST(ROUND(1000000.0 / ({RRF_K} + r_pq)) AS BIGINT), 0)
+       + COALESCE(CAST(ROUND(1000000.0 / ({RRF_K} + r_bq)) AS BIGINT), 0)
+           AS rrf_e6
+  FROM cand
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_e6 DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, r_pq, r_bq, rrf_e6, rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_topk_rrf_fusion", oracle=_rrf_oracle(), tags=("similarity", "llm", "approx")
+)
+def sim_topk_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two independent rankers — the standard
+    hybrid-search combiner (RRF is what production 'vector + keyword'
+    stacks use because it needs no score calibration, only RANKS):
+    each query's 20-deep PQ-ADC shortlist and 20-deep binary-Hamming
+    shortlist merge by Σ 1/(60 + rank), missing-from-one-ranker
+    contributes nothing, top-5 by fused score. Rankers that err
+    differently (quantization grid vs sign-bit geometry) cancel each
+    other's mistakes — the ensemble argument, applied to retrieval.
+
+    Per-rank RRF terms quantize ×1e6 (exact integers, identical
+    rounding both engines), so fusion scores and the tie-broken
+    ranking are hash-proven. Scale: consumes two per-query top-k
+    frames (Q·20 rows each) — fusion cost is independent of corpus
+    size."""
+    # shortlists at PQ_SHORTLIST depth from the shared cores
+    adc = _pq_adc_scored(spark, sf_dir)
+    wpq = W.partitionBy("query_id").orderBy("adc_dist_e6", "neighbor_id")
+    pq_rank = (
+        adc.select("*", F.row_number().over(wpq).cast("long").alias("r_pq"))
+        .filter(F.col("r_pq") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "r_pq")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    code = emb.select(
+        "vec_id",
+        F.expr(f"CAST({_sign_word_spark('v', 0)} AS BIGINT)").alias("w0"),
+        F.expr(f"CAST({_sign_word_spark('v', 32)} AS BIGINT)").alias("w1"),
+    )
+    q = code.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    ham = code.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1) AS BIGINT)").alias(
+            "hamming"
+        ),
+    )
+    wbq = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    bq_rank = (
+        ham.select("*", F.row_number().over(wbq).cast("long").alias("r_bq"))
+        .filter(F.col("r_bq") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id", "r_bq")
+    )
+    cand = pq_rank.join(bq_rank, ["query_id", "neighbor_id"], "full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.round(1_000_000.0 / (RRF_K + F.col(c))).cast("long"), F.lit(0)
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        "r_pq",
+        "r_bq",
+        (term("r_pq") + term("r_bq")).alias("rrf_e6"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_e6"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

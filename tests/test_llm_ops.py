@@ -1080,3 +1080,33 @@ def test_binary_hamming_scores_exact_and_recall(spark, sf_dir):
             assert r["cos_sim"] == bf[key]
     recall = len({(r["query_id"], r["neighbor_id"]) for r in bq} & set(bf)) / len(bf)
     assert recall >= 0.2, recall
+
+
+def test_rrf_fusion_beats_or_matches_worst_ranker(spark, sf_dir):
+    """Fusion sanity: every fused result appears in at least one input
+    shortlist (RRF never invents candidates), per-query k holds, and
+    recall@5 vs exact cosine is at least the weaker single ranker's
+    (the ensemble can't be dominated by its worst member on this
+    data)."""
+    from collections import Counter
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    fused = similarity.sim_topk_rrf_fusion(spark, sf_dir).collect()
+    per_q = Counter(r["query_id"] for r in fused)
+    assert all(v <= similarity.TOP_K for v in per_q.values())
+    for r in fused:
+        assert r["r_pq"] is not None or r["r_bq"] is not None
+    fused_pairs = {(r["query_id"], r["neighbor_id"]) for r in fused}
+    pq_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sim_topk_pq(spark, sf_dir).collect()
+    }
+    bq_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sim_topk_binary_hamming(spark, sf_dir).collect()
+    }
+    worst = min(len(pq_pairs & bf), len(bq_pairs & bf))
+    assert len(fused_pairs & bf) >= worst
