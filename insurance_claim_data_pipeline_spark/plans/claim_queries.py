@@ -218,3 +218,101 @@ def claims_classify_denial(spark: SparkSession, sf_dir: str) -> DataFrame:
     before substring containment, in reference order)."""
     df = _claims_df(spark)
     return df.select("claim_id", "denial_reason", classify_denial("denial_reason").alias("denial_class"))
+
+
+DQ_CLAIMS_ORACLE = (
+    _CLAIMS_CTE
+    + """,
+checks AS (
+  SELECT 'claim_id_not_null' AS check_name,
+         CAST(COUNT(*) FILTER (claim_id IS NULL) AS BIGINT) AS n_violations
+  FROM claims
+  UNION ALL
+  SELECT 'claim_id_unique',
+         CAST(COUNT(claim_id) - COUNT(DISTINCT claim_id) AS BIGINT)
+  FROM claims
+  UNION ALL
+  SELECT 'patient_id_not_null',
+         CAST(COUNT(*) FILTER (patient_id IS NULL) AS BIGINT)
+  FROM claims
+  UNION ALL
+  SELECT 'status_in_domain',
+         CAST(COUNT(*) FILTER (status IS NOT NULL
+              AND status NOT IN ('denied', 'approved', 'pending')) AS BIGINT)
+  FROM claims
+  UNION ALL
+  SELECT 'submitted_not_future',
+         CAST(COUNT(*) FILTER (submitted_date > DATE '2025-07-30') AS BIGINT)
+  FROM claims
+  UNION ALL
+  SELECT 'denied_has_reason',
+         CAST(COUNT(*) FILTER (status = 'denied' AND denial_reason IS NULL)
+              AS BIGINT)
+  FROM claims
+)
+SELECT c.check_name, c.n_violations,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM claims) AS n_rows
+FROM checks c
+"""
+)
+
+
+@register("claims_dq_report", oracle=DQ_CLAIMS_ORACLE, tags=("claims", "quality"))
+def claims_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite applied to the REFERENCE domain:
+    six checks over the normalized claim stream (key completeness and
+    uniqueness, patient presence, status domain, no future submissions
+    relative to the pipeline's frozen TODAY, and the denied-without-
+    reason business smell that feeds the 'ambiguous' classifier
+    bucket). This is the dq_violations machinery pointed at the claims
+    port — the report a payer integration runs per EMR drop before
+    letting a file into the resubmission pipeline. The fixtures
+    genuinely violate the patient-presence check (two claims with null
+    patient_id — the same rows rule E2 excludes), so the report is
+    non-vacuous by construction.
+
+    One pass per check family over the tiny normalized frame; at real
+    claim volumes the six counts fuse into one conditional-aggregate
+    scan exactly like dq_violations."""
+    df = _claims_df(spark)
+    n_rows = df.count()
+    checks = [
+        ("claim_id_not_null", F.count(F.when(F.col("claim_id").isNull(), 1))),
+        (
+            "claim_id_unique",
+            F.count("claim_id") - F.count_distinct("claim_id"),
+        ),
+        ("patient_id_not_null", F.count(F.when(F.col("patient_id").isNull(), 1))),
+        (
+            "status_in_domain",
+            F.count(
+                F.when(
+                    F.col("status").isNotNull()
+                    & ~F.col("status").isin("denied", "approved", "pending"),
+                    1,
+                )
+            ),
+        ),
+        (
+            "submitted_not_future",
+            F.count(F.when(F.col("submitted_at") > F.lit("2025-07-30").cast("date"), 1)),
+        ),
+        (
+            "denied_has_reason",
+            F.count(
+                F.when(
+                    (F.col("status") == "denied") & F.col("denial_reason").isNull(), 1
+                )
+            ),
+        ),
+    ]
+    agg = df.agg(*[expr.cast("long").alias(name) for name, expr in checks])
+    rows = None
+    for name, _ in checks:
+        row = agg.select(
+            F.lit(name).alias("check_name"),
+            F.col(name).alias("n_violations"),
+            F.lit(n_rows).cast("long").alias("n_rows"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

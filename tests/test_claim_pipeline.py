@@ -247,3 +247,21 @@ def test_cli_list_queries_and_unknown_query(capsys):
     out = capsys.readouterr().out
     assert "q1_pricing_summary" in out and "[oracle]" in out
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_claims_dq_report_finds_fixture_violations(spark):
+    """The DQ suite over the reference fixtures: exactly the two
+    null-patient claims violate, keys are complete and unique, nothing
+    is post-TODAY — and every check reports against the full 9-row
+    stream."""
+    from insurance_claim_data_pipeline_spark.plans.claim_queries import (
+        claims_dq_report,
+    )
+
+    rows = {r["check_name"]: r for r in claims_dq_report(spark, "").collect()}
+    assert len(rows) == 6
+    assert all(r["n_rows"] == 9 for r in rows.values())
+    assert rows["patient_id_not_null"]["n_violations"] == 2
+    for name in ("claim_id_not_null", "claim_id_unique", "status_in_domain",
+                 "submitted_not_future"):
+        assert rows[name]["n_violations"] == 0, name
