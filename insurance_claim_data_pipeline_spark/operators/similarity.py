@@ -2469,3 +2469,154 @@ def sim_topk_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe sweep: recall@k as a function of probes, one dataflow
+# ---------------------------------------------------------------------------
+
+NPROBE_MAX = 4
+
+
+def _nprobe_sweep_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, v AS c_emb FROM e
+  WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_HI}
+), assign AS (
+  SELECT e.vec_id, cent.c_id, ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({cosine_sql('e.v', 'cent.c_emb')}, 6) DESC, cent.c_id) AS crnk
+  FROM e, cent
+), clustered AS (SELECT vec_id, c_id AS cluster FROM assign WHERE crnk = 1),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT q.query_id, cent.c_id AS probe_cluster, ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ROUND({cosine_sql('q.v', 'cent.c_emb')}, 6) DESC, cent.c_id) AS prnk
+  FROM q, cent
+), exact AS ({TOPK_ORACLE}),
+ps AS (SELECT unnest(generate_series(1, {NPROBE_MAX})) AS np),
+cand AS (
+  SELECT ps.np, p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN clustered c ON c.cluster = p.probe_cluster, ps
+  WHERE p.prnk <= ps.np AND c.vec_id != p.query_id
+), scored AS (
+  SELECT cand.np, cand.query_id, cand.neighbor_id,
+         ROUND({cosine_sql('qe.v', 'ne.v')}, 6) AS cos_sim
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ne ON ne.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT np, query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY np, query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT ps.np,
+       CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(r.neighbor_id) * 1000000 // ({N_QUERIES} * {TOP_K}) AS BIGINT)
+         AS recall_e6
+FROM ps
+JOIN exact x ON TRUE
+LEFT JOIN ranked r ON r.np = ps.np AND r.query_id = x.query_id
+                  AND r.neighbor_id = x.neighbor_id
+GROUP BY 1
+"""
+
+
+@register(
+    "sim_ivf_nprobe_sweep", oracle=_nprobe_sweep_oracle(), tags=("similarity", "llm")
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve in one dataflow: recall@5 of the fixed-
+    centroid IVF search at nprobe = 1..{NPROBE_MAX}, against the exact
+    baseline — the latency/recall frontier an ANN deployment reads to
+    pick its probe budget (recall must be monotone in nprobe by
+    construction; the gated test asserts it). sim_ivf_recall_eval
+    measures the single shipped configuration; this measures the DIAL.
+
+    One cell-assignment pass and one probe ranking are shared by all
+    sweep points — candidates fan out by probe depth (a 1..P explode of
+    the probe table), so the sweep costs one extra narrow dimension,
+    not P independent index scans."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cent = emb.filter(
+        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
+    clustered = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("c_emb")), 6).alias("ccos"),
+            "c_id",
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("ccos"), (-F.col("c_id")).alias("nc"))).alias("b"))
+        .select("vec_id", (-F.col("b.nc")).alias("cluster"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("qcos"), "c_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            F.round(cosine(F.col("qv"), F.col("c_emb")), 6).alias("qcos"),
+            "c_id",
+        )
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= NPROBE_MAX)
+        .select("query_id", F.col("c_id").alias("probe_cluster"), "prnk")
+    )
+    ps = spark.range(1, NPROBE_MAX + 1).select(F.col("id").cast("int").alias("np"))
+    cand = (
+        clustered.join(
+            F.broadcast(probes), F.col("cluster") == F.col("probe_cluster")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(ps))
+        .filter(F.col("prnk") <= F.col("np"))
+        .select("np", "query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv2"))
+    scored = (
+        cand.join(emb, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "np",
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv2"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("np", "query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    ranked = (
+        scored.select("*", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("np", "query_id", F.col("neighbor_id").alias("r_neighbor"))
+    )
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    joined = (
+        exact.crossJoin(F.broadcast(ps.select(F.col("np").alias("s_np"))))
+        .join(
+            ranked,
+            (F.col("s_np") == ranked["np"])
+            & (exact["query_id"] == ranked["query_id"])
+            & (exact["neighbor_id"] == F.col("r_neighbor")),
+            "left",
+        )
+    )
+    return joined.groupBy(F.col("s_np").alias("np")).agg(
+        F.count("r_neighbor").cast("long").alias("n_hit"),
+        F.expr(
+            f"CAST(COUNT(r_neighbor) * 1000000 div ({N_QUERIES} * {TOP_K}) AS BIGINT)"
+        ).alias("recall_e6"),
+    )

@@ -1110,3 +1110,21 @@ def test_rrf_fusion_beats_or_matches_worst_ranker(spark, sf_dir):
     }
     worst = min(len(pq_pairs & bf), len(bq_pairs & bf))
     assert len(fused_pairs & bf) >= worst
+
+
+def test_nprobe_sweep_monotone_and_consistent(spark, sf_dir):
+    """Tuning-curve contracts: recall is monotone non-decreasing in
+    nprobe (more cells can only add candidates), and the sweep's np=2
+    point equals the shipped-config eval's aggregate hit count
+    (sim_ivf_recall_eval runs at N_PROBE=2)."""
+    from insurance_claim_data_pipeline_spark.operators.similarity import (
+        sim_ivf_nprobe_sweep,
+        sim_ivf_recall_eval,
+    )
+
+    curve = {r["np"]: r for r in sim_ivf_nprobe_sweep(spark, sf_dir).collect()}
+    assert sorted(curve) == [1, 2, 3, 4]
+    rec = [curve[p]["recall_e6"] for p in (1, 2, 3, 4)]
+    assert rec == sorted(rec)
+    shipped = sum(r["n_hit"] for r in sim_ivf_recall_eval(spark, sf_dir).collect())
+    assert curve[2]["n_hit"] == shipped
