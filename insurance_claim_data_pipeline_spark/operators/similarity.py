@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.stable import dec_avg
 from ..functions.vectors import as_double, cosine, cosine_sql, dot, dot_sql
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, tiny_frame_key
 
 N_QUERIES = 8  # vec_id < 8 are the demo query vectors
 TOP_K = 5
@@ -2619,4 +2619,122 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST(COUNT(r_neighbor) * 1000000 div ({N_QUERIES} * {TOP_K}) AS BIGINT)"
         ).alias("recall_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic farthest-point seeding (k-means++ style initialization)
+# ---------------------------------------------------------------------------
+
+FPS_SEEDS = 4  # seeds to select after the fixed starting vector
+
+
+def _fps_oracle() -> str:
+    # seed 0 is the fixed anchor vec {IVF_C_LO}; each round adds the
+    # vector maximizing its min squared-L2 distance (exact ×1e6 ints,
+    # ties to the smaller vec_id) to the chosen set.
+    subdist = " + ".join(
+        f"(a.v[{j}] - b.v[{j}]) * (a.v[{j}] - b.v[{j}])" for j in range(1, 65)
+    )
+    rounds = []
+    prev = "s0"
+    for i in range(1, FPS_SEEDS + 1):
+        rounds.append(
+            f"""d{i} AS (
+  SELECT e.vec_id,
+         MIN(CAST(ROUND(({subdist.replace('a.v', 'e.v').replace('b.v', 's.v')}) * 1000000)
+             AS BIGINT)) AS mind
+  FROM ev e JOIN ev s ON s.vec_id IN (SELECT vec_id FROM {prev})
+  GROUP BY e.vec_id
+), pick{i} AS (
+  SELECT vec_id FROM d{i}
+  ORDER BY mind DESC, vec_id LIMIT 1
+), s{i} AS (
+  SELECT vec_id FROM {prev} UNION ALL SELECT vec_id FROM pick{i}
+)"""
+        )
+        prev = f"s{i}"
+    return f"""
+WITH ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s0 AS (SELECT CAST({IVF_C_LO} AS BIGINT) AS vec_id),
+{', '.join(rounds)},
+final AS (SELECT vec_id FROM {prev}),
+dist AS (
+  SELECT e.vec_id,
+         MIN(CAST(ROUND(({subdist.replace('a.v', 'e.v').replace('b.v', 's.v')}) * 1000000)
+             AS BIGINT)) AS mind
+  FROM ev e JOIN ev s ON s.vec_id IN (SELECT vec_id FROM final)
+  GROUP BY e.vec_id
+)
+SELECT f.vec_id,
+       ROW_NUMBER() OVER (ORDER BY f.vec_id) AS seed_order,
+       (SELECT CAST(SUM(mind) AS BIGINT) FROM dist) AS total_min_dist_e6
+FROM final f
+"""
+
+
+@register(
+    "emb_farthest_point_seeds",
+    oracle=_fps_oracle(),
+    tags=("embedding", "iterative", "llm"),
+)
+def emb_farthest_point_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic farthest-point initialization for the trained
+    quantizers — the k-means++ idea with the randomness removed (the
+    max-min criterion instead of D²-sampling): starting from the fixed
+    anchor vector, each round adds the vector FARTHEST from the chosen
+    set (exact ×1e6 integer squared-L2, ties to the lower id). Seeding
+    quality is what separates trained IVF/PQ codebooks from lucky ones;
+    farthest-point gives the classic 2-approximation to the optimal
+    k-center cover, and the emitted total min-distance (the k-center
+    objective) is the number to compare against the fixed-anchor
+    baseline. Feed the result to train_ivf_centroids in place of the
+    fixed anchors and nothing downstream changes.
+
+    Per round: one narrow pass scoring every vector against the ≤K
+    chosen seeds (broadcast), one global argmax via TakeOrdered —
+    no shuffle of the corpus, K·D driver bytes. The oracle unrolls the
+    same rounds as CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    emb = emb.localCheckpoint(eager=False)  # scanned once per round
+    subdist = " + ".join(
+        f"(element_at(v, {j}) - element_at(sv, {j}))"
+        f" * (element_at(v, {j}) - element_at(sv, {j}))"
+        for j in range(1, 65)
+    )
+    d_e6 = F.expr(f"CAST(ROUND(({subdist}) * 1000000) AS BIGINT)")
+    seeds = emb.filter(F.col("vec_id") == IVF_C_LO).select(
+        "vec_id", F.col("v").alias("sv")
+    )
+    for _ in range(FPS_SEEDS):
+        mind = (
+            emb.crossJoin(F.broadcast(seeds.select("sv")))
+            .select("vec_id", d_e6.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("mind"))
+        )
+        pick = mind.orderBy(F.desc("mind"), "vec_id").limit(1).select("vec_id")
+        seeds = (
+            emb.join(
+                seeds.select("vec_id").unionByName(pick).distinct(), "vec_id"
+            )
+            .select("vec_id", F.col("v").alias("sv"))
+            .localCheckpoint(eager=False)  # seed set feeds the next round
+        )
+    dist = (
+        emb.crossJoin(F.broadcast(seeds.select("sv")))
+        .select("vec_id", d_e6.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("mind"))
+    )
+    obj = dist.agg(F.sum("mind").cast("long").alias("total_min_dist_e6"))
+    w = W.partitionBy(tiny_frame_key("vec_id")).orderBy("vec_id")
+    return (
+        seeds.select("vec_id")
+        .select("vec_id", F.row_number().over(w).cast("long").alias("seed_order"))
+        .crossJoin(F.broadcast(obj))
     )

@@ -1128,3 +1128,45 @@ def test_nprobe_sweep_monotone_and_consistent(spark, sf_dir):
     assert rec == sorted(rec)
     shipped = sum(r["n_hit"] for r in sim_ivf_recall_eval(spark, sf_dir).collect())
     assert curve[2]["n_hit"] == shipped
+
+
+def test_farthest_point_seeds_beat_fixed_anchor_objective(spark, sf_dir):
+    """Seeding-quality contract: the k-center objective (total min
+    squared distance to the seed set) of the 5 farthest-point seeds
+    must be strictly better (LOWER total, since coverage improves) than
+    that of the first 5 FIXED anchor vectors — the baseline the trained
+    quantizers currently start from — and the seed set contains the
+    anchor start plus 4 distinct additions."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.similarity import (
+        IVF_C_LO,
+        emb_farthest_point_seeds,
+    )
+    from insurance_claim_data_pipeline_spark.functions.vectors import as_double
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    rows = emb_farthest_point_seeds(spark, sf_dir).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == 5 and len(set(ids)) == 5 and IVF_C_LO in ids
+    fps_obj = rows[0]["total_min_dist_e6"]
+
+    emb = {
+        r["vec_id"]: r["v"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .collect()
+    }
+    def objective(seed_ids):
+        tot = 0
+        seeds = [emb[s] for s in seed_ids]
+        for v in emb.values():
+            tot += min(
+                round(sum((a - b) ** 2 for a, b in zip(v, s)) * 1_000_000)
+                for s in seeds
+            )
+        return tot
+
+    assert abs(objective(ids) - fps_obj) <= len(emb)  # per-vector rounding
+    fixed = objective(list(range(IVF_C_LO, IVF_C_LO + 5)))
+    assert fps_obj < fixed
