@@ -2221,3 +2221,86 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_label",
         F.expr("CAST(n * 1000000 div n_label AS BIGINT)").alias("rate_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-based TF-IDF: distinctive vocabulary per source (c-TF-IDF)
+# ---------------------------------------------------------------------------
+
+CTFIDF_TOP_K = 5
+
+CTFIDF_ORACLE = f"""
+WITH tf AS (
+  SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY 1, 2
+), cls AS (
+  SELECT source, CAST(SUM(tf) AS BIGINT) AS class_toks FROM tf GROUP BY 1
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_classes FROM tf GROUP BY 1
+), nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cls),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         CAST(ROUND(
+           (tf.tf * 1000000.0 / c.class_toks)
+           * ln(1.0 + CAST(n.n AS DOUBLE) / d.n_classes)
+         ) AS BIGINT) AS ctfidf_e6
+  FROM tf
+  JOIN cls c ON tf.source = c.source
+  JOIN df d ON tf.term = d.term, nc n
+)
+SELECT source, term, tf, ctfidf_e6, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY ctfidf_e6 DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= {CTFIDF_TOP_K}
+"""
+
+
+@register("text_ctfidf_topk", oracle=CTFIDF_ORACLE, tags=("text", "llm", "window"))
+def text_ctfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic scoring): treat each SOURCE's
+    concatenated text as one class document and surface the terms that
+    distinguish it — class-normalized term frequency × smoothed inverse
+    CLASS frequency (ln(1 + N/df over classes)). Document-level TF-IDF
+    (text_tfidf_topk) answers 'what characterizes this doc'; c-TF-IDF
+    answers 'what characterizes this SLICE of the corpus' — the label
+    view used for topic naming, source fingerprinting and mixture
+    debugging.
+
+    Exactness: integer term/class counts; the score quantizes ×1e6
+    once per (class, term) with an identical IEEE tree. Scale: one
+    (source, term) aggregate — the heavy stream — then |classes|-sized
+    sides broadcast; top-k per class over the scored frame."""
+    doc = load_table(spark, sf_dir, "documents")
+    tf = (
+        doc.select("source", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds class totals, df and scoring
+    )
+    cls = tf.groupBy("source").agg(F.sum("tf").cast("long").alias("class_toks"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+    nc = cls.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        tf.join(F.broadcast(cls), "source")
+        .join(df, "term")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round(
+                (F.col("tf") * 1_000_000.0 / F.col("class_toks"))
+                * F.log(1.0 + F.col("n").cast("double") / F.col("n_classes"))
+            )
+            .cast("long")
+            .alias("ctfidf_e6"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("ctfidf_e6"), "term")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= CTFIDF_TOP_K)
+    )

@@ -1194,3 +1194,27 @@ def test_isotropy_identity_matches_bruteforce(spark, sf_dir):
     expect = int(np.dot(s, s)) - int((q.astype(object) ** 2).sum())
     assert r["pair_dot_sum_e12"] == expect
     assert abs(r["mean_pair_cos_e12"]) < 50_000_000_000  # |mean cos| < 0.05 at the x1e12 scale
+
+
+def test_ctfidf_topk_structure(spark, sf_dir):
+    """c-TF-IDF contract: k rows per source with dense ranks in score
+    order, and each reported term genuinely occurs in that source's
+    text (tf > 0)."""
+    from collections import defaultdict
+
+    from insurance_claim_data_pipeline_spark.operators.textops import (
+        CTFIDF_TOP_K,
+        text_ctfidf_topk,
+    )
+
+    rows = text_ctfidf_topk(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+        assert r["tf"] > 0
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= CTFIDF_TOP_K
+        scores = [r["ctfidf_e6"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
