@@ -2671,3 +2671,75 @@ def lineitem_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(days, 0.9)").alias("p90_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness ratio per day
+# ---------------------------------------------------------------------------
+
+STICKINESS_ORACLE = """
+WITH au AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS min_d, MAX(CAST(ts AS DATE)) AS max_d
+  FROM events
+), dau AS (
+  SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM au GROUP BY 1
+), expanded AS (
+  SELECT user_id, d + k.off AS day
+  FROM au, (SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER) AS off) k
+), wau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM expanded GROUP BY 1
+)
+SELECT CAST(w.day AS VARCHAR) AS day, d.dau, w.wau,
+       CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_e6
+FROM wau w JOIN dau d ON w.day = d.day, bounds b
+WHERE w.day <= b.max_d AND w.day >= b.min_d + 6
+"""
+
+
+@register("events_stickiness_ratio", oracle=STICKINESS_ORACLE, tags=("events", "analytics"))
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product
+    reviews track (what share of the weekly audience shows up on a
+    given day; 1.0 = daily habit, ~0.14 = weekly utility). The classic
+    form is DAU/MAU; the generated corpus spans exactly 30 days, so
+    the weekly window is the instance with a meaningful full-window
+    sample — the plan is identical at ANY window length (swap the
+    offset sequence).
+
+    Exact trailing-7-day distinct users via the WAU op's
+    expand-by-offset trick (one distinct shuffle, no self-join),
+    joined to plain DAU, reported only for days with a FULL trailing
+    window (the left edge would understate WAU and overstate the
+    ratio); the ratio is exact integer division."""
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    au = au.localCheckpoint(eager=False)  # feeds dau + the 7x expansion
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("min_d"), F.max(F.to_date("ts")).alias("max_d")
+    )
+    dau = au.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    expanded = au.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "d"
+    ).select("user_id", F.date_add("d", F.col("off")).alias("day"))
+    wau = expanded.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        wau.join(dau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("day") <= F.col("max_d"))
+            & (F.col("day") >= F.date_add("min_d", 6))
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 1000000 div wau AS BIGINT)").alias("stickiness_e6"),
+        )
+    )

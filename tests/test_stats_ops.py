@@ -750,3 +750,23 @@ def test_bot_screen_burst_and_lag_report_sane(spark):
     assert len(lag) == 5
     for r in lag:
         assert r["min_days"] <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+
+
+def test_stickiness_bounds_and_wau_consistency(spark):
+    """Ratio contracts: dau ≤ wau (a day's actives are inside its
+    trailing week) so stickiness ≤ 1e6; only full-window days report
+    (24 of 30); and the wau column equals the standalone rolling-WAU
+    op for the same days."""
+    from insurance_claim_data_pipeline_spark.operators.analytics import (
+        events_rolling_distinct_users,
+        events_stickiness_ratio,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = events_stickiness_ratio(spark, sf).collect()
+    assert len(rows) == 24
+    wau_ref = {r["day"]: r["wau"] for r in events_rolling_distinct_users(spark, sf).collect()}
+    for r in rows:
+        assert r["dau"] <= r["wau"]
+        assert 0 < r["stickiness_e6"] <= 1_000_000
+        assert wau_ref[r["day"]] == r["wau"]
