@@ -616,3 +616,131 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(b < F.col("rate_e6"), 1)).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimation after the temperature downsample
+# ---------------------------------------------------------------------------
+
+HT_ESTIMATOR_ORACLE = f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+s AS (
+  SELECT lang, n,
+         CAST(ROUND(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS s_e6
+  FROM cnt
+), d AS (
+  SELECT CAST(SUM(s_e6) AS BIGINT) AS denom, CAST(SUM(n) AS BIGINT) AS n_tot
+  FROM s
+), plan AS (
+  SELECT lang,
+         LEAST(1000000, ((n_tot * s_e6) // denom) * 1000000 // n) AS rate_e6
+  FROM s, d
+), kept AS (
+  SELECT doc.lang, doc.n_chars, p.rate_e6
+  FROM documents doc JOIN plan p ON doc.lang = p.lang
+  WHERE {_bucket_sql('doc.doc_id', 1000000)} < p.rate_e6
+), est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+         CAST(SUM(n_chars * (1000000000000 // rate_e6)) AS BIGINT) AS ht_num,
+         CAST(SUM(1000000000000 // rate_e6) AS BIGINT) AS ht_den,
+         CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS kept_en,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1000000000000 // rate_e6 ELSE 0 END)
+              AS BIGINT) AS ht_en_num
+  FROM kept
+), truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(n_chars) AS BIGINT) AS all_chars,
+         CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_en
+  FROM documents
+)
+SELECT t.n_all, e.n_kept,
+       CAST(t.all_chars * 1000000 // t.n_all AS BIGINT) AS true_mean_chars_e6,
+       CAST(e.kept_chars * 1000000 // e.n_kept AS BIGINT) AS naive_mean_chars_e6,
+       CAST(e.ht_num * 1000000 // e.ht_den AS BIGINT) AS ht_mean_chars_e6,
+       CAST(t.n_en * 1000000 // t.n_all AS BIGINT) AS true_en_share_e6,
+       CAST(e.kept_en * 1000000 // e.n_kept AS BIGINT) AS naive_en_share_e6,
+       CAST(e.ht_en_num * 1000000 // e.ht_den AS BIGINT) AS ht_en_share_e6
+FROM est e, truth t
+"""
+
+
+@register(
+    "sample_ht_estimator", oracle=HT_ESTIMATOR_ORACLE, tags=("sampling", "llm", "agg")
+)
+def sample_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson correction after non-uniform sampling — the
+    statistics that make a temperature-mixed corpus measurable again:
+    the naive mean over the kept rows is biased toward upsampled
+    (tail-language) strata, while weighting every kept row by its
+    inverse keep-rate recovers the full-corpus mean. Emits the truth,
+    the naive kept-mean and the HT estimate side by side — the
+    'measure after mixing' discipline any metrics pipeline downstream
+    of sample_temperature_mixture owes its consumers (and the HÁJEK
+    ratio form used here is the self-normalizing variant that tolerates
+    rate rounding).
+
+    Exactness: rates are the mixture plan's exact integers; inverse
+    weights are 1e12 // rate (integer), so all three means are
+    integer-ratio divisions — the bias gap is hash-provable, not a
+    simulation claim. One plan aggregate + one corpus pass."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    cnt = doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    s = cnt.select(
+        "lang",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("s_e6"),
+    )
+    d = s.agg(
+        F.sum("s_e6").cast("long").alias("denom"),
+        F.sum("n").cast("long").alias("n_tot"),
+    )
+    plan = s.crossJoin(F.broadcast(d)).select(
+        "lang",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("((n_tot * s_e6) div denom) * 1000000 div n"),
+        ).alias("rate_e6"),
+    )
+    b = hash_bucket("doc_id", 1_000_000)
+    kept = doc.join(F.broadcast(plan), "lang").filter(b < F.col("rate_e6"))
+    w_inv = F.expr("1000000000000 div rate_e6")
+    est = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+        F.sum(F.col("n_chars") * w_inv).cast("long").alias("ht_num"),
+        F.sum(w_inv).cast("long").alias("ht_den"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("kept_en"),
+        F.sum(F.when(F.col("lang") == "en", w_inv).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ht_en_num"),
+    )
+    truth = doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("n_chars").cast("long").alias("all_chars"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("n_en"),
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "n_all",
+        "n_kept",
+        F.expr("CAST(all_chars * 1000000 div n_all AS BIGINT)").alias(
+            "true_mean_chars_e6"
+        ),
+        F.expr("CAST(kept_chars * 1000000 div n_kept AS BIGINT)").alias(
+            "naive_mean_chars_e6"
+        ),
+        F.expr("CAST(ht_num * 1000000 div ht_den AS BIGINT)").alias(
+            "ht_mean_chars_e6"
+        ),
+        F.expr("CAST(n_en * 1000000 div n_all AS BIGINT)").alias(
+            "true_en_share_e6"
+        ),
+        F.expr("CAST(kept_en * 1000000 div n_kept AS BIGINT)").alias(
+            "naive_en_share_e6"
+        ),
+        F.expr("CAST(ht_en_num * 1000000 div ht_den AS BIGINT)").alias(
+            "ht_en_share_e6"
+        ),
+    )

@@ -770,3 +770,23 @@ def test_stickiness_bounds_and_wau_consistency(spark):
         assert r["dau"] <= r["wau"]
         assert 0 < r["stickiness_e6"] <= 1_000_000
         assert wau_ref[r["day"]] == r["wau"]
+
+
+def test_ht_estimator_repairs_stratum_bias(spark):
+    """The structural demonstration: temperature mixing downsamples the
+    head language, so the naive kept-share of English is badly biased
+    low; inverse-keep-rate (Horvitz-Thompson) weighting must land
+    strictly closer to the true share — at both gate scales."""
+    from insurance_claim_data_pipeline_spark.operators.sampling import (
+        sample_ht_estimator,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        r = sample_ht_estimator(spark, sf).collect()[0]
+        true_s, naive_s, ht_s = (
+            r["true_en_share_e6"],
+            r["naive_en_share_e6"],
+            r["ht_en_share_e6"],
+        )
+        assert abs(ht_s - true_s) < abs(naive_s - true_s), sf
+        assert r["n_kept"] < r["n_all"]
