@@ -728,3 +728,116 @@ def sink_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shot-boundary detection: adjacent-frame histogram distance spikes
+# ---------------------------------------------------------------------------
+
+SHOT_FRAME_BYTES = 256
+SHOT_CUT_L1 = 96  # adjacent-histogram L1 threshold (of 512 nibbles mass)
+SHOT_SCHEMA = (
+    "doc_id long, frame_id long, n_bytes long, l1_prev bigint, is_cut boolean"
+)
+
+SHOT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb, hex(encode(text)) AS hx
+  FROM documents
+), f AS (
+  SELECT doc_id, nb, hx,
+         unnest(generate_series(0, (nb - 1) // {SHOT_FRAME_BYTES})) AS frame_id
+  FROM h WHERE nb > 0
+), nib AS (
+  SELECT doc_id, frame_id,
+         ('0x' || substr(hx, i * 2 + 1, 1))::BIGINT AS hi_nib,
+         ('0x' || substr(hx, i * 2 + 2, 1))::BIGINT AS lo_nib
+  FROM f, LATERAL (
+    SELECT unnest(generate_series(frame_id * {SHOT_FRAME_BYTES},
+                  LEAST(frame_id * {SHOT_FRAME_BYTES} + {SHOT_FRAME_BYTES} - 1,
+                        nb - 1))) AS i
+  )
+), longn AS (
+  SELECT doc_id, frame_id, hi_nib AS v FROM nib
+  UNION ALL SELECT doc_id, frame_id, lo_nib FROM nib
+), grid AS (
+  SELECT DISTINCT f.doc_id, f.frame_id, g.v
+  FROM f, (SELECT unnest(generate_series(0, 15)) AS v) g
+), bins AS (
+  SELECT g.doc_id, g.frame_id, g.v,
+         CAST(COUNT(l.v) AS BIGINT) AS cnt
+  FROM grid g LEFT JOIN longn l
+    ON l.doc_id = g.doc_id AND l.frame_id = g.frame_id AND l.v = g.v
+  GROUP BY 1, 2, 3
+), l1 AS (
+  SELECT a.doc_id, a.frame_id,
+         CAST(SUM(ABS(a.cnt - b.cnt)) AS BIGINT) AS l1_prev
+  FROM bins a JOIN bins b
+    ON a.doc_id = b.doc_id AND a.v = b.v AND b.frame_id = a.frame_id - 1
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, frame_id,
+         CAST(LEAST({SHOT_FRAME_BYTES}, nb - frame_id * {SHOT_FRAME_BYTES})
+              AS BIGINT) AS n_bytes
+  FROM f
+)
+SELECT s.doc_id, CAST(s.frame_id AS BIGINT) AS frame_id, s.n_bytes,
+       l.l1_prev,
+       COALESCE(l.l1_prev > {SHOT_CUT_L1}, FALSE) AS is_cut
+FROM sizes s LEFT JOIN l1 l
+  ON s.doc_id = l.doc_id AND s.frame_id = l.frame_id
+"""
+
+
+@register("multimodal_shot_boundaries", oracle=SHOT_ORACLE, tags=("multimodal", "llm"))
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the opaque payload: cut the byte
+    stream into {SHOT_FRAME_BYTES}-byte 'frames', build each frame's
+    16-bin nibble histogram, and flag frames whose L1 distance to the
+    previous frame's histogram spikes above the threshold — the
+    adjacent-frame-histogram method every video indexing pipeline uses
+    for scene segmentation (a real decoder supplies pixel histograms;
+    the sliding comparison, one-row-to-many-frames Arrow shape, and
+    threshold semantics are the production plumbing the oracle proves
+    on the true payload bytes, all-integer).
+
+    Scale: per-payload frame loops run inside mapInPandas where the
+    payload lives; no shuffle, no driver hop — the comparison is
+    sequential WITHIN a payload, which is exactly the locality a video
+    file gives you."""
+    bdf = binary_documents(spark, sf_dir)
+
+    def shots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        FB = 256
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_id": [],
+                "n_bytes": [],
+                "l1_prev": [],
+                "is_cut": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                b = _np.frombuffer(bytes(content), dtype=_np.uint8)
+                prev_hist = None
+                for fid in range((b.size + FB - 1) // FB):
+                    seg = b[fid * FB : (fid + 1) * FB]
+                    nibs = _np.concatenate([seg >> 4, seg & 0x0F])
+                    hist = _np.bincount(nibs, minlength=16).astype(_np.int64)
+                    if prev_hist is None:
+                        l1 = None
+                    else:
+                        l1 = int(_np.abs(hist - prev_hist).sum())
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(fid)
+                    out["n_bytes"].append(int(seg.size))
+                    out["l1_prev"].append(l1)
+                    out["is_cut"].append(bool(l1 is not None and l1 > 96))
+                    prev_hist = hist
+            yield _pd.DataFrame(out)
+
+    return bdf.mapInPandas(shots, schema=SHOT_SCHEMA)

@@ -1218,3 +1218,42 @@ def test_ctfidf_topk_structure(spark, sf_dir):
         assert len(rs) <= CTFIDF_TOP_K
         scores = [r["ctfidf_e6"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_shot_boundaries_numpy_recompute(spark, sf_dir):
+    """Independent recompute of one document's frame histograms and L1
+    distances; frame 0 never cuts; frame counts match the payload
+    size."""
+    import numpy as np
+
+    from insurance_claim_data_pipeline_spark.operators.multimodal import (
+        binary_documents,
+        multimodal_shot_boundaries,
+    )
+
+    rows = [r for r in multimodal_shot_boundaries(spark, sf_dir).collect()]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    doc_id, frames = next(iter(sorted(by_doc.items())))
+    frames = sorted(frames, key=lambda r: r["frame_id"])
+    assert frames[0]["l1_prev"] is None and frames[0]["is_cut"] is False
+
+    content = bytes(
+        binary_documents(spark, sf_dir)
+        .filter(f"doc_id = {doc_id}")
+        .first()["content"]
+    )
+    b = np.frombuffer(content, dtype=np.uint8)
+    assert len(frames) == (b.size + 255) // 256
+    prev = None
+    for r in frames:
+        seg = b[r["frame_id"] * 256 : (r["frame_id"] + 1) * 256]
+        assert r["n_bytes"] == seg.size
+        hist = np.bincount(
+            np.concatenate([seg >> 4, seg & 0x0F]), minlength=16
+        ).astype(np.int64)
+        if prev is not None:
+            l1 = int(np.abs(hist - prev).sum())
+            assert r["l1_prev"] == l1 and r["is_cut"] == (l1 > 96)
+        prev = hist
