@@ -203,3 +203,107 @@ def events_ema_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _events_stream(spark, sf_dir)
     return run_stream_to_memory(ema_stream(events), spark, output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM monitor (stateful twin of events_cusum_alarm)
+# ---------------------------------------------------------------------------
+
+CUSUM_OUT_SCHEMA = (
+    "event_type string, hour_idx long, n long, s_plus_e6 long, alarm boolean"
+)
+CUSUM_STATE_SCHEMA = "s_plus_e6 long"
+
+
+def cusum_stream(seq: DataFrame) -> DataFrame:
+    """Streaming one-sided CUSUM over a pre-aggregated metric stream:
+    each micro-batch of (event_type, hour_idx, n, inc_e6, h_e6) rows
+    folds into the per-type S⁺ state (reset at zero), emitting the
+    statistic and alarm flag per observed hour — the pager deployment
+    of the batch twin, where μ/allowance/threshold arrive as CONFIG
+    (here: joined into the rows upstream, exactly how a monitoring
+    topic carries its thresholds). A drained time-ordered stream emits
+    the batch answer row for row; state is ONE integer per series."""
+
+    def update_cusum(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        (s,) = state.get if state.exists else (0,)
+        out: dict[str, list] = {
+            "event_type": [],
+            "hour_idx": [],
+            "n": [],
+            "s_plus_e6": [],
+            "alarm": [],
+        }
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("hour_idx").reset_index(drop=True)
+        for row in batch.itertuples(index=False):
+            s = max(0, s + int(row.inc_e6))
+            out["event_type"].append(event_type)
+            out["hour_idx"].append(int(row.hour_idx))
+            out["n"].append(int(row.n))
+            out["s_plus_e6"].append(s)
+            out["alarm"].append(bool(s > int(row.h_e6)))
+        state.update((s,))
+        yield pd.DataFrame(out)
+
+    return seq.groupBy("event_type").applyInPandasWithState(
+        update_cusum,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cusum_seq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-side monitor input: hourly counts joined with their
+    per-type parameters (shared by the streaming twin and its test)."""
+    from ..operators.ema import E6, US_1H
+    from ..session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H)))
+        / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    mu = hourly.groupBy("event_type").agg(
+        F.expr(f"(SUM(n) * {E6}) div COUNT(*)").cast("long").alias("mu_e6")
+    )
+    return hourly.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "hour_idx",
+        "n",
+        (F.col("n") * E6 - F.col("mu_e6") - F.expr("mu_e6 div 10"))
+        .cast("long")
+        .alias("inc_e6"),
+        (F.col("mu_e6") * 3).cast("long").alias("h_e6"),
+    )
+
+
+@register("events_cusum_streaming", tags=("events", "streaming", "pandas", "drift"))
+def events_cusum_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution of the CUSUM monitor (rows-only
+    check; equality against the oracle-checked batch twin
+    events_cusum_alarm is asserted in tests/test_streaming.py, single-
+    batch and under forced multi-batch time splits)."""
+    import os
+    import tempfile
+
+    from .events_stream import run_stream_to_memory
+
+    seq = cusum_seq_frame(spark, sf_dir)
+    staging = os.path.join(
+        tempfile.gettempdir(), f"icdp_cusum_stream_{os.path.basename(sf_dir)}"
+    )
+    seq.coalesce(1).write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(seq.schema).parquet(staging)
+    return run_stream_to_memory(cusum_stream(stream), spark, output_mode="update")

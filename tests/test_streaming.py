@@ -435,3 +435,52 @@ def test_streaming_ema_multibatch_time_split(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(tuple(r) for r in events_ema_irregular(spark, sf_dir).collect())
     assert got == want and want
+
+
+def test_streaming_cusum_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming CUSUM monitor must emit the batch twin's rows
+    exactly — both in one gulp and under forced time-split
+    micro-batching (three ordered file drops, maxFilesPerTrigger=1),
+    where S+ must carry across batch boundaries."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.ema import events_cusum_alarm
+    from insurance_claim_data_pipeline_spark.streaming.events_stream import (
+        run_stream_to_memory,
+    )
+    from insurance_claim_data_pipeline_spark.streaming.stateful import (
+        cusum_seq_frame,
+        cusum_stream,
+    )
+
+    batch = {
+        (r["event_type"], r["hour_idx"]): (r["s_plus_e6"], r["alarm"])
+        for r in events_cusum_alarm(spark, sf_dir).collect()
+    }
+    seq = cusum_seq_frame(spark, sf_dir)
+    lo, hi = seq.agg(F.min("hour_idx"), F.max("hour_idx")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    staging = str(tmp_path / "staging")
+    stamped: set[str] = set()
+    base = _time.time()
+    h = F.col("hour_idx")
+    for i, cond in enumerate((h <= cut1, (h > cut1) & (h <= cut2), h > cut2)):
+        seq.filter(cond).coalesce(1).write.mode("append").parquet(staging)
+        for name in _os.listdir(staging):
+            if name.endswith(".parquet") and name not in stamped:
+                _os.utime(_os.path.join(staging, name), (base + 10 * i,) * 2)
+                stamped.add(name)
+    stream = (
+        spark.readStream.schema(seq.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    got = run_stream_to_memory(cusum_stream(stream), spark, output_mode="update")
+    out = {
+        (r["event_type"], r["hour_idx"]): (r["s_plus_e6"], r["alarm"])
+        for r in got.collect()
+    }
+    assert out == batch
