@@ -180,6 +180,20 @@ def test_key_plans_hold_at_sf01(spark):
     for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
         plan = physical_plan(spark, SF01, name)
         assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    # round-4 flagships: broadcast/probe shapes must hold at bench scale
+    # too (broadcast selection is statistics-driven)
+    ivfpq = physical_plan(spark, SF01, "sim_topk_ivfpq")
+    assert ivfpq.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in ivfpq
+    span = physical_plan(spark, SF01, "text_span_dedup")
+    assert "BatchEvalPython" not in span and "CartesianProduct" not in span
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\], \[[^\]]*\]", span):
+        assert m.group("part").strip() != ""
+    mw = physical_plan(spark, SF01, "stats_mann_whitney")
+    for m in _re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\], \[[^\]]*\]", mw):
+        assert m.group("part").strip() != ""
 
 
 def test_q7_broadcasts_and_pushdown(spark, sf_dir):
