@@ -2816,3 +2816,111 @@ def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " - self_e12) div (n * (n - 1)) AS BIGINT)"
         ).alias("mean_pair_cos_e12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rerank shortlist-depth sweep: recall@k vs refine budget
+# ---------------------------------------------------------------------------
+
+RERANK_DEPTHS = (5, 10, 20, 40)
+
+
+def _rerank_sweep_oracle() -> str:
+    adc_all = _pq_adc_oracle(max(RERANK_DEPTHS))
+    depths = ", ".join(str(d) for d in RERANK_DEPTHS)
+    return f"""
+WITH shortlist AS ({adc_all}),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), exact AS ({TOPK_ORACLE}),
+ds AS (SELECT unnest([{depths}]) AS depth),
+resc AS (
+  SELECT ds.depth, s.query_id, s.neighbor_id,
+         ROUND({cosine_sql('qe.v', 'ne.v')}, 6) AS cos_sim
+  FROM shortlist s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ne ON ne.vec_id = s.neighbor_id, ds
+  WHERE s.rnk <= ds.depth
+), ranked AS (
+  SELECT depth, query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY depth, query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM resc
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT ds.depth,
+       CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(r.neighbor_id) * 1000000 // ({N_QUERIES} * {TOP_K}) AS BIGINT)
+         AS recall_e6
+FROM ds
+JOIN exact x ON TRUE
+LEFT JOIN ranked r ON r.depth = ds.depth AND r.query_id = x.query_id
+                  AND r.neighbor_id = x.neighbor_id
+GROUP BY 1
+"""
+
+
+@register(
+    "sim_rerank_depth_sweep", oracle=_rerank_sweep_oracle(), tags=("similarity", "llm")
+)
+def sim_rerank_depth_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refine-budget dial pairing with sim_ivf_nprobe_sweep: exact
+    recall@5 of the PQ→exact-rerank stack at shortlist depths
+    {RERANK_DEPTHS} — the latency/recall frontier for stage-3 work,
+    which at 100 TB is Q·depth float fetches against the vector store.
+    Depth 5 IS the raw ADC ranking re-scored (no extra candidates);
+    recall is monotone in depth by construction and saturates at the
+    ADC ranking's ceiling — where it flattens is your depth budget.
+
+    One ADC scan at the maximum depth serves every sweep point (depth
+    restriction is a filter on the shared shortlist, then per-depth
+    re-ranking of tiny per-query frames)."""
+    adc = _pq_adc_scored(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy("adc_dist_e6", "neighbor_id")
+    shortlist = (
+        adc.select("*", F.row_number().over(w).alias("srnk"))
+        .filter(F.col("srnk") <= max(RERANK_DEPTHS))
+        .select("query_id", "neighbor_id", "srnk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ds = spark.createDataFrame([(d,) for d in RERANK_DEPTHS], "depth int")
+    resc = (
+        shortlist.join(emb, F.col("neighbor_id") == F.col("vec_id"))
+        .join(F.broadcast(q), "query_id")
+        .crossJoin(F.broadcast(ds))
+        .filter(F.col("srnk") <= F.col("depth"))
+        .select(
+            "depth",
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("depth", "query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    ranked = (
+        resc.select("*", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("depth", "query_id", F.col("neighbor_id").alias("r_neighbor"))
+    )
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    joined = exact.crossJoin(
+        F.broadcast(ds.select(F.col("depth").alias("s_depth")))
+    ).join(
+        ranked,
+        (F.col("s_depth") == ranked["depth"])
+        & (exact["query_id"] == ranked["query_id"])
+        & (exact["neighbor_id"] == F.col("r_neighbor")),
+        "left",
+    )
+    return joined.groupBy(F.col("s_depth").alias("depth")).agg(
+        F.count("r_neighbor").cast("long").alias("n_hit"),
+        F.expr(
+            f"CAST(COUNT(r_neighbor) * 1000000 div ({N_QUERIES} * {TOP_K}) AS BIGINT)"
+        ).alias("recall_e6"),
+    )

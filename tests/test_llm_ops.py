@@ -1257,3 +1257,28 @@ def test_shot_boundaries_numpy_recompute(spark, sf_dir):
             l1 = int(np.abs(hist - prev).sum())
             assert r["l1_prev"] == l1 and r["is_cut"] == (l1 > 96)
         prev = hist
+
+
+def test_rerank_depth_sweep_monotone_and_anchored(spark, sf_dir):
+    """Dial contracts: recall monotone non-decreasing in shortlist
+    depth; depth 5 equals the raw PQ top-5's recall (re-scoring 5
+    candidates cannot change the set); depth 20 equals the shipped
+    two-stage op's recall."""
+    from insurance_claim_data_pipeline_spark.operators.similarity import (
+        sim_rerank_depth_sweep,
+        sim_topk_pq,
+        sim_topk_pq_rerank,
+    )
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    curve = {r["depth"]: r["n_hit"] for r in sim_rerank_depth_sweep(spark, sf_dir).collect()}
+    assert sorted(curve) == [5, 10, 20, 40]
+    vals = [curve[d] for d in (5, 10, 20, 40)]
+    assert vals == sorted(vals)
+    pq5 = len({(r["query_id"], r["neighbor_id"]) for r in sim_topk_pq(spark, sf_dir).collect()} & bf)
+    assert curve[5] == pq5
+    rr20 = len({(r["query_id"], r["neighbor_id"]) for r in sim_topk_pq_rerank(spark, sf_dir).collect()} & bf)
+    assert curve[20] == rr20
