@@ -1,0 +1,231 @@
+"""Table-maintenance and stream-operations planners.
+
+Two operators a 100 TB lakehouse deployment runs constantly but most
+query engines leave to external tooling:
+
+- ``sink_compaction_plan`` — the bin-packing step of Delta/Iceberg
+  ``OPTIMIZE``: group small files within each partition into
+  target-size rewrite jobs (next-fit by file order), leaving
+  already-large files alone. Planning is pure metadata work — the
+  inventory frame is |files| rows, orders of magnitude smaller than
+  the data — so the plan itself is a cheap windowed aggregate even
+  when the table is 100 TB.
+- ``events_watermark_lateness`` — the measurement that sizes a
+  Structured Streaming watermark: how late do events actually arrive,
+  relative to the max event-time seen so far in arrival order? The
+  running max is computed with the same two-level bucket construction
+  as the packing prefix sums (per-bucket running max + broadcast
+  prefix-max of bucket maxima — MAX is associative, so the
+  decomposition is exact), never a global single-task window.
+
+Beyond-reference extension surface (the reference is a 242-line batch
+ETL with no file management or streaming — SURVEY §2.2); north-star
+LLM-pipeline ops per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table, tiny_frame_key
+
+# ---------------------------------------------------------------------------
+# Compaction planner (OPTIMIZE-style bin packing of small files)
+# ---------------------------------------------------------------------------
+
+FILE_GROUP_W = 500  # event_ids per synthetic file
+TARGET_BYTES = 60_000  # rewrite-job payload target
+
+COMPACTION_ORACLE = f"""
+WITH inv AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part_day,
+         event_id // {FILE_GROUP_W} AS file_id,
+         CAST(SUM(length(COALESCE(props, '')) + 64) AS BIGINT) AS file_bytes
+  FROM events GROUP BY 1, 2
+), small AS (
+  SELECT *,
+         CAST(SUM(file_bytes) OVER (PARTITION BY part_day ORDER BY file_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM inv WHERE file_bytes < {TARGET_BYTES}
+), assign AS (
+  SELECT part_day, file_id, file_bytes,
+         (cum_end - file_bytes) // {TARGET_BYTES} AS bin_id
+  FROM small
+)
+SELECT part_day, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(file_bytes) AS BIGINT) AS bin_bytes,
+       CAST(MIN(file_id) AS BIGINT) AS first_file_id,
+       CAST(MAX(file_id) AS BIGINT) AS last_file_id,
+       COUNT(*) > 1 AS rewrite_needed
+FROM assign GROUP BY 1, 2
+"""
+
+
+@register("sink_compaction_plan", oracle=COMPACTION_ORACLE, tags=("sink", "scale", "warehouse"))
+def sink_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style compaction planner: build a per-partition file
+    inventory (synthetic: day-partitioned event files of FILE_GROUP_W
+    rows, payload = props bytes + fixed row overhead), drop files
+    already at/above TARGET_BYTES, and next-fit-pack the small ones in
+    file_id order into rewrite bins of ~TARGET_BYTES. Emits one row
+    per planned rewrite job with its contiguous file range;
+    single-file bins (rewrite_needed = false) are no-ops a scheduler
+    skips.
+
+    Scale shape: the fact scan reduces to |files| metadata rows in one
+    map-side-combined aggregate (in production this frame comes free
+    from the table manifest); the prefix sum windows over
+    PARTITION BY part_day — bounded per-partition file counts, no
+    global ordering, no single-task collapse. Next-fit (not best-fit)
+    is deliberate: it is the zero-look-ahead discipline that yields
+    deterministic, manifest-order-stable plans.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    inv = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("part_day"),
+            F.floor(F.col("event_id") / FILE_GROUP_W).cast("long").alias("file_id"),
+        )
+        .agg(
+            F.sum(F.length(F.coalesce(F.col("props"), F.lit(""))) + F.lit(64))
+            .cast("long")
+            .alias("file_bytes")
+        )
+        .filter(F.col("file_bytes") < TARGET_BYTES)
+    )
+    cum_end = F.sum("file_bytes").over(
+        Window.partitionBy("part_day").orderBy("file_id")
+    )
+    assigned = inv.select(
+        "part_day",
+        "file_id",
+        "file_bytes",
+        F.floor((cum_end - F.col("file_bytes")) / TARGET_BYTES)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return assigned.groupBy("part_day", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("file_bytes").alias("bin_bytes"),
+        F.min("file_id").alias("first_file_id"),
+        F.max("file_id").alias("last_file_id"),
+        (F.count(F.lit(1)) > 1).alias("rewrite_needed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-lateness profile (sizing withWatermark for real arrivals)
+# ---------------------------------------------------------------------------
+
+WM_BUCKET_SECS = 3600  # arrival seconds per prefix-max bucket
+WM_MAX_DELAY = 900  # synthetic ingest delay bound (seconds)
+
+# Band upper bounds in seconds; the last band is open-ended.
+_WM_BANDS = (0, 60, 300, 900, 3600)
+
+
+def _wm_band_sql(expr: str) -> str:
+    cases = [f"WHEN {expr} <= 0 THEN 0"]
+    for i in range(1, len(_WM_BANDS)):
+        cases.append(f"WHEN {expr} <= {_WM_BANDS[i]} THEN {i}")
+    return "CASE " + " ".join(cases) + f" ELSE {len(_WM_BANDS)} END"
+
+
+WM_LATENESS_ORACLE = f"""
+WITH arr AS (
+  SELECT event_id, ts,
+         epoch_us(ts) + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                         % {WM_MAX_DELAY}) * 1000000 AS arrival_us
+  FROM events
+), runmax AS (
+  SELECT ts,
+         MAX(ts) OVER (ORDER BY arrival_us, event_id ROWS UNBOUNDED PRECEDING)
+           AS max_seen
+  FROM arr
+), late AS (
+  SELECT CAST((epoch_us(max_seen) - epoch_us(ts)) // 1000000 AS BIGINT) AS late_s
+  FROM runmax
+)
+SELECT CAST({_wm_band_sql("late_s")} AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(late_s) AS BIGINT) AS max_lateness_s
+FROM late GROUP BY 1
+"""
+
+
+@register("events_watermark_lateness", oracle=WM_LATENESS_ORACLE, tags=("events", "streaming", "scale"))
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing profile: compute each event's lateness versus
+    the max event-time seen so far in arrival order (exactly the
+    quantity ``withWatermark`` bounds), then band it (on-time, ≤1 m,
+    ≤5 m, ≤15 m, ≤1 h, later) with per-band counts and the worst
+    observed lateness. Reading the result: the smallest band bound
+    covering ~p99.9 of events is the watermark delay that drops
+    almost nothing.
+
+    The fixture has no ingest-sequence column and event_id is
+    time-monotone (zero lateness — a vacuous profile), so arrival is
+    modeled deterministically: arrival_s = epoch(ts) + md5(event_id)
+    mod WM_MAX_DELAY, a bounded per-event ingest delay; in production
+    the Kafka offset / ingest timestamp replaces it verbatim.
+
+    The running max is the associative-scan decomposition (two-level,
+    like the packing prefix sums): per-bucket running max windows over
+    PARTITION BY arrival-hour bucket (contiguous in arrival order);
+    bucket maxima — a tiny aggregate — get a prefix max over the tiny
+    frame, broadcast back, and ``greatest()`` combines the two. No
+    global-order window touches the fact table; at 100 TB shrink
+    WM_BUCKET_SECS until per-bucket rows fit a task.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts"),
+        (
+            F.unix_micros("ts")
+            + F.pmod(
+                F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(WM_MAX_DELAY),
+            )
+            * F.lit(1_000_000)
+        ).alias("arrival_us"),
+    )
+    ev = base.withColumn(
+        "bkt", F.floor(F.col("arrival_us") / (WM_BUCKET_SECS * 1_000_000)).cast("long")
+    )
+    in_bkt_max = F.max("ts").over(
+        Window.partitionBy("bkt").orderBy("arrival_us", "event_id")
+    )
+    ev = ev.withColumn("in_bkt_max", in_bkt_max)
+    prior_max = F.max("bkt_max").over(
+        Window.partitionBy(tiny_frame_key("bkt"))
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ev.groupBy("bkt")
+        .agg(F.max("ts").alias("bkt_max"))
+        .select("bkt", prior_max.alias("prior_max"))
+    )
+    late_s = F.floor(
+        (
+            F.unix_micros(
+                F.greatest("in_bkt_max", F.coalesce("prior_max", "in_bkt_max"))
+            )
+            - F.unix_micros("ts")
+        )
+        / F.lit(1_000_000)
+    ).cast("long")
+    banded = ev.join(F.broadcast(offsets), "bkt").select(late_s.alias("late_s"))
+    band = F.when(F.col("late_s") <= 0, F.lit(0))
+    for i in range(1, len(_WM_BANDS)):
+        band = band.when(F.col("late_s") <= _WM_BANDS[i], F.lit(i))
+    band = band.otherwise(F.lit(len(_WM_BANDS)))
+    return banded.groupBy(band.cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("late_s").alias("max_lateness_s"),
+    )
