@@ -2207,3 +2207,138 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_days"),
     )
+
+
+# ---- Hilbert-curve clustering (locality-optimal multi-dim layout) -------
+
+HILBERT_BITS = 8  # per-axis resolution; index spans [0, 2^16)
+
+
+def _hilbert_level_exprs(s: int) -> dict[str, str]:
+    """One xy2d level at quadrant size ``s``: emit (d increment, next
+    x, next y) as engine-neutral SQL over columns x, y. Uses div/mod
+    (not bit ops) and masks the processed bit off before the
+    rotate/flip, so every intermediate stays in [0, s). The quadrant
+    order is the classic U: (0,0)->0, (0,1)->1, (1,1)->2, (1,0)->3,
+    i.e. ((3*rx) XOR ry) rendered as a CASE."""
+    rx = f"((x // {s}) % 2)"
+    ry = f"((y // {s}) % 2)"
+    quad = (
+        f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 WHEN {rx} = 0 THEN 1 "
+        f"WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+    )
+    xm, ym = f"(x % {s})", f"(y % {s})"
+    flip_x = f"(CASE WHEN {rx} = 1 THEN {s - 1} - {ym} ELSE {ym} END)"
+    flip_y = f"(CASE WHEN {rx} = 1 THEN {s - 1} - {xm} ELSE {xm} END)"
+    return {
+        "dd": f"{s * s} * {quad}",
+        "x_next": f"(CASE WHEN {ry} = 0 THEN {flip_x} ELSE {xm} END)",
+        "y_next": f"(CASE WHEN {ry} = 0 THEN {flip_y} ELSE {ym} END)",
+    }
+
+
+def _hilbert_sql_ctes(base_cte: str, key_cols: str) -> str:
+    """Chain of CTEs lvl1..lvlB applying the unrolled xy2d levels to a
+    base CTE exposing columns (key_cols, x, y); final level carries
+    d = the Hilbert index."""
+    parts = [f"lvl0 AS (SELECT {key_cols}, x, y, 0 AS d FROM {base_cte})"]
+    prev = "lvl0"
+    for i in range(HILBERT_BITS):
+        s = 1 << (HILBERT_BITS - 1 - i)
+        e = _hilbert_level_exprs(s)
+        parts.append(
+            f"lvl{i + 1} AS (SELECT {key_cols}, {e['x_next']} AS x, "
+            f"{e['y_next']} AS y, d + {e['dd']} AS d FROM {prev})"
+        )
+        prev = f"lvl{i + 1}"
+    return ", ".join(parts), prev
+
+
+def hilbert_index_frame(df: DataFrame) -> DataFrame:
+    """Append column ``hval`` = Hilbert index of integer columns (x, y)
+    in [0, 2^HILBERT_BITS) to any frame — the same unrolled levels the
+    oracle renders, executed via F.expr so both engines evaluate one
+    arithmetic tree. Pure codegen integer ops, no UDF, no shuffle."""
+    df = df.withColumn("d", F.lit(0))
+    for i in range(HILBERT_BITS):
+        s = 1 << (HILBERT_BITS - 1 - i)
+        e = _hilbert_level_exprs(s)
+        df = df.withColumns(
+            {
+                "d": F.col("d") + F.expr(e["dd"].replace("//", " DIV ")),
+                "x": F.expr(e["x_next"].replace("//", " DIV ")),
+                "y": F.expr(e["y_next"].replace("//", " DIV ")),
+            }
+        )
+    return df.withColumn("hval", F.col("d").cast("long"))
+
+
+_HNORM_PK = f"((l_partkey - min_pk) * {(1 << HILBERT_BITS) - 1} // GREATEST(max_pk - min_pk, 1))"
+_HNORM_SK = f"((l_suppkey - min_sk) * {(1 << HILBERT_BITS) - 1} // GREATEST(max_sk - min_sk, 1))"
+
+
+def _hilbert_oracle() -> str:
+    ctes, last = _hilbert_sql_ctes("n", "l_orderkey, l_linenumber, l_partkey, l_suppkey")
+    return f"""
+WITH f AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+), s AS (
+  SELECT CAST(MIN(l_partkey) AS BIGINT) AS min_pk, CAST(MAX(l_partkey) AS BIGINT) AS max_pk,
+         CAST(MIN(l_suppkey) AS BIGINT) AS min_sk, CAST(MAX(l_suppkey) AS BIGINT) AS max_sk
+  FROM f
+), n AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST({_HNORM_PK} AS BIGINT) AS x, CAST({_HNORM_SK} AS BIGINT) AS y
+  FROM f, s
+), {ctes}
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, CAST(d AS BIGINT) AS hval
+FROM {last}
+"""
+
+
+@register("sort_hilbert_interleave", oracle=_hilbert_oracle(), tags=("sort", "scale"))
+def sort_hilbert_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering of lineitem on (l_partkey, l_suppkey) —
+    the locality-optimal upgrade of ``sort_zorder_interleave``: the
+    Hilbert curve visits every cell of the 2^8 x 2^8 normalized grid in
+    unit Manhattan steps (no Morton 'seams' where the curve jumps
+    across the keyspace), so consecutive index ranges map to tighter
+    key rectangles and min/max file skipping prunes strictly better on
+    band predicates (Databricks liquid clustering and Iceberg both
+    offer Hilbert ordering for exactly this reason; the unit-step
+    property and the beats-Morton adjacent-gap comparison are asserted
+    from first principles in tests/test_plans.py).
+
+    Same scale shape as z-order: one broadcast min/max stats frame for
+    exact integer normalization, then the 8 unrolled xy2d levels —
+    div/mod/CASE integer arithmetic inside whole-stage codegen (the
+    oracle renders the SAME level expressions into chained CTEs) —
+    then range-partition + local sort on hval. No UDF, no extra
+    shuffle beyond the one RangePartitioning any clustering rewrite
+    pays."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    stats = f.agg(
+        F.min("l_partkey").cast("long").alias("min_pk"),
+        F.max("l_partkey").cast("long").alias("max_pk"),
+        F.min("l_suppkey").cast("long").alias("min_sk"),
+        F.max("l_suppkey").cast("long").alias("max_sk"),
+    )
+    base = f.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(f"CAST({_HNORM_PK.replace('//', ' DIV ')} AS BIGINT)").alias("x"),
+        F.expr(f"CAST({_HNORM_SK.replace('//', ' DIV ')} AS BIGINT)").alias("y"),
+    )
+    return (
+        hilbert_index_frame(base)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "hval")
+        .repartitionByRange(16, "hval")
+        .sortWithinPartitions("hval", "l_orderkey", "l_linenumber")
+    )

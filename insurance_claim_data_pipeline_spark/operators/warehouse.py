@@ -625,3 +625,124 @@ def warehouse_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("asof_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read with position deletes (Iceberg v2 deletion vectors)
+# ---------------------------------------------------------------------------
+
+DV_FILE_W = 100  # orderkeys per synthetic data file
+DV_DEL_MOD = 10  # delete every position whose md5(file:pos) % 10 == 0
+
+DELETION_VECTOR_ORACLE = f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         l_orderkey // {DV_FILE_W} AS file_id,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey // {DV_FILE_W}
+                            ORDER BY l_orderkey, l_linenumber, l_quantity,
+                                     l_extendedprice) AS pos
+  FROM lineitem
+), counts AS (
+  SELECT file_id, COUNT(*) AS n_rows FROM base GROUP BY 1
+), dv AS (
+  SELECT file_id, pos FROM counts, unnest(generate_series(1, n_rows)) AS u(pos)
+  WHERE (('0x' || substr(md5(CAST(file_id AS VARCHAR) || ':' ||
+          CAST(pos AS VARCHAR)), 1, 8))::BIGINT % {DV_DEL_MOD}) = 0
+), live AS (
+  SELECT b.* FROM base b ANTI JOIN dv
+    ON b.file_id = dv.file_id AND b.pos = dv.pos
+)
+SELECT c.file_id,
+       CAST(c.n_rows AS BIGINT) AS n_rows,
+       CAST(COUNT(l.pos) AS BIGINT) AS n_live,
+       CAST(c.n_rows - COUNT(l.pos) AS BIGINT) AS n_deleted,
+       {dec_sum_sql("l.l_quantity")} AS live_qty
+FROM counts c LEFT JOIN live l ON l.file_id = c.file_id
+GROUP BY c.file_id, c.n_rows
+"""
+
+
+@register(
+    "warehouse_deletion_vectors",
+    oracle=DELETION_VECTOR_ORACLE,
+    tags=("warehouse", "join", "scale"),
+)
+def warehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read with POSITION deletes, the Iceberg v2 / Delta
+    deletion-vector read path: data files are immutable; deletes live
+    in a side table of (file, position) and the scan applies them with
+    a positional anti-join — no rewrite of the 100 TB base. Emits the
+    per-file reconciliation (rows, live, deleted, surviving quantity
+    sum) a maintenance job uses to decide when accumulated deletes
+    justify compacting a file.
+
+    The synthetic delete vector is built BY POSITION (md5(file:pos)),
+    deliberately independent of any row predicate — a filter cannot
+    reproduce it; only the positional join can, which is what makes
+    this a faithful merge-on-read exercise. Scale shape: positions are
+    assigned by a window over PARTITION BY file_id (bounded rows per
+    file — never a global sort); the anti-join shuffles on file_id
+    + pos with both sides partitioned the same way; in production the
+    dv side arrives as a compact bitmap table, smaller still.
+    """
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture; extend
+    # the position order by the payload columns so the file layout is a
+    # total order up to rows whose emitted metric (quantity) ties — any
+    # residual ambiguity cannot change the per-file sums.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    base = li.withColumn(
+        "file_id", F.floor(F.col("l_orderkey") / DV_FILE_W).cast("long")
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("file_id").orderBy(
+                "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+            )
+        ),
+    )
+    counts = base.groupBy("file_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    dv = (
+        counts.select(
+            "file_id", F.explode(F.sequence(F.lit(1), F.col("n_rows"))).alias("pos")
+        )
+        .filter(
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("file_id").cast("string"),
+                                F.lit(":"),
+                                F.col("pos").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(DV_DEL_MOD),
+            )
+            == 0
+        )
+    )
+    live = base.join(dv, ["file_id", "pos"], "left_anti")
+    per_file = live.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        dec_sum_from_parts(*dec_sum_parts(F.col("l_quantity"))).alias("live_qty"),
+    )
+    return (
+        counts.join(per_file, "file_id", "left")
+        .select(
+            "file_id",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.coalesce("n_live", F.lit(0)).cast("long").alias("n_live"),
+            (F.col("n_rows") - F.coalesce("n_live", F.lit(0)))
+            .cast("long")
+            .alias("n_deleted"),
+            "live_qty",
+        )
+    )
