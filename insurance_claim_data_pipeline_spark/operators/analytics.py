@@ -2743,3 +2743,126 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(dau * 1000000 div wau AS BIGINT)").alias("stickiness_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution.
+# ---------------------------------------------------------------------------
+
+
+def _ushape_oracle() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+  FROM events
+), nxt AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN struct_pack(ts := ts_us, id := event_id, v := value) END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+  FROM ev
+), touch AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         np.id AS conv_id, np.v AS conv_val
+  FROM nxt WHERE event_type <> 'purchase' AND np IS NOT NULL
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                            ORDER BY ts_us, event_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY user_id, conv_id) AS path_len
+  FROM touch
+), credited AS (
+  SELECT event_type,
+         CASE WHEN path_len = 1 THEN 1.0
+              WHEN path_len = 2 THEN 0.5
+              WHEN rnk = 1 OR rnk = path_len THEN 0.4
+              ELSE 0.2 / (path_len - 2) END AS credit,
+         conv_val
+  FROM ranked
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CAST(ROUND(credit * 1000000) AS BIGINT)) AS BIGINT) AS credit_e6,
+       CAST(SUM(CAST(ROUND(conv_val * credit * 1000000) AS BIGINT)) AS BIGINT)
+         AS revenue_e6
+FROM credited GROUP BY 1
+"""
+
+
+@register(
+    "events_attribution_ushape",
+    oracle=_ushape_oracle(),
+    tags=("analytics", "events", "window"),
+)
+def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    non-purchase touch is assigned to the user's NEXT purchase (the
+    running-MIN-struct forward as-of discipline — no stream self-join),
+    each conversion's path is ranked, and credit splits 40/20/40:
+    first and last touch get 0.4 each, middles share 0.2 equally
+    (length-1 paths take 1.0, length-2 paths 0.5/0.5). Credits and
+    credited revenue are summed as ×1e6 integers (order-independent,
+    engine-exact); per-conversion credits total exactly 1.0 by
+    construction, asserted in tests.
+
+    Scale: one shuffle on user_id for the forward as-of window, one on
+    (user_id, conv_id) for path ranking — both natural keys with
+    bounded groups — then a tiny per-channel rollup. Compare
+    ``events_attribution_last_touch`` (single-window special case)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    np_ = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(
+                F.col("ts_us").alias("ts"),
+                F.col("event_id").alias("id"),
+                F.col("value").alias("v"),
+            ),
+        )
+    ).over(w_fwd)
+    touch = (
+        ev.withColumn("np", np_)
+        .filter((F.col("event_type") != "purchase") & F.col("np").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts_us",
+            F.col("np.id").alias("conv_id"),
+            F.col("np.v").alias("conv_val"),
+        )
+    )
+    w_path = W.partitionBy("user_id", "conv_id")
+    ranked = touch.withColumn(
+        "rnk", F.row_number().over(w_path.orderBy("ts_us", "event_id"))
+    ).withColumn("path_len", F.count(F.lit(1)).over(w_path))
+    credit = (
+        F.when(F.col("path_len") == 1, F.lit(1.0))
+        .when(F.col("path_len") == 2, F.lit(0.5))
+        .when((F.col("rnk") == 1) | (F.col("rnk") == F.col("path_len")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("path_len") - 2))
+    )
+    credited = ranked.select(
+        "event_type", credit.alias("credit"), "conv_val"
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(F.round(F.col("credit") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("credit_e6"),
+        F.sum(F.round(F.col("conv_val") * F.col("credit") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("revenue_e6"),
+    )

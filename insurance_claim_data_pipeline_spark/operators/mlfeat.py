@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum, dec_sum_sql
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, tiny_frame_key
 from .analytics import _ntile_from_rank, _with_global_rank
 from .sampling import _bucket_sql, hash_bucket
 
@@ -634,4 +634,121 @@ def feat_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.select(
         "*", F.sum("psi_term_e6").over(w).cast("long").alias("psi_total_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe K-fold (out-of-fold) target encoding.
+# ---------------------------------------------------------------------------
+
+TE_CV_FOLDS = 5
+
+TARGET_ENC_CV_ORACLE = f"""
+WITH returned AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+), labeled AS (
+  SELECT o.o_orderpriority AS cat,
+         (('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          % {TE_CV_FOLDS}) AS fold,
+         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+  FROM orders o LEFT JOIN returned r ON o.o_orderkey = r.l_orderkey
+), cf AS (
+  SELECT cat, fold, COUNT(*) AS n_cf, CAST(SUM(y) AS BIGINT) AS pos_cf
+  FROM labeled GROUP BY 1, 2
+), tot AS (
+  SELECT cat, fold, n_cf, pos_cf,
+         SUM(n_cf)  OVER (PARTITION BY cat)  AS n_c,
+         SUM(pos_cf) OVER (PARTITION BY cat) AS pos_c,
+         SUM(n_cf)  OVER (PARTITION BY fold) AS n_f,
+         SUM(pos_cf) OVER (PARTITION BY fold) AS pos_f,
+         SUM(n_cf)  OVER () AS n_all,
+         SUM(pos_cf) OVER () AS pos_all
+  FROM cf
+)
+SELECT cat, CAST(fold AS BIGINT) AS fold,
+       CAST(n_cf AS BIGINT) AS n_in_fold,
+       CAST(n_c - n_cf AS BIGINT) AS oof_n,
+       CAST(pos_c - pos_cf AS BIGINT) AS oof_pos,
+       CAST(pos_all - pos_f AS DOUBLE) / CAST(n_all - n_f AS DOUBLE) AS prior_oof,
+       (CAST(pos_c - pos_cf AS DOUBLE)
+         + {{M}} * (CAST(pos_all - pos_f AS DOUBLE) / CAST(n_all - n_f AS DOUBLE)))
+         / CAST(n_c - n_cf + {{M}} AS DOUBLE) AS target_enc_cv
+FROM tot
+""".replace("{M}", str(TARGET_ENC_M))
+
+
+@register(
+    "feat_target_encode_cv",
+    oracle=TARGET_ENC_CV_ORACLE,
+    tags=("mlfeat", "llm", "window"),
+)
+def feat_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding — the fix for the classic
+    train-time leak in ``feat_target_encode``: a row's own label (and
+    its whole fold's labels) must not contribute to its encoding, or
+    the feature memorizes the target. Rows get md5-deterministic folds;
+    the encoding applied to fold f uses category stats from the OTHER
+    folds only, smoothed toward the out-of-fold global prior with the
+    same pseudo-count M.
+
+    Scale shape: ONE aggregate to the |cats|×K frame (map-side
+    combined), then every out-of-fold quantity is a window sum over
+    that tiny frame (complement = total − own slice; no per-fold
+    re-scan, no K-pass loop). Applying the encoding to the fact table
+    is a broadcast join on (cat, fold) downstream. Integer counts
+    end-to-end; the two emitted ratios are single double divisions.
+    """
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    labeled = (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left"
+        )
+        .select(
+            F.col("o_orderpriority").alias("cat"),
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+                ).cast("long"),
+                F.lit(TE_CV_FOLDS),
+            ).alias("fold"),
+            F.when(F.col("l_orderkey").isNull(), 0).otherwise(1).alias("y"),
+        )
+    )
+    cf = labeled.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n_cf"), F.sum("y").cast("long").alias("pos_cf")
+    )
+    w_cat = W.partitionBy("cat")
+    w_fold = W.partitionBy("fold")
+    w_all = W.partitionBy(tiny_frame_key("fold"))
+    tot = (
+        cf.withColumn("n_c", F.sum("n_cf").over(w_cat))
+        .withColumn("pos_c", F.sum("pos_cf").over(w_cat))
+        .withColumn("n_f", F.sum("n_cf").over(w_fold))
+        .withColumn("pos_f", F.sum("pos_cf").over(w_fold))
+        .withColumn("n_all", F.sum("n_cf").over(w_all))
+        .withColumn("pos_all", F.sum("pos_cf").over(w_all))
+    )
+    prior_oof = (F.col("pos_all") - F.col("pos_f")).cast("double") / (
+        F.col("n_all") - F.col("n_f")
+    ).cast("double")
+    return tot.select(
+        "cat",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n_cf").cast("long").alias("n_in_fold"),
+        (F.col("n_c") - F.col("n_cf")).cast("long").alias("oof_n"),
+        (F.col("pos_c") - F.col("pos_cf")).cast("long").alias("oof_pos"),
+        prior_oof.alias("prior_oof"),
+        (
+            (
+                (F.col("pos_c") - F.col("pos_cf")).cast("double")
+                + TARGET_ENC_M * prior_oof
+            )
+            / (F.col("n_c") - F.col("n_cf") + TARGET_ENC_M).cast("double")
+        ).alias("target_enc_cv"),
     )

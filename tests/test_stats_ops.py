@@ -860,3 +860,60 @@ def test_compaction_plan_invariants(spark, sf_dir):
             # every packed file is small (< TARGET), so next-fit can
             # overshoot the boundary by at most one small file
             assert b["bin_bytes"] < 2 * maintenance.TARGET_BYTES
+
+
+def test_ushape_attribution_conserves_credit(spark, sf_dir):
+    """Per-conversion credits must total exactly 1.0 (×1e6 integer), so
+    the global credit_e6 sum equals 1e6 × the number of purchases with
+    at least one prior same-user non-purchase event (computed here
+    independently via a running-count window)."""
+    from pyspark.sql import Window as W
+
+    from insurance_claim_data_pipeline_spark.operators import analytics
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    out = analytics.events_attribution_ushape(spark, sf_dir).collect()
+    total_credit = sum(r["credit_e6"] for r in out)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior_touches = F.count(
+        F.when(F.col("event_type") != "purchase", F.lit(1))
+    ).over(w)
+    # a path exists only if touches arrived SINCE the previous purchase
+    # (earlier touches attribute to that earlier conversion)
+    pur = ev.withColumn("pt", prior_touches).filter(F.col("event_type") == "purchase")
+    w_pur = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    attributed = (
+        pur.withColumn("pt_prev", F.lag("pt", 1, 0).over(w_pur))
+        .filter(F.col("pt") > F.col("pt_prev"))
+        .count()
+    )
+    # Each attributed conversion's path credits sum to 1.0 up to ×1e6
+    # rounding of 0.2/(L-2) middle shares (≤ L terms, each off by ≤0.5).
+    assert abs(total_credit - attributed * 1_000_000) <= attributed * 50
+
+
+def test_target_encode_cv_leakage_safety_invariants(spark, sf_dir):
+    """Out-of-fold bookkeeping: n_in_fold + oof_n is the same category
+    total on every fold row; the OOF prior genuinely varies by fold
+    (it excludes that fold's labels); encodings stay within [0, 1]."""
+    from insurance_claim_data_pipeline_spark.operators import mlfeat
+
+    rows = mlfeat.feat_target_encode_cv(spark, sf_dir).collect()
+    assert len(rows) == 5 * mlfeat.TE_CV_FOLDS
+    by_cat = {}
+    for r in rows:
+        by_cat.setdefault(r["cat"], []).append(r)
+    for cat, rs in by_cat.items():
+        totals = {r["n_in_fold"] + r["oof_n"] for r in rs}
+        assert len(totals) == 1, (cat, totals)
+        assert all(0.0 <= r["target_enc_cv"] <= 1.0 for r in rs)
+    priors = {r["prior_oof"] for r in rows}
+    assert len(priors) == mlfeat.TE_CV_FOLDS  # one distinct prior per fold
