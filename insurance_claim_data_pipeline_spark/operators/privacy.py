@@ -1,0 +1,119 @@
+"""Privacy-governance reports: k-anonymity and l-diversity audits.
+
+A training-data pipeline that exports analytical extracts has to answer
+"can a row be re-identified from its quasi-identifiers?" before
+publishing. These operators produce the two standard audit frames
+(Sweeney's k-anonymity; Machanavajjhala's l-diversity) over a
+quasi-identifier projection of the orders table:
+
+- ``privacy_k_anonymity`` — equivalence-class sizes of the QI tuple
+  (priority, status, order month); classes with k < K_MIN would let an
+  attacker who knows a target's QI values single them out among < K
+  candidates, so they must be suppressed or generalized before export.
+- ``privacy_l_diversity`` — within each (priority, month) class, how
+  many DISTINCT values of the sensitive attribute (order status)
+  co-occur; k-anonymous classes with l = 1 still leak the sensitive
+  value outright (homogeneity attack).
+
+Both are plain aggregates: one map-side-combined groupBy to the
+|classes| frame (orders of magnitude smaller than the table), then
+report arithmetic on that tiny frame — the same shape at 100 TB. The
+reference has no privacy surface (SURVEY §2.2 extension); the audit is
+the governance gate of the LLM-data north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table, tiny_frame_key
+
+K_MIN = 5  # minimum acceptable equivalence-class size
+L_MIN = 2  # minimum acceptable sensitive-value diversity
+
+K_ANON_ORACLE = f"""
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM orders GROUP BY 1, 2, 3
+), tot AS (
+  SELECT *,
+         SUM(k) OVER () AS n_all,
+         SUM(CASE WHEN k < {K_MIN} THEN k ELSE 0 END) OVER () AS n_risky
+  FROM cells
+)
+SELECT o_orderpriority, o_orderstatus, order_month, k,
+       k < {K_MIN} AS risky,
+       CAST(n_risky AS DOUBLE) / CAST(n_all AS DOUBLE) AS risky_row_share
+FROM tot
+"""
+
+
+@register("privacy_k_anonymity", oracle=K_ANON_ORACLE, tags=("privacy", "dq", "agg"))
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (priority, status, order-month) QI
+    projection: per equivalence class its size k, the k < K_MIN risk
+    flag, and the global share of rows living in risky classes (the
+    suppression cost of publishing at K_MIN). One aggregate to the
+    tiny class frame; the share is a window over that frame."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    w = Window.partitionBy(tiny_frame_key("k"))
+    tot = cells.withColumn("n_all", F.sum("k").over(w)).withColumn(
+        "n_risky",
+        F.sum(F.when(F.col("k") < K_MIN, F.col("k")).otherwise(F.lit(0))).over(w),
+    )
+    return tot.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "order_month",
+        "k",
+        (F.col("k") < K_MIN).alias("risky"),
+        (F.col("n_risky").cast("double") / F.col("n_all").cast("double")).alias(
+            "risky_row_share"
+        ),
+    )
+
+
+L_DIV_ORACLE = f"""
+WITH cls AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, order_month, n, l_distinct,
+       l_distinct < {L_MIN} AS homogeneity_risk
+FROM cls
+"""
+
+
+@register("privacy_l_diversity", oracle=L_DIV_ORACLE, tags=("privacy", "dq", "agg"))
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: distinct sensitive values (order status) per
+    (priority, month) class. Classes passing k-anonymity but with
+    l = 1 are homogeneity attacks waiting to happen — everyone in the
+    class shares the sensitive value, so 'anonymity' reveals it.
+    COUNT(DISTINCT) over a low-cardinality sensitive column is a
+    two-level exact aggregate Spark executes with partial expand —
+    no extra shuffle beyond the class keys."""
+    o = load_table(spark, sf_dir, "orders")
+    cls = o.groupBy(
+        "o_orderpriority", F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("o_orderstatus").cast("long").alias("l_distinct"),
+    )
+    return cls.select(
+        "o_orderpriority",
+        "order_month",
+        "n",
+        "l_distinct",
+        (F.col("l_distinct") < L_MIN).alias("homogeneity_risk"),
+    )

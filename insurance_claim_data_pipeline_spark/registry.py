@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "insurance_claim_data_pipeline_spark.operators.mlfeat",
     "insurance_claim_data_pipeline_spark.operators.stats",
     "insurance_claim_data_pipeline_spark.operators.maintenance",
+    "insurance_claim_data_pipeline_spark.operators.privacy",
     "insurance_claim_data_pipeline_spark.plans.claim_queries",
     "insurance_claim_data_pipeline_spark.streaming.events_stream",
     "insurance_claim_data_pipeline_spark.streaming.sinks",

@@ -917,3 +917,20 @@ def test_target_encode_cv_leakage_safety_invariants(spark, sf_dir):
         assert all(0.0 <= r["target_enc_cv"] <= 1.0 for r in rs)
     priors = {r["prior_oof"] for r in rows}
     assert len(priors) == mlfeat.TE_CV_FOLDS  # one distinct prior per fold
+
+
+def test_privacy_audits_consistent(spark, sf_dir):
+    """k-anonymity bookkeeping: risky_row_share equals the recomputed
+    share of rows in k<K classes; l-diversity: l_distinct is bounded by
+    the number of statuses and by the class size."""
+    from insurance_claim_data_pipeline_spark.operators import privacy
+
+    k_rows = privacy.privacy_k_anonymity(spark, sf_dir).collect()
+    n_all = sum(r["k"] for r in k_rows)
+    n_risky = sum(r["k"] for r in k_rows if r["risky"])
+    assert all(abs(r["risky_row_share"] - n_risky / n_all) < 1e-12 for r in k_rows)
+    assert all((r["k"] < privacy.K_MIN) == r["risky"] for r in k_rows)
+
+    l_rows = privacy.privacy_l_diversity(spark, sf_dir).collect()
+    assert all(1 <= r["l_distinct"] <= min(3, r["n"]) for r in l_rows)
+    assert all((r["l_distinct"] < privacy.L_MIN) == r["homogeneity_risk"] for r in l_rows)
