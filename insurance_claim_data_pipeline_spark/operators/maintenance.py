@@ -229,3 +229,61 @@ def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.max("late_s").alias("max_lateness_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of append-mode watermark finalization.
+# ---------------------------------------------------------------------------
+
+WM_TWIN_DELAY_US = 300 * 1_000_000
+WM_WINDOW_US = 600 * 1_000_000
+
+WM_FINALIZED_ORACLE = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS ts_us, event_type FROM events
+), mx AS (
+  SELECT MAX(ts_us) AS max_us FROM ev
+), agg AS (
+  SELECT (ts_us // {WM_WINDOW_US}) * {WM_WINDOW_US} AS window_start_us,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2
+)
+SELECT a.window_start_us, a.event_type, a.n_events
+FROM agg a, mx
+WHERE a.window_start_us + {WM_WINDOW_US} <= mx.max_us - {WM_TWIN_DELAY_US}
+"""
+
+
+@register(
+    "events_watermark_finalized",
+    oracle=WM_FINALIZED_ORACLE,
+    tags=("events", "streaming", "agg"),
+)
+def events_watermark_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``events_watermark_drop_streaming``: the windows an
+    append-mode watermarked aggregation FINALIZES when the whole table
+    arrives as one micro-batch — i.e. tumbling 10-minute counts for
+    windows whose end precedes (max event time − delay). Window starts
+    are epoch-aligned floor division on microseconds, exactly
+    ``F.window``'s boundary rule, so the streaming run must match
+    row-for-row (asserted in tests/test_streaming.py, along with the
+    multi-batch late-drop case simulated batch-side).
+
+    Scale: one aggregate plus a broadcast 1-row max frame — the
+    finalization filter is a scalar comparison, not a join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    mx = ev.agg(F.max("ts_us").alias("max_us"))
+    agg = ev.groupBy(
+        (F.floor(F.col("ts_us") / WM_WINDOW_US) * WM_WINDOW_US).alias("window_start_us"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        agg.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("window_start_us") + WM_WINDOW_US
+            <= F.col("max_us") - WM_TWIN_DELAY_US
+        )
+        .select("window_start_us", "event_type", "n_events")
+    )

@@ -242,3 +242,39 @@ def events_enrich_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="append",
     )
+
+
+WM_DELAY_SECS = 300  # watermark delay for the finalization twin
+
+
+def watermark_finalized_stream(events: DataFrame) -> DataFrame:
+    """Watermarked 10-minute tumbling counts in APPEND mode: a window
+    row is emitted only once the watermark (max event time seen minus
+    WM_DELAY_SECS) passes its end — the finalization discipline a
+    downstream exactly-once sink relies on. Late rows beyond the
+    watermark are dropped from their window's count."""
+    return (
+        events.withWatermark("ts", f"{WM_DELAY_SECS} seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register("events_watermark_drop_streaming", tags=("events", "streaming"))
+def events_watermark_drop_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming append-mode watermark finalization
+    (rows-only check; the oracle-checked batch twin is
+    events_watermark_finalized — on the single-batch pristine source
+    nothing arrives late, so the drained output must equal the twin
+    exactly, asserted in tests/test_streaming.py together with a
+    multi-batch staged-arrival run that DOES drop late rows and is
+    compared against a batch simulation of the watermark semantics)."""
+    events = _events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        watermark_finalized_stream(events), spark, output_mode="append"
+    )

@@ -484,3 +484,145 @@ def test_streaming_cusum_multibatch_equals_batch(spark, sf_dir, tmp_path):
         for r in got.collect()
     }
     assert out == batch
+
+
+def test_streaming_watermark_finalization_single_batch(spark, sf_dir):
+    """On a single-gulp source nothing is late, so the append-mode
+    drained output must equal the oracle-checked batch twin exactly."""
+    from insurance_claim_data_pipeline_spark.operators.maintenance import (
+        events_watermark_finalized,
+    )
+    from insurance_claim_data_pipeline_spark.registry import all_specs
+
+    st = all_specs()["events_watermark_drop_streaming"]
+    got = sorted(tuple(r) for r in st.fn(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in events_watermark_finalized(spark, sf_dir).collect())
+    assert got == want and want
+
+
+def test_streaming_watermark_drops_late_rows_as_simulated(spark, sf_dir, tmp_path):
+    """Force six micro-batches in a modeled ARRIVAL order and check
+    Spark's real watermark semantics against a from-first-principles
+    simulation of the TWO-watermark model (SPARK-24634): late input in
+    batch b is filtered against the PREVIOUS watermark (max event time
+    through batch b−2, minus delay — so a row arriving in the very
+    batch that advances the watermark is still accepted), eviction and
+    emission use the CURRENT watermark, and a window is emitted iff
+    its end ≤ the final watermark. Watermarks are tracked in
+    milliseconds, as the engine does.
+
+    The jitter here is deliberately LARGE (md5 mod ~9 days — unlike
+    the production-shaped 900 s model in events_watermark_lateness)
+    because the one-batch filter lag means a row is only dropped when
+    its disorder exceeds a full micro-batch arrival span (~4.5 days
+    here) plus the delay; the run must actually drop rows (asserted),
+    otherwise the drop path never fires and the test is vacuous."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.maintenance import (
+        WM_TWIN_DELAY_US,
+        WM_WINDOW_US,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table, normalize_timestamps
+    from insurance_claim_data_pipeline_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        watermark_finalized_stream,
+    )
+
+    test_jitter_s = 800_000  # ~9 days of modeled ingest disorder
+    n_batches = 6
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        (
+            F.unix_micros("ts")
+            + F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+                ).cast("long"),
+                F.lit(test_jitter_s),
+            )
+            * F.lit(1_000_000)
+        ).alias("arrival_us"),
+    )
+    all_rows = sorted(
+        (
+            (r["arrival_us"], r["us"], r["event_type"])
+            for r in ev.withColumn("us", F.unix_micros("ts")).collect()
+        )
+    )
+    per = (len(all_rows) + n_batches - 1) // n_batches
+    cuts = sorted({all_rows[min((i + 1) * per, len(all_rows)) - 1][0] for i in range(n_batches)})
+
+    staging = str(tmp_path / "staging")
+    stamped: set[str] = set()
+    base = _time.time()
+    prev_cut = None
+    batch_files: list[str] = []
+    for i, cut in enumerate(cuts):
+        a = F.col("arrival_us")
+        cond = a <= cut if prev_cut is None else (a > prev_cut) & (a <= cut)
+        prev_cut = cut
+        ev.filter(cond).select("ts", "event_type").coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        for name in _os.listdir(staging):
+            if name.endswith(".parquet") and name not in stamped:
+                _os.utime(_os.path.join(staging, name), (base + 10 * i,) * 2)
+                stamped.add(name)
+                batch_files.append(_os.path.join(staging, name))
+    # simulate from the ACTUAL staged files (the exact micro-batch
+    # contents), not from recomputed slices
+    batches = [
+        [
+            (r["us"], r["event_type"])
+            for r in spark.read.parquet(f)
+            .withColumn("us", F.unix_micros("ts"))
+            .collect()
+        ]
+        for f in batch_files
+    ]
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    got = run_stream_to_memory(
+        watermark_finalized_stream(normalize_timestamps(stream)),
+        spark,
+        output_mode="append",
+    )
+    out = {
+        (r["window_start_us"], r["event_type"]): r["n_events"] for r in got.collect()
+    }
+
+    # first-principles simulation over the same batch partitioning
+    counts: dict[tuple[int, str], int] = {}
+    max_prev = None  # max event time through batch b-2 (late filter)
+    max_seen = None  # max event time through batch b-1 (eviction)
+    dropped = 0
+
+    def wm_us(mx):
+        # Spark tracks event-time watermarks in MILLISECONDS: the max
+        # event time is truncated to ms before the delay is subtracted.
+        return (mx // 1000 - WM_TWIN_DELAY_US // 1000) * 1000
+
+    for batch in batches:
+        wm_late = None if max_prev is None else wm_us(max_prev)
+        for us, ty in batch:
+            wstart = us // WM_WINDOW_US * WM_WINDOW_US
+            if wm_late is not None and wstart + WM_WINDOW_US <= wm_late:
+                dropped += 1
+                continue
+            counts[(wstart, ty)] = counts.get((wstart, ty), 0) + 1
+        batch_max = max(us for us, _ in batch)
+        max_prev = max_seen
+        max_seen = batch_max if max_seen is None else max(max_seen, batch_max)
+    final_wm = wm_us(max_seen)
+    want = {k: v for k, v in counts.items() if k[0] + WM_WINDOW_US <= final_wm}
+    assert dropped > 0  # the scenario genuinely exercises late-drop
+    assert out == want
