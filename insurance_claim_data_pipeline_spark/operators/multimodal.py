@@ -841,3 +841,69 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return bdf.mapInPandas(shots, schema=SHOT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ViT patch-layout planning (vision-token budget accounting)
+# ---------------------------------------------------------------------------
+
+PATCH_SIZE = 16
+MAX_VISION_SEQ = 601  # CLS + patch budget; some fixture images exceed it
+
+PATCH_LAYOUT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+         CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
+  FROM documents
+), g AS (
+  SELECT doc_id, width, height,
+         (width + {PATCH_SIZE} - 1) // {PATCH_SIZE} AS grid_w,
+         (height + {PATCH_SIZE} - 1) // {PATCH_SIZE} AS grid_h
+  FROM d
+)
+SELECT doc_id, width, height, grid_w, grid_h,
+       grid_w * {PATCH_SIZE} - width AS pad_w,
+       grid_h * {PATCH_SIZE} - height AS pad_h,
+       grid_w * grid_h AS n_patches,
+       grid_w * grid_h + 1 AS seq_len,
+       grid_w * grid_h + 1 > {MAX_VISION_SEQ} AS truncated,
+       LEAST(grid_w * grid_h, {MAX_VISION_SEQ} - 1) AS kept_patches
+FROM g
+"""
+
+
+@register("multimodal_patch_layout", oracle=PATCH_LAYOUT_ORACLE, tags=("multimodal", "llm"))
+def multimodal_patch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-layout planning: for each image (stub dims — the same
+    deterministic derivation as multimodal_resize, replaced verbatim by
+    the header/decode dims in production), compute the {PATCH_SIZE}px
+    patch grid, the zero-padding the patchifier adds, and the resulting
+    vision-token sequence length against a MAX_VISION_SEQ budget with a
+    truncation flag — the accounting a multimodal training pipeline
+    needs to pack vision tokens next to text tokens (some fixture
+    images genuinely exceed the budget, so the truncation branch is
+    non-vacuous). Pure codegen integer arithmetic, no UDF, no shuffle —
+    the narrow planning map that runs BEFORE any pixel is decoded."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length("text") % 640 + 1).cast("long").alias("width"),
+        ((F.octet_length("text") * 7) % 480 + 1).cast("long").alias("height"),
+    )
+    grid_w = F.floor((F.col("width") + PATCH_SIZE - 1) / PATCH_SIZE).cast("long")
+    grid_h = F.floor((F.col("height") + PATCH_SIZE - 1) / PATCH_SIZE).cast("long")
+    g = d.withColumn("grid_w", grid_w).withColumn("grid_h", grid_h)
+    n_patches = F.col("grid_w") * F.col("grid_h")
+    return g.select(
+        "doc_id",
+        "width",
+        "height",
+        "grid_w",
+        "grid_h",
+        (F.col("grid_w") * PATCH_SIZE - F.col("width")).alias("pad_w"),
+        (F.col("grid_h") * PATCH_SIZE - F.col("height")).alias("pad_h"),
+        n_patches.alias("n_patches"),
+        (n_patches + 1).alias("seq_len"),
+        (n_patches + 1 > MAX_VISION_SEQ).alias("truncated"),
+        F.least(n_patches, F.lit(MAX_VISION_SEQ - 1)).alias("kept_patches"),
+    )

@@ -1856,3 +1856,91 @@ def perm_bh_frame(v: DataFrame, id_col: str, group_col: str) -> DataFrame:
         "p_adj",
         (F.col("p_adj") <= FDR_Q).alias("reject"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit fraud/DQ screen.
+# ---------------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) — exact integer literals shared by both
+# engines, so no runtime log10 can diverge.
+BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+_BENFORD_CASE = (
+    "CASE digit " + " ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_E6.items()) + " END"
+)
+
+BENFORD_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+           AS digit
+  FROM orders WHERE o_totalprice >= 1
+), c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1
+), t AS (
+  SELECT *, SUM(n) OVER () AS n_tot FROM c
+)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / n_tot AS observed,
+       CAST({_BENFORD_CASE} AS BIGINT) AS expected_e6,
+       CAST(ROUND(
+         (CAST(n AS DOUBLE) / n_tot - {_BENFORD_CASE} / 1e6)
+         * (CAST(n AS DOUBLE) / n_tot - {_BENFORD_CASE} / 1e6)
+         / ({_BENFORD_CASE} / 1e6) * n_tot * 1000000) AS BIGINT) AS chi2_term_e6
+FROM t
+"""
+
+
+@register("stats_benford_screen", oracle=BENFORD_ORACLE, tags=("stats", "dq"))
+def stats_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the classic
+    fabricated-numbers detector an audit pipeline runs on monetary
+    columns: natural multiplicative amounts follow P(d) = log10(1+1/d);
+    invented ones cluster on middle digits. Emits per-digit counts,
+    observed share, the expected Benford probability (×1e6 integer
+    LITERALS baked into both engines — no runtime log10 to diverge),
+    and the per-digit chi-square contribution (×1e6, rounded per term
+    so the order-independent integer total is engine-exact).
+
+    The first digit comes from floor → string → first char (explicit
+    FLOOR: a bare double→BIGINT cast truncates in Spark but rounds in
+    DuckDB):
+    pure string arithmetic, identical in both engines, no log10 on
+    data. One map-side-combined aggregate to 9 rows; the share/chi2
+    arithmetic runs on that tiny frame. (The fixture's uniform-ish
+    synthetic prices do NOT follow Benford — the screen correctly
+    flags them; the test asserts the chi2 is large, plus bookkeeping
+    identities.)"""
+    from pyspark.sql import Window
+
+    from ..session import tiny_frame_key
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    v = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("long").alias("digit")
+    )
+    c = v.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.withColumn(
+        "n_tot", F.sum("n").over(Window.partitionBy(tiny_frame_key("n")))
+    )
+    exp_col = None
+    for d, p in BENFORD_E6.items():
+        exp_col = F.when(F.col("digit") == d, F.lit(p)) if exp_col is None else exp_col.when(
+            F.col("digit") == d, F.lit(p)
+        )
+    obs = F.col("n").cast("double") / F.col("n_tot")
+    exp_p = exp_col / F.lit(1e6)
+    return t.select(
+        "digit",
+        "n",
+        obs.alias("observed"),
+        exp_col.cast("long").alias("expected_e6"),
+        F.round((obs - exp_p) * (obs - exp_p) / exp_p * F.col("n_tot") * 1_000_000)
+        .cast("long")
+        .alias("chi2_term_e6"),
+    )

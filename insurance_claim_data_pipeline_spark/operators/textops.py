@@ -2304,3 +2304,107 @@ def text_ctfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= CTFIDF_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram model (absolute discounting + continuation)
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT_E2 = 75  # D = 0.75 in hundredths (exact in binary: 0.75)
+KN_TOPK = 200
+
+KN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1,
+         CAST(COUNT(*) AS BIGINT) AS n1plus_fw
+  FROM c2 GROUP BY w1
+), bw AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1plus_bw FROM c2 GROUP BY w2
+), btypes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b_total FROM c2
+), model AS (
+  SELECT c2.w1, c2.w2, c2.n12, c1.n1, c1.n1plus_fw, bw.n1plus_bw,
+         CAST(ROUND((
+           GREATEST(CAST(n12 AS DOUBLE) - 0.75, 0.0) / n1
+           + (0.75 * n1plus_fw / n1) * (CAST(n1plus_bw AS DOUBLE) / b_total)
+         ) * 1000000) AS BIGINT) AS p_kn_e6
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1 JOIN bw ON c2.w2 = bw.w2, btypes
+)
+SELECT * FROM model
+ORDER BY n12 DESC, w1, w2 LIMIT {KN_TOPK}
+"""
+
+
+@register("text_kneser_ney_bigrams", oracle=KN_ORACLE, tags=("text", "llm", "scale"))
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram smoothing — the LM estimator the
+    MLE model (text_bigram_logprob) cannot replace when a scored bigram
+    is unseen: absolute-discount D = 0.75 off every observed count,
+    with the freed mass D·N1+(w1,·)/c(w1) backed off to the CONTINUATION
+    probability N1+(·,w2)/|bigram types| (how many contexts w2 follows,
+    not how often — the 'San Francisco' correction: 'Francisco' is
+    frequent but follows almost nothing). Emits the top-{KN_TOPK}
+    bigrams by count with every model component, total-order
+    tie-broken.
+
+    Exactness: all counts are integers; D = 0.75 is exact in binary,
+    so the two-term probability is one identical double tree per row,
+    rounded ×1e6 at emission. Per-context mass conservation
+    (Σ_w2 P_KN(w2|w1) = 1) is asserted in tests — the property MLE
+    parity cannot check.
+
+    Scale: ONE bigram-count shuffle; c1/fw derive from c2 by a |vocab|
+    aggregate (n1 and N1+ in the same pass), bw by a second |vocab|
+    aggregate; |bigram types| is a broadcast scalar. No pass ever
+    re-reads the corpus."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    k = F.size("toks") - 1
+    bg = (
+        doc.select(toks.alias("toks"))
+        .select("toks", F.explode(F.when(k >= 1, F.sequence(F.lit(1), k))).alias("i"))
+        .select(
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n12"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n12").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("n1plus_fw"),
+    )
+    bw = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1plus_bw"))
+    btypes = c2.agg(F.count(F.lit(1)).cast("long").alias("b_total"))
+    d = 0.75
+    model = (
+        c2.join(c1, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            "n1plus_fw",
+            "n1plus_bw",
+            F.round(
+                (
+                    F.greatest(F.col("n12").cast("double") - d, F.lit(0.0)) / F.col("n1")
+                    + (d * F.col("n1plus_fw") / F.col("n1"))
+                    * (F.col("n1plus_bw").cast("double") / F.col("b_total"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("p_kn_e6"),
+        )
+    )
+    return model.orderBy(F.desc("n12"), "w1", "w2").limit(KN_TOPK)

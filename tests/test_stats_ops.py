@@ -934,3 +934,73 @@ def test_privacy_audits_consistent(spark, sf_dir):
     l_rows = privacy.privacy_l_diversity(spark, sf_dir).collect()
     assert all(1 <= r["l_distinct"] <= min(3, r["n"]) for r in l_rows)
     assert all((r["l_distinct"] < privacy.L_MIN) == r["homogeneity_risk"] for r in l_rows)
+
+
+def test_kneser_ney_mass_conservation(spark, sf_dir):
+    """Interpolated KN must be a proper conditional distribution:
+    Σ_w2 P_KN(w2|w1) = 1 for every context w1. Checked on the full
+    (unlimited) model via the unrounded formula in DuckDB — the same
+    arithmetic the parity-gated Spark plan evaluates — because the
+    registered query emits only the top-K slice."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    bad = con.sql(
+        """
+WITH tok AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, SUM(n12) AS n1, COUNT(*) AS n1plus_fw FROM c2 GROUP BY w1
+), bw AS (
+  SELECT w2, COUNT(*) AS n1plus_bw FROM c2 GROUP BY w2
+), btypes AS (SELECT COUNT(*) AS b_total FROM c2),
+p AS (
+  SELECT c2.w1, c1.n1, c1.n1plus_fw,
+         GREATEST(CAST(n12 AS DOUBLE) - 0.75, 0.0) / n1
+         + (0.75 * n1plus_fw / n1) * (CAST(n1plus_bw AS DOUBLE) / b_total) AS pkn,
+         CAST(n1plus_bw AS DOUBLE) / b_total AS pcont
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1 JOIN bw ON c2.w2 = bw.w2, btypes
+)
+SELECT COUNT(*) FROM (
+  -- observed-pair mass + the backoff mass flowing to UNSEEN w2
+  -- (the model frame materializes observed pairs only; proper KN
+  -- spreads the rest over the vocabulary via Pcont):
+  SELECT w1,
+         SUM(pkn) + (0.75 * ANY_VALUE(n1plus_fw) / ANY_VALUE(n1))
+                    * (1.0 - SUM(pcont)) AS mass
+  FROM p GROUP BY w1
+) WHERE abs(mass - 1.0) > 1e-9
+"""
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_benford_bookkeeping_and_uniform_prices_flagged(spark, sf_dir):
+    """Counts cover every order ≥ 1; expected_e6 are the baked Benford
+    literals summing to ~1e6; the synthetic near-uniform prices must
+    FAIL the screen decisively (chi2 far above the 15.5 critical value
+    for 8 dof at α=0.05) — a vacuously-passing screen would mean the
+    statistic is broken."""
+    from insurance_claim_data_pipeline_spark.operators.stats import (
+        BENFORD_E6,
+        stats_benford_screen,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    rows = stats_benford_screen(spark, sf_dir).collect()
+    n_expected = load_table(spark, sf_dir, "orders").filter("o_totalprice >= 1").count()
+    assert sum(r["n"] for r in rows) == n_expected
+    assert abs(sum(BENFORD_E6.values()) - 1_000_000) <= 2
+    for r in rows:
+        assert r["expected_e6"] == BENFORD_E6[r["digit"]]
+    chi2 = sum(r["chi2_term_e6"] for r in rows) / 1e6
+    assert chi2 > 15.5, chi2
