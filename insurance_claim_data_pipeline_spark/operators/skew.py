@@ -93,3 +93,105 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value", 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew planner (ANALYZE-style key diagnosis → strategy pick)
+# ---------------------------------------------------------------------------
+
+BROADCAST_KEYS = 1_000  # distinct-key ceiling for a broadcastable dim
+SALT_RATIO_E6 = 20_000_000  # top-key/avg ≥ 20× → explicit salting
+AQE_RATIO_E6 = 5_000_000  # ≥ 5× → trust AQE skew-split
+
+
+def _skew_col_sql(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS table_col,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX_BY(k, cnt * 100000000 - k) AS BIGINT) AS top_key,
+       CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+       CAST((MAX(cnt) * 1000000 * COUNT(*)) // SUM(cnt) AS BIGINT) AS skew_ratio_e6
+FROM (SELECT {col} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1)
+"""
+
+
+def _skew_oracle() -> str:
+    parts = " UNION ALL ".join(
+        f"({_skew_col_sql(t, c)})"
+        for t, c in (
+            ("lineitem", "l_orderkey"),
+            ("lineitem", "l_partkey"),
+            ("lineitem", "l_suppkey"),
+            ("events", "user_id"),
+        )
+    )
+    return f"""
+WITH stats AS ({parts})
+SELECT *,
+       CASE WHEN n_distinct <= {BROADCAST_KEYS} THEN 'broadcast_dim'
+            WHEN skew_ratio_e6 >= {SALT_RATIO_E6} THEN 'salt_hot_keys'
+            WHEN skew_ratio_e6 >= {AQE_RATIO_E6} THEN 'aqe_skew_join'
+            ELSE 'plain_shuffle' END AS strategy
+FROM stats
+"""
+
+
+@register("profile_join_skew_planner", oracle=_skew_oracle(), tags=("profile", "skew", "scale"))
+def profile_join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style join-key skew diagnosis: for each candidate join
+    key, one count-per-key aggregate reduced to (rows, distinct keys,
+    hottest key + its count, top/avg ratio), then the strategy CASE a
+    planner applies — dim small enough to broadcast; ratio ≥ 20× →
+    explicit salting (AQE splits partitions but still hammers one
+    reducer set per hot KEY); ≥ 5× → AQE skew-join suffices; else
+    plain shuffle. The exact decision procedure this package's own
+    salted_join / broadcast patterns implement, emitted as data.
+
+    The ratio is integer fixed-point: top_cnt·1e6·n_distinct // Σcnt
+    (top/mean without a double division). The hottest key carries an exact
+    composite-integer MAX_BY tie-break (cnt·1e8 − key; keys here are
+    < 1e8 — the agg_argminmax idiom) so ties resolve to the smallest
+    key deterministically. Each
+    column's stats is one map-side-combined aggregate — at 100 TB this
+    is the ANALYZE pass whose output feeds the optimizer, not a query
+    on the hot path."""
+    frames = []
+    for table, col in (
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("events", "user_id"),
+    ):
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        frames.append(
+            per_key.agg(
+                F.lit(f"{table}.{col}").alias("table_col"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.max_by("k", F.col("cnt") * F.lit(100_000_000) - F.col("k"))
+                .cast("long")
+                .alias("top_key"),
+                F.max("cnt").cast("long").alias("top_cnt"),
+            ).withColumn(
+                "skew_ratio_e6",
+                F.floor(
+                    F.col("top_cnt") * F.lit(1_000_000) * F.col("n_distinct")
+                    / F.col("n_rows")
+                ).cast("long"),
+            )
+        )
+    from functools import reduce
+
+    stats = reduce(DataFrame.unionByName, frames)
+    strategy = (
+        F.when(F.col("n_distinct") <= BROADCAST_KEYS, "broadcast_dim")
+        .when(F.col("skew_ratio_e6") >= SALT_RATIO_E6, "salt_hot_keys")
+        .when(F.col("skew_ratio_e6") >= AQE_RATIO_E6, "aqe_skew_join")
+        .otherwise("plain_shuffle")
+    )
+    return stats.withColumn("strategy", strategy)

@@ -69,3 +69,30 @@ def test_join_skew_salted_plan_shape(spark):
     assert "BroadcastHashJoin" not in plan
     assert "_salt" in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_join_skew_planner_bookkeeping(spark, sf_dir):
+    """Ratio identity and strategy thresholds: skew_ratio_e6 must equal
+    top_cnt*1e6*n_distinct // n_rows exactly, and the strategy column
+    must be the deterministic CASE over (n_distinct, ratio)."""
+    from insurance_claim_data_pipeline_spark.operators.skew import (
+        AQE_RATIO_E6,
+        BROADCAST_KEYS,
+        SALT_RATIO_E6,
+        profile_join_skew_planner,
+    )
+
+    rows = profile_join_skew_planner(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["skew_ratio_e6"] == r["top_cnt"] * 1_000_000 * r["n_distinct"] // r["n_rows"]
+        if r["n_distinct"] <= BROADCAST_KEYS:
+            want = "broadcast_dim"
+        elif r["skew_ratio_e6"] >= SALT_RATIO_E6:
+            want = "salt_hot_keys"
+        elif r["skew_ratio_e6"] >= AQE_RATIO_E6:
+            want = "aqe_skew_join"
+        else:
+            want = "plain_shuffle"
+        assert r["strategy"] == want
+        assert r["top_cnt"] >= r["n_rows"] // r["n_distinct"]  # top ≥ mean
