@@ -2342,3 +2342,184 @@ def sort_hilbert_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartitionByRange(16, "hval")
         .sortWithinPartitions("hval", "l_orderkey", "l_linenumber")
     )
+
+
+# ---- min/max data-skipping simulator across physical layouts ------------
+
+SKIP_N_FILES = 256  # file budget per simulated layout
+# band predicate: the middle [25%, 35%] slice of each key's range
+SKIP_BAND_LO_PCT, SKIP_BAND_HI_PCT = 25, 35
+
+
+def _skip_oracle() -> str:
+    zorder = ZORDER_ORACLE.strip()
+    hilbert = _hilbert_oracle().strip()
+    return f"""
+WITH zsrc AS ({zorder}),
+hsrc AS ({hilbert}),
+base AS (
+  SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+), st AS (
+  SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_ok, CAST(MAX(l_orderkey) AS BIGINT) AS max_ok,
+         CAST(MIN(l_partkey) AS BIGINT) AS min_pk, CAST(MAX(l_partkey) AS BIGINT) AS max_pk,
+         CAST(MIN(l_suppkey) AS BIGINT) AS min_sk, CAST(MAX(l_suppkey) AS BIGINT) AS max_sk
+  FROM base
+), assigned AS (
+  SELECT 'natural' AS layout,
+         LEAST((b.l_orderkey - st.min_ok) * {SKIP_N_FILES}
+               // GREATEST(st.max_ok - st.min_ok + 1, 1), {SKIP_N_FILES} - 1) AS file_id,
+         b.l_partkey, b.l_suppkey
+  FROM base b, st
+  UNION ALL
+  SELECT 'sort_partkey',
+         LEAST((b.l_partkey - st.min_pk) * {SKIP_N_FILES}
+               // GREATEST(st.max_pk - st.min_pk + 1, 1), {SKIP_N_FILES} - 1),
+         b.l_partkey, b.l_suppkey
+  FROM base b, st
+  UNION ALL
+  SELECT 'zorder', z.zval // {(1 << 32) // SKIP_N_FILES}, z.l_partkey, z.l_suppkey
+  FROM zsrc z
+  UNION ALL
+  SELECT 'hilbert', h.hval // {(1 << 16) // SKIP_N_FILES}, h.l_partkey, h.l_suppkey
+  FROM hsrc h
+), bands AS (
+  SELECT st.min_pk + (st.max_pk - st.min_pk) * {SKIP_BAND_LO_PCT} // 100 AS pk_lo,
+         st.min_pk + (st.max_pk - st.min_pk) * {SKIP_BAND_HI_PCT} // 100 AS pk_hi,
+         st.min_sk + (st.max_sk - st.min_sk) * {SKIP_BAND_LO_PCT} // 100 AS sk_lo,
+         st.min_sk + (st.max_sk - st.min_sk) * {SKIP_BAND_HI_PCT} // 100 AS sk_hi
+  FROM st
+), files AS (
+  SELECT layout, file_id,
+         CAST(COUNT(*) AS BIGINT) AS rows_in_file,
+         MIN(l_partkey) AS f_min_pk, MAX(l_partkey) AS f_max_pk,
+         MIN(l_suppkey) AS f_min_sk, MAX(l_suppkey) AS f_max_sk
+  FROM assigned GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(rows_in_file) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (f_min_pk <= pk_hi AND f_max_pk >= pk_lo
+                             AND f_min_sk <= sk_hi AND f_max_sk >= sk_lo)
+            AS BIGINT) AS files_read,
+       CAST(COALESCE(SUM(rows_in_file) FILTER (f_min_pk <= pk_hi AND f_max_pk >= pk_lo
+                             AND f_min_sk <= sk_hi AND f_max_sk >= sk_lo), 0)
+            AS BIGINT) AS rows_read,
+       CAST(COUNT(*) FILTER (f_min_pk <= pk_hi AND f_max_pk >= pk_lo
+                             AND f_min_sk <= sk_hi AND f_max_sk >= sk_lo)
+            * 1000000 // COUNT(*) AS BIGINT) AS read_frac_e6
+FROM files, bands
+GROUP BY layout, pk_lo, pk_hi, sk_lo, sk_hi
+"""
+
+
+@register("sink_skipping_stats", oracle=_skip_oracle(), tags=("sort", "scale", "sink"))
+def sink_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max data-skipping simulator: lay the SAME fact slice out
+    four ways — natural (insert) order, single-column sort, z-order,
+    Hilbert — cut each layout into {SKIP_N_FILES} fixed-span files,
+    collect per-file min/max zone maps, and count the files a
+    two-dimensional band predicate (the middle ~10% of each key's
+    range) would have to read. This turns the clustering debate into a
+    number: natural order reads ~everything, a single-column sort
+    prunes only its own dimension, the space-filling curves prune both
+    (ordering asserted in tests/test_plans.py).
+
+    Reuses the REAL layout operators — the z-order and Hilbert values
+    come from the same code paths (and the oracle composes their
+    oracle SQL verbatim as CTEs), so the simulator certifies the
+    layouts actually shipped, not a reimplementation. All file
+    assignment is exact integer arithmetic on the layout keys; the
+    whole simulation is two aggregates over the slice per layout —
+    the shape of a metadata-only planning query at 100 TB."""
+    zf = sort_zorder_interleave(spark, sf_dir)
+    hf = sort_hilbert_interleave(spark, sf_dir)
+    base = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+    )
+    st = base.agg(
+        F.min("l_orderkey").cast("long").alias("min_ok"),
+        F.max("l_orderkey").cast("long").alias("max_ok"),
+        F.min("l_partkey").cast("long").alias("min_pk"),
+        F.max("l_partkey").cast("long").alias("max_pk"),
+        F.min("l_suppkey").cast("long").alias("min_sk"),
+        F.max("l_suppkey").cast("long").alias("max_sk"),
+    )
+
+    def span_file(key, lo, hi):
+        return F.least(
+            F.floor(
+                (F.col(key) - F.col(lo))
+                * SKIP_N_FILES
+                / F.greatest(F.col(hi) - F.col(lo) + 1, F.lit(1))
+            ),
+            F.lit(SKIP_N_FILES - 1),
+        ).cast("long")
+
+    bs = base.crossJoin(F.broadcast(st))
+    natural = bs.select(
+        F.lit("natural").alias("layout"),
+        span_file("l_orderkey", "min_ok", "max_ok").alias("file_id"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    sorted_pk = bs.select(
+        F.lit("sort_partkey").alias("layout"),
+        span_file("l_partkey", "min_pk", "max_pk").alias("file_id"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    zorder = zf.select(
+        F.lit("zorder").alias("layout"),
+        F.floor(F.col("zval") / ((1 << 32) // SKIP_N_FILES)).cast("long").alias("file_id"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    hilbert = hf.select(
+        F.lit("hilbert").alias("layout"),
+        F.floor(F.col("hval") / ((1 << 16) // SKIP_N_FILES)).cast("long").alias("file_id"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    from functools import reduce
+
+    assigned = reduce(DataFrame.unionByName, (natural, sorted_pk, zorder, hilbert))
+    files = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rows_in_file"),
+        F.min("l_partkey").alias("f_min_pk"),
+        F.max("l_partkey").alias("f_max_pk"),
+        F.min("l_suppkey").alias("f_min_sk"),
+        F.max("l_suppkey").alias("f_max_sk"),
+    )
+    bands = st.select(
+        (F.col("min_pk") + F.floor((F.col("max_pk") - F.col("min_pk")) * SKIP_BAND_LO_PCT / 100)).alias("pk_lo"),
+        (F.col("min_pk") + F.floor((F.col("max_pk") - F.col("min_pk")) * SKIP_BAND_HI_PCT / 100)).alias("pk_hi"),
+        (F.col("min_sk") + F.floor((F.col("max_sk") - F.col("min_sk")) * SKIP_BAND_LO_PCT / 100)).alias("sk_lo"),
+        (F.col("min_sk") + F.floor((F.col("max_sk") - F.col("min_sk")) * SKIP_BAND_HI_PCT / 100)).alias("sk_hi"),
+    )
+    hit = (
+        (F.col("f_min_pk") <= F.col("pk_hi"))
+        & (F.col("f_max_pk") >= F.col("pk_lo"))
+        & (F.col("f_min_sk") <= F.col("sk_hi"))
+        & (F.col("f_max_sk") >= F.col("sk_lo"))
+    )
+    return (
+        files.crossJoin(F.broadcast(bands))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("rows_in_file").cast("long").alias("n_rows"),
+            F.sum(hit.cast("long")).cast("long").alias("files_read"),
+            F.coalesce(
+                F.sum(F.when(hit, F.col("rows_in_file"))), F.lit(0)
+            ).cast("long").alias("rows_read"),
+            F.floor(
+                F.sum(hit.cast("long")) * 1_000_000 / F.count(F.lit(1))
+            ).cast("long").alias("read_frac_e6"),
+        )
+    )

@@ -575,3 +575,18 @@ def test_deletion_vectors_reconciliation(spark, sf_dir):
     assert abs(frac - 1.0 / warehouse.DV_DEL_MOD) < 0.02, frac
     plan = physical_plan(spark, sf_dir, "warehouse_deletion_vectors")
     assert "LeftAnti" in plan
+
+
+def test_skipping_stats_layout_ordering(spark, sf_dir):
+    """The whole point of clustering, as a number: for a 2-D band
+    predicate, natural order reads everything, the single-column sort
+    prunes only its own dimension, and both space-filling curves beat
+    it by pruning in BOTH dimensions."""
+    rows = {r["layout"]: r for r in SPECS["sink_skipping_stats"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"natural", "sort_partkey", "zorder", "hilbert"}
+    assert rows["natural"]["read_frac_e6"] >= 900_000  # ~everything
+    for curve in ("zorder", "hilbert"):
+        assert rows[curve]["files_read"] < rows["sort_partkey"]["files_read"]
+        assert rows["sort_partkey"]["files_read"] < rows["natural"]["files_read"]
+    # every layout holds the same rows (it is a LAYOUT, not a filter)
+    assert len({r["n_rows"] for r in rows.values()}) == 1
