@@ -581,8 +581,13 @@ def test_skipping_stats_layout_ordering(spark, sf_dir):
     """The whole point of clustering, as a number: for a 2-D band
     predicate, natural order reads everything, the single-column sort
     prunes only its own dimension, and both space-filling curves beat
-    it by pruning in BOTH dimensions."""
-    rows = {r["layout"]: r for r in SPECS["sink_skipping_stats"].fn(spark, sf_dir).collect()}
+    it by pruning in BOTH dimensions. Pinned to sf0.01: at sf0.001 the
+    256-file budget leaves most files near-empty and zone maps prune
+    accidentally."""
+    rows = {
+        r["layout"]: r
+        for r in SPECS["sink_skipping_stats"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
     assert set(rows) == {"natural", "sort_partkey", "zorder", "hilbert"}
     assert rows["natural"]["read_frac_e6"] >= 900_000  # ~everything
     for curve in ("zorder", "hilbert"):
