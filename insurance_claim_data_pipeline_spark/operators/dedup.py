@@ -1092,3 +1092,123 @@ def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component_id", "vec_id").alias("component_id"),
         (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Star-contraction connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+_STAR_MAX_ROUNDS = 15
+
+
+def star_contraction_components(pairs: DataFrame) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") over an undirected ``(doc_a, doc_b)`` pair frame —
+    ``(doc_id, component_id)`` with component_id = the component's
+    smallest doc_id, exactly :func:`min_label_components`' contract.
+
+    Why a second algorithm: min-label propagation needs O(diameter)
+    rounds — a long near-dup CHAIN (each doc similar only to its
+    neighbors) needs as many joins as the chain is long. Star
+    contraction halves potentials every alternation and converges in
+    O(log n) rounds on ANY graph shape, which is why it is the
+    canonical trillion-edge CC algorithm. Each half-round:
+
+    - large-star: for every node u with neighborhood N(u), attach each
+      neighbor v > u to m = min({u} ∪ N(u));
+    - small-star: attach each neighbor v ≤ u (and u itself) to m.
+
+    Both are one groupBy(u) + one re-expand — two shuffles per
+    alternation, no join against a growing frame. Convergence = the
+    canonical edge set stops changing (count + order-independent
+    bit_xor-of-xxhash64 checksum — two driver scalars per round, like the
+    propagation loop's change count). Equality with
+    min_label_components on the same pair graph is asserted in tests;
+    the registry entry shares the recursive-CTE oracle."""
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def neighborhoods(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        return sym.groupBy("u").agg(
+            F.min(F.least("u", F.col("v"))).alias("m"),
+            F.collect_set("v").alias("nbrs"),
+        )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        nb = neighborhoods(e)
+        v = F.explode("nbrs").alias("v")
+        ex = nb.select("u", "m", v)
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = (
+            ex.filter(keep)
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(nb.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+        )
+        return out
+
+    def sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = sig(edges)
+    converged = False
+    for _ in range(_STAR_MAX_ROUNDS):
+        edges = star(edges, large=True).localCheckpoint()
+        edges = star(edges, large=False).localCheckpoint()
+        cur = sig(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"star_contraction_components: no fixed point in "
+            f"{_STAR_MAX_ROUNDS} alternations"
+        )
+    # at the fixed point every edge is (root, member); label roots too
+    members = edges.select(F.col("v").alias("doc_id"), F.col("u").alias("component_id"))
+    roots = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .join(members.select(F.col("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+    )
+    # isolated vertices of the ORIGINAL pair frame (self-pairs only)
+    verts = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labeled = members.unionByName(roots)
+    isolated = verts.join(labeled.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    return labeled.unionByName(isolated)
+
+
+@register(
+    "dedup_components_star",
+    oracle=COMPONENTS_ORACLE,
+    tags=("dedup", "llm", "iterative", "scale"),
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction twin of ``dedup_components``: same near-dup
+    pair graph, same (doc_id, component_id) answer, same recursive-CTE
+    oracle — but O(log n) alternations regardless of component
+    diameter (see :func:`star_contraction_components`)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return star_contraction_components(pairs)

@@ -1282,3 +1282,26 @@ def test_rerank_depth_sweep_monotone_and_anchored(spark, sf_dir):
     assert curve[5] == pq5
     rr20 = len({(r["query_id"], r["neighbor_id"]) for r in sim_topk_pq_rerank(spark, sf_dir).collect()} & bf)
     assert curve[20] == rr20
+
+
+def test_star_contraction_matches_propagation_and_handles_long_chains(spark, sf_dir):
+    """Star contraction must (a) agree with min-label propagation on
+    the fixture's near-dup graph, and (b) solve a 60-vertex PATH graph
+    — whose diameter exceeds the propagation loop's round budget — in
+    O(log n) alternations, labeling every vertex with the chain head."""
+    from insurance_claim_data_pipeline_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_star,
+        star_contraction_components,
+    )
+
+    a = {r["doc_id"]: r["component_id"] for r in dedup_components(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["component_id"] for r in dedup_components_star(spark, sf_dir).collect()}
+    assert a == b and a
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 160)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["component_id"] for r in star_contraction_components(chain).collect()}
+    assert set(out) == set(range(100, 161))
+    assert set(out.values()) == {100}
