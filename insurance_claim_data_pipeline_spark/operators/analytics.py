@@ -2866,3 +2866,148 @@ def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution.
+# ---------------------------------------------------------------------------
+
+_SHAPLEY_CHANNELS = ("click", "error", "signup", "view")  # bit order
+# s!(n-1-s)! for n=4, times: denominator n! = 24
+_SHAPLEY_W24 = {0: 6, 1: 2, 2: 2, 3: 6}
+
+
+def _shapley_oracle() -> str:
+    bit_case = " + ".join(
+        f"MAX(CASE WHEN event_type = '{c}' THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(_SHAPLEY_CHANNELS)
+    )
+    chan_rows = ", ".join(
+        f"({1 << i}, '{c}')" for i, c in enumerate(_SHAPLEY_CHANNELS)
+    )
+    w_case = " ".join(f"WHEN {s} THEN {w}" for s, w in _SHAPLEY_W24.items())
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), nxt AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN struct_pack(ts := ts_us, id := event_id) END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+  FROM ev
+), conv AS (
+  SELECT user_id, np.id AS conv_id, {bit_case} AS mask
+  FROM nxt WHERE event_type <> 'purchase' AND np IS NOT NULL
+  GROUP BY user_id, np.id
+), nm AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_conv FROM conv GROUP BY 1
+), coal AS (
+  SELECT s.s, CAST(COALESCE(SUM(nm.n_conv), 0) AS BIGINT) AS v
+  FROM (SELECT unnest(generate_series(0, 15)) AS s) s
+  LEFT JOIN nm ON (nm.mask & ~s.s) = 0
+  GROUP BY s.s
+), chans AS (
+  SELECT * FROM (VALUES {chan_rows}) AS t(bit, channel)
+), marg AS (
+  SELECT c.channel,
+         (CASE bit_count(co.s) {w_case} END)
+           * (cv.v - co.v) AS w_delta_24
+  FROM chans c
+  JOIN coal co ON (co.s & c.bit) = 0
+  JOIN coal cv ON cv.s = co.s | c.bit
+)
+SELECT channel,
+       CAST(SUM(w_delta_24) AS BIGINT) AS phi_24,
+       CAST(SUM(w_delta_24) AS DOUBLE) / 24 AS phi
+FROM marg GROUP BY channel
+"""
+
+
+@register(
+    "events_attribution_shapley",
+    oracle=_shapley_oracle(),
+    tags=("analytics", "events", "scale"),
+)
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution — the game-theoretic
+    gold standard the position heuristics (last-touch, U-shaped)
+    approximate: each channel's credit is its average marginal
+    contribution over all 4! orderings of the channel coalition, with
+    the coalition value v(S) = number of conversions whose touched
+    channel set is contained in S.
+
+    Why this is tractable at 100 TB: the DATA-sized work is one
+    distributed reduction — per conversion, OR the touched channels
+    into a 4-bit mask (the same forward as-of window as the U-shape
+    op, then a bit_or aggregate) and count conversions per mask (≤16
+    rows). The Shapley sum then runs entirely on that tiny coalition
+    frame: subset containment join (16×16), exact integer weights
+    s!(n−1−s)! over the common denominator 4! = 24 — phi_24 is an
+    exact BIGINT, the double division happens once at emission.
+    Efficiency (Σ_c φ_c = v(full set)) is asserted in tests — the
+    axiom that distinguishes Shapley from every heuristic split."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    np_ = F.min(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(F.col("ts_us").alias("ts"), F.col("event_id").alias("id")),
+        )
+    ).over(w_fwd)
+    conv = (
+        ev.withColumn("np", np_)
+        .filter((F.col("event_type") != "purchase") & F.col("np").isNotNull())
+        .groupBy("user_id", F.col("np.id").alias("conv_id"))
+        .agg(
+            sum(
+                (
+                    F.max(
+                        F.when(F.col("event_type") == c, F.lit(1 << i)).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    for i, c in enumerate(_SHAPLEY_CHANNELS)
+                ),
+                F.lit(0),
+            ).alias("mask")
+        )
+    )
+    nm = conv.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+    subsets = spark.range(16).select(F.col("id").cast("long").alias("s"))
+    coal = (
+        subsets.join(
+            F.broadcast(nm),
+            F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    chans = spark.createDataFrame(
+        [(1 << i, c) for i, c in enumerate(_SHAPLEY_CHANNELS)], "bit long, channel string"
+    )
+    weight = None
+    for sbits, w in _SHAPLEY_W24.items():
+        cond = F.bit_count(F.col("co_s")) == sbits
+        weight = F.when(cond, F.lit(w)) if weight is None else weight.when(cond, F.lit(w))
+    co = coal.select(F.col("s").alias("co_s"), F.col("v").alias("co_v"))
+    cv = coal.select(F.col("s").alias("cv_s"), F.col("v").alias("cv_v"))
+    marg = (
+        chans.join(F.broadcast(co), (F.col("co_s").bitwiseAND(F.col("bit"))) == 0)
+        .join(F.broadcast(cv), F.col("cv_s") == F.col("co_s").bitwiseOR(F.col("bit")))
+        .select(
+            "channel",
+            (weight * (F.col("cv_v") - F.col("co_v"))).alias("w_delta_24"),
+        )
+    )
+    return marg.groupBy("channel").agg(
+        F.sum("w_delta_24").cast("long").alias("phi_24"),
+        (F.sum("w_delta_24").cast("double") / 24).alias("phi"),
+    )

@@ -1004,3 +1004,27 @@ def test_benford_bookkeeping_and_uniform_prices_flagged(spark, sf_dir):
         assert r["expected_e6"] == BENFORD_E6[r["digit"]]
     chi2 = sum(r["chi2_term_e6"] for r in rows) / 1e6
     assert chi2 > 15.5, chi2
+
+
+def test_shapley_efficiency_axiom_and_symmetry_scale(spark, sf_dir):
+    """Σ_c φ_c must equal v(full coalition) = the number of conversions
+    with at least one touched channel (efficiency — the axiom no
+    heuristic split satisfies by construction); every φ is positive
+    here (all channels appear in paths) and exact in 24ths."""
+    from insurance_claim_data_pipeline_spark.operators.analytics import (
+        events_attribution_shapley,
+        events_attribution_ushape,
+    )
+
+    rows = events_attribution_shapley(spark, sf_dir).collect()
+    assert len(rows) == 4
+    total_24 = sum(r["phi_24"] for r in rows)
+    # v(full set) = conversions with ≥1 prior touch since the previous
+    # purchase == the U-shape op's conversion count (credit_e6 sums to
+    # 1e6 per conversion, ±rounding)
+    ushape_credit = sum(r["credit_e6"] for r in events_attribution_ushape(spark, sf_dir).collect())
+    n_conv = round(ushape_credit / 1_000_000)
+    assert total_24 == n_conv * 24
+    for r in rows:
+        assert r["phi_24"] > 0
+        assert abs(r["phi"] * 24 - r["phi_24"]) < 1e-9
