@@ -316,3 +316,52 @@ def claims_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+PSEUDO_SECRET = "spark-graft-claims-r04"  # rotation-versioned salt
+
+PSEUDONYMIZE_ORACLE = (
+    _CLAIMS_CTE
+    + f"""
+SELECT claim_id,
+       CASE WHEN patient_id IS NULL THEN NULL
+            ELSE 'P-' || substr(md5('{PSEUDO_SECRET}:' || patient_id), 1, 12) END
+         AS patient_token,
+       procedure_code, status, source_system
+FROM claims
+"""
+)
+
+
+@register("claims_pseudonymize", oracle=PSEUDONYMIZE_ORACLE, tags=("claims", "privacy"))
+def claims_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization of the claims export — the privacy
+    gate a payer applies before handing claims to an analytics vendor:
+    patient_id is replaced by a salted-hash token ('P-' + 12 hex of
+    md5(salt:id)), so joins and per-patient aggregates still work
+    (same patient → same token, referential integrity preserved —
+    asserted in tests) while the raw identifier never leaves the
+    boundary. The salt is a deployment secret; rotating it re-keys
+    every token (unlinkable across exports). NULL patient stays NULL
+    (the eligibility rules already excluded such claims).
+
+    Narrow stateless projection — no shuffle, pushes through any scan;
+    the companion k-anonymity/l-diversity audits (operators/privacy.py)
+    decide whether the quasi-identifier columns that REMAIN are safe."""
+    df = _claims_df(spark)
+    token = F.when(
+        F.col("patient_id").isNotNull(),
+        F.concat(
+            F.lit("P-"),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{PSEUDO_SECRET}:"), F.col("patient_id"))), 1, 12
+            ),
+        ),
+    )
+    return df.select(
+        "claim_id",
+        token.alias("patient_token"),
+        "procedure_code",
+        "status",
+        "source_system",
+    )

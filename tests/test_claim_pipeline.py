@@ -265,3 +265,37 @@ def test_claims_dq_report_finds_fixture_violations(spark):
     for name in ("claim_id_not_null", "claim_id_unique", "status_in_domain",
                  "submitted_not_future"):
         assert rows[name]["n_violations"] == 0, name
+
+
+def test_pseudonymize_consistent_and_non_reversible_shape(spark):
+    """Same patient -> same token (join keys survive); distinct
+    patients -> distinct tokens (cardinality preserved); no raw
+    patient_id appears anywhere in the export."""
+    from insurance_claim_data_pipeline_spark.plans.claim_queries import (
+        claims_normalized,
+        claims_pseudonymize,
+    )
+
+    norm = claims_normalized(spark, "")
+    out = claims_pseudonymize(spark, "")
+    pairs = (
+        norm.select("claim_id", "patient_id")
+        .join(out.select("claim_id", "patient_token"), "claim_id")
+        .collect()
+    )
+    tok_by_patient = {}
+    for r in pairs:
+        if r["patient_id"] is None:
+            assert r["patient_token"] is None
+            continue
+        tok_by_patient.setdefault(r["patient_id"], set()).add(r["patient_token"])
+    # consistency: one token per patient
+    assert all(len(v) == 1 for v in tok_by_patient.values())
+    # cardinality: distinct patients keep distinct tokens
+    toks = [next(iter(v)) for v in tok_by_patient.values()]
+    assert len(set(toks)) == len(toks)
+    # format + no raw leakage
+    raw_ids = set(tok_by_patient)
+    for t in toks:
+        assert t.startswith("P-") and len(t) == 14
+        assert t not in raw_ids
