@@ -164,3 +164,81 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
     return lttb_frame(ev)
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (min/max/first/last per pixel bucket)
+# ---------------------------------------------------------------------------
+
+M4_WIDTH = 200  # pixel columns per series
+
+M4_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+), ext AS (
+  SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS t0, CAST(MAX(ts_us) AS BIGINT) AS t1
+  FROM ev GROUP BY 1
+), b AS (
+  SELECT e.user_id, e.event_id, e.ts_us, e.value,
+         LEAST((e.ts_us - x.t0) * {M4_WIDTH} // GREATEST(x.t1 - x.t0 + 1, 1),
+               {M4_WIDTH} - 1) AS px
+  FROM ev e JOIN ext x ON e.user_id = x.user_id
+)
+SELECT user_id, CAST(px AS BIGINT) AS px,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(ts_us) AS BIGINT) AS t_first,
+       CAST(MAX(ts_us) AS BIGINT) AS t_last,
+       CAST(ROUND(MIN(value) * 100) AS BIGINT) AS v_min_e2,
+       CAST(ROUND(MAX(value) * 100) AS BIGINT) AS v_max_e2,
+       CAST(ROUND(MIN(struct_pack(t := ts_us, id := event_id, v := value)).v * 100)
+            AS BIGINT) AS v_first_e2,
+       CAST(ROUND(MAX(struct_pack(t := ts_us, id := event_id, v := value)).v * 100)
+            AS BIGINT) AS v_last_e2
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("events_m4_downsample", oracle=M4_ORACLE, tags=("events", "agg", "scale"))
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): per series
+    and pixel column keep exactly min, max, first and last — the four
+    values that make a line chart rendered from the reduction
+    PIXEL-IDENTICAL to one rendered from all points. Unlike LTTB (a
+    sequential per-series pandas pass), M4 is a pure grouped aggregate:
+    one shuffle on (series, pixel), map-side combined, perfectly
+    scalable — which is why it is THE reduction dashboards push down to
+    the store at 100 TB.
+
+    first/last are MIN/MAX over a (ts, event_id, value) struct
+    (lexicographic struct ordering, identical in both engines, with
+    the unique event_id tie-break — the as-of-join idiom); values are
+    quantized to cents at emission."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    ext = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
+    )
+    px = F.least(
+        F.floor(
+            (F.col("ts_us") - F.col("t0"))
+            * M4_WIDTH
+            / F.greatest(F.col("t1") - F.col("t0") + 1, F.lit(1))
+        ),
+        F.lit(M4_WIDTH - 1),
+    ).cast("long")
+    b = ev.join(F.broadcast(ext), "user_id").select(
+        "user_id", "event_id", "ts_us", "value", px.alias("px")
+    )
+    key = F.struct(
+        F.col("ts_us").alias("t"), F.col("event_id").alias("id"), F.col("value").alias("v")
+    )
+    return b.groupBy("user_id", "px").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("ts_us").cast("long").alias("t_first"),
+        F.max("ts_us").cast("long").alias("t_last"),
+        F.round(F.min("value") * 100).cast("long").alias("v_min_e2"),
+        F.round(F.max("value") * 100).cast("long").alias("v_max_e2"),
+        F.round(F.min(key)["v"] * 100).cast("long").alias("v_first_e2"),
+        F.round(F.max(key)["v"] * 100).cast("long").alias("v_last_e2"),
+    )

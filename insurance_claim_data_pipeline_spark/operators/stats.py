@@ -1944,3 +1944,90 @@ def stats_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi2_term_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TOST equivalence test (two one-sided tests) with a margin sweep.
+# ---------------------------------------------------------------------------
+
+TOST_MARGINS = (2, 5, 10)  # equivalence margins in value units
+TOST_Z_CRIT_E6 = 1_644_854  # z(0.95) ×1e6, a shared literal
+
+TOST_ORACLE = f"""
+WITH m AS (
+  SELECT
+    COUNT(*) FILTER (event_type = '{_TT_A}') AS n1,
+    COUNT(*) FILTER (event_type = '{_TT_B}') AS n2,
+    {dec_sum_sql("CASE WHEN event_type = '" + _TT_A + "' THEN value END")} AS s1,
+    {dec_sum_sql("CASE WHEN event_type = '" + _TT_B + "' THEN value END")} AS s2,
+    {dec_sum_sql("CASE WHEN event_type = '" + _TT_A + "' THEN value * value END", 4)} AS ss1,
+    {dec_sum_sql("CASE WHEN event_type = '" + _TT_B + "' THEN value * value END", 4)} AS ss2
+  FROM events
+), st AS (
+  SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+         sqrt(((ss1 - s1 * (s1 / n1)) / (n1 - 1)) / n1
+              + ((ss2 - s2 * (s2 / n2)) / (n2 - 1)) / n2) AS se
+  FROM m
+)
+SELECT CAST(mg.margin AS BIGINT) AS margin,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       m1 - m2 AS diff, se,
+       ((m1 - m2) + mg.margin) / se AS t_lower,
+       (mg.margin - (m1 - m2)) / se AS t_upper,
+       ((m1 - m2) + mg.margin) / se > {TOST_Z_CRIT_E6} / 1e6
+         AND (mg.margin - (m1 - m2)) / se > {TOST_Z_CRIT_E6} / 1e6 AS equivalent
+FROM st, (SELECT unnest([{", ".join(str(m) for m in TOST_MARGINS)}]) AS margin) mg
+"""
+
+
+@register("stats_tost_equivalence", oracle=TOST_ORACLE, tags=("stats",))
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence testing (two one-sided tests) of click vs
+    purchase mean values — the inferential question a difference test
+    cannot answer: is the new variant provably NO WORSE than ±δ? Both
+    one-sided z statistics must clear z(0.95) (shared ×1e6 literal —
+    no runtime quantile function). Swept over three margins so the
+    fixture exercises both decisions: the tight margin fails (can't
+    prove equivalence), the wide one passes.
+
+    Same one-pass conditional-aggregate state as stats_welch_ttest —
+    six decimal-stable numbers, map-side combined; the margin sweep is
+    a 3-row broadcast expansion of the 1-row state."""
+    ev = load_table(spark, sf_dir, "events")
+    val_a = F.when(F.col("event_type") == _TT_A, F.col("value"))
+    val_b = F.when(F.col("event_type") == _TT_B, F.col("value"))
+    m = ev.agg(
+        F.count(val_a).alias("n1"),
+        F.count(val_b).alias("n2"),
+        dec_sum(val_a).alias("s1"),
+        dec_sum(val_b).alias("s2"),
+        dec_sum(val_a * val_a, 4).alias("ss1"),
+        dec_sum(val_b * val_b, 4).alias("ss2"),
+    )
+    st = m.select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")).alias("diff"),
+        F.sqrt(
+            ((F.col("ss1") - F.col("s1") * (F.col("s1") / F.col("n1"))) / (F.col("n1") - 1))
+            / F.col("n1")
+            + ((F.col("ss2") - F.col("s2") * (F.col("s2") / F.col("n2"))) / (F.col("n2") - 1))
+            / F.col("n2")
+        ).alias("se"),
+    )
+    margins = st.select(
+        "*", F.explode(F.array(*[F.lit(mm) for mm in TOST_MARGINS])).alias("margin")
+    )
+    crit = TOST_Z_CRIT_E6 / 1e6
+    t_lower = (F.col("diff") + F.col("margin")) / F.col("se")
+    t_upper = (F.col("margin") - F.col("diff")) / F.col("se")
+    return margins.select(
+        F.col("margin").cast("long").alias("margin"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "diff",
+        "se",
+        t_lower.alias("t_lower"),
+        t_upper.alias("t_upper"),
+        ((t_lower > crit) & (t_upper > crit)).alias("equivalent"),
+    )

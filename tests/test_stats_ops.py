@@ -1028,3 +1028,35 @@ def test_shapley_efficiency_axiom_and_symmetry_scale(spark, sf_dir):
     for r in rows:
         assert r["phi_24"] > 0
         assert abs(r["phi"] * 24 - r["phi_24"]) < 1e-9
+
+
+def test_m4_buckets_cover_all_points_and_bound_extremes(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.operators.downsample import (
+        events_m4_downsample,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    rows = events_m4_downsample(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == n_events  # every point bucketed once
+    for r in rows:
+        assert r["t_first"] <= r["t_last"]
+        assert r["v_min_e2"] <= r["v_first_e2"] <= r["v_max_e2"]
+        assert r["v_min_e2"] <= r["v_last_e2"] <= r["v_max_e2"]
+
+
+def test_tost_margin_monotone_and_both_branches(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.operators.stats import (
+        stats_tost_equivalence,
+    )
+
+    rows = sorted(
+        stats_tost_equivalence(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["margin"],
+    )
+    # equivalence is monotone in the margin; at the driver gate scale
+    # the sweep must show both decisions (tight fails, wide passes —
+    # at sf0.001 the standard error is too wide for any margin to pass)
+    decisions = [r["equivalent"] for r in rows]
+    assert decisions == sorted(decisions)
+    assert False in decisions and True in decisions
