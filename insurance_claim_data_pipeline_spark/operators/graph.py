@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import load_table, tiny_frame_key
+from .dedup import COMPONENTS_ORACLE, JACCARD_THRESHOLD, shingles_sql
 
 PR_SCALE = 10**12
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
@@ -658,3 +659,108 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("adamic_adar_e6"), "u", "v"
     )
     return top.select("*", F.row_number().over(w_rank).cast("long").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the dedup clustering over the near-dup pair graph.
+# ---------------------------------------------------------------------------
+
+MODULARITY_ORACLE = f"""
+WITH comp AS ({COMPONENTS_ORACLE.strip()}),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+), deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS k FROM (
+    SELECT doc_a AS doc_id FROM edges UNION ALL SELECT doc_b FROM edges
+  ) GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM edges
+), intra AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_intra
+  FROM edges e
+  JOIN comp ca ON e.doc_a = ca.doc_id
+  JOIN comp cb ON e.doc_b = cb.doc_id
+  WHERE ca.component_id = cb.component_id
+), ksum AS (
+  SELECT c.component_id, CAST(SUM(d.k) AS BIGINT) AS k_c
+  FROM deg d JOIN comp c ON d.doc_id = c.doc_id
+  GROUP BY 1
+), expect AS (
+  SELECT CAST(SUM(k_c * k_c) AS BIGINT) AS sum_kc2,
+         CAST(COUNT(*) AS BIGINT) AS n_components
+  FROM ksum
+)
+SELECT m.m_edges, i.m_intra, x.n_components,
+       CAST(i.m_intra AS DOUBLE) / m.m_edges
+         - CAST(x.sum_kc2 AS DOUBLE) / (4.0 * m.m_edges * m.m_edges) AS modularity
+FROM m m, intra i, expect x
+"""
+
+
+@register("graph_components_modularity", oracle=MODULARITY_ORACLE, tags=("graph", "dedup", "agg"))
+def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the dedup components partition over the
+    near-dup pair graph: Q = m_intra/m − Σ_c k_c² / (4 m²) — the
+    clustering-quality number that says whether the components are
+    real structure (Q near its maximum: here EVERY edge is
+    intra-component by construction, so Q = 1 − Σ k_c²/4m², the
+    partition's theoretical ceiling) or indistinguishable from a
+    random wiring (Q ≈ 0).
+
+    Exact by construction: edge count, intra-edge count and
+    per-component degree sums are integers from three joins on doc_id
+    (each side a reduced frame — no fact-table re-scan), with two
+    double divisions at emission. At 100 TB the pair frame and the
+    component labels are the inputs you already materialized for
+    dedup; the modularity audit is a cheap by-product that belongs in
+    every dedup run's metrics."""
+    from .dedup import dedup_components, dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(
+        eager=False
+    )
+    comp = dedup_components(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    m_edges = pairs.count()
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component_id").alias("comp_a"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component_id").alias("comp_b"))
+    m_intra = (
+        pairs.join(ca, "doc_a").join(cb, "doc_b").filter("comp_a = comp_b").count()
+    )
+    ksum = (
+        deg.join(comp, "doc_id")
+        .groupBy("component_id")
+        .agg(F.sum("k").cast("long").alias("k_c"))
+    )
+    expect = ksum.agg(
+        F.sum(F.col("k_c") * F.col("k_c")).cast("long").alias("sum_kc2"),
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+    )
+    return expect.select(
+        F.lit(m_edges).cast("long").alias("m_edges"),
+        F.lit(m_intra).cast("long").alias("m_intra"),
+        "n_components",
+        (
+            F.lit(float(m_intra)) / F.lit(float(m_edges))
+            - F.col("sum_kc2").cast("double") / (4.0 * float(m_edges) * float(m_edges))
+        ).alias("modularity"),
+    )

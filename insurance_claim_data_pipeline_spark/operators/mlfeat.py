@@ -752,3 +752,117 @@ def feat_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_c") - F.col("n_cf") + TARGET_ENC_M).cast("double")
         ).alias("target_enc_cv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration report (reliability diagram + expected calibration error)
+# ---------------------------------------------------------------------------
+
+ECE_BINS = 10
+
+CALIBRATION_ORACLE = f"""
+WITH returned AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+), labeled AS (
+  SELECT o.o_orderpriority AS cat, o.o_orderkey,
+         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS y
+  FROM orders o LEFT JOIN returned r ON o.o_orderkey = r.l_orderkey
+), per_cat AS (
+  SELECT cat, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM labeled GROUP BY 1
+), gstats AS (
+  SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS prior FROM per_cat
+), scored AS (
+  SELECT l.y,
+         CAST(ROUND((CAST(p.pos AS DOUBLE) + {TARGET_ENC_M} * g.prior)
+              / CAST(p.n + {TARGET_ENC_M} AS DOUBLE) * 1000000) AS BIGINT) AS score_e6
+  FROM labeled l JOIN per_cat p ON l.cat = p.cat, gstats g
+), binned AS (
+  SELECT LEAST(score_e6 * {ECE_BINS} // 1000000, {ECE_BINS} - 1) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_bin,
+         CAST(SUM(y) AS BIGINT) AS pos_bin,
+         CAST(SUM(score_e6) AS BIGINT) AS score_sum_e6
+  FROM scored GROUP BY 1
+), tot AS (
+  SELECT *, SUM(n_bin) OVER () AS n_all FROM binned
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_bin, pos_bin,
+       CAST(score_sum_e6 AS DOUBLE) / n_bin / 1e6 AS mean_score,
+       CAST(pos_bin AS DOUBLE) / n_bin AS actual_rate,
+       abs(CAST(score_sum_e6 AS DOUBLE) / n_bin / 1e6
+           - CAST(pos_bin AS DOUBLE) / n_bin) * n_bin / n_all AS ece_term
+FROM tot
+"""
+
+
+@register("feat_calibration_ece", oracle=CALIBRATION_ORACLE, tags=("mlfeat", "stats", "dq"))
+def feat_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    smoothed target encoding used as a return-risk score: score every
+    order with its category's encoding (quantized ×1e6 so binning is
+    exact), bucket into {ECE_BINS} equal-width probability bins, and
+    emit per-bin mean score vs actual rate plus the weighted |gap|
+    terms whose sum IS the ECE — the standard answer to "does 0.7 mean
+    70%?" for any scoring feature before it ships.
+
+    Scale: the scoring join is a broadcast of the |cats| frame onto the
+    fact table, binning is one map-side-combined aggregate to
+    {ECE_BINS} rows, and the report arithmetic runs on that tiny
+    frame. Well-calibrated-by-construction here (the score IS the
+    in-sample rate, smoothing aside) — the tests assert small ECE plus
+    the bookkeeping identities, and that the bin populations cover
+    every order exactly once."""
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    labeled = orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left"
+    ).select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("l_orderkey").isNull(), 0).otherwise(1).alias("y"),
+    )
+    per_cat = labeled.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    gstats = per_cat.agg(
+        (F.sum("pos").cast("double") / F.sum("n").cast("double")).alias("prior")
+    )
+    enc = (
+        per_cat.crossJoin(F.broadcast(gstats))
+        .select(
+            "cat",
+            F.round(
+                (F.col("pos").cast("double") + TARGET_ENC_M * F.col("prior"))
+                / (F.col("n") + TARGET_ENC_M).cast("double")
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("score_e6"),
+        )
+    )
+    scored = labeled.join(F.broadcast(enc), "cat").select("y", "score_e6")
+    bin_ = F.least(
+        F.floor(F.col("score_e6") * ECE_BINS / 1_000_000), F.lit(ECE_BINS - 1)
+    ).cast("long")
+    binned = scored.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bin"),
+        F.sum("y").cast("long").alias("pos_bin"),
+        F.sum("score_e6").cast("long").alias("score_sum_e6"),
+    )
+    tot = binned.withColumn(
+        "n_all", F.sum("n_bin").over(W.partitionBy(tiny_frame_key("n_bin")))
+    )
+    mean_score = F.col("score_sum_e6").cast("double") / F.col("n_bin") / 1e6
+    actual = F.col("pos_bin").cast("double") / F.col("n_bin")
+    return tot.select(
+        "bin",
+        "n_bin",
+        "pos_bin",
+        mean_score.alias("mean_score"),
+        actual.alias("actual_rate"),
+        (F.abs(mean_score - actual) * F.col("n_bin") / F.col("n_all")).alias("ece_term"),
+    )

@@ -1060,3 +1060,36 @@ def test_tost_margin_monotone_and_both_branches(spark, sf_dir):
     decisions = [r["equivalent"] for r in rows]
     assert decisions == sorted(decisions)
     assert False in decisions and True in decisions
+
+
+def test_calibration_ece_bookkeeping(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.operators.mlfeat import (
+        feat_calibration_ece,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    rows = feat_calibration_ece(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_bin"] for r in rows) == n_orders
+    for r in rows:
+        assert 0.0 <= r["actual_rate"] <= 1.0
+        assert 0.0 <= r["mean_score"] <= 1.0
+        assert abs(
+            r["ece_term"] * sum(x["n_bin"] for x in rows) / r["n_bin"]
+            - abs(r["mean_score"] - r["actual_rate"])
+        ) < 1e-9
+    # the in-sample smoothed encoding is well calibrated by construction
+    assert sum(r["ece_term"] for r in rows) < 0.05
+
+
+def test_modularity_every_edge_intra_and_bounded(spark, sf_dir):
+    from insurance_claim_data_pipeline_spark.operators.graph import (
+        graph_components_modularity,
+    )
+
+    r = graph_components_modularity(spark, sf_dir).collect()[0]
+    # components are closed under edges, so every edge is intra
+    assert r["m_intra"] == r["m_edges"] > 0
+    # hence Q = 1 − Σk_c²/4m², strictly inside (0, 1) for >1 component
+    assert 0.0 < r["modularity"] < 1.0
+    assert r["n_components"] > 1
