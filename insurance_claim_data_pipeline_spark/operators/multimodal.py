@@ -907,3 +907,59 @@ def multimodal_patch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_patches + 1 > MAX_VISION_SEQ).alias("truncated"),
         F.least(n_patches, F.lit(MAX_VISION_SEQ - 1)).alias("kept_patches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Energy-threshold voice-activity detection → speech segments
+# ---------------------------------------------------------------------------
+
+VAD_ENERGY_PER_SAMPLE = 2100  # mean-square threshold ~ the signal's p75
+
+VAD_ORACLE = f"""
+WITH frames AS ({AUDIO_FRAMING_ORACLE.strip()}),
+flagged AS (
+  SELECT doc_id, frame_id, energy, n_samples,
+         energy > {VAD_ENERGY_PER_SAMPLE} * n_samples AS speech
+  FROM frames
+), isl AS (
+  SELECT doc_id, frame_id, energy,
+         frame_id - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_id)
+           AS grp
+  FROM flagged WHERE speech
+)
+SELECT doc_id,
+       CAST(MIN(frame_id) AS BIGINT) AS seg_start,
+       CAST(MAX(frame_id) AS BIGINT) AS seg_end,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS seg_energy
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+@register("multimodal_audio_vad", oracle=VAD_ORACLE, tags=("multimodal", "llm", "window"))
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection: flag frames whose
+    mean-square energy clears the threshold, then merge consecutive
+    speech frames into segments with the gaps-and-islands discipline
+    (frame_id − per-doc row_number = constant within an island) — the
+    ASR-pipeline front step that cuts hours of audio into utterances
+    before any model runs. Composes the framing operator verbatim
+    (and its oracle as a CTE); the only additions are a flag, one
+    bounded per-doc window, and the segment rollup — no new scan of
+    the payload bytes."""
+    frames = multimodal_audio_framing(spark, sf_dir)
+    flagged = frames.filter(
+        F.col("energy") > VAD_ENERGY_PER_SAMPLE * F.col("n_samples")
+    )
+    from pyspark.sql import Window
+
+    grp = F.col("frame_id") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("frame_id")
+    )
+    isl = flagged.withColumn("grp", grp)
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("frame_id").cast("long").alias("seg_start"),
+        F.max("frame_id").cast("long").alias("seg_end"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("seg_energy"),
+    ).drop("grp")

@@ -1305,3 +1305,27 @@ def test_star_contraction_matches_propagation_and_handles_long_chains(spark, sf_
     out = {r["doc_id"]: r["component_id"] for r in star_contraction_components(chain).collect()}
     assert set(out) == set(range(100, 161))
     assert set(out.values()) == {100}
+
+
+def test_vad_segments_are_maximal_islands(spark, sf_dir):
+    """Segments must be maximal: within a doc, consecutive segments are
+    separated by at least one non-speech frame (seg gap ≥ 2), frame
+    spans are consistent, and every segment frame count matches its
+    span."""
+    from insurance_claim_data_pipeline_spark.operators.multimodal import (
+        multimodal_audio_vad,
+    )
+
+    rows = multimodal_audio_vad(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert r["seg_end"] - r["seg_start"] + 1 == r["n_frames"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    gaps_seen = False
+    for segs in by_doc.values():
+        segs.sort(key=lambda r: r["seg_start"])
+        for a, b in zip(segs, segs[1:]):
+            assert b["seg_start"] - a["seg_end"] >= 2  # maximality
+            gaps_seen = True
+    assert gaps_seen  # multi-segment docs exist → islands non-trivial
