@@ -2408,3 +2408,84 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return model.orderBy(F.desc("n12"), "w1", "w2").limit(KN_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# LLM-watermark (greenlist bias) detector
+# ---------------------------------------------------------------------------
+
+WM_Z_FLAG_E6 = 4_000_000  # z > 4 → flagged as likely watermarked
+
+WATERMARK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN (('0x' || substr(md5(w1 || '>' || w2), 1, 8))::BIGINT % 2) = 0
+              THEN 1 ELSE 0 END AS green
+  FROM bg
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(green) AS BIGINT) AS n_green
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams, n_green,
+       (2.0 * n_green - n_bigrams) / sqrt(CAST(n_bigrams AS DOUBLE)) AS z_score,
+       (2.0 * n_green - n_bigrams) / sqrt(CAST(n_bigrams AS DOUBLE)) > 4.0
+         AS flagged
+FROM agg
+"""
+
+
+@register("text_watermark_detect", oracle=WATERMARK_ORACLE, tags=("text", "llm"))
+def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist-bias watermark detector (Kirchenbauer et al.'s
+    statistical test, the detection side of LLM text watermarking): a
+    watermarking sampler boosts "green" tokens — here a deterministic
+    50% greenlist keyed by md5(prev token > token) — so watermarked
+    text shows a green fraction far above 1/2. Per document, count
+    green bigram transitions and emit the one-proportion z-score
+    z = (2g − n)/√n with a z > 4 flag (P(false positive) < 3e-5
+    per doc under H0).
+
+    The fixture's human-ish synthetic text must NOT be flagged (its
+    green fraction is binomial around 1/2 — asserted in tests, along
+    with a planted high-bias document that must flag). One bigram
+    explode + one map-side-combined aggregate; the greenlist is pure
+    hash arithmetic, no list to store or broadcast — exactly how a
+    100 TB contamination sweep for watermarked synthetic data runs."""
+    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    k = F.size("toks") - 1
+    bg = (
+        doc.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(F.when(k >= 1, F.sequence(F.lit(1), k))).alias("i"))
+        .select(
+            "doc_id",
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    green = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("w1"), F.lit(">"), F.col("w2"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0
+    ).cast("long")
+    agg = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(green).cast("long").alias("n_green"),
+    )
+    z = (2.0 * F.col("n_green") - F.col("n_bigrams")) / F.sqrt(
+        F.col("n_bigrams").cast("double")
+    )
+    return agg.select("doc_id", "n_bigrams", "n_green", z.alias("z_score"), (z > 4.0).alias("flagged"))

@@ -1329,3 +1329,58 @@ def test_vad_segments_are_maximal_islands(spark, sf_dir):
             assert b["seg_start"] - a["seg_end"] >= 2  # maximality
             gaps_seen = True
     assert gaps_seen  # multi-segment docs exist → islands non-trivial
+
+
+def test_watermark_detector_null_and_power(spark, sf_dir):
+    """Null behavior: no fixture document may flag (green fraction is
+    binomial around 1/2 under the hash greenlist) and the z-scores must
+    center near 0. Power: a planted document whose every bigram is
+    green (constructed by chaining greedily through the hash greenlist)
+    must flag with a large positive z."""
+    import hashlib
+
+    from insurance_claim_data_pipeline_spark.operators.textops import (
+        text_watermark_detect,
+    )
+
+    rows = text_watermark_detect(spark, sf_dir).collect()
+    assert rows and not any(r["flagged"] for r in rows)
+    mean_z = sum(r["z_score"] for r in rows) / len(rows)
+    assert abs(mean_z) < 0.5
+
+    def green(w1, w2):
+        h = int(hashlib.md5(f"{w1}>{w2}".encode()).hexdigest()[:8], 16)
+        return h % 2 == 0
+
+    # plant: greedily chain 40 tokens so every transition is green
+    words = [f"w{i}" for i in range(200)]
+    chain = ["w0"]
+    while len(chain) < 41:
+        chain.append(next(w for w in words if green(chain[-1], w)))
+    planted = spark.createDataFrame([(999999, " ".join(chain))], "doc_id long, text string")
+    from insurance_claim_data_pipeline_spark.operators import textops as _t
+    # run the same frame logic on the planted doc via a temp view twin:
+    from pyspark.sql import functions as F
+
+    toks = F.split("text", " ")
+    k = F.size("toks") - 1
+    bg = (
+        planted.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(F.sequence(F.lit(1), k)).alias("i"))
+        .select(
+            "doc_id",
+            F.element_at("toks", F.col("i")).alias("w1"),
+            F.element_at("toks", F.col("i") + 1).alias("w2"),
+        )
+    )
+    g = (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat("w1", F.lit(">"), "w2")), 1, 8), 16, 10).cast("long"),
+            F.lit(2),
+        )
+        == 0
+    ).cast("long")
+    agg = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), F.sum(g).alias("ng")).first()
+    assert agg["ng"] == agg["n"] == 40  # all-green chain
+    z = (2.0 * agg["ng"] - agg["n"]) / (agg["n"] ** 0.5)
+    assert z > 6  # sqrt(40) ≈ 6.32 — decisively flagged
