@@ -2489,3 +2489,129 @@ def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").cast("double")
     )
     return agg.select("doc_id", "n_bigrams", "n_green", z.alias("z_score"), (z > 4.0).alias("flagged"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting for domain-targeted data selection
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "fr"  # the domain we want more of
+DSIR_ALPHA = 1  # add-one smoothing per bucket
+
+DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(w), 1, 8))::BIGINT % {DSIR_BUCKETS}) AS bkt
+  FROM tok
+), tgt AS (
+  SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c_t FROM b WHERE lang = '{DSIR_TARGET_LANG}'
+  GROUP BY 1
+), corp AS (
+  SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c_c FROM b GROUP BY 1
+), tots AS (
+  SELECT (SELECT SUM(c_t) FROM tgt) AS n_t, (SELECT SUM(c_c) FROM corp) AS n_c
+), ratio AS (
+  SELECT corp.bkt,
+         CAST(ROUND(ln(
+           (CAST(COALESCE(tgt.c_t, 0) + {DSIR_ALPHA} AS DOUBLE)
+              / (n_t + {DSIR_ALPHA * DSIR_BUCKETS}))
+           / ((CAST(corp.c_c AS DOUBLE) + {DSIR_ALPHA})
+              / (n_c + {DSIR_ALPHA * DSIR_BUCKETS}))
+         ) * 1000000) AS BIGINT) AS logr_e6
+  FROM corp LEFT JOIN tgt ON corp.bkt = tgt.bkt, tots
+), scored AS (
+  SELECT b.doc_id, ANY_VALUE(b.lang) AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(r.logr_e6) AS BIGINT) AS logweight_e6
+  FROM b JOIN ratio r ON b.bkt = r.bkt
+  GROUP BY b.doc_id
+)
+SELECT doc_id, lang, n_tokens, logweight_e6,
+       CAST(FLOOR(logweight_e6 * 1000000.0 / n_tokens) AS BIGINT) AS per_token_e6
+FROM scored
+ORDER BY per_token_e6 DESC, doc_id
+LIMIT 50
+"""
+
+
+@register("text_dsir_importance", oracle=DSIR_ORACLE, tags=("text", "llm", "sampling", "scale"))
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al.: Data Selection for LMs
+    via Importance Resampling): estimate hashed-unigram bucket
+    distributions for a TARGET domain (lang = {DSIR_TARGET_LANG!r})
+    and the whole corpus, then score every document by its summed
+    log importance ratio Σ ln(P̂_target(b)/P̂_corpus(b)) — the weight a
+    resampling pass uses to tilt a generic 100 TB crawl toward a
+    domain with only a small in-domain seed. Emits the top-50 docs by
+    per-token weight (total-order tie-break); the selection should —
+    and does, asserted in tests — surface the target language.
+
+    Exactness/scale: hashed {DSIR_BUCKETS}-bucket features (no vocab to
+    ship), add-one smoothing, each bucket's log ratio rounded ×1e6 ONCE
+    (order-independent integer doc sums — the bigram-logprob idiom).
+    Two count aggregates + a broadcast-sized ratio table joined back on
+    the bucket id; one scan of the corpus tokens."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long"),
+                F.lit(DSIR_BUCKETS),
+            ).alias("bkt"),
+        )
+    )
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    corp = tok.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("c_c"))
+    n_t = tgt.agg(F.sum("c_t").alias("n_t"))
+    n_c = corp.agg(F.sum("c_c").alias("n_c"))
+    sm = DSIR_ALPHA * DSIR_BUCKETS
+    ratio = (
+        corp.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            "bkt",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("c_t", F.lit(0)) + DSIR_ALPHA).cast("double")
+                        / (F.col("n_t") + sm)
+                    )
+                    / (
+                        (F.col("c_c").cast("double") + DSIR_ALPHA)
+                        / (F.col("n_c") + sm)
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("logr_e6"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(ratio), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("logr_e6").cast("long").alias("logweight_e6"),
+        )
+    )
+    per_token = F.floor(
+        F.col("logweight_e6") * F.lit(1_000_000.0) / F.col("n_tokens")
+    ).cast("long")
+    return (
+        scored.select("doc_id", "lang", "n_tokens", "logweight_e6", per_token.alias("per_token_e6"))
+        .orderBy(F.desc("per_token_e6"), "doc_id")
+        .limit(50)
+    )

@@ -1384,3 +1384,21 @@ def test_watermark_detector_null_and_power(spark, sf_dir):
     assert agg["ng"] == agg["n"] == 40  # all-green chain
     z = (2.0 * agg["ng"] - agg["n"]) / (agg["n"] ** 0.5)
     assert z > 6  # sqrt(40) ≈ 6.32 — decisively flagged
+
+
+def test_dsir_enriches_target_language(spark, sf_dir):
+    """The importance-weighted top-50 must over-represent the target
+    language by at least 2x its corpus share — if the ratio model
+    didn't tilt the selection the whole operator would be a no-op."""
+    from insurance_claim_data_pipeline_spark.operators.textops import (
+        DSIR_TARGET_LANG,
+        text_dsir_importance,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    top = text_dsir_importance(spark, "/root/testdata/sf0.01").collect()
+    assert len(top) == 50
+    share_top = sum(1 for r in top if r["lang"] == DSIR_TARGET_LANG) / len(top)
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    share_corpus = docs.filter(f"lang = '{DSIR_TARGET_LANG}'").count() / docs.count()
+    assert share_top >= 2 * share_corpus, (share_top, share_corpus)
