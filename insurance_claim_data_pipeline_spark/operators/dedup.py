@@ -1212,3 +1212,83 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter (see :func:`star_contraction_components`)."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return star_contraction_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution blocking-budget profiler
+# ---------------------------------------------------------------------------
+
+ER_BLOCKING_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand,
+         string_split(p_name, ' ')[1] AS name_tok1
+  FROM part
+), schemes AS (
+  SELECT 'name_token1' AS scheme, name_tok1 AS blk FROM p
+  UNION ALL SELECT 'name_full', p_name FROM p
+  UNION ALL SELECT 'name_brand', p_name || '|' || p_brand FROM p
+), blocks AS (
+  SELECT scheme, blk, CAST(COUNT(*) AS BIGINT) AS b FROM schemes GROUP BY 1, 2
+), per_scheme AS (
+  SELECT scheme,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(MAX(b) AS BIGINT) AS max_block,
+         CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS cand_pairs,
+         CAST(SUM(b) AS BIGINT) AS n_rows
+  FROM blocks GROUP BY 1
+)
+SELECT scheme, n_blocks, max_block, cand_pairs,
+       n_rows * (n_rows - 1) // 2 AS all_pairs,
+       cand_pairs * 1000000 // (n_rows * (n_rows - 1) // 2) AS budget_ppm
+FROM per_scheme
+"""
+
+
+@register("er_blocking_budget", oracle=ER_BLOCKING_ORACLE, tags=("dedup", "join", "scale"))
+def er_blocking_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking-budget profiler: for each candidate
+    blocking scheme (first name token / full name / name+brand), the
+    block-size distribution reduced to the number every ER deployment
+    negotiates first — candidate pairs Σ b·(b−1)/2 versus the n²/2 of
+    an unblocked comparison, as parts-per-million. This is the go/no-go
+    arithmetic BEFORE any matcher runs: at 100 TB an unblocked match
+    is physically impossible and a skewed scheme (max_block ~ n) is an
+    all-pairs join in disguise — both visible here as data.
+
+    One aggregate per scheme over the key projection (schemes union
+    into a single shuffle), tiny per-scheme rollups, exact integer
+    pair math — the same map the package's own inverted-index dedup
+    family applies implicitly (its bucketed joins ARE a blocking
+    scheme; the max_df guard is the max_block control)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split("p_name", " ").getItem(0).alias("name_tok1"),
+    )
+    schemes = (
+        p.select(F.lit("name_token1").alias("scheme"), F.col("name_tok1").alias("blk"))
+        .unionByName(p.select(F.lit("name_full").alias("scheme"), F.col("p_name").alias("blk")))
+        .unionByName(
+            p.select(
+                F.lit("name_brand").alias("scheme"),
+                F.concat("p_name", F.lit("|"), "p_brand").alias("blk"),
+            )
+        )
+    )
+    blocks = schemes.groupBy("scheme", "blk").agg(F.count(F.lit(1)).cast("long").alias("b"))
+    per = blocks.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("b").cast("long").alias("max_block"),
+        F.sum(F.floor(F.col("b") * (F.col("b") - 1) / 2)).cast("long").alias("cand_pairs"),
+        F.sum("b").cast("long").alias("n_rows"),
+    )
+    all_pairs = F.floor(F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("long")
+    return per.select(
+        "scheme",
+        "n_blocks",
+        "max_block",
+        "cand_pairs",
+        all_pairs.alias("all_pairs"),
+        F.floor(F.col("cand_pairs") * 1_000_000 / all_pairs).cast("long").alias("budget_ppm"),
+    )

@@ -1402,3 +1402,21 @@ def test_dsir_enriches_target_language(spark, sf_dir):
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     share_corpus = docs.filter(f"lang = '{DSIR_TARGET_LANG}'").count() / docs.count()
     assert share_top >= 2 * share_corpus, (share_top, share_corpus)
+
+
+def test_blocking_budget_monotone_in_key_specificity(spark, sf_dir):
+    """More specific blocking keys must never produce MORE candidate
+    pairs: name_token1 ⊇ name_full ⊇ name_brand in pair budget; all
+    budgets are strictly below all-pairs; bookkeeping identity on ppm."""
+    from insurance_claim_data_pipeline_spark.operators.dedup import er_blocking_budget
+
+    rows = {r["scheme"]: r for r in er_blocking_budget(spark, sf_dir).collect()}
+    assert set(rows) == {"name_token1", "name_full", "name_brand"}
+    assert (
+        rows["name_token1"]["cand_pairs"]
+        >= rows["name_full"]["cand_pairs"]
+        >= rows["name_brand"]["cand_pairs"]
+    )
+    for r in rows.values():
+        assert r["cand_pairs"] < r["all_pairs"]
+        assert r["budget_ppm"] == r["cand_pairs"] * 1_000_000 // r["all_pairs"]
