@@ -963,3 +963,69 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.sum("energy").cast("long").alias("seg_energy"),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution-on-read roundtrip (mergeSchema across generations)
+# ---------------------------------------------------------------------------
+
+SCHEMA_EVO_CUTOFF = "1995-01-01"
+
+SCHEMA_EVO_ORACLE = f"""
+WITH gen AS (
+  SELECT o_orderpriority,
+         o_orderdate < TIMESTAMP '{SCHEMA_EVO_CUTOFF}' AS is_v1,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (is_v1) AS BIGINT) AS n_v1_rows,
+       CAST(COUNT(*) FILTER (NOT is_v1) AS BIGINT) AS n_v2_rows,
+       CAST(SUM(CASE WHEN is_v1 THEN 0
+                     ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS v2_price_cents
+FROM gen GROUP BY 1
+"""
+
+
+@register("source_schema_evolution", oracle=SCHEMA_EVO_ORACLE, tags=("sink", "sources", "warehouse"))
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-on-read roundtrip: generation v1 of the orders
+    extract (rows before {SCHEMA_EVO_CUTOFF}) is written WITHOUT the
+    price column (the column was added later); generation v2 carries
+    it. A single ``mergeSchema`` read over both generations must
+    resolve the union schema and null-backfill v1 — the additive
+    schema evolution every long-lived lakehouse table undergoes. The
+    aggregate proves the merged read end-to-end: per priority, row
+    counts by generation (via the physically-present marker column)
+    and the price sum over rows where the column physically exists.
+
+    Real files are written and read back (the sink_*_roundtrip
+    discipline); at 100 TB this read path is exactly how Spark handles
+    mixed-generation partitions — the merge is metadata-only, no
+    rewrite of old files."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "icdp_source_schema_evolution")
+    v1 = o.filter(F.col("o_orderdate") < F.lit(SCHEMA_EVO_CUTOFF).cast("timestamp")).select(
+        "o_orderkey", "o_orderpriority", F.lit(True).alias("is_v1")
+    )
+    v2 = o.filter(F.col("o_orderdate") >= F.lit(SCHEMA_EVO_CUTOFF).cast("timestamp")).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(False).alias("is_v1"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "gen=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "gen=v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=v1"), os.path.join(out, "gen=v2")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("is_v1").cast("long")).cast("long").alias("n_v1_rows"),
+        F.sum((~F.col("is_v1")).cast("long")).cast("long").alias("n_v2_rows"),
+        F.sum(F.coalesce("price_cents", F.lit(0))).cast("long").alias("v2_price_cents"),
+    )

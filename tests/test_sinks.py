@@ -127,3 +127,26 @@ def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
     assert merged.count() == ev.count()
     nulls = merged.filter(F.col("schema_v").isNull()).count()
     assert nulls == ev.filter(F.col("event_id") % 2 == 0).count()
+
+
+def test_schema_evolution_null_backfill(spark, sf_dir):
+    """The merged read must expose price_cents as NULL on every v1 row
+    and non-null on every v2 row — the additive-evolution contract."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.multimodal import (
+        source_schema_evolution,
+    )
+
+    source_schema_evolution(spark, sf_dir)  # writes the generations
+    out = _os.path.join(tempfile.gettempdir(), "icdp_source_schema_evolution")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(out, "gen=v1"), _os.path.join(out, "gen=v2")
+    )
+    bad_v1 = back.filter(F.col("is_v1") & F.col("price_cents").isNotNull()).count()
+    bad_v2 = back.filter(~F.col("is_v1") & F.col("price_cents").isNull()).count()
+    assert bad_v1 == 0 and bad_v2 == 0
+    assert {f.name for f in back.schema.fields} >= {"o_orderkey", "is_v1", "price_cents"}
