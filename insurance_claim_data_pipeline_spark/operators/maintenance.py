@@ -287,3 +287,84 @@ def events_watermark_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("window_start_us", "event_type", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention-based VACUUM planner
+# ---------------------------------------------------------------------------
+
+VACUUM_RETAIN_DAYS = 7  # events span ~30 days; a 7-day horizon leaves real work
+
+VACUUM_ORACLE = f"""
+WITH inv AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS part_day,
+         event_id // {FILE_GROUP_W} AS file_id,
+         CAST(SUM(length(COALESCE(props, '')) + 64) AS BIGINT) AS file_bytes,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+  FROM events GROUP BY 1, 2
+), horizon AS (
+  SELECT MAX(max_ts_us) - {VACUUM_RETAIN_DAYS}::BIGINT * 86400 * 1000000
+           AS cutoff_us
+  FROM inv
+), marked AS (
+  SELECT i.*, i.max_ts_us < h.cutoff_us AS expired,
+         -- superseded: a later compaction rewrote the day (modeled:
+         -- even file ids are the rewritten generation and survive)
+         (i.file_id % 2) = 1 AS superseded
+  FROM inv i, horizon h
+)
+SELECT part_day,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(COUNT(*) FILTER (expired AND superseded) AS BIGINT) AS n_deletable,
+       CAST(COALESCE(SUM(file_bytes) FILTER (expired AND superseded), 0) AS BIGINT)
+         AS reclaim_bytes
+FROM marked GROUP BY 1
+HAVING COUNT(*) FILTER (expired AND superseded) > 0
+"""
+
+
+@register("sink_vacuum_plan", oracle=VACUUM_ORACLE, tags=("sink", "warehouse", "scale"))
+def sink_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planner: from the same metadata-sized file inventory as
+    the compaction planner, mark files both past the retention horizon
+    (newest row older than max-seen minus {VACUUM_RETAIN_DAYS} days)
+    AND superseded by a rewrite (modeled: odd file ids are the
+    pre-compaction generation), and emit the per-partition deletion
+    manifest with reclaimable bytes — Delta VACUUM / Iceberg
+    expire-snapshots as a planning query. Only days with something to
+    delete appear (a HAVING over the tiny per-day rollup). The
+    retention guard is the whole point: expired-but-current files are
+    NEVER listed, asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    inv = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("part_day"),
+        F.floor(F.col("event_id") / FILE_GROUP_W).cast("long").alias("file_id"),
+    ).agg(
+        F.sum(F.length(F.coalesce(F.col("props"), F.lit(""))) + F.lit(64))
+        .cast("long")
+        .alias("file_bytes"),
+        F.max(F.unix_micros("ts")).cast("long").alias("max_ts_us"),
+    )
+    horizon = inv.agg(
+        (F.max("max_ts_us") - F.lit(VACUUM_RETAIN_DAYS * 86400 * 1_000_000))
+        .cast("long")
+        .alias("cutoff_us")
+    )
+    marked = inv.crossJoin(F.broadcast(horizon)).select(
+        "part_day",
+        "file_bytes",
+        (F.col("max_ts_us") < F.col("cutoff_us")).alias("expired"),
+        (F.pmod(F.col("file_id"), F.lit(2)) == 1).alias("superseded"),
+    )
+    deletable = F.col("expired") & F.col("superseded")
+    return (
+        marked.groupBy("part_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(deletable.cast("long")).cast("long").alias("n_deletable"),
+            F.coalesce(F.sum(F.when(deletable, F.col("file_bytes"))), F.lit(0))
+            .cast("long")
+            .alias("reclaim_bytes"),
+        )
+        .filter(F.col("n_deletable") > 0)
+    )

@@ -1093,3 +1093,28 @@ def test_modularity_every_edge_intra_and_bounded(spark, sf_dir):
     # hence Q = 1 − Σk_c²/4m², strictly inside (0, 1) for >1 component
     assert 0.0 < r["modularity"] < 1.0
     assert r["n_components"] > 1
+
+
+def test_vacuum_plan_retention_guard(spark, sf_dir):
+    """The planner must never list expired-but-current files: every
+    reported day has n_deletable <= floor(n_files/2) (only the odd,
+    superseded generation qualifies) and positive reclaim bytes, and
+    no reported day may lie inside the retention horizon."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.maintenance import (
+        VACUUM_RETAIN_DAYS,
+        sink_vacuum_plan,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    rows = sink_vacuum_plan(spark, sf_dir).collect()
+    assert rows
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    horizon_day = (max_ts - dt.timedelta(days=VACUUM_RETAIN_DAYS)).strftime("%Y-%m-%d")
+    for r in rows:
+        assert 0 < r["n_deletable"] <= r["n_files"]
+        assert r["reclaim_bytes"] > 0
+        assert r["part_day"] <= horizon_day
