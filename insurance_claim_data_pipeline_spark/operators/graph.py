@@ -764,3 +764,98 @@ def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sum_kc2").cast("double") / (4.0 * float(m_edges) * float(m_edges))
         ).alias("modularity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pointer-jumping root-path aggregation over an implicit tree
+# ---------------------------------------------------------------------------
+
+TREE_ROOT = 1  # user_id 1 is the root; parent(u) = u // 2 (heap-shaped)
+
+POINTER_JUMP_ORACLE = """
+WITH RECURSIVE val AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id >= 1 GROUP BY 1
+), up(user_id, anc, path_sum, depth) AS (
+  SELECT user_id, user_id, n_events, 0 FROM val
+  UNION ALL
+  SELECT u.user_id, u.anc // 2,
+         u.path_sum + COALESCE(v.n_events, 0), u.depth + 1
+  FROM up u LEFT JOIN val v ON v.user_id = u.anc // 2
+  WHERE u.anc > 1
+)
+SELECT user_id, path_sum, depth
+FROM up WHERE anc = 1
+"""
+
+
+@register("graph_pointer_jump_rollup", oracle=POINTER_JUMP_ORACLE, tags=("graph", "iterative", "scale"))
+def graph_pointer_jump_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-path aggregation by POINTER JUMPING (path doubling): every
+    user sits in the implicit heap-shaped tree parent(u) = u div 2;
+    each node needs the sum of per-node values (event counts) along
+    its path to the root, plus its depth. The sequential answer walks
+    parents one at a time — O(depth) dependent joins. Pointer jumping
+    instead maintains (node, jump-target, partial sum) and JOINS THE
+    FRAME WITH ITSELF each round, doubling the jump distance: 1, 2,
+    4, … ancestors folded per round, so O(log depth) shuffles total —
+    the classic PRAM technique (list ranking, Wyllie '79) that makes
+    linked structures tractable on a 1000-executor cluster where
+    per-level iteration would serialize.
+
+    Each round: frame F maps u → (t(u), s(u)) with s(u) = sum of
+    values on the half-open path [u, t(u)); join F with itself on
+    t(u) to get u → (t(t(u)), s(u) + s(t(u))). Nodes whose target
+    reached the root stop participating. The per-round driver scalar
+    is one convergence count, as in the components loops; the oracle
+    is the straightforward recursive CTE."""
+    val = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") >= 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    # u -> (target = parent(u), s = sum over the HALF-OPEN path
+    # [u, t(u)) — the root's own value joins once at finalization)
+    f = val.select(
+        F.col("user_id"),
+        F.floor(F.col("user_id") / 2).cast("long").alias("t"),
+        F.when(F.col("user_id") == TREE_ROOT, F.lit(0)).otherwise(F.col("v")).alias("s"),
+        F.when(F.col("user_id") == TREE_ROOT, F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    )
+    # the root's own row: target stays itself with zero extra
+    f = f.withColumn("t", F.when(F.col("user_id") == TREE_ROOT, F.lit(TREE_ROOT)).otherwise(F.col("t")))
+    for _ in range(8):  # 2^8 ancestors — depth bound for any fixture
+        g = f.select(
+            F.col("user_id").alias("g_u"),
+            F.col("t").alias("g_t"),
+            F.col("s").alias("g_s"),
+            F.col("d").alias("g_d"),
+        )
+        f = (
+            f.join(g, f.t == g.g_u, "left")
+            .select(
+                "user_id",
+                F.when(F.col("t") == TREE_ROOT, F.lit(TREE_ROOT))
+                .otherwise(F.coalesce("g_t", F.col("t")))
+                .alias("t"),
+                F.when(F.col("t") == TREE_ROOT, F.col("s"))
+                .otherwise(F.col("s") + F.coalesce("g_s", F.lit(0)))
+                .alias("s"),
+                F.when(F.col("t") == TREE_ROOT, F.col("d"))
+                .otherwise(F.col("d") + F.coalesce("g_d", F.lit(0)))
+                .alias("d"),
+            )
+            .localCheckpoint()
+        )
+        if f.filter(F.col("t") != TREE_ROOT).limit(1).count() == 0:
+            break
+    root_v = val.filter(F.col("user_id") == TREE_ROOT).select(
+        F.col("v").alias("root_v")
+    )
+    return f.crossJoin(F.broadcast(root_v)).select(
+        "user_id",
+        (F.col("s") + F.col("root_v")).cast("long").alias("path_sum"),
+        F.col("d").cast("long").alias("depth"),
+    )

@@ -1420,3 +1420,33 @@ def test_blocking_budget_monotone_in_key_specificity(spark, sf_dir):
     for r in rows.values():
         assert r["cand_pairs"] < r["all_pairs"]
         assert r["budget_ppm"] == r["cand_pairs"] * 1_000_000 // r["all_pairs"]
+
+
+def test_pointer_jump_depth_and_path_bounds(spark, sf_dir):
+    """In the heap-shaped tree, depth(u) = floor(log2(u)) exactly, and
+    every path sum is at least own + root counts and at most the total
+    event count."""
+    import math
+
+    from insurance_claim_data_pipeline_spark.operators.graph import (
+        graph_pointer_jump_rollup,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    counts = {
+        r["user_id"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter("user_id >= 1")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    total = sum(counts.values())
+    rows = graph_pointer_jump_rollup(spark, sf_dir).collect()
+    assert len(rows) == len(counts)
+    for r in rows:
+        u = r["user_id"]
+        assert r["depth"] == int(math.log2(u))
+        lo = counts[u] + (counts.get(1, 0) if u != 1 else 0)
+        assert lo <= r["path_sum"] <= total
