@@ -2031,3 +2031,105 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_upper.alias("t_upper"),
         ((t_lower > crit) & (t_upper > crit)).alias("equivalent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate OLS via normal equations (closed form, one scan).
+# ---------------------------------------------------------------------------
+
+OLS_ORACLE = f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {dec_sum_sql("l_quantity")} AS sq,
+         {dec_sum_sql("l_discount", 4)} AS sd,
+         {dec_sum_sql("l_quantity * l_quantity")} AS sqq,
+         {dec_sum_sql("l_discount * l_discount", 6)} AS sdd,
+         {dec_sum_sql("l_quantity * l_discount", 4)} AS sqd,
+         {dec_sum_sql("l_extendedprice")} AS sy,
+         {dec_sum_sql("l_quantity * l_extendedprice")} AS sqy,
+         {dec_sum_sql("l_discount * l_extendedprice")} AS sdy,
+         {dec_sum_sql("l_extendedprice * l_extendedprice")} AS syy
+  FROM lineitem
+), det AS (
+  SELECT *,
+    n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+      + sd * (sq * sqd - sqq * sd) AS d0,
+    sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)
+      + sd * (sqy * sqd - sqq * sdy) AS d_b0,
+    n * (sqy * sdd - sqd * sdy) - sy * (sq * sdd - sqd * sd)
+      + sd * (sq * sdy - sqy * sd) AS d_b1,
+    n * (sqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+      + sy * (sq * sqd - sqq * sd) AS d_b2
+  FROM m
+)
+SELECT n,
+       d_b0 / d0 AS beta0,
+       d_b1 / d0 AS beta1,
+       d_b2 / d0 AS beta2,
+       1.0 - (syy - (d_b0 / d0) * sy - (d_b1 / d0) * sqy - (d_b2 / d0) * sdy)
+             / (syy - sy * sy / n) AS r2
+FROM det
+"""
+
+
+@register("stats_ols_normal_equations", oracle=OLS_ORACLE, tags=("stats", "mlfeat", "scale"))
+def stats_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS (price ~ quantity + discount) in closed form:
+    ONE map-side-combined scan collects the ten cross-moments of the
+    normal equations, the 3×3 system solves by Cramer's rule on the
+    driver-free 1-row frame, and R² falls out of the same moments —
+    distributed linear regression with zero iterations, the pattern
+    that fits a per-segment price model at 100 TB without any
+    optimizer loop (extend the moment list for more features; switch
+    to QR only when the feature count makes the normal equations
+    ill-conditioned).
+
+    Exactness: every moment is a decimal-stable sum (order-independent)
+    and the Cramer determinants are one fixed double tree per column,
+    written with the same association in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec_sum(q).alias("sq"),
+        dec_sum(d, 4).alias("sd"),
+        dec_sum(q * q).alias("sqq"),
+        dec_sum(d * d, 6).alias("sdd"),
+        dec_sum(q * d, 4).alias("sqd"),
+        dec_sum(y).alias("sy"),
+        dec_sum(q * y).alias("sqy"),
+        dec_sum(d * y).alias("sdy"),
+        dec_sum(y * y).alias("syy"),
+    )
+    c = {k: F.col(k) for k in ("n", "sq", "sd", "sqq", "sdd", "sqd", "sy", "sqy", "sdy", "syy")}
+    d0 = (
+        c["n"] * (c["sqq"] * c["sdd"] - c["sqd"] * c["sqd"])
+        - c["sq"] * (c["sq"] * c["sdd"] - c["sqd"] * c["sd"])
+        + c["sd"] * (c["sq"] * c["sqd"] - c["sqq"] * c["sd"])
+    )
+    d_b0 = (
+        c["sy"] * (c["sqq"] * c["sdd"] - c["sqd"] * c["sqd"])
+        - c["sq"] * (c["sqy"] * c["sdd"] - c["sqd"] * c["sdy"])
+        + c["sd"] * (c["sqy"] * c["sqd"] - c["sqq"] * c["sdy"])
+    )
+    d_b1 = (
+        c["n"] * (c["sqy"] * c["sdd"] - c["sqd"] * c["sdy"])
+        - c["sy"] * (c["sq"] * c["sdd"] - c["sqd"] * c["sd"])
+        + c["sd"] * (c["sq"] * c["sdy"] - c["sqy"] * c["sd"])
+    )
+    d_b2 = (
+        c["n"] * (c["sqq"] * c["sdy"] - c["sqy"] * c["sqd"])
+        - c["sq"] * (c["sq"] * c["sdy"] - c["sqy"] * c["sd"])
+        + c["sy"] * (c["sq"] * c["sqd"] - c["sqq"] * c["sd"])
+    )
+    b0, b1, b2 = d_b0 / d0, d_b1 / d0, d_b2 / d0
+    r2 = 1.0 - (
+        c["syy"] - b0 * c["sy"] - b1 * c["sqy"] - b2 * c["sdy"]
+    ) / (c["syy"] - c["sy"] * c["sy"] / c["n"])
+    return m.select(
+        "n",
+        b0.alias("beta0"),
+        b1.alias("beta1"),
+        b2.alias("beta2"),
+        r2.alias("r2"),
+    )

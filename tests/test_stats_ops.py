@@ -1118,3 +1118,27 @@ def test_vacuum_plan_retention_guard(spark, sf_dir):
         assert 0 < r["n_deletable"] <= r["n_files"]
         assert r["reclaim_bytes"] > 0
         assert r["part_day"] <= horizon_day
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer-solved coefficients must match numpy's least-squares
+    solution on the same data to ~1e-6 relative (decimal quantization
+    of the moments is the only divergence source)."""
+    import numpy as np
+
+    from insurance_claim_data_pipeline_spark.operators.stats import (
+        stats_ols_normal_equations,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    r = stats_ols_normal_equations(spark, sf_dir).collect()[0]
+    pdf = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["l_quantity"].values, pdf["l_discount"].values]
+    )
+    beta, *_ = np.linalg.lstsq(X, pdf["l_extendedprice"].values, rcond=None)
+    got = np.array([r["beta0"], r["beta1"], r["beta2"]])
+    assert np.allclose(got, beta, rtol=1e-5, atol=1e-4), (got, beta)
+    assert 0.0 <= r["r2"] <= 1.0
