@@ -1142,3 +1142,49 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir):
     got = np.array([r["beta0"], r["beta1"], r["beta2"]])
     assert np.allclose(got, beta, rtol=1e-5, atol=1e-4), (got, beta)
     assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_logistic_newton_converges_to_numpy_irls(spark):
+    """Three unrolled Newton steps must land within 1% relative of a
+    fully-converged numpy IRLS fit on the same design, and beat the
+    null model's log-likelihood."""
+    import math
+
+    import numpy as np
+
+    from insurance_claim_data_pipeline_spark.operators.stats import (
+        stats_logistic_newton,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    sf = "/root/testdata/sf0.01"
+    r = stats_logistic_newton(spark, sf).collect()[0]
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").filter("l_returnflag = 'R'").select(
+        "l_orderkey"
+    ).distinct()
+    pdf = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .selectExpr(
+            "CASE WHEN l_orderkey IS NULL THEN 0 ELSE 1 END AS y",
+            "CAST(o_totalprice / 100000 AS DOUBLE) AS x1",
+            "CAST(CAST(substr(o_orderpriority, 1, 1) AS INT) / 5.0 AS DOUBLE) AS x2",
+        )
+        .toPandas()
+    )
+    y = pdf["y"].values
+    X = np.column_stack([np.ones(len(pdf)), pdf["x1"].values.astype(float), pdf["x2"].values.astype(float)])
+    b = np.zeros(3)
+    for _ in range(12):
+        p = 1 / (1 + np.exp(-X @ b))
+        H = X.T @ (X * (p * (1 - p))[:, None])
+        b = b + np.linalg.solve(H, X.T @ (y - p))
+    got = np.array([r["beta0"], r["beta1"], r["beta2"]])
+    assert np.allclose(got, b, rtol=0.01, atol=1e-3), (got, b)
+
+    base_rate = y.mean()
+    ll_null = len(y) * (
+        base_rate * math.log(base_rate) + (1 - base_rate) * math.log(1 - base_rate)
+    )
+    assert r["loglik_e6"] / 1e6 > ll_null
