@@ -1188,3 +1188,43 @@ def test_logistic_newton_converges_to_numpy_irls(spark):
         base_rate * math.log(base_rate) + (1 - base_rate) * math.log(1 - base_rate)
     )
     assert r["loglik_e6"] / 1e6 > ll_null
+
+
+def test_decision_stump_matches_exhaustive_search(spark, sf_dir):
+    """The histogram split must equal an exhaustive pandas scan over
+    every candidate threshold (same binning), both in split point and
+    in the exact integer gain numerator."""
+    from insurance_claim_data_pipeline_spark.operators.mlfeat import (
+        mlfeat_decision_stump,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    r = mlfeat_decision_stump(spark, sf_dir).collect()[0]
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'").select(
+        "l_orderkey"
+    ).distinct()
+    pdf = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .selectExpr(
+            "CAST(FLOOR(ROUND(o_totalprice) / 10000) AS BIGINT) AS xbin",
+            "CASE WHEN l_orderkey IS NULL THEN 0 ELSE 1 END AS y",
+        )
+        .toPandas()
+    )
+    g = pdf.groupby("xbin")["y"].agg(["count", "sum"]).sort_index()
+    nt, pt = int(g["count"].sum()), int(g["sum"].sum())
+    best = None
+    nl = pl = 0
+    for xbin, row in g.iterrows():
+        nl += int(row["count"])
+        pl += int(row["sum"])
+        if nl == 0 or nl == nt:
+            continue
+        nr, pr = nt - nl, pt - pl
+        margin = pl * nr - pr * nl
+        gain = margin * margin // (nl * nr)
+        if best is None or gain > best[1]:
+            best = (int(xbin), gain)
+    assert (r["split_bin"], r["gain_num"]) == best
