@@ -1228,3 +1228,30 @@ def test_decision_stump_matches_exhaustive_search(spark, sf_dir):
         if best is None or gain > best[1]:
             best = (int(xbin), gain)
     assert (r["split_bin"], r["gain_num"]) == best
+
+
+def test_fixed_effects_matches_numpy_demeaning(spark, sf_dir):
+    """The within slope must match an explicitly group-demeaned numpy
+    regression to ~1e-4 relative (fixed-point quantization of the
+    correction terms is the only divergence source)."""
+    import numpy as np
+
+    from insurance_claim_data_pipeline_spark.operators.stats import (
+        stats_fixed_effects_ols,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    r = stats_fixed_effects_ols(spark, sf_dir).collect()[0]
+    pdf = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_extendedprice"
+    ).toPandas()
+    gx = pdf.groupby("l_partkey")["l_discount"].transform("mean")
+    gy = pdf.groupby("l_partkey")["l_extendedprice"].transform("mean")
+    xd = (pdf["l_discount"] - gx).values
+    yd = (pdf["l_extendedprice"] - gy).values
+    slope_within = float(np.dot(xd, yd) / np.dot(xd, xd))
+    assert abs(r["slope_within"] - slope_within) <= max(1e-4 * abs(slope_within), 1e-3)
+    x = pdf["l_discount"].values
+    y = pdf["l_extendedprice"].values
+    slope_pooled = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+    assert abs(r["slope_pooled"] - slope_pooled) <= max(1e-4 * abs(slope_pooled), 1e-3)
