@@ -46,6 +46,33 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
 
 
 JVM_ONLY_QUERIES = [
+    # round-4 continuation ops (codegen-only + no cartesian gates)
+    "sort_hilbert_interleave",
+    "events_watermark_lateness",
+    "events_watermark_finalized",
+    "stats_perm_test_bh",
+    "events_attribution_ushape",
+    "events_attribution_shapley",
+    "events_m4_downsample",
+    "text_kneser_ney_bigrams",
+    "text_watermark_detect",
+    "text_dsir_importance",
+    "mlfeat_decision_stump",
+    "stats_ols_normal_equations",
+    "stats_fixed_effects_ols",
+    "feat_target_encode_cv",
+    "feat_calibration_ece",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "er_blocking_budget",
+    "sink_compaction_plan",
+    "sink_vacuum_plan",
+    "warehouse_deletion_vectors",
+    "multimodal_patch_layout",
+    "multimodal_audio_vad",
+    "stats_benford_screen",
+    "stats_tost_equivalence",
+    "profile_join_skew_planner",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
