@@ -2410,3 +2410,68 @@ def stats_fixed_effects_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sxx_t") - F.col("sxx_between"))
         ).alias("slope_within"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson overdispersion screen (count data sanity before modeling).
+# ---------------------------------------------------------------------------
+
+OVERDISP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(k) AS BIGINT) AS total,
+         CAST(SUM(k * k) AS BIGINT) AS total_sq
+  FROM daily GROUP BY 1
+), stats AS (
+  SELECT user_id, n_days, total,
+         CAST(total AS DOUBLE) / n_days AS mean_k,
+         (CAST(total_sq AS DOUBLE) - CAST(total AS DOUBLE) * total / n_days)
+           / (n_days - 1) AS var_k
+  FROM per_user WHERE n_days >= 10
+)
+SELECT user_id, n_days, total, mean_k, var_k,
+       var_k / mean_k AS dispersion,
+       var_k / mean_k > 1.5 AS overdispersed
+FROM stats
+"""
+
+
+@register("stats_overdispersion_screen", oracle=OVERDISP_ORACLE, tags=("stats", "events"))
+def stats_overdispersion_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion screen on per-user daily event counts —
+    the sanity gate before any count model or Poisson-based alert
+    threshold: a Poisson series has variance ≈ mean (dispersion ≈ 1);
+    dispersion ≫ 1 means bursty/contagious behavior and a negative-
+    binomial (or per-user) model instead. Emits per-user mean,
+    variance, dispersion index and a > 1.5 flag for users with ≥ 10
+    active days. Integer count moments (k, k²) per user — exact — with
+    two double divisions at emission; two map-side-combined aggregates
+    and nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    per_user = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("k").cast("long").alias("total"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("total_sq"),
+    ).filter(F.col("n_days") >= 10)
+    mean_k = F.col("total").cast("double") / F.col("n_days")
+    var_k = (
+        F.col("total_sq").cast("double")
+        - F.col("total").cast("double") * F.col("total") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    return per_user.select(
+        "user_id",
+        "n_days",
+        "total",
+        mean_k.alias("mean_k"),
+        var_k.alias("var_k"),
+        (var_k / mean_k).alias("dispersion"),
+        (var_k / mean_k > 1.5).alias("overdispersed"),
+    )

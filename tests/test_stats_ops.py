@@ -1255,3 +1255,18 @@ def test_fixed_effects_matches_numpy_demeaning(spark, sf_dir):
     y = pdf["l_extendedprice"].values
     slope_pooled = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
     assert abs(r["slope_pooled"] - slope_pooled) <= max(1e-4 * abs(slope_pooled), 1e-3)
+
+
+def test_overdispersion_near_one_on_poisson_fixture(spark, sf_dir):
+    """The synthetic arrivals are Poisson-like, so the dispersion index
+    must hover near 1 (none flagged) — a systematically high or low
+    index would mean the variance bookkeeping is wrong."""
+    from insurance_claim_data_pipeline_spark.operators.stats import (
+        stats_overdispersion_screen,
+    )
+
+    rows = stats_overdispersion_screen(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert all(r["n_days"] >= 10 and r["var_k"] >= 0 for r in rows)
+    mean_disp = sum(r["dispersion"] for r in rows) / len(rows)
+    assert 0.6 < mean_disp < 1.4, mean_disp
