@@ -2615,3 +2615,161 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("per_token_e6"), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio-style BM25 query expansion)
+# ---------------------------------------------------------------------------
+
+PRF_FEEDBACK_K = 10  # docs fed back from pass 1
+PRF_EXP_TERMS = 3  # expansion terms added
+PRF_EXP_WEIGHT = 0.5  # weight of expansion-term contributions
+PRF_MIN_LEN = 4  # expansion terms must be ≥ this many chars
+PRF_TOPK = 20
+
+
+def _prf_oracle() -> str:
+    bm25 = _bm25_oracle().strip()
+    terms = ", ".join(f"('{t}')" for t in BM25_QUERY)
+    return f"""
+WITH pass1 AS ({bm25}),
+qt2(term) AS (VALUES {terms}),
+fb AS (
+  SELECT doc_id FROM pass1 LIMIT {PRF_FEEDBACK_K}
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_len
+  FROM tok
+), corpus_df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+  GROUP BY 1
+), fb_df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS fb_docs
+  FROM (SELECT t.doc_id, unnest(list_distinct(t.toks)) AS term
+        FROM tok t JOIN fb ON t.doc_id = fb.doc_id)
+  GROUP BY 1
+), exp_terms AS (
+  SELECT f.term FROM fb_df f JOIN corpus_df c ON f.term = c.term, stats s
+  WHERE length(f.term) >= {PRF_MIN_LEN}
+    AND f.term NOT IN (SELECT term FROM qt2)
+    AND c.df * 4 <= s.n_docs
+  ORDER BY f.fb_docs DESC, f.term
+  LIMIT {PRF_EXP_TERMS}
+), q2 AS (
+  SELECT term, 1.0 AS wt FROM qt2
+  UNION ALL SELECT term, {PRF_EXP_WEIGHT} FROM exp_terms
+), tf AS (
+  SELECT t.doc_id, q.term, q.wt,
+         CAST(len(list_filter(t.toks, x -> x = q.term)) AS DOUBLE) AS tf,
+         CAST(len(t.toks) AS DOUBLE) AS dl
+  FROM tok t, q2 q
+), df2 AS (
+  SELECT term, COUNT(*) FILTER (WHERE tf > 0) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(FLOOR(
+           tf.wt * LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tf.dl / s.avg_len))
+           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score2_e6
+  FROM tf JOIN df2 d ON tf.term = d.term, stats s
+  WHERE tf.tf > 0
+  GROUP BY tf.doc_id
+)
+SELECT s2.doc_id, s2.score2_e6,
+       p1.doc_id IS NOT NULL AS in_pass1
+FROM scored s2 LEFT JOIN pass1 p1 ON s2.doc_id = p1.doc_id
+ORDER BY s2.score2_e6 DESC, s2.doc_id
+LIMIT {PRF_TOPK}
+"""
+
+
+@register("sim_prf_query_expansion", oracle=_prf_oracle(), tags=("text", "llm", "similarity"))
+def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style): run the fixed BM25
+    query, treat its top-{PRF_FEEDBACK_K} as relevant, mine
+    {PRF_EXP_TERMS} expansion terms from them (most feedback-frequent
+    informative terms: ≥{PRF_MIN_LEN} chars, corpus df ≤ N/4, not a
+    query term, deterministic tie-break), and re-retrieve with the
+    expanded weighted query — the classic zero-training recall booster
+    every search stack ships. Emits the pass-2 top-{PRF_TOPK} with an
+    in_pass1 marker (the false rows are recall the expansion BOUGHT —
+    asserted non-empty in tests).
+
+    Unlike the literal-term BM25 (compile-time tf columns), pass 2's
+    terms are DATA-DEPENDENT, so tf comes from one token explode
+    joined to the tiny dynamic term frame — the general query path.
+    Same ×1e6-before-sum exactness discipline; every ranking carries a
+    doc_id tie-break."""
+    bm1 = text_bm25_topk(spark, sf_dir)
+    fb = bm1.limit(PRF_FEEDBACK_K).select("doc_id").localCheckpoint(eager=False)
+    doc = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = doc.select("doc_id", toks.alias("toks"), F.size(toks).cast("double").alias("dl"))
+    base = base.localCheckpoint(eager=False)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avg_len"),
+    )
+    dt = base.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+    corpus_df = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    fb_df = (
+        dt.join(F.broadcast(fb), "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fb_docs"))
+    )
+    exp_terms = (
+        fb_df.join(corpus_df, "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            (F.length("term") >= PRF_MIN_LEN)
+            & (~F.col("term").isin(*BM25_QUERY))
+            & (F.col("df") * 4 <= F.col("n_docs"))
+        )
+        .orderBy(F.desc("fb_docs"), "term")
+        .limit(PRF_EXP_TERMS)
+        .select("term", F.lit(PRF_EXP_WEIGHT).alias("wt"))
+    )
+    q2 = (
+        exp_terms.unionByName(
+            base.sparkSession.createDataFrame(
+                [(t, 1.0) for t in BM25_QUERY], "term string, wt double"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(q2), "term")
+        .groupBy("doc_id", "term", "wt", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df2 = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        F.col("wt")
+        * idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avg_len")))
+    )
+    contrib_e6 = F.floor(contrib * 1_000_000 + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(df2), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib_e6).cast("long").alias("score2_e6"))
+    )
+    p1 = bm1.select("doc_id", F.lit(True).alias("p1"))
+    return (
+        scored.join(p1, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score2_e6",
+            F.coalesce("p1", F.lit(False)).alias("in_pass1"),
+        )
+        .orderBy(F.desc("score2_e6"), "doc_id")
+        .limit(PRF_TOPK)
+    )

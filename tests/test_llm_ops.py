@@ -1450,3 +1450,23 @@ def test_pointer_jump_depth_and_path_bounds(spark, sf_dir):
         assert r["depth"] == int(math.log2(u))
         lo = counts[u] + (counts.get(1, 0) if u != 1 else 0)
         assert lo <= r["path_sum"] <= total
+
+
+def test_prf_expansion_buys_recall(spark, sf_dir):
+    """The expanded query's top-k must (a) contain at least one doc the
+    original BM25 top-k missed (the recall the feedback loop bought)
+    and (b) keep at least half of the original top-k (expansion must
+    not wreck precision on the seed query)."""
+    from insurance_claim_data_pipeline_spark.operators.textops import (
+        PRF_TOPK,
+        sim_prf_query_expansion,
+        text_bm25_topk,
+    )
+
+    rows = sim_prf_query_expansion(spark, sf_dir).collect()
+    assert len(rows) == PRF_TOPK
+    new_docs = [r for r in rows if not r["in_pass1"]]
+    assert new_docs  # expansion surfaced something new
+    p1 = {r["doc_id"] for r in text_bm25_topk(spark, sf_dir).collect()}
+    kept = sum(1 for r in rows if r["doc_id"] in p1)
+    assert kept >= len(p1) // 2
