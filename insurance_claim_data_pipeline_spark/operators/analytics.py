@@ -3011,3 +3011,89 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_delta_24").cast("long").alias("phi_24"),
         (F.sum("w_delta_24").cast("double") / 24).alias("phi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Backlog aging report at a reference date.
+# ---------------------------------------------------------------------------
+
+AGING_REF_DATE = "1996-06-30"
+_AGING_BOUNDS = (30, 60, 90)  # bucket upper bounds in days
+
+
+def _aging_bucket_sql(expr: str) -> str:
+    cases = [f"WHEN {expr} <= {_AGING_BOUNDS[0]} THEN 0"]
+    for i in range(1, len(_AGING_BOUNDS)):
+        cases.append(f"WHEN {expr} <= {_AGING_BOUNDS[i]} THEN {i}")
+    return "CASE " + " ".join(cases) + f" ELSE {len(_AGING_BOUNDS)} END"
+
+
+def _aging_oracle() -> str:
+    from ..functions.stable import dec_sum_sql
+
+    return f"""
+WITH closed AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS close_date FROM lineitem GROUP BY 1
+), open_orders AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+         date_diff('day', o.o_orderdate, TIMESTAMP '{AGING_REF_DATE}') AS age_days
+  FROM orders o LEFT JOIN closed c ON o.o_orderkey = c.l_orderkey
+  WHERE o.o_orderdate <= TIMESTAMP '{AGING_REF_DATE}'
+    AND (c.close_date IS NULL OR c.close_date > TIMESTAMP '{AGING_REF_DATE}')
+)
+SELECT o_orderpriority,
+       CAST({_aging_bucket_sql("age_days")} AS BIGINT) AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_open,
+       {dec_sum_sql("o_totalprice")} AS open_value,
+       CAST(MAX(age_days) AS BIGINT) AS oldest_days
+FROM open_orders GROUP BY 1, 2
+"""
+
+
+@register("orders_backlog_aging", oracle=_aging_oracle(), tags=("analytics", "warehouse", "agg"))
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report as of {AGING_REF_DATE}: an order is open if
+    placed by the reference date and not fully shipped (its last
+    lineitem ship date, from one groupBy, is after the date or absent).
+    Open orders bucket into ≤30/≤60/≤90/older days by priority with
+    counts, decimal-stable open value, and the oldest age — the AR/
+    fulfillment aging table every operations review starts from.
+
+    Scale: the close-date frame is |orders|-sized from one map-side
+    aggregate; the join is key-to-key; everything after is a tiny
+    grouped rollup. (Compare orders_open_concurrency for the full
+    open-orders time series; this is the point-in-time drill-down.)"""
+    from ..functions.stable import dec_sum
+
+    ref = F.lit(AGING_REF_DATE).cast("timestamp")
+    closed = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("close_date"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    open_orders = (
+        o.join(closed, o.o_orderkey == closed.l_orderkey, "left")
+        .filter(
+            (F.col("o_orderdate") <= ref)
+            & (F.col("close_date").isNull() | (F.col("close_date") > ref))
+        )
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.datediff(ref.cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "age_days"
+            ),
+        )
+    )
+    bucket = F.when(F.col("age_days") <= _AGING_BOUNDS[0], F.lit(0))
+    for i in range(1, len(_AGING_BOUNDS)):
+        bucket = bucket.when(F.col("age_days") <= _AGING_BOUNDS[i], F.lit(i))
+    bucket = bucket.otherwise(F.lit(len(_AGING_BOUNDS)))
+    return open_orders.groupBy(
+        "o_orderpriority", bucket.cast("long").alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_open"),
+        dec_sum("o_totalprice").alias("open_value"),
+        F.max("age_days").cast("long").alias("oldest_days"),
+    )
