@@ -1292,3 +1292,104 @@ def er_blocking_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_pairs.alias("all_pairs"),
         F.floor(F.col("cand_pairs") * 1_000_000 / all_pairs).cast("long").alias("budget_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup accounting
+# ---------------------------------------------------------------------------
+
+CDC_MOD = 4  # boundary when md5-bucket(token) % 4 == 0 → ~4-token chunks
+
+CDC_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, source, i, toks[i] AS tok,
+         CASE WHEN (('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % {CDC_MOD}) = 0
+              THEN 1 ELSE 0 END AS bnd
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+), chunked AS (
+  SELECT doc_id, source, i, tok,
+         COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM pos
+), chunks AS (
+  SELECT doc_id, source, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5,
+         SUM(len(tok)) + COUNT(*) - 1 AS chunk_chars
+  FROM chunked GROUP BY doc_id, source, chunk_id
+), uniq AS (
+  SELECT source, chunk_md5, MIN(chunk_chars) AS chunk_chars, COUNT(*) AS refs
+  FROM chunks GROUP BY source, chunk_md5
+)
+SELECT source,
+       CAST(SUM(refs) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(refs * chunk_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(chunk_chars) AS BIGINT) AS stored_chars,
+       CAST(SUM(chunk_chars) * 1000000 // SUM(refs * chunk_chars) AS BIGINT) AS stored_ppm
+FROM uniq GROUP BY source
+ORDER BY source
+"""
+
+
+@register("dedup_cdc_chunks", oracle=CDC_ORACLE, tags=("dedup", "llm", "scale"))
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup accounting per source — the
+    storage-system dedup primitive (LBFS/Venti-style) applied to a text
+    corpus: a token ends a chunk when a hash of the TOKEN VALUE alone
+    hits ``0 mod 4``, so chunk boundaries are properties of the
+    content, not of byte offsets. An insertion near the front of a
+    document reshapes only the chunk it lands in; every later chunk
+    re-aligns and still dedups — the property fixed-size blocks
+    (``text_block_dedup`` is the contrast case) fundamentally lack.
+    Reports, per source: chunk count, distinct-chunk count, raw vs
+    deduplicated character volume, and the stored-bytes ratio (ppm).
+
+    Dataflow: posexplode tokens (narrow) → boundary flag from an
+    md5-bucket of the token (pure codegen, engine-portable) → chunk_id
+    via a per-doc prior-sum window (bounded by doc length, never a
+    corpus-wide window) → chunk reassembly groupBy(doc, chunk_id) →
+    chunk-identity aggregate groupBy(source, chunk_md5) → per-source
+    rollup. The only corpus-wide shuffle is keyed by (source, md5) —
+    uniform by construction, no skew; there is no pair enumeration
+    anywhere, so output is bounded by corpus size at any scale. At
+    100 TB the ``uniq`` aggregate IS the chunk store index; hot chunks
+    (boilerplate) stay one row with a large ``refs`` count."""
+    doc = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % CDC_MOD
+    )
+    pos = doc.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    ).withColumn("bnd", F.when(bucket == 0, 1).otherwise(0))
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    chunked = pos.withColumn("chunk_id", F.coalesce(F.sum("bnd").over(w), F.lit(0)))
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("chunk_md5"),
+        (F.sum(F.length("tok")) + F.count(F.lit(1)) - 1).alias("chunk_chars"),
+    )
+    uniq = chunks.groupBy("source", "chunk_md5").agg(
+        F.min("chunk_chars").alias("chunk_chars"),
+        F.count(F.lit(1)).alias("refs"),
+    )
+    return (
+        uniq.groupBy("source")
+        .agg(
+            F.sum("refs").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+            F.sum(F.col("refs") * F.col("chunk_chars")).cast("long").alias("total_chars"),
+            F.sum("chunk_chars").cast("long").alias("stored_chars"),
+            F.expr(
+                "CAST(sum(chunk_chars) * 1000000 div sum(refs * chunk_chars) AS BIGINT)"
+            ).alias("stored_ppm"),
+        )
+        .orderBy("source")
+    )

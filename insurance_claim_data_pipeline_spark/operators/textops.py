@@ -2772,3 +2772,173 @@ def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score2_e6"), "doc_id")
         .limit(PRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-block exact dedup with corpus rewrite (the Gopher/RefinedWeb
+# "remove duplicated passages, keep first occurrence" step)
+# ---------------------------------------------------------------------------
+
+BLOCK_B = 16  # tokens per block
+
+BLOCK_DEDUP_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+blk AS (
+  SELECT doc_id, b,
+         array_to_string(toks[b*{BLOCK_B}+1 : b*{BLOCK_B}+{BLOCK_B}], ' ') AS btext,
+         len(toks[b*{BLOCK_B}+1 : b*{BLOCK_B}+{BLOCK_B}]) AS btoks
+  FROM tok, LATERAL (SELECT unnest(generate_series(
+        0, CAST(ceil(len(toks) / {BLOCK_B}.0) AS BIGINT) - 1)) AS b)
+), ranked AS (
+  SELECT doc_id, b, btext, btoks,
+         ROW_NUMBER() OVER (PARTITION BY md5(btext) ORDER BY doc_id, b) AS rn
+  FROM blk
+), kept AS (SELECT doc_id, b, btext, btoks FROM ranked WHERE rn = 1)
+SELECT t.doc_id,
+       CAST(ceil(len(t.toks) / {BLOCK_B}.0) AS BIGINT) AS n_blocks,
+       CAST(COUNT(k.b) AS BIGINT) AS kept_blocks,
+       CAST(COALESCE(SUM(k.btoks), 0) AS BIGINT) AS kept_tokens,
+       md5(COALESCE(string_agg(k.btext, ' ' ORDER BY k.b), '')) AS rebuilt_md5
+FROM tok t LEFT JOIN kept k ON t.doc_id = k.doc_id
+GROUP BY t.doc_id, len(t.toks)
+"""
+
+
+@register("text_block_dedup", oracle=BLOCK_DEDUP_ORACLE, tags=("text", "dedup", "llm", "scale"))
+def text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-block exact passage dedup WITH corpus rewrite: cut every
+    document into 16-token blocks, keep only the corpus-wide
+    FIRST occurrence of each distinct block (ordered by (doc_id,
+    block_idx) — deterministic, not arrival-order), and re-emit each
+    document rebuilt from its surviving blocks. This is the "apply"
+    complement to the measuring ops (``text_span_dedup`` reports
+    coverage; this one produces the deduplicated corpus) and the
+    fixed-offset contrast case to ``dedup_cdc_chunks`` (an insertion
+    shifts every later block here, which is exactly why CDC exists).
+    Output per doc: block counts before/after, surviving token count,
+    and md5 of the rebuilt text (the full rebuilt string stays
+    distributed; only its fingerprint is emitted).
+
+    Dataflow: one narrow pass slices blocks via posexplode over
+    ``sequence(0, ceil(n/16)-1)`` + ``slice(toks, ...)`` — no
+    per-token explosion; first-occurrence election is ONE row_number
+    window keyed by block md5 (uniform 128-bit key → no skew; at
+    100 TB this is the passage index, and a boilerplate block with a
+    million copies is still one partition's ordered scan because only
+    rank 1 survives — min-by would cut even that); rebuild is a
+    per-doc groupBy with an ordered array_join. No pair enumeration,
+    no corpus-wide window, no Python."""
+    doc = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = doc.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    nblocks = F.ceil(F.col("n") / F.lit(float(BLOCK_B))).cast("long")
+    blk = base.select(
+        "doc_id",
+        nblocks.alias("n_blocks"),
+        F.posexplode(F.sequence(F.lit(0), nblocks - 1)).alias("_p", "b"),
+        F.slice("toks", F.col("_p") * BLOCK_B + 1, BLOCK_B).alias("btoks_arr"),
+    ).select(
+        "doc_id",
+        "n_blocks",
+        "b",
+        F.array_join("btoks_arr", " ").alias("btext"),
+        F.size("btoks_arr").alias("btoks"),
+    )
+    w = Window.partitionBy(F.md5("btext")).orderBy("doc_id", "b")
+    kept = blk.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_blocks"),
+        F.sum("btoks").cast("long").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "btext"))),
+                    lambda s: s["btext"],
+                ),
+                " ",
+            )
+        ).alias("rebuilt_md5"),
+    )
+    sizes = base.select("doc_id", nblocks.alias("n_blocks"))
+    return sizes.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        F.coalesce("kept_blocks", F.lit(0)).cast("long").alias("kept_blocks"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce("rebuilt_md5", F.md5(F.lit(""))).alias("rebuilt_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style inference plan)
+# ---------------------------------------------------------------------------
+
+CLF_D = 64  # hashed vocabulary buckets (model dimensionality)
+
+HASHCLF_ORACLE = f"""
+WITH w AS (
+  SELECT i AS bucket, (i * 2654435761) % 1001 - 500 AS wgt
+  FROM generate_series(0, {CLF_D - 1}) t(i)
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), b AS (
+  SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT % {CLF_D}) AS bucket
+  FROM tok
+), s AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(wgt) AS score
+  FROM b JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score AS BIGINT) AS score_raw,
+       CAST(score * 1000 // n_tokens AS BIGINT) AS mean_w_e3,
+       (score * 1000 // n_tokens) > 0 AS keep
+FROM s
+"""
+
+
+@register(
+    "text_quality_hashclf",
+    oracle=HASHCLF_ORACLE,
+    tags=("text", "llm", "quality", "mlfeat"),
+)
+def text_quality_hashclf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE over the corpus — the
+    fastText-shaped curation step (CCNet / LLM data pipelines score
+    every document with a hashed-bag-of-words linear model and keep the
+    high scorers). The model here is a 64-bucket weight table with
+    deterministic pseudo-random integer weights — a stand-in for
+    trained weights, chosen so the oracle can regenerate it — but the
+    PLAN is the production shape: tokens → hash bucket → broadcast
+    join against the weight table → per-doc sum → threshold. Swapping
+    in a real trained model changes one small table, not the plan.
+
+    Scale: the model is a broadcast side (64 rows here; even a 2M-row
+    vocab·dim table broadcasts fine), so scoring is one narrow pass +
+    one per-doc aggregate — no corpus-wide shuffle other than the
+    groupBy(doc_id), which is co-partitioned with the explode's input.
+    Integer weights and integer ×1000 fixed-point mean keep the score
+    order-independent and engine-exact (Spark ``div`` and DuckDB ``//``
+    both truncate toward zero, including for negative scores)."""
+    weights = spark.range(CLF_D).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 2654435761) % 1001 - 500).alias("wgt"),
+    )
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    bucket = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % CLF_D
+    scored = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("wgt").alias("score"))
+    )
+    mean_e3 = F.expr("score * 1000 div n_tokens")
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("score").cast("long").alias("score_raw"),
+        mean_e3.cast("long").alias("mean_w_e3"),
+        (mean_e3 > 0).alias("keep"),
+    )
