@@ -2523,3 +2523,116 @@ def sink_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("read_frac_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with linear interpolation (time-weighted value at query time)
+# ---------------------------------------------------------------------------
+
+ASOF_INTERP_ORACLE = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT p.purchase_id, p.user_id, p.t,
+         (SELECT max(v.t) FROM v
+            WHERE v.user_id = p.user_id AND v.t <= p.t) AS tb,
+         (SELECT min(v.t) FROM v
+            WHERE v.user_id = p.user_id AND v.t > p.t) AS tf
+  FROM p
+), vbj AS (
+  SELECT b.purchase_id, v.vc,
+         ROW_NUMBER() OVER (PARTITION BY b.purchase_id
+                            ORDER BY v.event_id DESC) AS rn
+  FROM b JOIN v ON v.user_id = b.user_id AND v.t = b.tb
+), vfj AS (
+  SELECT b.purchase_id, v.vc,
+         ROW_NUMBER() OVER (PARTITION BY b.purchase_id
+                            ORDER BY v.event_id ASC) AS rn
+  FROM b JOIN v ON v.user_id = b.user_id AND v.t = b.tf
+)
+SELECT b.purchase_id, b.user_id,
+       b.t AS purchase_t_us, b.tb AS tb_us, b.tf AS tf_us,
+       CASE WHEN b.tb IS NOT NULL AND b.tf IS NOT NULL
+              THEN (vb.vc * (b.tf - b.t) + vf.vc * (b.t - b.tb)) // (b.tf - b.tb)
+            WHEN b.tb IS NOT NULL THEN vb.vc
+            WHEN b.tf IS NOT NULL THEN vf.vc END AS interp_value_c,
+       CASE WHEN b.tb IS NOT NULL AND b.tf IS NOT NULL THEN 'interp'
+            WHEN b.tb IS NOT NULL THEN 'back_only'
+            WHEN b.tf IS NOT NULL THEN 'fwd_only'
+            ELSE 'none' END AS mode
+FROM b
+LEFT JOIN (SELECT purchase_id, vc FROM vbj WHERE rn = 1) vb USING (purchase_id)
+LEFT JOIN (SELECT purchase_id, vc FROM vfj WHERE rn = 1) vf USING (purchase_id)
+"""
+
+
+@register("join_asof_interpolate", oracle=ASOF_INTERP_ORACLE, tags=("join", "asof", "window"))
+def join_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolating as-of join (the kdb/TimescaleDB ``interpolate``
+    companion to plain as-of): for every purchase, the same user's
+    'view' VALUE linearly time-interpolated at the purchase instant
+    from the bracketing view events — last view at-or-before and first
+    view strictly after; edge cases hold the single available side
+    (LOCF / NOCB) and tag the mode. Values are ×100 fixed-point cents
+    and the interpolation is exact integer arithmetic
+    ``(vb·(tf−t) + vf·(t−tb)) div (tf−tb)`` — no engine-divergent
+    doubles.
+
+    Same two-window union construction as ``join_asof_nearest``
+    (tag both sides into one per-user stream; ascending last-ignorenulls
+    for the backward bracket, descending for the forward one) — two
+    linear window passes per user partition, never a range self-join,
+    so event-dense users cost O(n log n) sort, not O(n²) pairs.
+    Equal-timestamp semantics: a view AT the purchase instant is the
+    backward bracket (weight collapses to it exactly); the forward
+    bracket is strictly later; window tie order (event_id) matches the
+    oracle's deterministic pick."""
+    ev = _t(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    is_view = F.col("event_type") == "view"
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.col("user_id").alias("k"),
+        t_us.alias("t_us"),
+        F.col("event_id").alias("eid"),
+        F.when(is_view, 0).otherwise(1).alias("side"),
+        F.when(is_view, t_us).alias("v_t"),
+        F.when(is_view, F.round(F.col("value") * 100).cast("long")).alias("v_c"),
+    )
+    wb = (
+        W.partitionBy("k")
+        .orderBy("t_us", "side", "eid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("k")
+        .orderBy(F.desc("t_us"), F.desc("side"), F.desc("eid"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    both = (
+        tagged.withColumn("tb", F.last("v_t", ignorenulls=True).over(wb))
+        .withColumn("vb", F.last("v_c", ignorenulls=True).over(wb))
+        .withColumn("tf", F.last("v_t", ignorenulls=True).over(wf))
+        .withColumn("vf", F.last("v_c", ignorenulls=True).over(wf))
+    )
+    interp = F.when(
+        F.col("tb").isNotNull() & F.col("tf").isNotNull(),
+        F.expr("(vb * (tf - t_us) + vf * (t_us - tb)) div (tf - tb)"),
+    ).when(F.col("tb").isNotNull(), F.col("vb")).otherwise(F.col("vf"))
+    return both.filter(F.col("side") == 1).select(
+        F.col("eid").alias("purchase_id"),
+        F.col("k").alias("user_id"),
+        F.col("t_us").alias("purchase_t_us"),
+        F.col("tb").alias("tb_us"),
+        F.col("tf").alias("tf_us"),
+        interp.alias("interp_value_c"),
+        F.when(F.col("tb").isNotNull() & F.col("tf").isNotNull(), F.lit("interp"))
+        .when(F.col("tb").isNotNull(), F.lit("back_only"))
+        .when(F.col("tf").isNotNull(), F.lit("fwd_only"))
+        .otherwise(F.lit("none"))
+        .alias("mode"),
+    )

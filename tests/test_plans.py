@@ -172,6 +172,12 @@ JVM_ONLY_QUERIES = [
     "sample_temperature_mixture",
     "graph_kcore",
     "curation_prep_pipeline",
+    # round-4 final-batch additions — all pure Column/SQL expressions
+    "dedup_cdc_chunks",
+    "text_block_dedup",
+    "text_quality_hashclf",
+    "stats_theil_sen_slope",
+    "join_asof_interpolate",
 ]
 
 
