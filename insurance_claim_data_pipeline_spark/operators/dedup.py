@@ -1393,3 +1393,95 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (multiset) shingle Jaccard — tf-weighted near-dup scoring
+# ---------------------------------------------------------------------------
+
+WJACCARD_THRESHOLD_E6 = 300_000  # 0.30 on the multiset Jaccard
+
+WEIGHTED_JACCARD_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i)
+  WHERE len(toks) >= 5
+), cnt AS (
+  SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh GROUP BY doc_id, shingle
+), sizes AS (
+  SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(LEAST(a.c, b.c)) AS inter_w
+  FROM cnt a JOIN cnt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(inter_w AS BIGINT) AS inter_w,
+       CAST(sa.n + sb.n - inter_w AS BIGINT) AS union_w,
+       CAST(inter_w * 1000000 // (sa.n + sb.n - inter_w) AS BIGINT) AS wjaccard_e6
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter_w * 1000000 // (sa.n + sb.n - inter_w) >= 300000
+"""
+
+
+@register("dedup_weighted_jaccard", oracle=WEIGHTED_JACCARD_ORACLE, tags=("dedup", "llm", "scale"))
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) shingle Jaccard near-dup pairs:
+    Σ min(tfₐ, tf_b) / Σ max(tfₐ, tf_b) over 5-token-shingle COUNTS —
+    the tf-weighted refinement of ``dedup_ngram_jaccard``'s set
+    Jaccard. Repetition now matters: a doc that repeats one boilerplate
+    block ten times no longer looks identical to a doc containing it
+    once, which is exactly the failure mode set-Jaccard has on spammy
+    or template-heavy corpora. Σmax never needs its own pass:
+    Σmax = nₐ + n_b − Σmin (multiset identity), so the union weight
+    comes free from the per-doc totals.
+
+    Same inverted-index self-join shape as the set variant (pairs
+    sharing ≥1 shingle, keyed on 8-byte xxhash64 shingle keys — the
+    raw-string oracle guards the negligible 64-bit collision risk),
+    but aggregating Σ least(cₐ, c_b) per pair instead of a count.
+    Candidates are data-bounded (shingle df² per key, never corpus²);
+    hot boilerplate shingles are the same skew the set variant guards
+    with ``max_df`` in production. ×1e6 fixed-point with truncating
+    div — integer-exact across engines."""
+    doc = load_table(spark, sf_dir, "documents")
+    cnt = (
+        shingle_rows(doc.select("doc_id", "text"), distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("sh_key"))
+        .groupBy("doc_id", "sh_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sizes = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    a = cnt.alias("a")
+    b = cnt.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh_key") == F.col("b.sh_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.least("a.c", "b.c")).alias("inter_w"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    wj = F.expr("inter_w * 1000000 div (sa.n + sb.n - inter_w)")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(wj >= WJACCARD_THRESHOLD_E6)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter_w").cast("long").alias("inter_w"),
+            F.expr("CAST(sa.n + sb.n - inter_w AS BIGINT)").alias("union_w"),
+            wj.cast("long").alias("wjaccard_e6"),
+        )
+    )

@@ -745,3 +745,77 @@ def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("max_burst"), "user_id"
     )
     return top.select("*", F.row_number().over(w).cast("long").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# CEP-style sequence pattern matching over per-user daily event strings
+# ---------------------------------------------------------------------------
+
+_US_DAY = 86_400_000_000
+
+CEP_PATTERN_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, (epoch_us(ts) // {_US_DAY}) AS day_idx,
+         epoch_us(ts) AS t, event_id, substr(event_type, 1, 1) AS letter
+  FROM events
+), seqs AS (
+  SELECT user_id, day_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(letter, '' ORDER BY t, event_id) AS seq
+  FROM e GROUP BY user_id, day_idx
+)
+SELECT user_id, day_idx, n_events, seq,
+       regexp_matches(seq, 'v[^p]*p') AS conv_view_purchase,
+       regexp_matches(seq, 'e[^p]*e[^p]*e') AS err3_before_purchase,
+       regexp_matches(seq, 's.*p') AS signup_to_purchase
+FROM seqs
+"""
+
+
+@register("events_cep_pattern", oracle=CEP_PATTERN_ORACLE, tags=("events", "window", "analytics"))
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event-processing patterns, Spark
+    has no native operator for: encode each user-day's time-ordered
+    event stream as a letter string (event types here map to distinct
+    initials) and run the pattern layer as regexes over it —
+    view-then-purchase with no purchase in between (``v[^p]*p``),
+    three errors before any purchase, signup-eventually-purchase.
+    Regex over a materialized sequence string is the classic
+    scale-friendly reduction of CEP when patterns don't need
+    event-time constraints tighter than the grouping grain (those go
+    to ``events_sessionize``/``events_funnel_steps``).
+
+    One shuffle to (user, day) groups; each group's string build is an
+    ordered in-group sort (array_sort of (t, id, letter) structs — no
+    corpus-wide window), and the regex match is per-row codegen over
+    strings bounded by a user-day's event count. Pattern evaluation
+    cost is linear in total events at any scale; there is no
+    state-machine join and no cross-row backtracking beyond each
+    bounded string."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day_idx"),
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("letter"),
+    )
+    seqs = e.groupBy("user_id", "day_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "event_id", "letter"))),
+                lambda s: s["letter"],
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "day_idx",
+        "n_events",
+        "seq",
+        F.col("seq").rlike("v[^p]*p").alias("conv_view_purchase"),
+        F.col("seq").rlike("e[^p]*e[^p]*e").alias("err3_before_purchase"),
+        F.col("seq").rlike("s.*p").alias("signup_to_purchase"),
+    )

@@ -178,6 +178,8 @@ JVM_ONLY_QUERIES = [
     "text_quality_hashclf",
     "stats_theil_sen_slope",
     "join_asof_interpolate",
+    "dedup_weighted_jaccard",
+    "events_cep_pattern",
 ]
 
 
