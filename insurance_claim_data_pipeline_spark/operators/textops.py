@@ -2942,3 +2942,118 @@ def text_quality_hashclf(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_e3.cast("long").alias("mean_w_e3"),
         (mean_e3 > 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (merge-rule learning)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 4
+
+
+def _bpe_oracle(k: int = BPE_MERGES) -> str:
+    parts = [
+        """WITH words AS (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), s0 AS (
+  SELECT w, freq,
+         ' ' || array_to_string(
+           [substr(w, i, 1) FOR i IN generate_series(1, len(w))], '  ') || ' ' AS seq
+  FROM words
+)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""", p{i} AS (
+  SELECT t[i] AS a, t[i+1] AS b, SUM(freq) AS cnt
+  FROM (SELECT freq, string_split(trim(seq), '  ') AS t FROM s{i}),
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+  GROUP BY 1, 2
+), b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        if i < k - 1:
+            parts.append(
+                f""", s{i + 1} AS (
+  SELECT w, freq,
+         replace(seq,
+           ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
+           ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ') AS seq
+  FROM s{i}
+)"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, a AS left_sym, b AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(k)
+    )
+    return "".join(parts) + f"\n{selects} ORDER BY step"
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle(), tags=("text", "llm", "iterative", "scale"))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING — learn the first 4 merge
+    rules exactly as Sennrich-style BPE does: count adjacent symbol
+    pairs over the corpus, merge the most frequent pair everywhere,
+    repeat. The companion to ``text_bpe_pretokenize`` (which applies a
+    tokenizer; this one learns it).
+
+    The 100 TB-critical reduction happens FIRST: the corpus collapses
+    to a (word, freq) table in one shuffle, and all training iterations
+    run on that compressed table — classic BPE-trainer design (word
+    count, not token stream, drives pair counts; a trillion-token
+    corpus becomes a few-million-row vocab table). Each iteration is a
+    pair-count aggregate plus a single-row argmax collect (same
+    tiny-driver-hop pattern as the k-means centroid loop in
+    ``sim_topk_ivf_trained``) and a vectorized string rewrite. The
+    greedy left-to-right merge uses double-space symbol separators so
+    plain non-overlapping ``replace`` is EXACTLY the BPE merge (each
+    boundary owns two spaces; a match consumes one from each side, so
+    adjacent occurrences still match — verified identical in both
+    engines, including the overlapping 'a a a' case). Ties break by
+    (count desc, pair lexicographic) for cross-engine determinism.
+    The returned 4-row merge table is the trained model."""
+    doc = load_table(spark, sf_dir, "documents")
+    words = (
+        doc.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    cur = words.select(
+        "w",
+        "freq",
+        F.concat(F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")).alias("seq"),
+    )
+    merges = []
+    for step in range(1, BPE_MERGES + 1):
+        t = F.split(F.trim("seq"), "  ")
+        pairs = (
+            cur.select(
+                "freq",
+                t.alias("t"),
+                F.explode(
+                    F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1))
+                ).alias("i"),
+            )
+            .select(
+                "freq",
+                F.element_at("t", F.col("i")).alias("a"),
+                F.element_at("t", F.col("i") + 1).alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+        merges.append((step, best["a"], best["b"], int(best["cnt"])))
+        cur = cur.withColumn(
+            "seq",
+            F.replace(
+                "seq",
+                F.lit(f" {best['a']}  {best['b']} "),
+                F.lit(f" {best['a']}{best['b']} "),
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "step BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )
