@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import dec, dec_avg, dec_sum, dec_sum_sql
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, tiny_frame_key
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2635,4 +2635,87 @@ def join_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("tf").isNotNull(), F.lit("fwd_only"))
         .otherwise(F.lit("none"))
         .alias("mode"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed median via two-pass bucket selection
+# ---------------------------------------------------------------------------
+
+_MED_BUCKET_C = 100_000  # bucket width in cents ($1000)
+
+EXACT_MEDIAN_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vc FROM lineitem
+), ranked AS (
+  SELECT vc, ROW_NUMBER() OVER (ORDER BY vc) AS rn, COUNT(*) OVER () AS n
+  FROM v
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST((n + 1) // 2 AS BIGINT) AS median_rank,
+       vc AS median_cents
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+@register("sort_exact_median_twopass", oracle=EXACT_MEDIAN_ORACLE, tags=("sort", "agg", "scale"))
+def sort_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (lower median) of l_extendedprice without a
+    global sort — the two-pass distributed selection pattern: pass 1
+    histograms values into $1000 buckets (one narrow aggregate);
+    cumulative counts over the TINY bucket table locate the single
+    bucket containing the target rank; pass 2 ranks only inside that
+    bucket (~N/#buckets rows) and picks the residual offset. This is
+    the scale answer when percentile_approx's error bound isn't
+    acceptable: a full sort of 100 TB is a terabyte-scale shuffle,
+    while this plan shuffles the ~10⁵-row histogram plus one bucket's
+    rows. Generalizes to any rank/quantile set (run pass 2 once per
+    selected bucket).
+
+    The only single-partition stages are the cumulative window over
+    the bucket histogram (#buckets rows, keyed via ``tiny_frame_key``
+    so WindowExec gets an explicit spec) and the in-bucket rank
+    (bounded by bucket occupancy — widen buckets or recurse the same
+    trick if a bucket is hot). Values are exact
+    integer cents; rank ties collapse on equal values, so the result
+    is deterministic with no tie-break column needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("vc"))
+    hist = v.groupBy(
+        (F.col("vc") - F.pmod("vc", F.lit(_MED_BUCKET_C))).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        W.partitionBy(tiny_frame_key("b"))
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy(tiny_frame_key("b")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "b", "cnt", F.sum("cnt").over(wc).alias("cum"), F.sum("cnt").over(wn).alias("n")
+    )
+    sel = (
+        cum.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .orderBy("b")
+        .limit(1)
+        .select(
+            "b",
+            F.col("n").alias("n_rows"),
+            F.expr("(n + 1) div 2").alias("median_rank"),
+            F.expr("(n + 1) div 2 - (cum - cnt)").alias("off"),
+        )
+    )
+    in_bucket = v.join(
+        F.broadcast(sel),
+        (F.col("vc") - F.pmod("vc", F.lit(_MED_BUCKET_C))) == F.col("b"),
+    )
+    wr = W.partitionBy(tiny_frame_key("vc")).orderBy("vc")
+    picked = in_bucket.select(
+        "n_rows", "median_rank", "vc", "off", F.row_number().over(wr).alias("rn")
+    ).filter(F.col("rn") == F.col("off"))
+    return picked.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("median_rank").cast("long").alias("median_rank"),
+        F.col("vc").alias("median_cents"),
     )

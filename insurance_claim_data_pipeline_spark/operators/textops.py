@@ -3014,6 +3014,17 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, including the overlapping 'a a a' case). Ties break by
     (count desc, pair lexicographic) for cross-engine determinism.
     The returned 4-row merge table is the trained model."""
+    _, merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the BPE merge loop; return (post-merge word table, merges).
+
+    The word table carries (w, freq, seq) with seq in canonical
+    double-space symbol form after ALL learned merges are applied."""
     doc = load_table(spark, sf_dir, "documents")
     words = (
         doc.select(F.explode(F.split("text", " ")).alias("w"))
@@ -3054,6 +3065,69 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f" {best['a']}{best['b']} "),
             ),
         )
-    return spark.createDataFrame(
-        merges, "step BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    return cur, merges
+
+
+def _bpe_apply_oracle(k: int = BPE_MERGES) -> str:
+    base = _bpe_oracle(k)
+    # Reuse the training CTE chain; add the final rewrite + fertility agg.
+    prefix = base.split("\nSELECT 1 AS step")[0]
+    last = k - 1
+    return f"""{prefix}, sfinal AS (
+  SELECT w, freq,
+         replace(seq,
+           ' ' || (SELECT a FROM b{last}) || '  ' || (SELECT b FROM b{last}) || ' ',
+           ' ' || (SELECT a FROM b{last}) || (SELECT b FROM b{last}) || ' ') AS seq
+  FROM s{last}
+), persym AS (
+  SELECT w, freq, len(string_split(trim(seq), '  ')) AS n_sym, seq FROM sfinal
+), vocab AS (
+  SELECT COUNT(DISTINCT sym) AS v FROM (
+    SELECT unnest(string_split(trim(seq), '  ')) AS sym FROM sfinal)
+)
+SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens,
+       CAST(SUM(freq * n_sym) AS BIGINT) AS total_symbols,
+       CAST(SUM(freq * n_sym) * 1000000 // SUM(freq) AS BIGINT) AS fertility_e6,
+       CAST((SELECT v FROM vocab) AS BIGINT) AS vocab_size
+FROM persym
+"""
+
+
+@register("text_bpe_apply_fertility", oracle=_bpe_apply_oracle(), tags=("text", "llm", "iterative"))
+def text_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-APPLY composition for the BPE family: learn the 4
+    merge rules (exactly ``text_bpe_train_merges``) and tokenize the
+    corpus with them, reporting the metric tokenizer teams actually
+    tune for — fertility (symbols emitted per whitespace token,
+    ×1e6 fixed point) — plus the resulting symbol-vocabulary size.
+    Certifies the whole train→apply chain end-to-end against one
+    oracle, the same composition-level proof strategy as
+    ``llm_prep_pipeline``.
+
+    Applying merges costs nothing extra at scale: the rewrite chain
+    runs on the compressed (word, freq) table, and fertility is a
+    freq-weighted aggregate over it — the corpus token stream is never
+    re-touched after the initial word count."""
+    cur, _ = _bpe_train(spark, sf_dir)
+    n_sym = F.size(F.split(F.trim("seq"), "  "))
+    persym = cur.select("freq", n_sym.alias("n_sym"), "seq")
+    vocab = (
+        cur.select(F.explode(F.split(F.trim("seq"), "  ")).alias("sym"))
+        .agg(F.count_distinct("sym").alias("v"))
+    )
+    return (
+        persym.agg(
+            F.sum("freq").cast("long").alias("total_tokens"),
+            F.sum(F.col("freq") * F.col("n_sym")).cast("long").alias("total_symbols"),
+            F.expr(
+                "CAST(sum(freq * n_sym) * 1000000 div sum(freq) AS BIGINT)"
+            ).alias("fertility_e6"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "total_tokens",
+            "total_symbols",
+            "fertility_e6",
+            F.col("v").cast("long").alias("vocab_size"),
+        )
     )

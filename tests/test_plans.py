@@ -180,6 +180,7 @@ JVM_ONLY_QUERIES = [
     "join_asof_interpolate",
     "dedup_weighted_jaccard",
     "events_cep_pattern",
+    "sort_exact_median_twopass",
 ]
 
 
