@@ -117,3 +117,103 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_distinct",
         (F.col("l_distinct") < L_MIN).alias("homogeneity_risk"),
     )
+
+
+T_MAX_E6 = 200_000  # flag classes whose sensitive skew exceeds t = 0.2
+
+T_CLOSE_ORACLE = """
+WITH cv AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS order_month,
+         o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_cv
+  FROM orders GROUP BY 1, 2, 3
+), c AS (
+  SELECT o_orderpriority, order_month, SUM(n_cv) AS n_c
+  FROM cv GROUP BY 1, 2
+), v AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_v,
+         SUM(COUNT(*)) OVER () AS n_all
+  FROM orders GROUP BY 1
+), grid AS (
+  SELECT c.o_orderpriority, c.order_month, c.n_c, v.o_orderstatus, v.n_v, v.n_all,
+         COALESCE(cv.n_cv, 0) AS n_cv
+  FROM c CROSS JOIN v
+  LEFT JOIN cv ON cv.o_orderpriority = c.o_orderpriority
+              AND cv.order_month = c.order_month
+              AND cv.o_orderstatus = v.o_orderstatus
+)
+SELECT o_orderpriority, order_month, CAST(n_c AS BIGINT) AS n,
+       CAST(SUM(ABS(n_cv * 1000000 // n_c - n_v * 1000000 // n_all)) // 2 AS BIGINT)
+         AS t_variational_e6,
+       SUM(ABS(n_cv * 1000000 // n_c - n_v * 1000000 // n_all)) // 2 > 200000
+         AS skew_risk
+FROM grid GROUP BY 1, 2, 3
+"""
+
+
+@register("privacy_t_closeness", oracle=T_CLOSE_ORACLE, tags=("privacy", "dq", "agg"))
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al.'s completion of the k-anonymity /
+    l-diversity triad): per (priority, month) equivalence class, the
+    variational distance ½·Σ|p_class(v) − p_global(v)| between the
+    class's sensitive-value (order status) distribution and the
+    corpus-wide one. A class can pass l-diversity with 2 token
+    outliers yet still be 95% one value — a probabilistic disclosure
+    t-closeness catches. Distances are ×1e6 fixed point with
+    truncating division, so the audit is engine-exact.
+
+    Plan: two tiny aggregates (class×value counts; global value
+    counts), then a class-frame × value-frame grid via a BROADCAST
+    nested-loop join against the handful of sensitive values — zero-
+    count cells must contribute |0 − p(v)|, which a plain join would
+    silently drop. Everything after the first groupBy runs on frames
+    orders of magnitude smaller than the table; same shape at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    cv = o.groupBy("o_orderpriority", month, "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cv")
+    )
+    c = cv.groupBy("o_orderpriority", "order_month").agg(F.sum("n_cv").alias("n_c"))
+    v = o.groupBy(F.col("o_orderstatus").alias("v_status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_v")
+    )
+    v = v.withColumn("n_all", F.sum("n_v").over(Window.partitionBy(tiny_frame_key("n_v"))))
+    # c descends from cv, so a direct c⋈cv join would be an ambiguous
+    # self-join; alias cv's key columns to break the shared lineage.
+    cv2 = cv.select(
+        F.col("o_orderpriority").alias("cv_prio"),
+        F.col("order_month").alias("cv_month"),
+        F.col("o_orderstatus").alias("cv_status"),
+        "n_cv",
+    )
+    grid = (
+        c.crossJoin(F.broadcast(v))
+        .join(
+            cv2,
+            (F.col("cv_prio") == F.col("o_orderpriority"))
+            & (F.col("cv_month") == F.col("order_month"))
+            & (F.col("cv_status") == F.col("v_status")),
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            "order_month",
+            "n_c",
+            "n_v",
+            "n_all",
+            F.coalesce("n_cv", F.lit(0)).alias("n_cv"),
+        )
+    )
+    out = grid.groupBy(
+        "o_orderpriority", "order_month", F.col("n_c").cast("long").alias("n")
+    ).agg(
+        F.expr(
+            "CAST(sum(abs(n_cv * 1000000 div n_c - n_v * 1000000 div n_all)) div 2 AS BIGINT)"
+        ).alias("t_variational_e6")
+    )
+    return out.select(
+        "o_orderpriority",
+        "order_month",
+        "n",
+        "t_variational_e6",
+        (F.col("t_variational_e6") > T_MAX_E6).alias("skew_risk"),
+    )
