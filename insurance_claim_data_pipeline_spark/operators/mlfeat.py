@@ -960,3 +960,147 @@ def mlfeat_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gain_num"),
     )
     return gains.orderBy(F.desc("gain_num"), "split_bin").limit(1)
+
+
+# --- multinomial Naive Bayes: distributed train-to-apply --------------------
+
+NB_BUCKETS = 256  # hashed-unigram feature space
+NB_TRAIN_PCT = 80  # md5(doc_id) split, same convention as sample_split_hash
+
+NB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, text, {_bucket_sql('doc_id')} < {NB_TRAIN_PCT} AS is_train
+  FROM documents
+), tok AS (
+  SELECT doc_id, lang, is_train, {_bucket_sql('t', NB_BUCKETS)} AS bucket
+  FROM (SELECT doc_id, lang, is_train, unnest(string_split(text, ' ')) AS t FROM d)
+  WHERE t <> ''
+), train_cnt AS (
+  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE is_train GROUP BY 1, 2
+), grid AS (
+  SELECT l.lang, gs.b AS bucket
+  FROM (SELECT DISTINCT lang FROM d WHERE is_train) l
+  CROSS JOIN (SELECT unnest(generate_series(0, {NB_BUCKETS - 1})) AS b) gs
+), model0 AS (
+  SELECT g.lang, g.bucket, COALESCE(tc.c, 0) AS c
+  FROM grid g LEFT JOIN train_cnt tc ON tc.lang = g.lang AND tc.bucket = g.bucket
+), ck AS (SELECT lang, SUM(c) AS ck FROM model0 GROUP BY 1),
+model AS (
+  SELECT m.lang, m.bucket,
+         CAST(ROUND(ln((m.c + 1.0) / (ck.ck + {NB_BUCKETS}.0)) * 1000000) AS BIGINT)
+           AS logp_e6
+  FROM model0 m JOIN ck USING (lang)
+), prior AS (
+  SELECT lang,
+         CAST(ROUND(ln(CAST(nk AS DOUBLE) / SUM(nk) OVER ()) * 1000000) AS BIGINT)
+           AS prior_e6
+  FROM (SELECT lang, COUNT(*) AS nk FROM d WHERE is_train GROUP BY 1)
+), test_vec AS (
+  SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE NOT is_train GROUP BY 1, 2, 3
+), scores AS (
+  SELECT tv.doc_id, tv.lang, m.lang AS pred_lang, SUM(tv.tf * m.logp_e6) AS s
+  FROM test_vec tv JOIN model m ON m.bucket = tv.bucket GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT s.doc_id, s.lang, s.pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.s + p.prior_e6 DESC, s.pred_lang) AS rn
+  FROM scores s JOIN prior p ON p.lang = s.pred_lang
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@register("text_naive_bayes", oracle=NB_ORACLE, tags=("mlfeat", "llm", "text"))
+def text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    distributed, hash-oracled end-to-end: add-1-smoothed class-
+    conditional log-probs over hashed unigrams (md5 mod 256, no
+    vocabulary fit) from an 80% md5 doc split, then argmax scoring of
+    the held-out 20% and a (true lang, predicted lang) confusion
+    matrix. Per-term ln() is rounded to a ×1e6 BIGINT at the model
+    frame, so document scores are exact integer dot products —
+    partial-aggregation order cannot perturb the argmax, and ties
+    break to the lexicographically smaller class.
+
+    Scale shape: training is one explode + one (lang, bucket) partial-
+    aggregated shuffle; the model is a |langs|×256 frame joined back
+    BROADCAST to test-doc token vectors (work ∝ test tokens × langs,
+    never corpus × vocab); the argmax is a per-doc window. This is the
+    lighter sibling of stats_logistic_newton for text labels — the
+    standard first classifier in a data-curation stack (quality/domain
+    routing)."""
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (hash_bucket("doc_id", 100) < NB_TRAIN_PCT).alias("is_train"),
+    )
+    tok = (
+        doc.select(
+            "doc_id", "lang", "is_train", F.explode(F.split("text", " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", "lang", "is_train", hash_bucket("t", NB_BUCKETS).alias("bucket"))
+    )
+    train_cnt = (
+        tok.filter("is_train")
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    langs = doc.filter("is_train").select("lang").distinct()
+    grid = langs.crossJoin(
+        F.broadcast(spark.range(NB_BUCKETS).select(F.col("id").cast("long").alias("bucket")))
+    )
+    model0 = grid.join(train_cnt, ["lang", "bucket"], "left").select(
+        "lang", "bucket", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    ck = model0.groupBy("lang").agg(F.sum("c").alias("ck"))
+    model = model0.join(ck, "lang").select(
+        "lang",
+        "bucket",
+        F.round(
+            F.log((F.col("c") + 1.0) / (F.col("ck") + float(NB_BUCKETS))) * 1_000_000
+        )
+        .cast("long")
+        .alias("logp_e6"),
+    )
+    nk = doc.filter("is_train").groupBy("lang").agg(F.count(F.lit(1)).alias("nk"))
+    prior = nk.withColumn(
+        "n_all", F.sum("nk").over(W.partitionBy(tiny_frame_key("nk")))
+    ).select(
+        F.col("lang").alias("p_lang"),
+        F.round(F.log(F.col("nk").cast("double") / F.col("n_all")) * 1_000_000)
+        .cast("long")
+        .alias("prior_e6"),
+    )
+    test_vec = (
+        tok.filter(~F.col("is_train"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    scores = (
+        test_vec.join(
+            F.broadcast(model.select(F.col("lang").alias("pred_lang"), "bucket", "logp_e6")),
+            "bucket",
+        )
+        .groupBy("doc_id", "lang", "pred_lang")
+        .agg(F.sum(F.col("tf") * F.col("logp_e6")).alias("s"))
+    )
+    ranked = scores.join(
+        F.broadcast(prior), scores["pred_lang"] == prior["p_lang"]
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.desc(F.col("s") + F.col("prior_e6")), F.asc("pred_lang")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

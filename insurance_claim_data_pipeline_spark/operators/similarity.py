@@ -2924,3 +2924,117 @@ def sim_rerank_depth_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(COUNT(r_neighbor) * 1000000 div ({N_QUERIES} * {TOP_K}) AS BIGINT)"
         ).alias("recall_e6"),
     )
+
+
+# --- k-means: one fully oracle-checked Lloyd iteration ----------------------
+
+KM_K = 8
+KM_C_LO, KM_C_HI = 8, 8 + KM_K  # fixed seed vectors (disjoint from queries)
+EMB_DIM = 64
+
+
+def _sq_l2(a, b):
+    """Sequential-fold squared L2 distance (order-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"t -> (t[1] - t[2]) * (t[1] - t[2])), (x, y) -> x + y)"
+    )
+
+
+KM_LLOYD_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c AS (SELECT vec_id AS c_id, v AS c_emb FROM e
+      WHERE vec_id >= {KM_C_LO} AND vec_id < {KM_C_HI}),
+d AS (SELECT e.vec_id, e.v, c.c_id,
+             CAST(ROUND({_sq_l2_sql('e.v', 'c.c_emb')} * 1000000) AS BIGINT) AS d2_e6
+      FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, v, c_id, d2_e6 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2_e6, c_id) AS rn FROM d)
+        WHERE rn = 1),
+perk AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+                CAST(SUM(d2_e6) AS BIGINT) AS sse_e6
+         FROM asg GROUP BY 1),
+cells AS (SELECT c_id, i AS dim, CAST(ROUND(v[i] * 1000000000) AS BIGINT) AS v9
+          FROM asg, LATERAL (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)),
+means AS (SELECT c_id, dim,
+                 CAST(ROUND(CAST(SUM(v9) AS DOUBLE) / COUNT(*) / 1000.0) AS BIGINT)
+                   AS mean_e6
+          FROM cells GROUP BY 1, 2),
+old AS (SELECT c_id, i AS dim, CAST(ROUND(c_emb[i] * 1000000) AS BIGINT) AS old_e6
+        FROM c, LATERAL (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)),
+shift AS (SELECT m.c_id, CAST(SUM(ABS(m.mean_e6 - o.old_e6)) AS BIGINT) AS shift_l1_e6
+          FROM means m JOIN old o ON o.c_id = m.c_id AND o.dim = m.dim GROUP BY 1)
+SELECT p.c_id AS k, p.n_assigned, p.sse_e6, s.shift_l1_e6
+FROM perk p JOIN shift s ON s.c_id = p.c_id
+"""
+
+
+@register("emb_kmeans_lloyd_step", oracle=KM_LLOYD_ORACLE, tags=("embedding", "llm", "agg"))
+def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact Lloyd iteration of Euclidean k-means, fully
+    hash-oracled — the proof twin of ``train_ivf_centroids`` (which is
+    rows-only because it iterates and collects). Seeds are the fixed
+    vectors vec_id {KM_C_LO}..{KM_C_HI - 1}; each vector is assigned to
+    its nearest seed by ×1e6-integer squared L2 (ties to the lower
+    centroid id), then the step is summarized per cluster: member
+    count, SSE (the k-means objective, an exact BIGINT sum of the
+    rounded member distances), and the L1 centroid shift between the
+    old seed and the recomputed per-dimension mean (means via exact
+    ×1e9 integer sums, so partial-aggregation order is irrelevant).
+
+    Plan shape at 100 TB: assignment is ONE narrow scan against a
+    broadcast K×{EMB_DIM} centroid frame (no shuffle); the update is a
+    single (cluster, dim)-keyed partial-aggregated shuffle of K·D
+    cells — the canonical distributed-k-means step (Spark MLlib's own
+    KMeans does exactly this per round). Every seed assigns to itself
+    at distance 0, so no cluster is ever empty."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cent = emb.filter(
+        (F.col("vec_id") >= KM_C_LO) & (F.col("vec_id") < KM_C_HI)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
+    d2 = F.round(_sq_l2(F.col("v"), F.col("c_emb")) * 1_000_000).cast("long")
+    w = W.partitionBy("vec_id").orderBy("d2_e6", "c_id")
+    asg = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "c_id", d2.alias("d2_e6"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    perk = asg.groupBy("c_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum("d2_e6").cast("long").alias("sse_e6"),
+    )
+    cells = asg.select(
+        "c_id", F.posexplode("v").alias("dim", "val")
+    ).select("c_id", "dim", F.round(F.col("val") * 1e9).cast("long").alias("v9"))
+    means = cells.groupBy("c_id", "dim").agg(
+        F.round(
+            F.sum("v9").cast("double") / F.count(F.lit(1)) / F.lit(1000.0)
+        )
+        .cast("long")
+        .alias("mean_e6")
+    )
+    old = cent.select("c_id", F.posexplode("c_emb").alias("dim", "oval")).select(
+        "c_id", "dim", F.round(F.col("oval") * 1e6).cast("long").alias("old_e6")
+    )
+    shift = (
+        means.join(old, ["c_id", "dim"])
+        .groupBy("c_id")
+        .agg(F.sum(F.abs(F.col("mean_e6") - F.col("old_e6"))).cast("long").alias("shift_l1_e6"))
+    )
+    return (
+        perk.join(shift, "c_id")
+        .select(F.col("c_id").alias("k"), "n_assigned", "sse_e6", "shift_l1_e6")
+    )
