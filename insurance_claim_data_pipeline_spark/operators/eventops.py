@@ -819,3 +819,94 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").rlike("e[^p]*e[^p]*e").alias("err3_before_purchase"),
         F.col("seq").rlike("s.*p").alias("signup_to_purchase"),
     )
+
+
+# --- Schuster periodogram (seasonality scan) --------------------------------
+
+PERIODOGRAM_PERIODS = (6, 8, 12, 24, 168)  # candidate cycle lengths, hours
+
+
+PERIODOGRAM_ORACLE = f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {US_1H}) AS h, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), b AS (SELECT MIN(h) AS h0, SUM(x) AS sx, COUNT(*) AS n FROM hourly),
+cent AS (
+  SELECT (h - b.h0) AS t, CAST(x AS DOUBLE) - CAST(b.sx AS DOUBLE) / b.n AS xc
+  FROM hourly, b
+), p AS (SELECT unnest([{', '.join(str(p) for p in PERIODOGRAM_PERIODS)}]) AS period_h),
+terms AS (
+  SELECT CAST(p.period_h AS BIGINT) AS period_h,
+         CAST(ROUND(xc * cos(2 * pi() * (t % p.period_h) / p.period_h) * 1000)
+              AS BIGINT) AS c3,
+         CAST(ROUND(xc * sin(2 * pi() * (t % p.period_h) / p.period_h) * 1000)
+              AS BIGINT) AS s3
+  FROM cent CROSS JOIN p
+)
+SELECT period_h, CAST(SUM(c3) AS BIGINT) AS sc_e3, CAST(SUM(s3) AS BIGINT) AS ss_e3,
+       CAST(SUM(c3) * SUM(c3) + SUM(s3) * SUM(s3) AS BIGINT) AS power_e6
+FROM terms GROUP BY 1
+"""
+
+
+@register("events_periodogram", oracle=PERIODOGRAM_ORACLE, tags=("events", "analytics", "agg"))
+def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the hourly event-count series at a
+    fixed set of candidate periods (6/8/12/24/168 h): spectral power
+    |Σ x̂_t·e^(-2πi·t/P)|² of the mean-centered series — the classic
+    'which seasonality does this metric actually have?' scan that
+    picks the period argument for events_seasonal_decompose /
+    events_holt_winters instead of assuming 24.
+
+    Determinism across engines: per-term products x̂_t·cos(θ_t) are
+    quantized to ×1e3 BIGINT before summation (the ln() idiom from
+    events_hourly_entropy, applied to libm trig), so the two fold
+    orders cannot disagree; the trig argument is reduced to
+    2π·(t mod P)/P first, keeping both engines' range reduction in the
+    same well-conditioned interval. Power is exact integer arithmetic
+    on the two sums.
+
+    Scale shape: one partial-aggregated groupBy to the hourly frame
+    (tiny — hours, not events), a broadcast of the 3-number global
+    stats, a crossJoin against the {len(PERIODOGRAM_PERIODS)}-row
+    period frame, and one (period)-keyed aggregate. Nothing after the
+    first groupBy scales with the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    hourly = (
+        ev.select(h.cast("long").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    b = hourly.agg(
+        F.min("h").alias("h0"), F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    cent = hourly.crossJoin(F.broadcast(b)).select(
+        (F.col("h") - F.col("h0")).alias("t"),
+        (F.col("x").cast("double") - F.col("sx").cast("double") / F.col("n")).alias("xc"),
+    )
+    periods = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS])).alias("period_h")
+    )
+    theta = (
+        F.lit(2.0)
+        * F.lit(3.141592653589793)
+        * F.pmod(F.col("t"), F.col("period_h"))
+        / F.col("period_h")
+    )
+    terms = cent.crossJoin(F.broadcast(periods)).select(
+        F.col("period_h").cast("long").alias("period_h"),
+        F.round(F.col("xc") * F.cos(theta) * 1000).cast("long").alias("c3"),
+        F.round(F.col("xc") * F.sin(theta) * 1000).cast("long").alias("s3"),
+    )
+    agg = terms.groupBy("period_h").agg(
+        F.sum("c3").cast("long").alias("sc_e3"), F.sum("s3").cast("long").alias("ss_e3")
+    )
+    return agg.select(
+        "period_h",
+        "sc_e3",
+        "ss_e3",
+        (F.col("sc_e3") * F.col("sc_e3") + F.col("ss_e3") * F.col("ss_e3"))
+        .cast("long")
+        .alias("power_e6"),
+    )

@@ -859,3 +859,97 @@ def graph_pointer_jump_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") + F.col("root_v")).cast("long").alias("path_sum"),
         F.col("d").cast("long").alias("depth"),
     )
+
+
+# --- label propagation communities ------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    its = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        its.append(
+            f"""v{i} AS (
+  SELECT e.src AS node, l.lbl, COUNT(*) AS cnt
+  FROM edges e JOIN {prev} l ON l.node = e.dst GROUP BY 1, 2
+), l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+    FROM v{i})
+  WHERE rn = 1
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+{', '.join(its)}
+SELECT CAST(lbl AS BIGINT) AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM {prev} GROUP BY 1
+"""
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(), tags=("graph", "iterative", "join"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al.) over the bipartite customer–supplier co-purchase graph, run
+    for a FIXED {LPA_ROUNDS} unrolled rounds so the whole procedure is
+    a deterministic DAG the recursive-CTE-free oracle can mirror: each
+    node starts labeled by its own id; each round every node adopts
+    the most frequent label among its neighbors, ties broken to the
+    smallest label (classic async LPA randomizes both visit order and
+    ties — this variant replaces both with total orders, trading some
+    convergence speed for bit-reproducibility). Output is the
+    community-size histogram after round {LPA_ROUNDS}.
+
+    Scale shape per round — the canonical Pregel step as DataFrame
+    ops: one shuffle join of the edge list against the |V|-row label
+    frame, one (node, label) partial-aggregated count, one per-node
+    argmax window. Labels never leave the cluster; rounds are a fixed
+    unrolled chain, so Catalyst sees one straight-line plan. Community
+    detection complements the modularity audit
+    (graph_components_modularity scores a GIVEN partition; this
+    PRODUCES one)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    # edges are consumed LPA_ROUNDS times — cache the one shuffle.
+    edges = edges.localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("n2").alias("node"), "lbl", "cnt")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").cast("long").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

@@ -217,3 +217,77 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_variational_e6",
         (F.col("t_variational_e6") > T_MAX_E6).alias("skew_risk"),
     )
+
+
+# --- differentially-private release (seeded Laplace mechanism) --------------
+
+DP_EPS = 1.0  # per-cell epsilon; count sensitivity is 1, so b = 1/eps
+DP_U_DENOM = 4503599627370496.0  # 2^52 — md5's first 13 hex chars as U(0,1)
+
+DP_COUNTS_ORACLE = f"""
+WITH cells AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), seeded AS (
+  SELECT *,
+         (('0x' || substr(md5(o_orderpriority || '|' || order_month), 1, 13))::BIGINT)
+           / {DP_U_DENOM} - 0.5 AS t
+  FROM cells
+)
+SELECT o_orderpriority, order_month,
+       CAST(n * 1000000
+            + CAST(ROUND(-SIGN(t) * (1.0 / {DP_EPS}) * ln(1.0 - 2.0 * ABS(t))
+                         * 1000000) AS BIGINT)
+         AS BIGINT) AS dp_n_e6,
+       CAST(ABS(CAST(ROUND(-SIGN(t) * (1.0 / {DP_EPS}) * ln(1.0 - 2.0 * ABS(t))
+                           * 1000000) AS BIGINT)) AS BIGINT) AS noise_abs_e6
+FROM seeded
+"""
+
+
+@register("privacy_dp_counts", oracle=DP_COUNTS_ORACLE, tags=("privacy", "dq", "agg"))
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism differentially-private count release for the
+    (priority, month) histogram — epsilon-DP with sensitivity 1, the
+    textbook publishable aggregate. The twist that makes it ORACLE-
+    CHECKABLE: instead of an RNG, each cell's Laplace draw comes from
+    the inverse CDF applied to a uniform DERIVED FROM md5 of the cell
+    key (first 52 hash bits / 2^52) — a seeded mechanism, identical in
+    both engines, so the release is reproducible run-to-run and
+    auditable (re-running the pipeline cannot silently re-randomize a
+    published table). noise = -sign(u-.5)·(1/eps)·ln(1-2|u-.5|),
+    reported ×1e6 fixed point next to the noisy count.
+
+    (A production release would swap md5(cell) for HMAC(secret, cell):
+    with a public hash an attacker can recompute the noise. The plan
+    is unchanged — one keyed scalar expression.)
+
+    Scale shape: one map-side-combined groupBy to the tiny cell frame,
+    then pure per-row scalar arithmetic — nothing after the aggregate
+    touches the fact table, same shape at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "o_orderpriority", "order_month")), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(DP_U_DENOM)
+    )
+    t = u - F.lit(0.5)
+    noise_e6 = F.round(
+        -F.signum(t) * F.lit(1.0 / DP_EPS) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t)) * 1_000_000
+    ).cast("long")
+    return cells.withColumn("t", t).select(
+        "o_orderpriority",
+        "order_month",
+        (F.col("n") * 1_000_000 + noise_e6).cast("long").alias("dp_n_e6"),
+        F.abs(noise_e6).cast("long").alias("noise_abs_e6"),
+    )
