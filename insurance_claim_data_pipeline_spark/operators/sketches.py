@@ -731,3 +731,181 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(true_inter))
     )
+
+
+# ------------------------------------------------ per-file Bloom index --
+# Delta/Iceberg-style FILE-LEVEL Bloom indexes: zone maps (min/max, see
+# sink_skipping_stats) prune range predicates but are useless for point
+# lookups on a high-cardinality UNSORTED column — every file's
+# [min, max] spans the whole key domain. A small per-file Bloom over
+# the column's distinct values prunes exactly that workload.
+BLMI_FILES = 32
+BLMI_BITS = 4096  # 64 words of 64 bits per file (512 B / file)
+BLMI_K = 3
+BLMI_PROBE_MOD, BLMI_PROBE_REM = 101, 7  # deterministic probe-key subset
+
+
+def _blmi_pos_sql(key: str, i: int) -> str:
+    h = _h60_sql(key)
+    return f"(({h} % {BLMI_BITS}) + {i} * ((({h} // 4096) % {BLMI_BITS}) | 1)) % {BLMI_BITS}"
+
+
+BLOOM_INDEX_ORACLE = f"""
+WITH st AS (SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi FROM lineitem),
+fp AS (
+  SELECT DISTINCT
+    LEAST((l.l_orderkey - st.lo) * {BLMI_FILES} // GREATEST(st.hi - st.lo + 1, 1),
+          {BLMI_FILES - 1}) AS file_id,
+    l.l_partkey AS pk
+  FROM lineitem l, st
+), words AS (
+  -- DuckDB raises on 1 << 63 (signed overflow); the sign bit is the
+  -- min-BIGINT literal instead. Spark's shiftleft wraps silently to
+  -- the same value.
+  SELECT file_id, pos // 64 AS word,
+         CAST(BIT_OR(CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)
+                          ELSE 1::BIGINT << CAST(pos % 64 AS INT) END)
+              AS BIGINT) AS bits
+  FROM (
+    SELECT file_id, unnest([{', '.join(_blmi_pos_sql('pk', i) for i in range(BLMI_K))}]) AS pos
+    FROM fp)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT p_partkey AS qk FROM part WHERE p_partkey % {BLMI_PROBE_MOD} = {BLMI_PROBE_REM}
+), grid AS (
+  SELECT f.file_id, p.qk, gs.i,
+         {_blmi_pos_sql('p.qk', 0)} + gs.i *
+           ((({_h60_sql('p.qk')} // 4096) % {BLMI_BITS}) | 1) AS rawpos
+  FROM (SELECT DISTINCT file_id FROM fp) f
+  CROSS JOIN probes p
+  CROSS JOIN (SELECT unnest(generate_series(0, {BLMI_K - 1})) AS i) gs
+), tests AS (
+  SELECT g.file_id, g.qk,
+         CASE WHEN (COALESCE(w.bits, 0)
+                    & (CASE WHEN (g.rawpos % {BLMI_BITS}) % 64 = 63
+                            THEN (-9223372036854775807 - 1)
+                            ELSE 1::BIGINT << CAST((g.rawpos % {BLMI_BITS}) % 64 AS INT)
+                       END)) <> 0 THEN 1 ELSE 0 END AS bit_ok
+  FROM grid g LEFT JOIN words w
+    ON w.file_id = g.file_id AND w.word = (g.rawpos % {BLMI_BITS}) // 64
+), verdicts AS (
+  SELECT t.file_id, t.qk, MIN(t.bit_ok) = 1 AS bloom_hit,
+         MAX(CASE WHEN fp.pk IS NOT NULL THEN 1 ELSE 0 END) = 1 AS exact_hit
+  FROM tests t LEFT JOIN fp ON fp.file_id = t.file_id AND fp.pk = t.qk
+  GROUP BY 1, 2
+)
+SELECT CAST(file_id AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM verdicts GROUP BY 1
+"""
+
+
+@register("sink_bloom_index_stats", oracle=BLOOM_INDEX_ORACLE, tags=("sink", "sketch", "scale"))
+def sink_bloom_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE Bloom index simulator — the Delta/Iceberg bloom-filter
+    file-index feature, measured: lineitem is laid out into
+    {BLMI_FILES} files by l_orderkey range (natural ingestion order),
+    each file gets a 512 B Bloom (m={BLMI_BITS}, k={BLMI_K},
+    Kirsch-Mitzenmacher double hashing from one md5 — the
+    join_bloom_prefilter schedule at file granularity) over its
+    DISTINCT l_partkey values, and a deterministic probe-key workload
+    is evaluated against every file: per file, how many probes the
+    index says "maybe" to (files you must read), how many are true
+    hits, and the false-positive overshoot. Zone maps cannot prune
+    this workload at all — l_partkey is uncorrelated with the
+    l_orderkey layout, so every file's [min,max] covers every probe;
+    the Bloom verdict is the ONLY thing standing between a point
+    lookup and a full-table scan.
+
+    Scale shape: one distinct-projection shuffle of (file, key), one
+    (file, word) BIT_OR aggregate to {BLMI_FILES}×64 words (the whole
+    'index' is {BLMI_FILES} × 512 B — metadata-sized, exactly like the
+    real feature), then the probe evaluation runs on a
+    files × probes × k grid joined to the index — never touching the
+    fact table again. Registers are BIT_OR-mergeable so the build is
+    map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    st = li.agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+    file_id = F.least(
+        (F.col("l_orderkey") - F.col("lo"))
+        * BLMI_FILES
+        / F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(1)),
+        F.lit(BLMI_FILES - 1),
+    ).cast("long")
+    fp = (
+        li.crossJoin(F.broadcast(st))
+        .select(file_id.alias("file_id"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    h = _h60(F.col("pk"))
+    h1 = h % BLMI_BITS
+    h2 = (F.shiftright(h, 12) % BLMI_BITS).bitwiseOR(F.lit(1))
+    pos = F.explode(
+        F.array(*[(h1 + F.lit(i) * h2) % BLMI_BITS for i in range(BLMI_K)])
+    ).alias("pos")
+    words = (
+        fp.select("file_id", pos)
+        .select(
+            "file_id",
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("file_id", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    part = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("qk"))
+    probes = part.filter(F.col("qk") % BLMI_PROBE_MOD == BLMI_PROBE_REM)
+    qh = _h60(F.col("qk"))
+    qh1 = qh % BLMI_BITS
+    qh2 = (F.shiftright(qh, 12) % BLMI_BITS).bitwiseOR(F.lit(1))
+    files = fp.select("file_id").distinct()
+    grid = (
+        files.crossJoin(F.broadcast(probes))
+        .crossJoin(
+            F.broadcast(
+                spark.range(BLMI_K).select(F.col("id").cast("long").alias("i"))
+            )
+        )
+        .select("file_id", "qk", ((qh1 + F.col("i") * qh2) % BLMI_BITS).alias("pos"))
+    )
+    tests = grid.join(
+        words.withColumnRenamed("file_id", "w_file"),
+        (F.col("w_file") == F.col("file_id"))
+        & (F.col("word") == (F.col("pos") / 64).cast("long")),
+        "left",
+    ).select(
+        "file_id",
+        "qk",
+        F.when(
+            F.expr(
+                "(coalesce(bits, CAST(0 AS BIGINT)) >> CAST(pmod(pos, 64) AS INT)) & 1 = 1"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("bit_ok"),
+    )
+    verdicts = (
+        tests.join(
+            fp.withColumnRenamed("file_id", "f_file"),
+            (F.col("f_file") == F.col("file_id")) & (F.col("pk") == F.col("qk")),
+            "left",
+        )
+        .groupBy("file_id", "qk")
+        .agg(
+            (F.min("bit_ok") == 1).alias("bloom_hit"),
+            (F.max(F.when(F.col("pk").isNotNull(), 1).otherwise(0)) == 1).alias("exact_hit"),
+        )
+    )
+    return verdicts.groupBy(F.col("file_id").cast("long").alias("file_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0)).cast("long").alias("n_exact_hits"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long").alias("n_bloom_hits"),
+        F.sum(F.when(F.col("bloom_hit") & ~F.col("exact_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
