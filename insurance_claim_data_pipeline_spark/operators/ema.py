@@ -750,3 +750,96 @@ def events_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mae_hw_e6",
         best.alias("best_model"),
     )
+
+
+# --- 1-D Kalman filter (state-space smoother) -------------------------------
+
+KAL_Q_E6 = 250_000  # process variance 0.25 — how fast the level may drift
+KAL_R_E6 = 4_000_000  # measurement variance 4.0 — sensor noise
+
+KALMAN_SCHEMA = (
+    "user_id bigint, event_id bigint, ts_us bigint, value double, "
+    "kalman_e6 bigint, p_e6 bigint"
+)
+
+# floor-division of a possibly-negative numerator, both engines (the
+# EMA oracle idiom): subtract the canonical non-negative residue first.
+_FDIV = "(({n}) - (((({n}) % {d}) + {d}) % {d})) // {d}"
+
+
+def _kalman_oracle() -> str:
+    e6, q, r = E6, KAL_Q_E6, KAL_R_E6
+    innov = f"(w.z_e6 - r.kalman_e6)"
+    pq = f"(r.p_e6 + {q})"
+    k = _FDIV.format(n=f"{pq} * {e6}", d=f"({pq} + {r})")
+    x_next = f"r.kalman_e6 + {_FDIV.format(n=f'({k}) * {innov}', d=e6)}"
+    p_next = _FDIV.format(n=f"({e6} - ({k})) * {pq}", d=e6)
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         CAST(FLOOR(value * {e6} + 0.5) AS BIGINT) AS z_e6,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, event_id, ts_us, value, rn,
+         z_e6 AS kalman_e6, CAST({r} AS BIGINT) AS p_e6
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT w.user_id, w.event_id, w.ts_us, w.value, w.rn,
+         {x_next}, {p_next}
+  FROM base w JOIN rec r ON w.user_id = r.user_id AND w.rn = r.rn + 1
+)
+SELECT user_id, event_id, ts_us, value, kalman_e6, p_e6 FROM rec
+"""
+
+
+@register("events_kalman_filter", oracle=_kalman_oracle(), tags=("events", "llm", "pandas"))
+def events_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (constant-level state-space model) over each
+    user's event-value series — the optimal-in-quadratic-loss online
+    smoother, and the state-space generalization of the EMA above: the
+    gain k_t = (p+q)/(p+q+r) ADAPTS per step from the running error
+    covariance p instead of being a fixed decay, converging to the
+    steady-state gain while giving early observations more trust.
+    Like the EMA, the per-step dependence on the previous OUTPUT makes
+    this inexpressible as a window aggregate, so each user's series
+    runs as a vectorized-grouped pandas scan.
+
+    Exactness: the whole recurrence — gain, innovation update,
+    covariance update — is int64 ×1e6 fixed point with explicit
+    floor division (the innovation can be negative, so the oracle uses
+    the subtract-residue floor idiom), making the Python scan and the
+    DuckDB recursive CTE bit-identical with NO libm calls at all in
+    the loop.
+
+    Scale shape: one shuffle on user_id, Arrow-batched per-group scan,
+    O(events/user) work — identical to events_ema_irregular; at 100 TB
+    the recurrence shards perfectly by key."""
+    e6, q_e6, r_e6 = E6, KAL_Q_E6, KAL_R_E6
+
+    def kalman_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        z = [int(math.floor(float(v) * e6 + 0.5)) for v in pdf["value"]]
+        xs: list[int] = []
+        ps: list[int] = []
+        for i in range(len(z)):
+            if i == 0:
+                xs.append(z[0])
+                ps.append(r_e6)
+            else:
+                pq = ps[i - 1] + q_e6
+                k = (pq * e6) // (pq + r_e6)
+                xs.append(xs[i - 1] + (k * (z[i] - xs[i - 1])) // e6)
+                ps.append(((e6 - k) * pq) // e6)
+        out = pdf[["user_id", "event_id", "ts_us", "value"]].copy()
+        out["kalman_e6"] = xs
+        out["p_e6"] = ps
+        return out
+
+    prepared = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return prepared.groupBy("user_id").applyInPandas(kalman_group, schema=KALMAN_SCHEMA)

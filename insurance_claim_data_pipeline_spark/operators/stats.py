@@ -2557,3 +2557,108 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.col("slope_e6").alias("theil_sen_slope_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test: the canonical A/B conversion-rate test.
+# ---------------------------------------------------------------------------
+
+Z_CRIT_95 = 1.959963984540054  # two-sided 5% critical value
+PROP_CONV_MIN = 14  # 'power user' conversion: >= 14 purchases (p ~ 0.5 at every SF)
+
+PROP_ZTEST_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN COUNT(*) FILTER (event_type = 'purchase') >= {PROP_CONV_MIN}
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY 1
+), armed AS (
+  SELECT converted,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM u
+), m AS (
+  SELECT
+    CAST(COUNT(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+    CAST(COUNT(*) FILTER (arm = 'B') AS BIGINT) AS n_b,
+    CAST(SUM(converted) FILTER (arm = 'A') AS BIGINT) AS conv_a,
+    CAST(SUM(converted) FILTER (arm = 'B') AS BIGINT) AS conv_b
+  FROM armed
+), s AS (
+  SELECT *,
+         CAST(conv_a AS DOUBLE) / n_a AS p_a,
+         CAST(conv_b AS DOUBLE) / n_b AS p_b,
+         CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p_pool
+  FROM m
+)
+SELECT n_a, n_b, conv_a, conv_b, p_a, p_b,
+       (p_a - p_b) / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)) AS z_stat,
+       ABS((p_a - p_b) / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)))
+         > {Z_CRIT_95!r} AS significant_95
+FROM s
+"""
+
+
+@register("stats_two_proportion_ztest", oracle=PROP_ZTEST_ORACLE, tags=("stats", "agg"))
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of purchase conversion (a user
+    'converts' when they make >= {PROP_CONV_MIN} purchases — any-purchase
+    saturates at 100% in this data, a degenerate test) between a
+    deterministic md5 50/50 user split — the single most common A/B
+    readout, on the same seeded-assignment convention as
+    sample_split_hash (so the 'experiment' is replayable). User-level
+    conversion first (MAX over the user's events — a user converts
+    once no matter how many purchases), then ONE conditional aggregate
+    to a 4-integer state; z and the 95% verdict are scalar arithmetic
+    on that state with an identical expression tree in the oracle.
+
+    Scale shape: one user-keyed partial aggregate + one global
+    4-number reduce; nothing downstream of the first groupBy scales
+    with the fact table. Complements stats_srm_check (which validates
+    the assignment itself) and stats_lift_bootstrap_ci (which
+    intervals the same lift)."""
+    from .sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= PROP_CONV_MIN, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    armed = u.select(
+        "converted",
+        F.when(hash_bucket("user_id", 2) == 0, "A").otherwise("B").alias("arm"),
+    )
+    is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
+    m = armed.agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, F.col("converted"))).cast("long").alias("conv_a"),
+        F.sum(F.when(is_b, F.col("converted"))).cast("long").alias("conv_b"),
+    )
+    s = m.select(
+        "*",
+        (F.col("conv_a").cast("double") / F.col("n_a")).alias("p_a"),
+        (F.col("conv_b").cast("double") / F.col("n_b")).alias("p_b"),
+        (
+            (F.col("conv_a") + F.col("conv_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b"))
+        ).alias("p_pool"),
+    )
+    z = (F.col("p_a") - F.col("p_b")) / F.sqrt(
+        F.col("p_pool")
+        * (1 - F.col("p_pool"))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        "p_a",
+        "p_b",
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(Z_CRIT_95)).alias("significant_95"),
+    )
