@@ -3131,3 +3131,76 @@ def text_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("long").alias("vocab_size"),
         )
     )
+
+
+# --- train→eval n-gram novelty (memorization exposure) ----------------------
+
+NOVELTY_TRAIN_PCT = 80  # same md5(doc_id) split convention as sample_split_hash
+
+NOVELTY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           < {NOVELTY_TRAIN_PCT} AS is_train
+  FROM documents
+), train_sh AS (
+  SELECT DISTINCT unnest({shingles_sql('toks')}) AS shingle FROM d WHERE is_train
+), eval_sh AS (
+  SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM d WHERE NOT is_train
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN t.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN t.shingle IS NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+         AS BIGINT) AS novelty_ppm
+FROM eval_sh e LEFT JOIN train_sh t ON t.shingle = e.shingle
+GROUP BY 1
+"""
+
+
+@register("text_train_novelty", oracle=NOVELTY_ORACLE, tags=("text", "llm", "dedup"))
+def text_train_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document n-gram novelty against the training split: the
+    share of a held-out doc's distinct 5-token shingles that appear
+    NOWHERE in the train split. The complement of this number is the
+    memorization-exposure proxy data-curation teams track (Lee et al.,
+    'Deduplicating Training Data Makes Language Models Better' measures
+    exactly this overlap) — an eval set whose docs carry low novelty is
+    contaminated-by-construction, whatever the benchmark-level
+    text_contamination screen says. Split is the md5(doc_id) 80/20 of
+    sample_split_hash, so novelty composes with the other split-keyed
+    operators.
+
+    Scale shape: the train shingle VOCABULARY (one distinct shuffle —
+    at 100 TB a materialized table, built once per corpus snapshot) is
+    probed by eval shingles keyed on xxhash64 8-byte keys instead of
+    raw strings (~5× shuffle-volume reduction, the dedup_ngram_jaccard
+    idiom; assumes 64-bit collision-freedom over observed shingles —
+    P ≈ n²/2⁶⁵, immaterial, and the raw-string oracle parity guards
+    it), then one per-doc partial aggregate. Work ∝ eval shingles ×
+    avg index fanout — independent of train-corpus pair counts."""
+    from .sampling import hash_bucket
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (hash_bucket("doc_id", 100) < NOVELTY_TRAIN_PCT).alias("is_train")
+    )
+    train_sh = (
+        shingle_rows(doc.filter("is_train").select("doc_id", "text"), distinct=False)
+        .select(F.xxhash64("shingle").alias("sh_key"))
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    eval_sh = shingle_rows(
+        doc.filter(~F.col("is_train")).select("doc_id", "text"), distinct=True
+    ).select("doc_id", F.xxhash64("shingle").alias("sh_key"))
+    probed = eval_sh.join(train_sh, "sh_key", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("in_train").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_train IS NULL THEN 1 ELSE 0 END) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
