@@ -1104,3 +1104,164 @@ def text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# --- two boosting rounds over regression stumps (GBDT training loop) --------
+
+GBM_E4 = 10_000  # residual fixed-point scale
+
+
+def _gbm_scores_sql(src: str, ycol: str, denom_extra: str) -> str:
+    """Per-feature histogram split scores for one boosting round.
+    gain = (S_L·n_R − S_R·n_L)² / (n_L·n_R·n) — the exact SSE reduction
+    of the best constant-leaf split, HUGEINT-squared so the argmax is
+    integer-decided."""
+    return f"""
+  SELECT feature, bin AS split_bin, nl, nt - nl AS nr, sl, st - sl AS sr,
+         CAST(CAST(sl * (nt - nl) - (st - sl) * nl AS HUGEINT)
+              * CAST(sl * (nt - nl) - (st - sl) * nl AS HUGEINT)
+              // (CAST(nl AS HUGEINT) * (nt - nl) * nt * {denom_extra})
+           AS BIGINT) AS gain_sse
+  FROM (
+    SELECT feature, bin,
+           CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+           CAST(SUM(s) OVER (PARTITION BY feature ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+           CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+           CAST(SUM(s) OVER (PARTITION BY feature) AS BIGINT) AS st
+    FROM (
+      SELECT 'month' AS feature, bin_month AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM({ycol}) AS BIGINT) AS s
+      FROM {src} GROUP BY 2
+      UNION ALL
+      SELECT 'prio', bin_prio, CAST(COUNT(*) AS BIGINT), CAST(SUM({ycol}) AS BIGINT)
+      FROM {src} GROUP BY 2
+    )
+  ) WHERE nl > 0 AND nl < nt
+"""
+
+
+GBM_ORACLE = f"""
+WITH base AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS bin_month,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS bin_prio,
+         CAST(ROUND(o_totalprice) AS BIGINT) AS y
+  FROM orders
+), g1 AS ({_gbm_scores_sql('base', 'y', '1')}),
+w1 AS (SELECT * FROM g1 ORDER BY gain_sse DESC, feature, split_bin LIMIT 1),
+resid AS (
+  SELECT b.bin_month, b.bin_prio,
+         b.y * {GBM_E4}
+         - (CASE WHEN (CASE WHEN w1.feature = 'month' THEN b.bin_month
+                            ELSE b.bin_prio END) <= w1.split_bin
+                 THEN (w1.sl * {GBM_E4}) // w1.nl
+                 ELSE (w1.sr * {GBM_E4}) // w1.nr END) AS r
+  FROM base b CROSS JOIN w1
+), g2 AS ({_gbm_scores_sql('resid', 'r', str(GBM_E4 * GBM_E4))}),
+w2 AS (SELECT * FROM g2 ORDER BY gain_sse DESC, feature, split_bin LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS round, feature, CAST(split_bin AS BIGINT) AS split_bin,
+       nl AS n_l, nr AS n_r, gain_sse FROM w1
+UNION ALL
+SELECT CAST(2 AS BIGINT), feature, CAST(split_bin AS BIGINT), nl, nr, gain_sse FROM w2
+"""
+
+
+@register("mlfeat_gbm_rounds", oracle=GBM_ORACLE, tags=("mlfeat", "stats", "window"))
+def mlfeat_gbm_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO rounds of gradient boosting over regression stumps — the
+    actual GBDT training loop, distributed: round 1 histogram-scans
+    both features (order month, priority ordinal), scores every
+    threshold by EXACT SSE reduction (S_L·n_R − S_R·n_L)²/(n_L·n_R·n)
+    with HUGEINT/DECIMAL(38) squaring, picks the argmax split
+    (integer-compared, feature+bin tie-break), predicts the truncated
+    ×1e4 leaf means, and round 2 re-runs the same search on the
+    RESIDUALS — the sequential-in-rounds, parallel-in-data structure
+    every distributed GBDT (LightGBM/XGBoost on Spark) has. Round-2
+    gain is rescaled by 1e8 so both rounds report in squared dollars.
+
+    Exactness: residuals are exact integers (truncating division on
+    both engines), gains are exact integer ratios; no float enters
+    the argmax. Extends mlfeat_decision_stump (one Gini round,
+    classification) to the boosted-regression loop. Precision bound:
+    (S·n)² stays inside 38 digits through ~SF 1; beyond that the bin
+    sums need a coarser fixed point (documented, not silent).
+
+    Scale shape per round: one scan producing (feature, bin) partial
+    aggregates (2 features × ≤~100 bins), prefix sums and the argmax
+    on that tiny frame, then a broadcast of the 1-row winner back for
+    residual computation — the fact table is scanned once per round
+    and never shuffled."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("bin_month"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("bin_prio"),
+        F.round("o_totalprice").cast("long").alias("y"),
+    )
+
+    def best_split(df: DataFrame, ycol: str, denom_extra: int) -> DataFrame:
+        per_bin = None
+        for feat, col in (("month", "bin_month"), ("prio", "bin_prio")):
+            pb = df.groupBy(F.col(col).alias("bin")).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(ycol).cast("long").alias("s"),
+            ).select(F.lit(feat).alias("feature"), "bin", "n", "s")
+            per_bin = pb if per_bin is None else per_bin.unionAll(pb)
+        wcum = W.partitionBy("feature").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        wall = W.partitionBy("feature")
+        cum = per_bin.select(
+            "feature",
+            F.col("bin").alias("split_bin"),
+            F.sum("n").over(wcum).cast("long").alias("nl"),
+            F.sum("s").over(wcum).cast("long").alias("sl"),
+            F.sum("n").over(wall).cast("long").alias("nt"),
+            F.sum("s").over(wall).cast("long").alias("st"),
+        ).filter((F.col("nl") > 0) & (F.col("nl") < F.col("nt")))
+        num = (F.col("sl") * (F.col("nt") - F.col("nl")) - (F.col("st") - F.col("sl")) * F.col("nl")).cast(
+            "decimal(38,0)"
+        )
+        denom = (
+            F.col("nl").cast("decimal(38,0)")
+            * (F.col("nt") - F.col("nl"))
+            * F.col("nt")
+            * F.lit(denom_extra)
+        )
+        return cum.select(
+            "feature",
+            "split_bin",
+            "nl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            "sl",
+            (F.col("st") - F.col("sl")).alias("sr"),
+            F.floor(num * num / denom).cast("long").alias("gain_sse"),
+        ).orderBy(F.desc("gain_sse"), "feature", "split_bin").limit(1)
+
+    w1 = best_split(base, "y", 1)
+    xbin = F.when(F.col("feature") == "month", F.col("bin_month")).otherwise(
+        F.col("bin_prio")
+    )
+    pred = F.when(
+        xbin <= F.col("split_bin"),
+        F.expr(f"(sl * {GBM_E4}) div nl"),
+    ).otherwise(F.expr(f"(sr * {GBM_E4}) div nr"))
+    resid = base.crossJoin(F.broadcast(w1)).select(
+        "bin_month", "bin_prio", (F.col("y") * GBM_E4 - pred).alias("r")
+    )
+    w2 = best_split(resid, "r", GBM_E4 * GBM_E4)
+    one = w1.select(
+        F.lit(1).cast("long").alias("round"),
+        "feature",
+        F.col("split_bin").cast("long").alias("split_bin"),
+        F.col("nl").alias("n_l"),
+        F.col("nr").alias("n_r"),
+        "gain_sse",
+    )
+    two = w2.select(
+        F.lit(2).cast("long").alias("round"),
+        "feature",
+        F.col("split_bin").cast("long").alias("split_bin"),
+        F.col("nl").alias("n_l"),
+        F.col("nr").alias("n_r"),
+        "gain_sse",
+    )
+    return one.unionAll(two)

@@ -176,3 +176,56 @@ def test_novelty_bounded_and_nonvacuous(spark):
     assert out["novelty_ppm"].between(0, 1_000_000).all()
     assert (out["n_novel"] <= out["n_shingles"]).all()
     assert (out["novelty_ppm"] < 1_000_000).any(), "no cross-split overlap found"
+
+
+# --- mlfeat_gbm_rounds ------------------------------------------------------
+
+
+def test_gbm_round1_matches_exhaustive_search(spark):
+    """Round 1's winning (feature, split, gain) must equal a brute-force
+    pandas scan of every threshold of both features using the same
+    exact-integer gain formula — guards the prefix-sum/window split
+    search against off-by-one-bin errors that parity alone cannot see
+    (the oracle shares the windowed formulation)."""
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    out = SPECS["mlfeat_gbm_rounds"].fn(spark, SF_ORACLE).toPandas()
+    assert len(out) == 2 and set(out["round"]) == {1, 2}
+    assert (out["gain_sse"] > 0).all()
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderdate", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    import pandas as pd
+
+    dt = pd.to_datetime(orders["o_orderdate"])
+    feats = {
+        "month": (dt.dt.year * 12 + dt.dt.month - 1).astype(int),
+        "prio": orders["o_orderpriority"].str[0].astype(int),
+    }
+    import numpy as np
+
+    # np.floor(x + 0.5), not Series.round(): pandas rounds half-to-even
+    # while Spark/DuckDB ROUND go half-away-from-zero.
+    y = pd.Series(np.floor(orders["o_totalprice"].to_numpy() + 0.5)).astype("int64")
+    best = None
+    for fname, xb in sorted(feats.items()):
+        g = pd.DataFrame({"bin": xb, "y": y}).groupby("bin")["y"].agg(["count", "sum"])
+        g = g.sort_index()
+        nl, sl = g["count"].cumsum(), g["sum"].cumsum()
+        nt, st = int(g["count"].sum()), int(g["sum"].sum())
+        for b, n_l, s_l in zip(g.index, nl, sl):
+            n_l, s_l = int(n_l), int(s_l)
+            if n_l == 0 or n_l == nt:
+                continue
+            num = s_l * (nt - n_l) - (st - s_l) * n_l
+            gain = (num * num) // (n_l * (nt - n_l) * nt)  # exact python ints
+            key = (-gain, fname, int(b))
+            if best is None or key < best:
+                best = key
+    r1 = out[out["round"] == 1].iloc[0]
+    assert (-best[0], best[1], best[2]) == (
+        int(r1["gain_sse"]),
+        r1["feature"],
+        int(r1["split_bin"]),
+    )
