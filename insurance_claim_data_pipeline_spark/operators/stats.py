@@ -2662,3 +2662,127 @@ def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) > F.lit(Z_CRIT_95)).alias("significant_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Wasserstein-1 (earth mover's) drift — KS's integral sibling.
+# ---------------------------------------------------------------------------
+
+W1_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderdate < DATE '{_KS_SPLIT}' THEN 1 ELSE 0 END AS g
+  FROM orders
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n1, CAST(COUNT(*) - SUM(g) AS BIGINT) AS n0 FROM s
+), byv AS (
+  SELECT v, CAST(SUM(g) AS BIGINT) AS c1, CAST(COUNT(*) - SUM(g) AS BIGINT) AS c0
+  FROM s GROUP BY v
+), cum AS (
+  SELECT v, LEAD(v) OVER (ORDER BY v) AS nv,
+         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+         CAST(SUM(c0) OVER (ORDER BY v) AS BIGINT) AS f0
+  FROM byv
+)
+SELECT n0, n1,
+       CAST(SUM(CAST(ABS(f1 * n0 - f0 * n1) AS HUGEINT) * (nv - v)) // (n0 * n1)
+         AS BIGINT) AS w1_cents,
+       CAST(CAST(SUM(CAST(ABS(f1 * n0 - f0 * n1) AS HUGEINT) * (nv - v)) // (n0 * n1)
+                 AS BIGINT) AS DOUBLE) / 100 AS w1_dollars
+FROM cum, tot WHERE nv IS NOT NULL GROUP BY n0, n1
+"""
+
+
+@register("drift_wasserstein_orders", oracle=W1_ORACLE, tags=("stats", "drift", "window", "scale"))
+def drift_wasserstein_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Wasserstein-1 (earth mover's) distance between
+    pre- and post-{_KS_SPLIT} order totals — the INTEGRAL of the ECDF
+    gap where KS takes its supremum, so it sees sustained small shifts
+    KS is blind to (and it is the metric of choice for numeric-feature
+    drift monitors). W1 = ∫|F1−F0|dx over cent-quantized prices, kept
+    exact: per merged value, |f1·n0 − f0·n1| (the KS integer numerator)
+    times the gap to the NEXT distinct value, summed in DECIMAL(38)
+    and divided once at the end.
+
+    Distributed shape — same no-single-partition discipline as
+    drift_ks_twosample, plus a distributed LEAD: percentile_approx
+    range buckets (load-balance only), per-bucket windows for the
+    cumulative counts AND the within-bucket lead, bucket prefix
+    offsets from the tiny totals frame, and each bucket's LAST value
+    patched with the NEXT bucket's min from that same tiny frame —
+    the global successor function without a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.to_date("o_orderdate") < F.lit(_KS_SPLIT).cast("date"), 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    byv = (
+        s.groupBy("v")
+        .agg(
+            F.sum("g").cast("long").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c0"),
+        )
+        .localCheckpoint(eager=False)  # feeds bounds sketch + bucket pass once
+    )
+    from ..session import tiny_frame_key
+    from .analytics import _DIST_BUCKETS
+
+    probs = [i / _DIST_BUCKETS for i in range(1, _DIST_BUCKETS)]
+    bounds = byv.agg(F.percentile_approx("v", probs, 10_000).alias("_bounds"))
+    bkt = F.aggregate(
+        "_bounds", F.lit(0), lambda acc, x: acc + F.when(x < F.col("v"), 1).otherwise(0)
+    )
+    b = byv.crossJoin(F.broadcast(bounds)).withColumn("_bkt", bkt).drop("_bounds")
+    totals = b.groupBy("_bkt").agg(
+        F.sum("c1").alias("_bt_c1"),
+        F.sum("c0").alias("_bt_c0"),
+        F.min("v").alias("_min_v"),
+    )
+    pre_w = (
+        W.partitionBy(tiny_frame_key("_bkt"))
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    all_w = (
+        W.partitionBy(tiny_frame_key("_bkt"))
+        .orderBy(F.lit(1))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    lead_w = W.partitionBy(tiny_frame_key("_bkt")).orderBy("_bkt")
+    prefix = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_bt_c1").over(pre_w), F.lit(0)).alias("_pre_c1"),
+        F.coalesce(F.sum("_bt_c0").over(pre_w), F.lit(0)).alias("_pre_c0"),
+        F.sum("_bt_c1").over(all_w).cast("long").alias("n1"),
+        F.sum("_bt_c0").over(all_w).cast("long").alias("n0"),
+        F.lead("_min_v").over(lead_w).alias("_next_bkt_min"),
+    )
+    in_w = W.partitionBy("_bkt").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    lead_in_w = W.partitionBy("_bkt").orderBy("v")
+    cum = (
+        b.join(F.broadcast(prefix), "_bkt")
+        .withColumn("f1", (F.col("_pre_c1") + F.sum("c1").over(in_w)).cast("long"))
+        .withColumn("f0", (F.col("_pre_c0") + F.sum("c0").over(in_w)).cast("long"))
+        .withColumn("nv", F.coalesce(F.lead("v").over(lead_in_w), F.col("_next_bkt_min")))
+    )
+    term = (
+        F.abs(F.col("f1") * F.col("n0") - F.col("f0") * F.col("n1")).cast("decimal(38,0)")
+        * (F.col("nv") - F.col("v"))
+    )
+    return (
+        cum.filter(F.col("nv").isNotNull())
+        .groupBy("n0", "n1")
+        .agg(
+            F.floor(F.sum(term) / (F.col("n0") * F.col("n1")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("w1_cents")
+        )
+        .select(
+            "n0",
+            "n1",
+            "w1_cents",
+            (F.col("w1_cents").cast("double") / 100).alias("w1_dollars"),
+        )
+    )

@@ -307,3 +307,81 @@ def events_cusum_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq.coalesce(1).write.mode("overwrite").parquet(staging)
     stream = spark.readStream.schema(seq.schema).parquet(staging)
     return run_stream_to_memory(cusum_stream(stream), spark, output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# Streaming Kalman filter (stateful twin of events_kalman_filter)
+# ---------------------------------------------------------------------------
+
+KALMAN_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, ts_us bigint, value double, "
+    "kalman_e6 bigint, p_e6 bigint"
+)
+KALMAN_STATE_SCHEMA = "x bigint, p bigint, initialized bigint"
+
+
+def kalman_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user 1-D Kalman filter: state is (level estimate,
+    error covariance) in the batch twin's int64 ×1e6 fixed point
+    (operators/ema.py::events_kalman_filter), so a drained finite
+    stream emits EXACTLY the batch answer row for row. Same ordering
+    contract as ema_stream: (ts, event_id) fold within each
+    micro-batch, non-decreasing event time per user across batches."""
+
+    def update_kalman(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        e6 = 1_000_000
+        q_e6 = 250_000
+        r_e6 = 4_000_000
+        (user_id,) = key
+        x, p, initialized = state.get if state.exists else (0, 0, 0)
+        out: dict[str, list] = {
+            "user_id": [], "event_id": [], "ts_us": [], "value": [],
+            "kalman_e6": [], "p_e6": [],
+        }
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        for row in batch.itertuples(index=False):
+            z = int(math.floor(float(row.value) * e6 + 0.5))
+            if not initialized:
+                x, p, initialized = z, r_e6, 1
+            else:
+                pq = p + q_e6
+                k = (pq * e6) // (pq + r_e6)
+                x = x + (k * (z - x)) // e6
+                p = ((e6 - k) * pq) // e6
+            out["user_id"].append(user_id)
+            out["event_id"].append(int(row.event_id))
+            out["ts_us"].append(int(row.ts_us))
+            out["value"].append(float(row.value))
+            out["kalman_e6"].append(x)
+            out["p_e6"].append(p)
+        state.update((x, p, initialized))
+        yield pd.DataFrame(out)
+
+    prepared = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update_kalman,
+        outputStructType=KALMAN_OUT_SCHEMA,
+        stateStructType=KALMAN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register("events_kalman_streaming", tags=("events", "streaming", "pandas"))
+def events_kalman_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution of the per-user Kalman filter
+    (rows-only check; equality against the oracle-checked batch twin
+    events_kalman_filter is asserted in tests/test_streaming.py,
+    single-batch and under forced multi-batch time splits — the
+    covariance recursion must survive state round-trips)."""
+    from .events_stream import _events_stream, run_stream_to_memory
+
+    events = _events_stream(spark, sf_dir)
+    return run_stream_to_memory(kalman_stream(events), spark, output_mode="update")

@@ -181,6 +181,18 @@ JVM_ONLY_QUERIES = [
     "dedup_weighted_jaccard",
     "events_cep_pattern",
     "sort_exact_median_twopass",
+    # round-4 third-session additions — all pure Column/SQL expressions
+    "privacy_t_closeness",
+    "privacy_dp_counts",
+    "emb_kmeans_lloyd_step",
+    "text_naive_bayes",
+    "graph_label_propagation",
+    "events_periodogram",
+    "stats_two_proportion_ztest",
+    "sink_bloom_index_stats",
+    "text_train_novelty",
+    "mlfeat_gbm_rounds",
+    "drift_wasserstein_orders",
 ]
 
 

@@ -229,3 +229,43 @@ def test_gbm_round1_matches_exhaustive_search(spark):
         r1["feature"],
         int(r1["split_bin"]),
     )
+
+
+# --- drift_wasserstein_orders -----------------------------------------------
+
+
+def test_wasserstein_matches_numpy_recompute(spark):
+    """W1 must equal an independent numpy recomputation of
+    ∫|F1−F0|dx over the cent-quantized merged support (the closed form
+    scipy.stats.wasserstein_distance implements), and the distributed
+    lead must stitch bucket boundaries exactly."""
+    import numpy as np
+
+    from insurance_claim_data_pipeline_spark.operators.stats import _KS_SPLIT
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    r = SPECS["drift_wasserstein_orders"].fn(spark, SF_ORACLE).toPandas().iloc[0]
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    v = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    g = (orders["o_orderdate"].astype("datetime64[ns]") < _KS_SPLIT).to_numpy()
+    a, b = np.sort(v[g]), np.sort(v[~g])
+    support = np.unique(v)
+    f1 = np.searchsorted(a, support, side="right") / len(a)
+    f0 = np.searchsorted(b, support, side="right") / len(b)
+    w1 = float(np.sum(np.abs(f1 - f0)[:-1] * np.diff(support)))
+    assert int(r["n1"]) == len(a) and int(r["n0"]) == len(b)
+    assert abs(w1 - float(r["w1_cents"])) <= 1.0  # trunc-div grain
+
+
+def test_wasserstein_no_single_partition_window(spark):
+    """Every Window node in the W1 plan must carry a partition spec
+    (the two-level prefix + boundary-patched lead discipline)."""
+    import re
+
+    from .test_plans import physical_plan
+
+    plan = physical_plan(spark, SF_ORACLE, "drift_wasserstein_orders")
+    for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\], \[[^\]]*\]", plan):
+        assert m.group("part").strip() != ""

@@ -626,3 +626,61 @@ def test_streaming_watermark_drops_late_rows_as_simulated(spark, sf_dir, tmp_pat
     want = {k: v for k, v in counts.items() if k[0] + WM_WINDOW_US <= final_wm}
     assert dropped > 0  # the scenario genuinely exercises late-drop
     assert out == want
+
+
+def test_streaming_kalman_equals_batch(spark, sf_dir):
+    """Drained single-batch stream: every emitted Kalman row must equal
+    the oracle-checked batch twin exactly — estimate AND covariance."""
+    from insurance_claim_data_pipeline_spark.operators.ema import events_kalman_filter
+    from insurance_claim_data_pipeline_spark.streaming.stateful import (
+        events_kalman_streaming,
+    )
+
+    got = sorted(tuple(r) for r in events_kalman_streaming(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in events_kalman_filter(spark, sf_dir).collect())
+    assert got == want and want
+
+
+def test_streaming_kalman_multibatch_time_split(spark, sf_dir, tmp_path):
+    """Three time-ordered file drops (maxFilesPerTrigger=1): the
+    (estimate, covariance) state must carry across micro-batch
+    boundaries; union of emitted rows == batch answer row-for-row."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.ema import events_kalman_filter
+    from insurance_claim_data_pipeline_spark.session import normalize_timestamps
+    from insurance_claim_data_pipeline_spark.streaming.events_stream import (
+        run_stream_to_memory,
+    )
+    from insurance_claim_data_pipeline_spark.streaming.stateful import kalman_stream
+
+    ev = normalize_timestamps(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    staging = str(tmp_path / "staging")
+    us = F.unix_micros("ts")
+    stamped: set[str] = set()
+    base = _time.time()
+    for i, cond in enumerate((us <= cut1, (us > cut1) & (us <= cut2), us > cut2)):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(staging)
+        for name in _os.listdir(staging):
+            if name.endswith(".parquet") and name not in stamped:
+                _os.utime(_os.path.join(staging, name), (base + 10 * i,) * 2)
+                stamped.add(name)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    got = sorted(
+        tuple(r)
+        for r in run_stream_to_memory(
+            kalman_stream(stream), spark, output_mode="update"
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in events_kalman_filter(spark, sf_dir).collect())
+    assert got == want and want
