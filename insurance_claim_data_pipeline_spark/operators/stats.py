@@ -2786,3 +2786,107 @@ def drift_wasserstein_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w1_cents").cast("double") / 100).alias("w1_dollars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald's SPRT) — the anytime-valid
+# alternative to the fixed-horizon z-test above.
+# ---------------------------------------------------------------------------
+
+# H0: p = 0.5 vs H1: p = 0.6 for P(purchase value > median≈34), error
+# targets alpha = beta = 0.05. Log-likelihood-ratio increments and the
+# two Wald boundaries as ×1e6 integers (math.log baked once, identical
+# literals in both engines — no libm at query time at all).
+SPRT_THRESH = 34.0
+SPRT_A_E6 = 182_322  # ln(0.6/0.5) · 1e6, success step
+SPRT_B_E6 = -223_144  # ln(0.4/0.5) · 1e6, failure step
+SPRT_UP_E6 = 2_944_439  # ln((1-beta)/alpha) · 1e6 → accept H1
+SPRT_LO_E6 = -2_944_439  # ln(beta/(1-alpha)) · 1e6 → accept H0
+
+SPRT_ORACLE = f"""
+WITH trials AS (
+  SELECT event_id, CASE WHEN value > {SPRT_THRESH} THEN 1 ELSE 0 END AS x
+  FROM events WHERE event_type = 'purchase'
+), cum AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS rn,
+         CAST(SUM(x) OVER (ORDER BY event_id) AS BIGINT) AS s
+  FROM trials
+), llr AS (
+  SELECT rn, {SPRT_A_E6} * s + {SPRT_B_E6} * (rn - s) AS llr_e6, s FROM cum
+), agg AS (
+  SELECT CAST(MAX(rn) AS BIGINT) AS n_trials, CAST(MAX(s) AS BIGINT) AS n_success,
+         CAST(MIN(CASE WHEN llr_e6 >= {SPRT_UP_E6} THEN rn END) AS BIGINT) AS fc_up,
+         CAST(MIN(CASE WHEN llr_e6 <= {SPRT_LO_E6} THEN rn END) AS BIGINT) AS fc_lo
+  FROM llr
+)
+SELECT n_trials, n_success,
+       {SPRT_A_E6} * n_success + {SPRT_B_E6} * (n_trials - n_success) AS llr_final_e6,
+       CAST(LEAST(COALESCE(fc_up, 9223372036854775807),
+                  COALESCE(fc_lo, 9223372036854775807)) AS BIGINT) AS first_cross_rn,
+       CASE WHEN fc_up IS NULL AND fc_lo IS NULL THEN 'continue'
+            WHEN COALESCE(fc_up, 9223372036854775807)
+                 < COALESCE(fc_lo, 9223372036854775807) THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM agg
+"""
+
+
+@register("stats_sprt_sequential", oracle=SPRT_ORACLE, tags=("stats", "window", "scale"))
+def stats_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the purchase
+    stream in arrival order — the anytime-valid design that lets an
+    experimenter 'peek' after every observation with exact error
+    control, where the fixed-horizon z-test forbids it: the cumulative
+    log-likelihood ratio A·S_t + B·(t−S_t) walks between Wald's two
+    boundaries; the FIRST boundary crossing is the decision. All four
+    constants are pre-baked ×1e6 integer literals (no libm at query
+    time), so the walk, both crossing indices, and the verdict are
+    exact integer arithmetic.
+
+    Distributed shape: the running success count S_t comes from the
+    two-level distributed prefix (per-bucket window + tiny bucket-
+    offset prefix — no single-partition pass), and because the LLR is
+    an AFFINE function of (t, S_t), the whole path collapses to one
+    aggregate over the cumulated frame: MIN(rn | llr ≥ up) and
+    MIN(rn | llr ≤ lo). First-crossing detection without any ordered
+    scan — the sequential test, de-sequentialized."""
+    from .analytics import with_global_prefix_sums
+
+    ev = load_table(spark, sf_dir, "events")
+    trials = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.when(F.col("value") > SPRT_THRESH, 1).otherwise(0).alias("x"),
+        F.lit(1).alias("one"),
+    )
+    cum = with_global_prefix_sums(trials, "event_id", ["x", "one"]).select(
+        F.col("cum_one").alias("rn"), F.col("cum_x").alias("s")
+    )
+    llr = F.lit(SPRT_A_E6) * F.col("s") + F.lit(SPRT_B_E6) * (F.col("rn") - F.col("s"))
+    agg = cum.select("rn", "s", llr.alias("llr_e6")).agg(
+        F.max("rn").cast("long").alias("n_trials"),
+        F.max("s").cast("long").alias("n_success"),
+        F.min(F.when(F.col("llr_e6") >= SPRT_UP_E6, F.col("rn")))
+        .cast("long")
+        .alias("fc_up"),
+        F.min(F.when(F.col("llr_e6") <= SPRT_LO_E6, F.col("rn")))
+        .cast("long")
+        .alias("fc_lo"),
+    )
+    big = F.lit(9223372036854775807).cast("long")
+    return agg.select(
+        "n_trials",
+        "n_success",
+        (
+            F.lit(SPRT_A_E6) * F.col("n_success")
+            + F.lit(SPRT_B_E6) * (F.col("n_trials") - F.col("n_success"))
+        )
+        .cast("long")
+        .alias("llr_final_e6"),
+        F.least(F.coalesce("fc_up", big), F.coalesce("fc_lo", big))
+        .cast("long")
+        .alias("first_cross_rn"),
+        F.when(F.col("fc_up").isNull() & F.col("fc_lo").isNull(), "continue")
+        .when(F.coalesce("fc_up", big) < F.coalesce("fc_lo", big), "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+    )

@@ -269,3 +269,40 @@ def test_wasserstein_no_single_partition_window(spark):
     plan = physical_plan(spark, SF_ORACLE, "drift_wasserstein_orders")
     for m in re.finditer(r"Window \[[^\]]*\], \[(?P<part>[^\]]*)\], \[[^\]]*\]", plan):
         assert m.group("part").strip() != ""
+
+
+# --- stats_sprt_sequential --------------------------------------------------
+
+
+def test_sprt_first_crossing_matches_replay(spark):
+    """Replay the LLR walk sequentially in Python over the same trial
+    order and verify the de-sequentialized first-crossing answer —
+    guards the affine-collapse argument (llr is affine in (t, S_t), so
+    crossing detection via two MINs must equal the ordered scan)."""
+    from insurance_claim_data_pipeline_spark.operators.stats import (
+        SPRT_A_E6,
+        SPRT_B_E6,
+        SPRT_LO_E6,
+        SPRT_THRESH,
+        SPRT_UP_E6,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    r = SPECS["stats_sprt_sequential"].fn(spark, SF_ORACLE).toPandas().iloc[0]
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    llr, first, decision = 0, None, "continue"
+    for i, v in enumerate(ev["value"], start=1):
+        llr += SPRT_A_E6 if float(v) > SPRT_THRESH else SPRT_B_E6
+        if first is None and (llr >= SPRT_UP_E6 or llr <= SPRT_LO_E6):
+            first = i
+            decision = "accept_h1" if llr >= SPRT_UP_E6 else "accept_h0"
+    assert int(r["n_trials"]) == len(ev)
+    assert int(r["llr_final_e6"]) == llr
+    assert decision == r["decision"] != "continue"  # non-vacuous: it crossed
+    assert int(r["first_cross_rn"]) == first
