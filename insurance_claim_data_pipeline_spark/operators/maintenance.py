@@ -368,3 +368,127 @@ def sink_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_deletable") > 0)
     )
+
+
+# --- clustering-depth audit (how sorted ARE the files?) ---------------------
+
+CLUSTER_FILES = 32
+
+CLUSTER_DEPTH_ORACLE = f"""
+WITH st AS (
+  SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+), pos AS (
+  SELECT l.l_shipdate,
+         LEAST((l.l_orderkey - st.lo) * {CLUSTER_FILES}
+               // GREATEST(st.hi - st.lo + 1, 1), {CLUSTER_FILES - 1}) AS nat_file,
+         (ROW_NUMBER() OVER (ORDER BY epoch_us(l.l_shipdate) // 86400000000,
+                             l.l_orderkey, l.l_linenumber) - 1)
+           * {CLUSTER_FILES} // st.n AS sorted_file
+  FROM lineitem l, st
+), ranges AS (
+  SELECT 'natural' AS layout, nat_file AS file_id,
+         MIN(l_shipdate) AS dt_lo, MAX(l_shipdate) AS dt_hi
+  FROM pos GROUP BY 2
+  UNION ALL
+  SELECT 'sorted', sorted_file, MIN(l_shipdate), MAX(l_shipdate)
+  FROM pos GROUP BY 2
+), depth AS (
+  SELECT a.layout, a.file_id, CAST(COUNT(*) AS BIGINT) AS depth
+  FROM ranges a JOIN ranges b
+    ON a.layout = b.layout AND a.dt_lo <= b.dt_hi AND b.dt_lo <= a.dt_hi
+  GROUP BY 1, 2
+)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(depth) * 1000000 // COUNT(*) AS BIGINT) AS avg_depth_e6,
+       CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM depth GROUP BY 1
+"""
+
+
+@register(
+    "warehouse_clustering_depth", oracle=CLUSTER_DEPTH_ORACLE, tags=("sink", "scale", "dq")
+)
+def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-OPTIMIZE-style clustering-depth audit: per layout, how
+    many files' [min, max] l_shipdate zone-map ranges overlap each
+    file (itself included — depth 1 = perfectly clustered, depth =
+    n_files = every range predicate reads everything). Measures the
+    natural l_orderkey-ranged layout against a shipdate-sorted one;
+    this is the metric a table-maintenance service watches to decide
+    WHEN re-clustering (sort_range_partitioned / sort_zorder) pays for
+    itself — the skipping simulator (sink_skipping_stats) measures one
+    workload, depth bounds ALL range workloads on the column.
+
+    Scale shape: one scan to (file, min, max) ranges (the sorted
+    layout's file id comes from the exact distributed row_number — at
+    real scale this column is read from the parquet footer metadata
+    table, no data scan at all), then an interval self-join of the
+    {CLUSTER_FILES}-row range frames. Everything past the first
+    aggregate is metadata-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    st = li.agg(
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    from .analytics import _with_global_rank
+
+    # unique sort key for the exact global row_number: shipdate-major,
+    # (orderkey, linenumber) tiebreak packed into one integer.
+    keyed = li.crossJoin(F.broadcast(st)).select(
+        "l_shipdate",
+        F.least(
+            F.expr(f"(l_orderkey - lo) * {CLUSTER_FILES} div greatest(hi - lo + 1, 1)"),
+            F.lit(CLUSTER_FILES - 1),
+        ).alias("nat_file"),
+        # shipdate is stored midnight-timestamp; pack (day, orderkey,
+        # linenumber) into one long so the global rank's unique sort key
+        # reproduces (shipdate, orderkey, linenumber) order exactly.
+        (
+            F.expr("unix_micros(l_shipdate) div 86400000000") * F.lit(10_000_000_000)
+            + F.col("l_orderkey") * 10
+            + F.col("l_linenumber")
+        ).alias("_k"),
+        F.col("n"),
+    )
+    ranked = _with_global_rank(
+        keyed.select("l_shipdate", "nat_file", "n", (-F.col("_k")).alias("_nk")),
+        "_nk",
+        "_nk",
+        "_r",
+    )
+    pos = ranked.select(
+        "l_shipdate",
+        "nat_file",
+        F.expr(f"(_r - 1) * {CLUSTER_FILES} div n").alias("sorted_file"),
+    )
+    ranges = (
+        pos.groupBy(F.col("nat_file").alias("file_id"))
+        .agg(F.min("l_shipdate").alias("dt_lo"), F.max("l_shipdate").alias("dt_hi"))
+        .select(F.lit("natural").alias("layout"), "file_id", "dt_lo", "dt_hi")
+        .unionAll(
+            pos.groupBy(F.col("sorted_file").alias("file_id"))
+            .agg(F.min("l_shipdate").alias("dt_lo"), F.max("l_shipdate").alias("dt_hi"))
+            .select(F.lit("sorted").alias("layout"), "file_id", "dt_lo", "dt_hi")
+        )
+        .localCheckpoint(eager=False)  # tiny 64-row frame, self-joined next
+    )
+    a, b = ranges.alias("a"), ranges.alias("b")
+    depth = (
+        a.join(
+            b,
+            (F.col("a.layout") == F.col("b.layout"))
+            & (F.col("a.dt_lo") <= F.col("b.dt_hi"))
+            & (F.col("b.dt_lo") <= F.col("a.dt_hi")),
+        )
+        .groupBy(F.col("a.layout").alias("layout"), F.col("a.file_id").alias("file_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("depth"))
+    )
+    return depth.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.expr("CAST(sum(depth) * 1000000 div count(1) AS BIGINT)").alias("avg_depth_e6"),
+        F.max("depth").cast("long").alias("max_depth"),
+    )

@@ -285,3 +285,91 @@ def pack_curriculum_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum_end - F.col("n_tok")).alias("start_offset"),
         F.floor((cum_end - F.col("n_tok")) / SEQ_LEN).cast("long").alias("chunk_id"),
     )
+
+
+# --- balanced shard assignment (snake draft over the global size rank) ------
+
+SHARD_N = 8
+
+SHARDS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), ranked AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r
+  FROM d
+), assigned AS (
+  SELECT n_tok,
+         CASE WHEN (r // {SHARD_N}) % 2 = 0 THEN r % {SHARD_N}
+              ELSE {SHARD_N - 1} - (r % {SHARD_N}) END AS shard
+  FROM ranked
+), per AS (
+  SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS tok_total
+  FROM assigned GROUP BY 1
+)
+SELECT shard, n_docs, tok_total,
+       CAST(tok_total * {SHARD_N} * 1000000 // SUM(tok_total) OVER () AS BIGINT)
+         AS load_ppm_of_ideal
+FROM per
+"""
+
+
+@register("pack_balanced_shards", oracle=SHARDS_ORACLE, tags=("llm", "packing", "scale"))
+def pack_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment for {SHARD_N} training-data
+    shards — the write-side twin of pack_concat_chunks: docs are
+    ranked globally by token count (descending) and dealt in a SNAKE
+    draft (0..7, 7..0, ...), the classic deterministic approximation
+    of longest-processing-time scheduling: every shard receives one
+    doc per round and alternating direction cancels the within-round
+    size gradient, so shard token totals land within a round's spread
+    of ideal. A greedy true-LPT is inherently sequential (each
+    placement depends on all previous totals); the snake is the
+    parallelizable surrogate production packers use, and the
+    load_ppm_of_ideal column MEASURES how close it lands
+    (1_000_000 = perfectly even).
+
+    Scale shape: the global rank comes from the two-level distributed
+    scheme (percentile bounds → per-bucket window + tiny offset table,
+    operators/analytics.py — plan-gated elsewhere, no single-partition
+    window), the snake arithmetic is pure codegen, and the output is
+    one {SHARD_N}-row aggregate."""
+    from .analytics import _with_global_rank
+
+    doc = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    ranked = _with_global_rank(doc, "n_tok", "doc_id", "_r")
+    r = F.col("_r") - 1
+    rnd, idx = (r / SHARD_N).cast("long"), F.pmod(r, SHARD_N)
+    shard = F.when(F.pmod(rnd, 2) == 0, idx).otherwise(F.lit(SHARD_N - 1) - idx)
+    per = (
+        ranked.select(shard.cast("long").alias("shard"), "n_tok")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tok_total"),
+        )
+    )
+    w = Window.partitionBy(tiny_frame_key("n_docs"))
+    return per.select(
+        "shard",
+        "n_docs",
+        "tok_total",
+        F.expr(f"CAST(tok_total * {SHARD_N} * 1000000 AS BIGINT)")
+        .alias("_num"),
+    ).select(
+        "shard",
+        "n_docs",
+        "tok_total",
+        # decimal floor-division, not double `/`: the double quotient of
+        # two ~1e11 longs can land at x.9999…, and cast-to-long would
+        # truncate one below DuckDB's integer `//`.
+        F.floor(
+            F.col("_num").cast("decimal(38,0)")
+            / F.sum("tok_total").over(w).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("load_ppm_of_ideal"),
+    )
