@@ -1485,3 +1485,49 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             wj.cast("long").alias("wjaccard_e6"),
         )
     )
+
+
+# --- prefix-fingerprint clustering (crawl-style cheap dedup) ----------------
+
+PREFIX_FP_CHARS = 64
+
+
+PREFIX_CLUSTER_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, md5(substr(text, 1, {PREFIX_FP_CHARS})) AS pfp FROM documents
+), cl AS (
+  SELECT pfp, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+  FROM fp GROUP BY 1
+)
+SELECT pfp, n_docs, rep_doc FROM cl WHERE n_docs > 1
+"""
+
+
+@register("dedup_prefix_cluster", oracle=PREFIX_CLUSTER_ORACLE, tags=("dedup", "llm"))
+def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-{PREFIX_FP_CHARS}-chars fingerprint clustering — the
+    cheapest tier of a layered dedup stack (CommonCrawl pipelines run
+    exactly this before anything shingle-based): md5 of the document
+    prefix groups trivial re-crawls and templated mirrors at the cost
+    of ONE hash per doc and one tiny-key shuffle, no shingling, no
+    candidate joins. Emits clusters with >1 member and their min-id
+    representative (the same canonical-representative convention as
+    dedup_exact). Misses: docs differing only after the prefix cluster
+    together (acceptable for tier-0; the shingle/MinHash tiers below
+    catch the rest — measured against them in tests/test_llm_ops is
+    the point of layering).
+
+    Scale shape: fingerprint in the scan projection, one partial-
+    aggregated groupBy on the 16-byte hash. Nothing else."""
+    doc = load_table(spark, sf_dir, "documents")
+    fp = doc.select(
+        "doc_id", F.md5(F.substring("text", 1, PREFIX_FP_CHARS)).alias("pfp")
+    )
+    return (
+        fp.groupBy("pfp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

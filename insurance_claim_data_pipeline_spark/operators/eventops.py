@@ -910,3 +910,73 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("power_e6"),
     )
+
+
+# --- local-maximum peak detection over the hourly series --------------------
+
+PEAK_HALF_W = 2  # strict local max within ± this many hours
+
+
+PEAK_ORACLE = f"""
+WITH hourly AS (
+  SELECT (epoch_us(ts) // {US_1H}) AS hour_idx, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot_n, CAST(COUNT(*) AS BIGINT) AS tot_h FROM hourly
+), nb AS (
+  SELECT hour_idx, n,
+         MAX(n) OVER (ORDER BY hour_idx
+                      ROWS BETWEEN {PEAK_HALF_W} PRECEDING AND 1 PRECEDING) AS l_max,
+         MAX(n) OVER (ORDER BY hour_idx
+                      ROWS BETWEEN 1 FOLLOWING AND {PEAK_HALF_W} FOLLOWING) AS r_max
+  FROM hourly
+)
+SELECT nb.hour_idx, nb.n
+FROM nb, tot
+WHERE nb.n > COALESCE(nb.l_max, -1) AND nb.n > COALESCE(nb.r_max, -1)
+  AND nb.n * tot.tot_h >= tot.tot_n
+"""
+
+
+@register("events_peak_detection", oracle=PEAK_ORACLE, tags=("events", "analytics", "window"))
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peaks in the hourly event-count series: hours that
+    strictly dominate every neighbor within ±{PEAK_HALF_W} hours AND
+    sit at or above the series mean (the mean test is the exact
+    integer cross-multiplication n·H ≥ Σn — no division) — the
+    load-spike detector that feeds capacity alerts, and the discrete
+    cousin of events_changepoint_meanshift (which finds level SHIFTS;
+    this finds spikes).
+
+    Scale shape: one partial-aggregated groupBy to the hourly frame,
+    then ±{PEAK_HALF_W}-row MAX windows over that tiny series (ordered
+    by hour on the single-digit-thousands frame; the fact table never
+    enters a window). Series boundaries count as dominated via the
+    COALESCE(-1) sentinel, matching the oracle exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select(hour_idx.alias("hour_idx"))
+        .groupBy("hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = hourly.agg(
+        F.sum("n").cast("long").alias("tot_n"), F.count(F.lit(1)).cast("long").alias("tot_h")
+    )
+    from ..session import tiny_frame_key
+
+    base_w = W.partitionBy(tiny_frame_key("n")).orderBy("hour_idx")
+    l_max = F.max("n").over(base_w.rowsBetween(-PEAK_HALF_W, -1))
+    r_max = F.max("n").over(base_w.rowsBetween(1, PEAK_HALF_W))
+    nb = hourly.select("hour_idx", "n", l_max.alias("l_max"), r_max.alias("r_max"))
+    return (
+        nb.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("n") > F.coalesce("l_max", F.lit(-1)))
+            & (F.col("n") > F.coalesce("r_max", F.lit(-1)))
+            & (F.col("n") * F.col("tot_h") >= F.col("tot_n"))
+        )
+        .select("hour_idx", "n")
+    )
