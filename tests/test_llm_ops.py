@@ -1477,3 +1477,59 @@ def test_prf_expansion_buys_recall(spark, sf_dir):
     assert kept >= PRF_FEEDBACK_K // 4
     scores = [r["score2_e6"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_semantic_lsh_recall_gate(spark, sf_dir):
+    """The LSH-bucketed semantic-dedup pair stage must recover ≥95% of
+    the brute-force cosine near-dup pairs (the recall gate VERDICT r04
+    asked for when registering the scale path). Measured on the current
+    fixtures: 0.98–1.00 at every SF (see the operator docstring for the
+    near-random-embeddings regime discussion)."""
+    from insurance_claim_data_pipeline_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        semantic_lsh_candidate_pairs,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in semantic_lsh_candidate_pairs(spark, sf_dir).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs for the gate to bind"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, f"LSH pair recall {recall:.3f} < 0.95"
+    # precision is exact by construction: every surviving pair passed the
+    # same rounded-cosine threshold the brute-force stage applies
+    assert lsh <= exact
+
+
+def test_semantic_lsh_components_match_exact_when_recall_full(spark, sf_dir):
+    """When the candidate stage recovers every brute-force pair (true on
+    the sf0.001 fixture), the downstream components/keep flags must be
+    IDENTICAL to dedup_semantic_components — the two variants differ
+    only in candidate generation."""
+    from insurance_claim_data_pipeline_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_semantic_components,
+        dedup_semantic_components_lsh,
+        semantic_lsh_candidate_pairs,
+    )
+
+    exact_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in semantic_lsh_candidate_pairs(spark, sf_dir).collect()
+    }
+    if lsh_pairs != exact_pairs:
+        import pytest
+
+        pytest.skip("fixture recall < 1.0 — component equality not implied")
+    a = sorted(map(tuple, dedup_semantic_components(spark, sf_dir).collect()))
+    b = sorted(map(tuple, dedup_semantic_components_lsh(spark, sf_dir).collect()))
+    assert a == b
