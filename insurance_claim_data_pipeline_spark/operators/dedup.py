@@ -1245,7 +1245,11 @@ WITH p AS (
 )
 SELECT scheme, n_blocks, max_block, cand_pairs,
        n_rows * (n_rows - 1) // 2 AS all_pairs,
-       cand_pairs * 1000000 // (n_rows * (n_rows - 1) // 2) AS budget_ppm
+       -- GREATEST guard (ADVICE r04): on an empty/single-row input the
+       -- denominator is 0 and DuckDB errors while Spark yields NULL;
+       -- both engines agree on budget_ppm = 0 with the guard (same
+       -- style as events_bot_screen).
+       cand_pairs * 1000000 // GREATEST(n_rows * (n_rows - 1) // 2, 1) AS budget_ppm
 FROM per_scheme
 """
 
@@ -1290,13 +1294,17 @@ def er_blocking_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("b").cast("long").alias("n_rows"),
     )
     all_pairs = F.floor(F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("long")
+    # GREATEST guard mirrors the oracle (ADVICE r04): empty/single-row
+    # schemes report budget_ppm = 0 instead of NULL/div-by-zero.
     return per.select(
         "scheme",
         "n_blocks",
         "max_block",
         "cand_pairs",
         all_pairs.alias("all_pairs"),
-        F.floor(F.col("cand_pairs") * 1_000_000 / all_pairs).cast("long").alias("budget_ppm"),
+        F.floor(F.col("cand_pairs") * 1_000_000 / F.greatest(all_pairs, F.lit(1)))
+        .cast("long")
+        .alias("budget_ppm"),
     )
 
 

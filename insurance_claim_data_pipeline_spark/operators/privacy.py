@@ -24,6 +24,8 @@ the governance gate of the LLM-data north star (BASELINE.json).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -219,10 +221,21 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- differentially-private release (seeded Laplace mechanism) --------------
+# --- differentially-private release (keyed seeded Laplace mechanism) --------
 
 DP_EPS = 1.0  # per-cell epsilon; count sensitivity is 1, so b = 1/eps
 DP_U_DENOM = 4503599627370496.0  # 2^52 — md5's first 13 hex chars as U(0,1)
+
+# TEST-FIXTURE noise key, not a secret (ADVICE r04): with a committed
+# key anyone can recompute the noise and the release provides no actual
+# DP. A real deployment injects SPARK_GRAFT_DP_SECRET (ideally via a
+# proper HMAC with a managed key); the committed default exists so the
+# static oracle can replay the noise in the correctness gate. Both the
+# Spark plan and the oracle interpolate the SAME resolved key at import,
+# so injection keeps them in lockstep.
+_DP_FIXTURE_KEY = "spark-graft-dp-fixture"
+
+DP_SECRET = os.environ.get("SPARK_GRAFT_DP_SECRET", _DP_FIXTURE_KEY)
 
 DP_COUNTS_ORACLE = f"""
 WITH cells AS (
@@ -231,7 +244,7 @@ WITH cells AS (
   FROM orders GROUP BY 1, 2
 ), seeded AS (
   SELECT *,
-         (('0x' || substr(md5(o_orderpriority || '|' || order_month), 1, 13))::BIGINT)
+         (('0x' || substr(md5('{DP_SECRET}' || '|' || o_orderpriority || '|' || order_month), 1, 13))::BIGINT)
            / {DP_U_DENOM} - 0.5 AS t
   FROM cells
 )
@@ -246,22 +259,30 @@ FROM seeded
 """
 
 
-@register("privacy_dp_counts", oracle=DP_COUNTS_ORACLE, tags=("privacy", "dq", "agg"))
+@register(
+    "privacy_dp_counts",
+    oracle=DP_COUNTS_ORACLE,
+    tags=("privacy", "dq", "agg", "seeded-noise"),
+)
 def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Laplace-mechanism differentially-private count release for the
-    (priority, month) histogram — epsilon-DP with sensitivity 1, the
-    textbook publishable aggregate. The twist that makes it ORACLE-
-    CHECKABLE: instead of an RNG, each cell's Laplace draw comes from
-    the inverse CDF applied to a uniform DERIVED FROM md5 of the cell
-    key (first 52 hash bits / 2^52) — a seeded mechanism, identical in
-    both engines, so the release is reproducible run-to-run and
-    auditable (re-running the pipeline cannot silently re-randomize a
-    published table). noise = -sign(u-.5)·(1/eps)·ln(1-2|u-.5|),
-    reported ×1e6 fixed point next to the noisy count.
+    """KEYED-SEEDED-noise count release for the (priority, month)
+    histogram, Laplace-mechanism shaped (sensitivity 1, b = 1/eps).
+    Each cell's Laplace draw comes from the inverse CDF applied to a
+    uniform derived from md5(key | cell) (first 52 hash bits / 2^52) —
+    deterministic given the key, identical in both engines, so the
+    release is reproducible run-to-run and auditable (re-running the
+    pipeline cannot silently re-randomize a published table).
+    noise = -sign(u-.5)·(1/eps)·ln(1-2|u-.5|), reported ×1e6 fixed
+    point next to the noisy count.
 
-    (A production release would swap md5(cell) for HMAC(secret, cell):
-    with a public hash an attacker can recompute the noise. The plan
-    is unchanged — one keyed scalar expression.)
+    THE DP GUARANTEE IS ONLY AS PRIVATE AS THE KEY (ADVICE r04): the
+    noise key is injected via ``SPARK_GRAFT_DP_SECRET``; the committed
+    default is a TEST FIXTURE so the static oracle can replay the
+    noise, and a release built on it provides NO differential privacy —
+    anyone can recompute the noise from the public cell keys. A
+    production release injects a managed secret (and preferably swaps
+    md5(key|cell) for HMAC-SHA256(key, cell) — the plan is unchanged,
+    one keyed scalar expression).
 
     Scale shape: one map-side-combined groupBy to the tiny cell frame,
     then pure per-row scalar arithmetic — nothing after the aggregate
@@ -274,7 +295,13 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         F.conv(
             F.substring(
-                F.md5(F.concat_ws("|", "o_orderpriority", "order_month")), 1, 13
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(DP_SECRET), "o_orderpriority", "order_month"
+                    )
+                ),
+                1,
+                13,
             ),
             16,
             10,

@@ -318,7 +318,14 @@ def claims_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
-PSEUDO_SECRET = "spark-graft-claims-r04"  # rotation-versioned salt
+# TEST-FIXTURE salt, not a secret: the committed literal exists only so
+# the static DuckDB oracle and the Spark plan hash the same tokens in
+# the correctness gate. A real deployment MUST inject the salt (below)
+# or tokens are dictionary-reversible by anyone with repo access
+# (ADVICE r04). Rotating the injected salt re-keys every token.
+_PSEUDO_FIXTURE_SALT = "spark-graft-claims-r04"
+
+PSEUDO_SECRET = os.environ.get("SPARK_GRAFT_PSEUDO_SALT", _PSEUDO_FIXTURE_SALT)
 
 PSEUDONYMIZE_ORACLE = (
     _CLAIMS_CTE
@@ -341,9 +348,14 @@ def claims_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(salt:id)), so joins and per-patient aggregates still work
     (same patient → same token, referential integrity preserved —
     asserted in tests) while the raw identifier never leaves the
-    boundary. The salt is a deployment secret; rotating it re-keys
-    every token (unlinkable across exports). NULL patient stays NULL
-    (the eligibility rules already excluded such claims).
+    boundary. The salt is injected via ``SPARK_GRAFT_PSEUDO_SALT`` in a
+    real deployment (an HMAC with a managed key is the stronger
+    construction); rotating it re-keys every token (unlinkable across
+    exports). The default baked into the repo is a TEST FIXTURE so the
+    static oracle can replay the tokens — it provides no secrecy, and a
+    release built on it is dictionary-reversible (ADVICE r04). NULL
+    patient stays NULL (the eligibility rules already excluded such
+    claims).
 
     Narrow stateless projection — no shuffle, pushes through any scan;
     the companion k-anonymity/l-diversity audits (operators/privacy.py)

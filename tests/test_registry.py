@@ -29,28 +29,43 @@ def test_emission_covers_every_registered_query_exactly_once():
     assert [n for n in names if n in set(osql)] == osql
 
 
-def test_round4_window_reanchors_lead_and_unproven_precede_proven():
-    # Round-4 scheduling policy: the claims-port regen re-anchor leads,
-    # the hashed-shingle dedup re-proofs follow, every registry entry
-    # that had no driver CORRECTNESS row through r03 sits inside the
-    # 50-entry window, and every prior-green query trails every _FRONT
-    # entry.
+def test_driver_window_policy():
+    # Rotation policy, enforced from the artifacts rather than a
+    # hard-coded round: the claims-port re-anchor leads every window
+    # (the driver regenerates testdata per round), _FRONT is exactly
+    # the 50-entry driver window, every _FRONT entry precedes every
+    # _TAIL entry, and the window spends most of its budget on
+    # first-ever driver rows (VERDICT r04 item 1: ≥43/50 while the
+    # never-checked backlog exists).
+    import glob
+    import json
+    import os
+
     specs = registry.all_specs()
     names = list(specs)
-    assert names[:7] == [
+    assert names[:5] == [
         "claims_normalized",
         "claims_candidates",
         "claims_exclusion_counts",
         "claims_by_source",
         "claims_classify_denial",
-        "dedup_ngram_jaccard",
-        "dedup_components",
     ]
-    never_checked_through_r03 = set(registry._FRONT)
-    assert never_checked_through_r03 <= set(names[:50])
+    assert len(registry._FRONT) == 50
+    assert list(names[:50]) == list(registry._FRONT)
     first_tail = min(names.index(n) for n in registry._TAIL if n in names)
     last_front = max(names.index(n) for n in registry._FRONT if n in names)
     assert last_front < first_tail, "a prior-green query precedes an unproven one"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        checked |= set(json.load(open(f)))
+    backlog = [n for n in names if n not in checked]
+    first_ever_in_window = [n for n in names[:50] if n not in checked]
+    if len(backlog) > len(first_ever_in_window):
+        assert len(first_ever_in_window) >= 43, (
+            f"window spends only {len(first_ever_in_window)}/50 on the "
+            f"{len(backlog)}-entry never-checked backlog"
+        )
 
 
 def test_new_queries_slot_before_prior_green_tail():
@@ -58,3 +73,29 @@ def test_new_queries_slot_before_prior_green_tail():
     order = registry._emission_order(["zz_new_query", *registry._FRONT, *registry._TAIL])
     idx = order.index("zz_new_query")
     assert idx == len(registry._FRONT)
+
+
+def test_doc_tallies_current():
+    # ADVICE r04 / VERDICT r04 item 4: documented registry tallies were
+    # hand-counted and drifted twice in one round. The canonical tally
+    # lines in README.md / COVERAGE.md carry a marker and are rewritten
+    # by scripts/refresh_tallies.py; this test fails the moment a
+    # registration lands without re-running the script.
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import refresh_tallies
+
+    total, oracled, rows_only = refresh_tallies.tally()
+    expected = refresh_tallies.tally_line(total, oracled, rows_only)
+    for doc in ("README.md", "COVERAGE.md"):
+        with open(os.path.join(repo, doc)) as f:
+            lines = [ln for ln in f.read().splitlines() if refresh_tallies.MARKER in ln]
+        assert lines, f"{doc} lost its registry-tally marker line"
+        for ln in lines:
+            assert ln == expected, (
+                f"{doc} tally is stale: run scripts/refresh_tallies.py "
+                f"(doc: {ln!r}, live: {expected!r})"
+            )
