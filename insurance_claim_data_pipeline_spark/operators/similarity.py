@@ -2092,7 +2092,7 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
 @register(
     "sim_topk_ivfpq_rerank",
     oracle=_ivfpq_rerank_oracle(),
-    tags=("similarity", "llm", "approx", "scale"),
+    tags=("similarity", "llm", "approx", "scale", "bench"),
 )
 def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN stack in one oracled dataflow — FAISS's

@@ -2074,7 +2074,11 @@ def span_dedup_frame(doc: DataFrame) -> DataFrame:
     )
 
 
-@register("text_span_dedup", oracle=SPAN_DEDUP_ORACLE, tags=("text", "dedup", "llm", "scale"))
+@register(
+    "text_span_dedup",
+    oracle=SPAN_DEDUP_ORACLE,
+    tags=("text", "dedup", "llm", "scale", "bench"),
+)
 def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-SPAN coverage — the substring-level dedup signal
     (the document-level family's complement): for every doc, how many of
