@@ -1739,3 +1739,95 @@ def dedup_semantic_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("component_id", "vec_id").alias("component_id"),
         (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("keep"),
     )
+
+
+SEMANTIC_LSH_RECALL_ORACLE = f"""
+WITH planes(band, prow, w) AS (VALUES
+    {{PLANES}}
+),
+e AS (SELECT vec_id, embedding FROM embeddings),
+exact_pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND({cosine_sql('a.embedding', 'b.embedding')}, 6)
+        >= {COSINE_NEARDUP_THRESHOLD}
+),
+bits AS (
+  SELECT e.vec_id, p.band,
+         CASE WHEN {dot_sql('e.embedding', 'p.w')} > 0
+              THEN (1::BIGINT << p.prow) ELSE 0 END AS bitval
+  FROM e, planes p
+),
+sigs AS (
+  SELECT vec_id, band, CAST(SUM(bitval) AS BIGINT) AS code
+  FROM bits GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.code = b.code
+  WHERE a.vec_id < b.vec_id
+),
+lsh_pairs AS (
+  SELECT vec_a, vec_b
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.vec_a
+  JOIN e eb ON eb.vec_id = cand.vec_b
+  WHERE ROUND({cosine_sql('ea.embedding', 'eb.embedding')}, 6)
+        >= {COSINE_NEARDUP_THRESHOLD}
+)
+SELECT CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM lsh_pairs) AS BIGINT) AS n_lsh,
+       CAST((SELECT COUNT(*) FROM lsh_pairs l JOIN exact_pairs x
+             ON l.vec_a = x.vec_a AND l.vec_b = x.vec_b) AS BIGINT) AS n_common,
+       CAST((SELECT COUNT(*) FROM lsh_pairs l JOIN exact_pairs x
+             ON l.vec_a = x.vec_a AND l.vec_b = x.vec_b) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM exact_pairs), 1) AS BIGINT)
+         AS recall_ppm
+""".replace("{PLANES}", _sem_lsh_planes_sql())
+
+
+@register(
+    "dedup_semantic_lsh_recall",
+    oracle=SEMANTIC_LSH_RECALL_ORACLE,
+    tags=("dedup", "llm", "embedding", "eval"),
+)
+def dedup_semantic_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE recall certificate for the semantic-dedup scale
+    path: counts the brute-force cosine near-dup pairs, the LSH-bucketed
+    pairs, their intersection, and recall in ppm — the same gate
+    tests/test_llm_ops.py asserts ≥0.95, but emitted as an oracled
+    registry query so the external correctness harness (not just local
+    pytest) hashes the fidelity claim. Since the LSH refinement applies
+    the identical rounded-cosine threshold, lsh_pairs ⊆ exact_pairs and
+    n_lsh == n_common (precision 1.0 by construction — also visible in
+    the emitted row).
+
+    Scale: the exact side is the O(n²) reference measurement and makes
+    this an EVAL query (run on a sample at production scale, like any
+    recall audit); the production dedup itself is
+    :func:`dedup_semantic_components_lsh`, which never touches the
+    brute-force side."""
+    exact = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    lsh = semantic_lsh_candidate_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    n_common = (
+        lsh.join(exact, ["vec_a", "vec_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_common)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.floor(
+                F.col("n_common") * 1_000_000 / F.greatest("n_exact", F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
