@@ -12,8 +12,10 @@ hash():
 - minhash_lsh: 12-permutation MinHash signature, banded 3×4 for
   candidate generation, exact-signature similarity estimate.
 - simhash:    60-bit SimHash with banded Hamming-distance candidates.
-- embedding near-dup: cosine threshold over the embeddings table
-  (brute force here; the LSH-bucketed scale path lives in similarity.py).
+- embedding near-dup: cosine threshold over the embeddings table —
+  brute-force reference (dedup_embedding_cosine) plus the REGISTERED
+  banded random-hyperplane scale path (dedup_semantic_components_lsh,
+  equi-join candidates, recall certified by dedup_semantic_lsh_recall).
 
 Scale analysis (100 TB): exact/minhash/simhash are one scan + one
 shuffle on (hash/band) keys; candidate pair sets are output-bounded.
