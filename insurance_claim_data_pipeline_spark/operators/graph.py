@@ -102,6 +102,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar driver value: node-count, not data
+    if n_nodes == 0:
+        # empty-graph guard: an empty partition/date-slice is routine at
+        # scale — return the empty rank frame instead of dividing by the
+        # node count below
+        return nodes.select("node", F.lit(None).cast("long").alias("pr_e12")).limit(0)
     base = (15 * (PR_SCALE // n_nodes)) // 100
 
     pr = nodes.select("node", F.lit(PR_SCALE // n_nodes).cast("long").alias("pr"))
@@ -705,8 +710,12 @@ tok AS (
   FROM ksum
 )
 SELECT m.m_edges, i.m_intra, x.n_components,
-       CAST(i.m_intra AS DOUBLE) / m.m_edges
-         - CAST(x.sum_kc2 AS DOUBLE) / (4.0 * m.m_edges * m.m_edges) AS modularity
+       -- NULL on a zero-edge graph (modularity undefined), matching the
+       -- Spark side's empty-slice guard
+       CASE WHEN m.m_edges > 0 THEN
+         CAST(i.m_intra AS DOUBLE) / m.m_edges
+           - CAST(x.sum_kc2 AS DOUBLE) / (4.0 * m.m_edges * m.m_edges)
+       END AS modularity
 FROM m m, intra i, expect x
 """
 
@@ -755,14 +764,19 @@ def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k_c") * F.col("k_c")).cast("long").alias("sum_kc2"),
         F.count(F.lit(1)).cast("long").alias("n_components"),
     )
+    # empty-graph guard: modularity is undefined with zero edges — emit
+    # the zero-edge row with NULL modularity instead of dividing by the
+    # edge count (an empty slice is routine at scale)
+    m_div = float(m_edges) if m_edges else 1.0
+    modularity = (
+        F.lit(float(m_intra)) / F.lit(m_div)
+        - F.col("sum_kc2").cast("double") / (4.0 * m_div * m_div)
+    )
     return expect.select(
         F.lit(m_edges).cast("long").alias("m_edges"),
         F.lit(m_intra).cast("long").alias("m_intra"),
         "n_components",
-        (
-            F.lit(float(m_intra)) / F.lit(float(m_edges))
-            - F.col("sum_kc2").cast("double") / (4.0 * float(m_edges) * float(m_edges))
-        ).alias("modularity"),
+        (F.when(F.lit(m_edges) > 0, modularity)).alias("modularity"),
     )
 
 

@@ -510,7 +510,12 @@ def sink_partitioned_parquet_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .partitionBy("lang")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # explicit schema on the read-back: an empty input writes zero data
+    # files and schema inference would fail (empty-input guard); on
+    # non-empty data the explicit schema is what inference returns
+    # anyway, modulo partition-column placement, which the aggregate
+    # below doesn't depend on
+    back = spark.read.schema(doc.schema).parquet(out)
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

@@ -655,12 +655,15 @@ s AS (
   FROM documents
 )
 SELECT t.n_all, e.n_kept,
-       CAST(t.all_chars * 1000000 // t.n_all AS BIGINT) AS true_mean_chars_e6,
-       CAST(e.kept_chars * 1000000 // e.n_kept AS BIGINT) AS naive_mean_chars_e6,
-       CAST(e.ht_num * 1000000 // e.ht_den AS BIGINT) AS ht_mean_chars_e6,
-       CAST(t.n_en * 1000000 // t.n_all AS BIGINT) AS true_en_share_e6,
-       CAST(e.kept_en * 1000000 // e.n_kept AS BIGINT) AS naive_en_share_e6,
-       CAST(e.ht_en_num * 1000000 // e.ht_den AS BIGINT) AS ht_en_share_e6
+       -- GREATEST guards: an empty corpus (or a plan that keeps nothing)
+       -- reports NULL means instead of erroring — same style as
+       -- er_blocking_budget; no-op whenever a single row exists
+       CAST(t.all_chars * 1000000 // GREATEST(t.n_all, 1) AS BIGINT) AS true_mean_chars_e6,
+       CAST(e.kept_chars * 1000000 // GREATEST(e.n_kept, 1) AS BIGINT) AS naive_mean_chars_e6,
+       CAST(e.ht_num * 1000000 // GREATEST(e.ht_den, 1) AS BIGINT) AS ht_mean_chars_e6,
+       CAST(t.n_en * 1000000 // GREATEST(t.n_all, 1) AS BIGINT) AS true_en_share_e6,
+       CAST(e.kept_en * 1000000 // GREATEST(e.n_kept, 1) AS BIGINT) AS naive_en_share_e6,
+       CAST(e.ht_en_num * 1000000 // GREATEST(e.ht_den, 1) AS BIGINT) AS ht_en_share_e6
 FROM est e, truth t
 """
 
@@ -725,22 +728,22 @@ def sample_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(truth)).select(
         "n_all",
         "n_kept",
-        F.expr("CAST(all_chars * 1000000 div n_all AS BIGINT)").alias(
+        F.expr("CAST(all_chars * 1000000 div GREATEST(n_all, 1L) AS BIGINT)").alias(
             "true_mean_chars_e6"
         ),
-        F.expr("CAST(kept_chars * 1000000 div n_kept AS BIGINT)").alias(
+        F.expr("CAST(kept_chars * 1000000 div GREATEST(n_kept, 1L) AS BIGINT)").alias(
             "naive_mean_chars_e6"
         ),
-        F.expr("CAST(ht_num * 1000000 div ht_den AS BIGINT)").alias(
+        F.expr("CAST(ht_num * 1000000 div GREATEST(ht_den, 1L) AS BIGINT)").alias(
             "ht_mean_chars_e6"
         ),
-        F.expr("CAST(n_en * 1000000 div n_all AS BIGINT)").alias(
+        F.expr("CAST(n_en * 1000000 div GREATEST(n_all, 1L) AS BIGINT)").alias(
             "true_en_share_e6"
         ),
-        F.expr("CAST(kept_en * 1000000 div n_kept AS BIGINT)").alias(
+        F.expr("CAST(kept_en * 1000000 div GREATEST(n_kept, 1L) AS BIGINT)").alias(
             "naive_en_share_e6"
         ),
-        F.expr("CAST(ht_en_num * 1000000 div ht_den AS BIGINT)").alias(
+        F.expr("CAST(ht_en_num * 1000000 div GREATEST(ht_den, 1L) AS BIGINT)").alias(
             "ht_en_share_e6"
         ),
     )

@@ -3059,7 +3059,12 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .groupBy("a", "b")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            # empty corpus / no adjacent pair left: stop learning merges
+            # instead of indexing into an empty result (empty-input guard)
+            break
+        best = top[0]
         merges.append((step, best["a"], best["b"], int(best["cnt"])))
         cur = cur.withColumn(
             "seq",

@@ -91,9 +91,17 @@ def events_errors_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix=f"icdp_fb_{uuid4().hex[:8]}_")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
-    run_foreachbatch_parquet(errors_projected(_events_stream(spark, sf_dir)), out, ckpt)
-    # batch_id is the inferred hive-partition column; drop it for the compare
-    return spark.read.parquet(out).select("event_id", "user_id", "ts_us", "value")
+    transformed = errors_projected(_events_stream(spark, sf_dir))
+    run_foreachbatch_parquet(transformed, out, ckpt)
+    # empty-input guard: zero micro-batches → no batch_id=N dir is ever
+    # written; read the (created) dir with the transform's own schema so
+    # an empty stream yields an empty frame instead of a read error.
+    # batch_id is the hive-partition dir name; the explicit schema omits
+    # it, which also drops it for the compare.
+    os.makedirs(out, exist_ok=True)
+    return spark.read.schema(transformed.schema).parquet(out).select(
+        "event_id", "user_id", "ts_us", "value"
+    )
 
 
 LATEST_PER_USER_ORACLE = """
@@ -185,7 +193,17 @@ def events_cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix=f"icdp_cdc_{uuid4().hex[:8]}_")
     state = os.path.join(base, "state")
     ckpt = os.path.join(base, "ckpt")
-    final = run_cdc_upsert(_events_stream(spark, sf_dir), state, ckpt)
-    return spark.read.parquet(final).select(
+    stream = _events_stream(spark, sf_dir)
+    # the exact schema write_batch's projection lands in the state files
+    # (derived, not hardcoded, so a source-schema change can't desync it)
+    state_schema = stream.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    ).schema
+    final = run_cdc_upsert(stream, state, ckpt)
+    # empty-input guard: with zero micro-batches no state version is ever
+    # written — read the (created) empty dir with the explicit state
+    # schema instead of failing schema inference / path resolution
+    os.makedirs(final, exist_ok=True)
+    return spark.read.schema(state_schema).parquet(final).select(
         "user_id", "event_id", "ts_us", "event_type", "value"
     )
