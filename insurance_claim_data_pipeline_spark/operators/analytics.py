@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.group import GroupedData
 
 from ..functions.stable import dec, dec_sum, dec_sum_sql
+from ..functions.guards import nonzero
 from ..registry import register
 from ..session import load_table, tiny_frame_key
 
@@ -663,7 +664,7 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y"),
         F.sum(F.col("x") * F.col("x")),
     )
-    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx).cast("double")
+    slope = (cnt * sxy - sx * sy) / nonzero((cnt * sxx - sx * sx).cast("double"))
     return base.groupBy("event_type").agg(
         cnt.alias("n_hours"),
         F.round(slope, 6).alias("slope"),

@@ -36,6 +36,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum, dec_sum_sql
+from ..functions.guards import nonzero
 from ..registry import register
 from ..session import load_table, tiny_frame_key
 from .analytics import _ntile_from_rank, _with_global_rank
@@ -734,9 +735,9 @@ def feat_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_all", F.sum("n_cf").over(w_all))
         .withColumn("pos_all", F.sum("pos_cf").over(w_all))
     )
-    prior_oof = (F.col("pos_all") - F.col("pos_f")).cast("double") / (
-        F.col("n_all") - F.col("n_f")
-    ).cast("double")
+    prior_oof = (F.col("pos_all") - F.col("pos_f")).cast("double") / nonzero(
+        (F.col("n_all") - F.col("n_f")).cast("double")
+    )
     return tot.select(
         "cat",
         F.col("fold").cast("long").alias("fold"),

@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.stable import dec, dec_avg, dec_sum, dec_sum_sql
+from ..functions.guards import nonzero
 from ..registry import register
 from ..session import load_table, tiny_frame_key
 
@@ -120,7 +121,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_qty") / F.col("n")).alias("avg_qty"),
         (
             (F.col("sum_qty_sq") - F.col("sum_qty") * F.col("sum_qty") / F.col("n"))
-            / (F.col("n") - 1)
+            / nonzero(F.col("n") - 1)
         ).alias("var_qty"),
     )
 

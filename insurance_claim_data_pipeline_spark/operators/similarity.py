@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import dec_avg
 from ..functions.vectors import as_double, cosine, cosine_sql, dot, dot_sql
+from ..functions.guards import nonzero
 from ..registry import register
 from ..session import load_table, tiny_frame_key
 
@@ -1423,7 +1424,7 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("proj"),
         (
             F.col("t").cast("double") * F.col("t")
-            / (F.col("c2").cast("double") * F.col("w2"))
+            / nonzero(F.col("c2").cast("double") * F.col("w2"))
         ).alias("cos2_top"),
     )
 
@@ -2813,7 +2814,7 @@ def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(("
             + " + ".join(f"s{j} * s{j}" for j in range(1, 65))
-            + " - self_e12) div (n * (n - 1)) AS BIGINT)"
+            + " - self_e12) div GREATEST(n * (n - 1), 1L) AS BIGINT)"
         ).alias("mean_pair_cos_e12"),
     )
 

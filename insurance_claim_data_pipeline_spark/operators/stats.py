@@ -33,6 +33,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum, dec_sum_sql
+from ..functions.guards import nonzero
 from ..registry import register
 from ..session import load_table
 
@@ -311,7 +312,8 @@ def drift_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("n0", "n1").agg(
         F.max(diff).cast("long").alias("ks_num"),
         (
-            F.max(diff).cast("double") / (F.col("n0").cast("double") * F.col("n1"))
+            F.max(diff).cast("double")
+            / nonzero(F.col("n0").cast("double") * F.col("n1"))
         ).alias("ks_stat"),
     ).select("ks_num", "n0", "n1", "ks_stat")
 
@@ -536,7 +538,8 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = m.withColumn("mu", F.col("s1").cast("double") / F.col("t_hours"))
     m = m.withColumn(
         "var",
-        (F.col("s2").cast("double") - F.col("s1") * F.col("mu")) / (F.col("t_hours") - 1),
+        (F.col("s2").cast("double") - F.col("s1") * F.col("mu"))
+        / nonzero(F.col("t_hours") - 1),
     )
     sd = F.sqrt(F.col("var"))
     return m.select(
@@ -599,7 +602,7 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
     mod_z = F.round(
         (F.col("value") - F.col("med"))
-        / ((F.lit(MAD_K_E4) / F.lit(10_000.0)) * F.col("mad")),
+        / nonzero((F.lit(MAD_K_E4) / F.lit(10_000.0)) * F.col("mad")),
         4,
     )
     return (
@@ -702,7 +705,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = weighted.groupBy("b").agg(
         (
             dec_sum(F.col("w") * F.col("o_totalprice"))
-            / F.sum("w").cast("long")
+            / nonzero(F.sum("w").cast("long"))
         ).alias("m")
     )
     full_m = orders.agg(
@@ -1048,7 +1051,10 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "k",
         "n_tot",
-        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k")))).alias("f_stat"),
+        (
+            (ssb / nonzero(F.col("k") - 1))
+            / nonzero(ssw / nonzero(F.col("n_tot") - F.col("k")))
+        ).alias("f_stat"),
     )
 
 
@@ -1176,7 +1182,7 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mom(F.col("y") * F.col("y")).alias("ss"),
     )
     mu = F.col("s") / F.col("n_units")
-    var = (F.col("ss") - F.col("s") * mu) / (F.col("n_units") - 1)
+    var = (F.col("ss") - F.col("s") * mu) / nonzero(F.col("n_units") - 1)
     v = m.select("n_units", "n_t", mu.alias("mu"), var.alias("var"))
     mde = (F.lit(Z_ALPHA_2) + F.lit(Z_BETA)) * F.sqrt(
         2 * F.col("var") / (F.col("n_units") / F.lit(2.0))
@@ -1462,7 +1468,7 @@ def spearman_frame(pts: DataFrame) -> DataFrame:
         d(F.col("rx") * F.col("rx")).alias("sxx"),
         d(F.col("ry") * F.col("ry")).alias("syy"),
     )
-    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / nonzero(
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
@@ -1577,7 +1583,7 @@ def stats_lift_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 dec_sum(F.col("w") * F.col("o_totalprice"))
-                / F.sum("w").cast("long")
+                / nonzero(F.sum("w").cast("long"))
             ).alias("m")
         )
     )
@@ -1689,9 +1695,10 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "k",
         "n_tot",
-        ((ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k")))).alias(
-            "f_stat"
-        ),
+        (
+            (ssb / nonzero(F.col("k") - 1))
+            / nonzero(ssw / nonzero(F.col("n_tot") - F.col("k")))
+        ).alias("f_stat"),
     )
 
 
@@ -2404,11 +2411,11 @@ def stats_fixed_effects_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_groups",
         (
             (F.col("sxy_t") - F.col("sx_t") * F.col("sy_t") / F.col("n"))
-            / (F.col("sxx_t") - F.col("sx_t") * F.col("sx_t") / F.col("n"))
+            / nonzero(F.col("sxx_t") - F.col("sx_t") * F.col("sx_t") / F.col("n"))
         ).alias("slope_pooled"),
         (
             (F.col("sxy_t") - F.col("sxy_between"))
-            / (F.col("sxx_t") - F.col("sxx_between"))
+            / nonzero(F.col("sxx_t") - F.col("sxx_between"))
         ).alias("slope_within"),
     )
 

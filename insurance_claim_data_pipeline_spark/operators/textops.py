@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingle_rows, shingles, shingles_sql, tokens
+from ..functions.guards import nonzero
 from ..registry import register
 from ..session import load_table
 
@@ -1541,7 +1542,7 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         d(F.col("x_e6") * F.col("x_e6")).alias("sxx"),
     )
     np_ = F.col("np")
-    slope = (np_ * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    slope = (np_ * F.col("sxy") - F.col("sx") * F.col("sy")) / nonzero(
         np_ * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     lnk = (F.col("sy") - slope * F.col("sx")) / (np_ * F.lit(1_000_000.0))
@@ -1899,8 +1900,8 @@ def text_jsd_split_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cp").cast("long").alias("np"), F.sum("cq").cast("long").alias("nq")
     )
     n_terms = c.agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
-    p = F.col("cp").cast("double") / F.col("np")
-    q = F.col("cq").cast("double") / F.col("nq")
+    p = F.col("cp").cast("double") / nonzero(F.col("np"))
+    q = F.col("cq").cast("double") / nonzero(F.col("nq"))
     mmix = 0.5 * (p + q)
     half = lambda r, cnt: F.when(
         cnt > 0, F.round(F.lit(0.5) * r * F.log(r / mmix) * 1_000_000).cast("long")

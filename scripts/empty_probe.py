@@ -1,15 +1,18 @@
-"""Empty-input robustness sweep: run EVERY registry query against a
-zero-row copy of the star schema and report any Spark-side crash.
+"""Degenerate-input robustness sweep: run EVERY registry query against a
+zero-row AND a one-row copy of the star schema and report any
+Spark-side crash.
 
-An empty partition, date-slice, or filtered-out shard is routine at
-100 TB; an operator that throws on zero rows (unguarded division,
-``collect()[0]``, schema inference over zero files) is the bug class
-ADVICE r04 found in er_blocking_budget. The r05 sweep found and fixed
-8 more (see tests/test_empty_inputs.py for the pinned regressions).
+An empty or single-row partition/date-slice is routine at 100 TB; an
+operator that throws there (unguarded division — Spark 4 runs ANSI mode
+so /0 is a hard error — ``collect()[0]``, schema inference over zero
+files, a sample variance of one point) is the bug class ADVICE r04
+found in er_blocking_budget. The r05 sweeps found and fixed 8 empty-
+input and 17 single-row crashes (tests/test_empty_inputs.py pins them;
+functions/guards.py::nonzero is the standard fix).
 
 Run from anywhere:
 
-    python /root/repo/scripts/empty_probe.py        # ~4 min
+    python /root/repo/scripts/empty_probe.py        # ~8 min
 
 Exits non-zero on any failure. claims_* queries are skipped (they read
 the checked-in fixture files, not the sf dir).
@@ -33,27 +36,32 @@ TABLES = (
 )
 
 
-def write_empty_fixture(spark, base: str) -> None:
+def write_fixture(spark, base: str, n_rows: int) -> None:
     for t in TABLES:
-        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+        load_table(spark, "/root/testdata/sf0.001", t).limit(n_rows).write.mode(
             "overwrite"
         ).parquet(os.path.join(base, f"{t}.parquet"))
 
 
 def main() -> int:
     spark = get_spark("empty-probe")
-    base = os.path.join(tempfile.gettempdir(), "icdp_empty_fixture")
-    write_empty_fixture(spark, base)
     failures = []
-    for name, spec in registry.all_specs().items():
-        if name.startswith("claims_"):
-            continue
-        try:
-            spec.fn(spark, base).limit(5).collect()
-        except Exception as e:  # noqa: BLE001 — report-and-continue sweep
-            failures.append(name)
-            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:140]}", flush=True)
-    print(f"done: {len(failures)} empty-input failure(s)")
+    for label, n_rows in (("empty", 0), ("one-row", 1)):
+        base = os.path.join(tempfile.gettempdir(), f"icdp_{label.replace('-', '_')}_fixture")
+        write_fixture(spark, base, n_rows)
+        for name, spec in registry.all_specs().items():
+            if name.startswith("claims_"):
+                continue
+            try:
+                spec.fn(spark, base).limit(5).collect()
+            except Exception as e:  # noqa: BLE001 — report-and-continue sweep
+                failures.append((label, name))
+                print(
+                    f"FAIL [{label}] {name}: {type(e).__name__}: {str(e)[:140]}",
+                    flush=True,
+                )
+        print(f"{label}: swept", flush=True)
+    print(f"done: {len(failures)} degenerate-input failure(s)")
     return 1 if failures else 0
 
 

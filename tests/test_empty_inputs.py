@@ -1,19 +1,29 @@
-"""Empty-input regression pins.
+"""Degenerate-input regression pins.
 
-scripts/empty_probe.py sweeps the WHOLE registry against a zero-row
-star schema (~4 min — run per round, not per test session). This module
-pins just the queries that have ever FAILED that sweep, so the specific
-guards that fixed them can't regress without a red test:
+scripts/empty_probe.py sweeps the WHOLE registry against zero-row and
+one-row star schemas (~8 min — run per round, not per test session).
+This module pins just the queries that have ever FAILED those sweeps,
+so the specific guards that fixed them can't regress without a red
+test. Spark 4 runs ANSI mode by default, so any unguarded division by
+zero is a hard SparkArithmeticException — ``functions/guards.py``
+documents the standard ``nonzero`` fix.
+
+Empty-input class (r04 ADVICE + r05 sweep):
 
 - er_blocking_budget       (ADVICE r04: unguarded n·(n−1)/2 denominator)
-- sample_ht_estimator      (r05 sweep: unguarded div by n_all/n_kept/ht_den)
-- graph_components_modularity (r05: modularity division by zero edges)
-- graph_pagerank           (r05: Python ZeroDivision on node count)
+- sample_ht_estimator      (unguarded div by n_all/n_kept/ht_den)
+- graph_components_modularity (modularity division by zero edges)
+- graph_pagerank           (Python ZeroDivision on node count)
 - text_bpe_train_merges / text_bpe_apply_fertility
-                           (r05: collect()[0] into an empty argmax)
-- sink_partitioned_parquet_stats (r05: schema inference over zero files)
+                           (collect()[0] into an empty argmax)
+- sink_partitioned_parquet_stats (schema inference over zero files)
 - events_errors_foreachbatch / events_cdc_upsert_stream
-                           (r05: zero micro-batches → sink dir never created)
+                           (zero micro-batches → sink dir never created)
+
+Single-row class (r05 sweep — the n−1 / zero-variance family): 17
+statistics whose denominator collapses when a slice has one row, one
+group, or one split side; each now yields NULL for the undefined
+statistic via ``nonzero``.
 """
 
 from __future__ import annotations
@@ -30,7 +40,7 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-EVER_FAILED = (
+EMPTY_EVER_FAILED = (
     "er_blocking_budget",
     "sample_ht_estimator",
     "graph_components_modularity",
@@ -42,20 +52,57 @@ EVER_FAILED = (
     "events_cdc_upsert_stream",
 )
 
+ONEROW_EVER_FAILED = (
+    "drift_ks_twosample",
+    "agg_bootstrap_ci",
+    "stats_spearman_corr",
+    "stats_brown_forsythe",
+    "stats_lift_bootstrap_ci",
+    "emb_pca_project",
+    "emb_isotropy_score",
+    "text_heaps_fit",
+    "text_jsd_split_shift",
+    "feat_target_encode_cv",
+    "events_burstiness",
+    "events_outlier_mad",
+    "stats_anova_oneway",
+    "stats_power_mde",
+    "stats_fixed_effects_ols",
+    "agg_stats",
+    "events_linear_trend",
+)
 
-@pytest.fixture(scope="module")
-def empty_sf_dir(spark, tmp_path_factory):
-    base = str(tmp_path_factory.mktemp("sf_empty"))
+
+def _write_fixture(spark, base: str, n_rows: int) -> str:
     for t in TABLES:
-        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+        load_table(spark, "/root/testdata/sf0.001", t).limit(n_rows).write.mode(
             "overwrite"
         ).parquet(os.path.join(base, f"{t}.parquet"))
     return base
 
 
-@pytest.mark.parametrize("name", EVER_FAILED)
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    return _write_fixture(spark, str(tmp_path_factory.mktemp("sf_empty")), 0)
+
+
+@pytest.fixture(scope="module")
+def onerow_sf_dir(spark, tmp_path_factory):
+    return _write_fixture(spark, str(tmp_path_factory.mktemp("sf_one")), 1)
+
+
+@pytest.mark.parametrize("name", EMPTY_EVER_FAILED)
 def test_runs_on_empty_input(spark, empty_sf_dir, name):
     # Must produce a frame (possibly zero-row) — never raise. NULL
     # metrics on degenerate input are fine; crashes are not.
     rows = registry.all_specs()[name].fn(spark, empty_sf_dir).limit(5).collect()
+    assert rows is not None
+
+
+@pytest.mark.parametrize("name", ONEROW_EVER_FAILED)
+def test_runs_on_single_row_input(spark, onerow_sf_dir, name):
+    # Undefined statistics (variance of one point, correlation with zero
+    # rank spread, an empty split side) must surface as NULL, not as a
+    # SparkArithmeticException.
+    rows = registry.all_specs()[name].fn(spark, onerow_sf_dir).limit(5).collect()
     assert rows is not None
