@@ -241,7 +241,7 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs = []
     for x, y, _ in _CORR_PAIRS:
         n = F.col("n")
-        r = (n * F.col(f"p_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")) / (
+        r = (n * F.col(f"p_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")) / nonzero(
             F.sqrt(n * F.col(f"q_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
             * F.sqrt(n * F.col(f"q_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
         )

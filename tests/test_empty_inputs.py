@@ -24,6 +24,9 @@ Single-row class (r05 sweep — the n−1 / zero-variance family): 17
 statistics whose denominator collapses when a slice has one row, one
 group, or one split side; each now yields NULL for the undefined
 statistic via ``nonzero``.
+
+Constant-input class (r05 sweep, one row duplicated 5×: n>1 but zero
+variance everywhere): stats_corr_matrix (Pearson denominator).
 """
 
 from __future__ import annotations
@@ -96,6 +99,29 @@ def test_runs_on_empty_input(spark, empty_sf_dir, name):
     # Must produce a frame (possibly zero-row) — never raise. NULL
     # metrics on degenerate input are fine; crashes are not.
     rows = registry.all_specs()[name].fn(spark, empty_sf_dir).limit(5).collect()
+    assert rows is not None
+
+
+CONSTANT_EVER_FAILED = ("stats_corr_matrix",)
+
+
+@pytest.fixture(scope="module")
+def constant_sf_dir(spark, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path_factory.mktemp("sf_const"))
+    for t in TABLES:
+        one = load_table(spark, "/root/testdata/sf0.001", t).limit(1)
+        rep = one.crossJoin(spark.range(5).select(F.lit(1).alias("_d"))).drop("_d")
+        rep.write.mode("overwrite").parquet(os.path.join(base, f"{t}.parquet"))
+    return base
+
+
+@pytest.mark.parametrize("name", CONSTANT_EVER_FAILED)
+def test_runs_on_constant_input(spark, constant_sf_dir, name):
+    # n>1 but zero variance: a correlation/variance denominator of 0
+    # must surface as NULL, not a SparkArithmeticException.
+    rows = registry.all_specs()[name].fn(spark, constant_sf_dir).limit(5).collect()
     assert rows is not None
 
 
