@@ -105,7 +105,9 @@ def ema_frame(events: DataFrame) -> DataFrame:
         out["ema_e6"] = ema
         return out
 
-    prepared = events.select(
+    # rows with no measurement carry no state update: drop NULL values
+    # before the Arrow stage (float(None) would throw in the scan)
+    prepared = events.filter(F.col("value").isNotNull()).select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
     return prepared.groupBy("user_id").applyInPandas(ema_group, schema=EMA_SCHEMA)
@@ -839,7 +841,10 @@ def events_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["p_e6"] = ps
         return out
 
-    prepared = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    # NULL values carry no measurement — same fail-soft as ema_frame
+    prepared = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value")
     )
     return prepared.groupBy("user_id").applyInPandas(kalman_group, schema=KALMAN_SCHEMA)

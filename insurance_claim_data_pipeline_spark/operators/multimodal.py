@@ -38,7 +38,11 @@ def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary payload column + typed metadata, the layout a media table
     would have (opaque bytes + format tag)."""
     doc = load_table(spark, sf_dir, "documents")
-    return doc.select(
+    # fail-soft on NULL payloads: a corpus row with no media bytes is
+    # skipped BEFORE the Arrow decode stage (bytes(None) would throw in
+    # every downstream Pandas UDF) — the same per-record fail-soft
+    # discipline as the claims loaders (X1)
+    return doc.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode("text", "UTF-8").alias("content"),
         F.lit("fakeimg/v1").alias("media_format"),

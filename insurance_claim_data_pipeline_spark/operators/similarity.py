@@ -251,6 +251,8 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
+        # fail-soft: rows with no embedding can neither train nor match
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", as_double("embedding").alias("v"))
         .cache()  # scanned once per Lloyd round + twice in the search
     )
@@ -1047,8 +1049,11 @@ def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays ≈ the untrained 0.20 (there are no clusters to find); on real
     embedding corpora, which are heavily clustered, the error reduction
     is what converts into recall."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        # fail-soft: rows with no embedding can neither train nor match
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", as_double("embedding").alias("v"))
     )
     cb = train_pq_codebooks(emb)
     subv = _pq_subvectors(emb)

@@ -958,8 +958,13 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~100x slower interpreted (higher-order exprs don't codegen); the
     oracle replays the O(n·W) form because DuckDB's list kernels make
     it cheap at oracle scale. Embarrassingly parallel map work, no
-    shuffle."""
-    doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shuffle. NULL-text rows are skipped before the Arrow stage
+    (fail-soft, same as the multimodal payload discipline)."""
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
 
     def fingerprint(batches):
         import pandas as _pd

@@ -7,12 +7,12 @@ operator that throws there (unguarded division — Spark 4 runs ANSI mode
 so /0 is a hard error — ``collect()[0]``, schema inference over zero
 files, a sample variance of one point) is the bug class ADVICE r04
 found in er_blocking_budget. The r05 sweeps found and fixed 8 empty-
-input and 17 single-row + 1 constant-input crashes (tests/test_empty_inputs.py pins them;
+input and 17 single-row, 1 constant-input, and 12 NULL-payload crashes (tests/test_empty_inputs.py pins them;
 functions/guards.py::nonzero is the standard fix).
 
 Run from anywhere:
 
-    python /root/repo/scripts/empty_probe.py        # ~12 min
+    python /root/repo/scripts/empty_probe.py        # ~25 min
 
 Exits non-zero on any failure. claims_* queries are skipped (they read
 the checked-in fixture files, not the sf dir).
@@ -54,11 +54,26 @@ def main() -> int:
             rep = one.crossJoin(spark.range(5).select(F.lit(1).alias("_d"))).drop("_d")
             rep.write.mode("overwrite").parquet(os.path.join(base, f"{t}.parquet"))
 
-    for label, n_rows in (("empty", 0), ("one-row", 1), ("constant", 5)):
+    def write_nullpayload(base: str) -> None:
+        keys = {"documents": ("text", "doc_id"), "events": ("value", "event_id"),
+                "embeddings": ("embedding", "vec_id")}
+        for t in TABLES:
+            df = load_table(spark, "/root/testdata/sf0.001", t)
+            if t in keys:
+                c, k = keys[t]
+                df = df.withColumn(
+                    c, F.when(F.col(k) % 3 == 0, F.lit(None)).otherwise(F.col(c))
+                )
+            df.write.mode("overwrite").parquet(os.path.join(base, f"{t}.parquet"))
+
+    for label, n_rows in (("empty", 0), ("one-row", 1), ("constant", 5), ("nulls", 3)):
         base = os.path.join(tempfile.gettempdir(), f"icdp_{label.replace('-', '_')}_fixture")
         if label == "constant":
             # one row duplicated: n>1 with zero variance everywhere
             write_constant(base)
+        elif label == "nulls":
+            # NULL payloads in text / value / embedding, every 3rd row
+            write_nullpayload(base)
         else:
             write_fixture(spark, base, n_rows)
         for name, spec in registry.all_specs().items():

@@ -27,6 +27,13 @@ statistic via ``nonzero``.
 
 Constant-input class (r05 sweep, one row duplicated 5×: n>1 but zero
 variance everywhere): stats_corr_matrix (Pearson denominator).
+
+NULL-payload class (r05 sweep, NULLs injected into the surfaces real
+corpora actually null out — documents.text, events.value,
+embeddings.embedding): 12 Arrow/Pandas-UDF paths that fed ``bytes(None)``
+/ ``float(None)`` / ``list(None)`` into worker closures. Fixed with
+fail-soft ``isNotNull`` filters BEFORE the Arrow stage (the X1
+per-record discipline), never inside the closure.
 """
 
 from __future__ import annotations
@@ -122,6 +129,48 @@ def test_runs_on_constant_input(spark, constant_sf_dir, name):
     # n>1 but zero variance: a correlation/variance denominator of 0
     # must surface as NULL, not a SparkArithmeticException.
     rows = registry.all_specs()[name].fn(spark, constant_sf_dir).limit(5).collect()
+    assert rows is not None
+
+
+NULL_EVER_FAILED = (
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_feature_extract",
+    "multimodal_audio_framing",
+    "multimodal_audio_vad",
+    "multimodal_shot_boundaries",
+    "events_ema_irregular",
+    "events_kalman_filter",
+    "text_rolling_fingerprint",
+    "sim_topk_ivf_trained",
+    "sim_topk_pq_trained",
+)
+
+
+@pytest.fixture(scope="module")
+def nullpayload_sf_dir(spark, tmp_path_factory):
+    import pyspark.sql.functions as F
+
+    keys = {"documents": ("text", "doc_id"), "events": ("value", "event_id"),
+            "embeddings": ("embedding", "vec_id")}
+    base = str(tmp_path_factory.mktemp("sf_nulls"))
+    for t in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        if t in keys:
+            c, k = keys[t]
+            df = df.withColumn(
+                c, F.when(F.col(k) % 3 == 0, F.lit(None)).otherwise(F.col(c))
+            )
+        df.write.mode("overwrite").parquet(os.path.join(base, f"{t}.parquet"))
+    return base
+
+
+@pytest.mark.parametrize("name", NULL_EVER_FAILED)
+def test_runs_on_null_payload_input(spark, nullpayload_sf_dir, name):
+    # A corpus row with a NULL payload (no text, no measurement, no
+    # embedding) must be skipped fail-soft, not crash the Arrow stage.
+    rows = registry.all_specs()[name].fn(spark, nullpayload_sf_dir).limit(5).collect()
     assert rows is not None
 
 
