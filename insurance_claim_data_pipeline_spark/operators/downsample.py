@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.grouped import sorted_grouped_map
 from ..registry import register
 from ..session import load_table
 
@@ -151,7 +152,7 @@ def lttb_frame(events: DataFrame, n_out: int = LTTB_BUCKETS) -> DataFrame:
             keep.append(n - 1)
         return pdf.iloc[keep][["user_id", "event_id", "ts_us", "value"]]
 
-    return events.groupBy("user_id").applyInPandas(lttb_group, schema=LTTB_SCHEMA)
+    return sorted_grouped_map(events, ["user_id"], lttb_group, LTTB_SCHEMA)
 
 
 @register("events_lttb_downsample", oracle=_lttb_oracle(), tags=("events", "pandas", "llm"))

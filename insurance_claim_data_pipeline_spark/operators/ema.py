@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.grouped import sorted_grouped_map
 from ..registry import register
 from ..session import load_table
 
@@ -80,27 +81,36 @@ def ema_frame(events: DataFrame) -> DataFrame:
     tau_us = TAU_US
     e6 = E6
 
-    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Integer fixed-point EMA scan per user (the loop is over one
-        # user's events, already grouped engine-side). math.exp, not
-        # np.exp — the reproducibility contract is exact equality with
-        # the DuckDB oracle and the independent recomputation in tests.
+    def ema_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Integer fixed-point EMA scan, whole-batch: one sort over many
+        # complete user series, key transitions reset the recurrence.
+        # math.exp, not np.exp — the reproducibility contract is exact
+        # equality with the DuckDB oracle and the independent
+        # recomputation in tests.
         # NOTE: defined as a closure, not at module level — cloudpickle
         # then ships it BY VALUE, so Python workers need neither this
         # package on their path nor a matching PYTHONPATH (the driver
         # contract runs from an arbitrary cwd).
         import math
 
-        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
-        ts = [int(t) for t in pdf["ts_us"]]
-        x = [int(math.floor(float(v) * e6 + 0.5)) for v in pdf["value"]]
+        pdf = pdf.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        kcol = pdf["user_id"]
+        # NaN-safe boundaries: null users are ONE group (SQL PARTITION
+        # BY semantics), and NaN != NaN must not split them.
+        new_grp = ((kcol != kcol.shift()) & ~(kcol.isna() & kcol.shift().isna())).tolist()
+        new_grp[0] = True
         ema: list[int] = []
-        for i in range(len(x)):
-            if i == 0:
-                ema.append(x[0])
+        prev_ts = cur = 0
+        for is_new, t, v in zip(new_grp, pdf["ts_us"], pdf["value"]):
+            t = int(t)
+            x = int(math.floor(float(v) * e6 + 0.5))
+            if is_new:
+                cur = x
             else:
-                w = int(math.floor(e6 * (1.0 - math.exp(-(ts[i] - ts[i - 1]) / tau_us)) + 0.5))
-                ema.append((w * x[i] + (e6 - w) * ema[i - 1]) // e6)
+                w = int(math.floor(e6 * (1.0 - math.exp(-(t - prev_ts) / tau_us)) + 0.5))
+                cur = (w * x + (e6 - w) * cur) // e6
+            prev_ts = t
+            ema.append(cur)
         out = pdf[["user_id", "event_id", "ts_us", "value"]].copy()
         out["ema_e6"] = ema
         return out
@@ -110,7 +120,11 @@ def ema_frame(events: DataFrame) -> DataFrame:
     prepared = events.filter(F.col("value").isNotNull()).select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
-    return prepared.groupBy("user_id").applyInPandas(ema_group, schema=EMA_SCHEMA)
+    # ~1.5k users per sf0.1 shard and growing with data size: use the
+    # whole-partition grouped map to amortise per-group Arrow overhead.
+    return sorted_grouped_map(
+        prepared, ["user_id"], ema_batch, EMA_SCHEMA, whole_batch=True
+    )
 
 
 @register("events_ema_irregular", oracle=EMA_ORACLE, tags=("events", "llm", "pandas"))
@@ -522,27 +536,46 @@ def croston_frame(wk: DataFrame) -> DataFrame:
     ``(l_partkey, week_idx, demand_c)`` weekly-demand frame."""
     e6, alpha = E6, CROSTON_ALPHA_E6
 
-    def croston_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("week_idx").reset_index(drop=True)
-        weeks = [int(w) for w in pdf["week_idx"]]
-        x = [int(d) * e6 for d in pdf["demand_c"]]
+    def croston_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Whole-batch linear pass over many complete part series: one
+        # sort, one loop, key transitions reset the recurrence. Python
+        # ints on purpose — the fixed-point products must not overflow
+        # int64 silently at larger demand magnitudes.
+        pdf = pdf.sort_values(["l_partkey", "week_idx"]).reset_index(drop=True)
         z: list[int] = []
         p: list[int] = []
-        for i, xi in enumerate(x):
-            if i == 0:
-                z.append(xi)
-                p.append(e6)
+        rate: list[int] = []
+        prev_w = zz = pp = 0
+        kcol = pdf["l_partkey"]
+        # NaN-safe boundary mask: nulls sort together and must form ONE
+        # group (groupBy / SQL PARTITION BY semantics), so NaN→NaN is
+        # not a boundary even though NaN != NaN.
+        new_grp = ((kcol != kcol.shift()) & ~(kcol.isna() & kcol.shift().isna())).tolist()
+        new_grp[0] = True
+        for is_new, w, dc in zip(new_grp, pdf["week_idx"], pdf["demand_c"]):
+            w = int(w)
+            xi = int(dc) * e6
+            if is_new:
+                zz, pp = xi, e6
             else:
-                q = (weeks[i] - weeks[i - 1]) * e6
-                z.append((alpha * xi + (e6 - alpha) * z[-1]) // e6)
-                p.append((alpha * q + (e6 - alpha) * p[-1]) // e6)
+                q = (w - prev_w) * e6
+                zz = (alpha * xi + (e6 - alpha) * zz) // e6
+                pp = (alpha * q + (e6 - alpha) * pp) // e6
+            prev_w = w
+            z.append(zz)
+            p.append(pp)
+            rate.append((zz * 1000) // (pp // 1000))
         out = pdf[["l_partkey", "week_idx", "demand_c"]].copy()
         out["z_e6"] = z
         out["p_e6"] = p
-        out["rate_e6"] = [(zz * 1000) // (pp // 1000) for zz, pp in zip(z, p)]
+        out["rate_e6"] = rate
         return out
 
-    return wk.groupBy("l_partkey").applyInPandas(croston_group, schema=CROSTON_SCHEMA)
+    # 20k part keys at sf0.1 (≈30 weekly rows each): per-group Arrow
+    # dispatch dominated the runtime — whole-partition batching cuts it.
+    return sorted_grouped_map(
+        wk, ["l_partkey"], croston_batch, CROSTON_SCHEMA, whole_batch=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -820,22 +853,27 @@ def events_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recurrence shards perfectly by key."""
     e6, q_e6, r_e6 = E6, KAL_Q_E6, KAL_R_E6
 
-    def kalman_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kalman_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         import math
 
-        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
-        z = [int(math.floor(float(v) * e6 + 0.5)) for v in pdf["value"]]
+        pdf = pdf.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        kcol = pdf["user_id"]
+        new_grp = ((kcol != kcol.shift()) & ~(kcol.isna() & kcol.shift().isna())).tolist()
+        new_grp[0] = True
         xs: list[int] = []
         ps: list[int] = []
-        for i in range(len(z)):
-            if i == 0:
-                xs.append(z[0])
-                ps.append(r_e6)
+        x = p = 0
+        for is_new, v in zip(new_grp, pdf["value"]):
+            z = int(math.floor(float(v) * e6 + 0.5))
+            if is_new:
+                x, p = z, r_e6
             else:
-                pq = ps[i - 1] + q_e6
+                pq = p + q_e6
                 k = (pq * e6) // (pq + r_e6)
-                xs.append(xs[i - 1] + (k * (z[i] - xs[i - 1])) // e6)
-                ps.append(((e6 - k) * pq) // e6)
+                x = x + (k * (z - x)) // e6
+                p = ((e6 - k) * pq) // e6
+            xs.append(x)
+            ps.append(p)
         out = pdf[["user_id", "event_id", "ts_us", "value"]].copy()
         out["kalman_e6"] = xs
         out["p_e6"] = ps
@@ -847,4 +885,6 @@ def events_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value")
     )
-    return prepared.groupBy("user_id").applyInPandas(kalman_group, schema=KALMAN_SCHEMA)
+    return sorted_grouped_map(
+        prepared, ["user_id"], kalman_batch, KALMAN_SCHEMA, whole_batch=True
+    )
