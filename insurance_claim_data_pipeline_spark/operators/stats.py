@@ -630,23 +630,85 @@ _POIS_CDF = (
 )
 
 
-def _boot_u_sql() -> str:
-    return "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+def _boot_w_case_sql() -> str:
+    """Poisson(1) inverse-CDF CASE over the sliced uniform column ``u``."""
+    return "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {i}" for i, c in enumerate(_POIS_CDF)
+    ) + " ELSE 7 END"
+
+
+def _boot_reps_sql(base: str, cols: str) -> str:
+    """Oracle CTE fragment replaying :func:`_boot_replicates`: one md5
+    per QUAD of replicates keyed on (o_orderkey, g), four 32-bit
+    uniforms sliced from hex chars 1-8 / 9-16 / 17-24 / 25-32 of each
+    digest, replicate id b = 4g + slot + 1. ``cols`` are the payload
+    columns carried through from ``base``."""
+    return f"""quads AS (
+  SELECT o_orderkey, {cols}, unnest(generate_series(0, {BOOT_B // 4 - 1})) AS g
+  FROM {base}
+), hq AS (
+  SELECT {cols}, g,
+         md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(g AS VARCHAR)) AS h
+  FROM quads
+), reps AS (
+  SELECT {cols}, g * 4 + slot + 1 AS b,
+         ('0x' || substr(h, 1 + 8 * slot, 8))::BIGINT / 4294967296.0 AS u
+  FROM hq CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS slot) s
+)"""
+
+
+def _boot_replicates(df: DataFrame, keep: list[str]) -> DataFrame:
+    """Explode ``df`` ×{BOOT_B} replicates with the deterministic
+    Poisson(1) multiplicity ``w`` per (row, replicate ``b``). One md5
+    per QUAD of replicates — four independent 32-bit uniforms sliced
+    from each 128-bit digest (hex chars 1-8, 9-16, 17-24, 25-32) — so
+    hashing, the dominant CPU of the exploded pass, drops 4× vs one
+    digest per replicate (the lever BASELINE.md r4 documented as "not
+    taken"; taken in r5 with the oracle replaying the same slicing, so
+    the resample stream stays bit-reproducible on any partitioning,
+    any rerun, and in DuckDB). posexplode materializes the uniforms in
+    the Generate output, so each digest and each conv run exactly once
+    per quad row regardless of the downstream CASE chain."""
+    quads = df.select(
+        "o_orderkey",
+        *keep,
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 4 - 1))).alias("g"),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("g").cast("string"),
+            )
+        ),
+    )
+    slot_u = [
+        (
+            F.conv(F.substring("h", 1 + 8 * s, 8), 16, 10).cast("long")
+            / F.lit(4294967296.0)
+        )
+        for s in range(4)
+    ]
+    rep = quads.select(
+        *keep, "g", F.posexplode(F.array(*slot_u)).alias("slot", "u")
+    )
+    w = F.lit(7)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
+    return rep.select(
+        *keep,
+        (F.col("g") * 4 + F.col("slot") + 1).cast("int").alias("b"),
+        w.alias("w"),
+    )
 
 
 def _bootstrap_oracle() -> str:
     from ..functions.stable import dec_sum_sql
 
-    u = _boot_u_sql()
-    w_case = "CASE " + " ".join(
-        f"WHEN {u} < {c!r} THEN {i}" for i, c in enumerate(_POIS_CDF)
-    ) + " ELSE 7 END"
     return f"""
-WITH reps AS (
-  SELECT o_orderkey, o_totalprice, unnest(generate_series(1, {BOOT_B})) AS b
-  FROM orders
-), weighted AS (
-  SELECT b, o_totalprice, {w_case} AS w FROM reps
+WITH {_boot_reps_sql('orders', 'o_totalprice')}, weighted AS (
+  SELECT b, o_totalprice, {_boot_w_case_sql()} AS w FROM reps
 ), means AS (
   SELECT b, {dec_sum_sql('w * o_totalprice')} / CAST(SUM(w) AS BIGINT) AS m
   FROM weighted GROUP BY b
@@ -674,34 +736,11 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one scan exploded ×{BOOT_B} with map-side combine straight
     into B running sums — state is B numbers per partition; B scales
-    the CPU of one pass, never the shuffle."""
+    the CPU of one pass, never the shuffle. Hashing (the pass's
+    dominant CPU) runs once per replicate QUAD — see
+    :func:`_boot_replicates`."""
     orders = load_table(spark, sf_dir, "orders")
-    reps = orders.select(
-        "o_orderkey", "o_totalprice",
-        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
-    w = F.lit(7)
-    for i in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
-    weighted = reps.select("b", "o_totalprice", w.alias("w"))
+    weighted = _boot_replicates(orders, ["o_totalprice"])
     means = weighted.groupBy("b").agg(
         (
             dec_sum(F.col("w") * F.col("o_totalprice"))
@@ -1484,10 +1523,6 @@ def _lift_boot_oracle() -> str:
     from ..functions.stable import dec_sum_sql
     from .sampling import _bucket_sql
 
-    u = _boot_u_sql()
-    w_case = "CASE " + " ".join(
-        f"WHEN {u} < {c!r} THEN {i}" for i, c in enumerate(_POIS_CDF)
-    ) + " ELSE 7 END"
     b = _bucket_sql("o_custkey")
     return f"""
 WITH base AS (
@@ -1499,12 +1534,8 @@ WITH base AS (
     (SELECT {dec_sum_sql('o_totalprice')} / COUNT(*) FROM base WHERE treated = 1)
   - (SELECT {dec_sum_sql('o_totalprice')} / COUNT(*) FROM base WHERE treated = 0)
     AS lift_obs
-), reps AS (
-  SELECT o_orderkey, o_totalprice, treated,
-         unnest(generate_series(1, {BOOT_B})) AS b
-  FROM base
-), weighted AS (
-  SELECT b, treated, o_totalprice, {w_case} AS w FROM reps
+), {_boot_reps_sql('base', 'o_totalprice, treated')}, weighted AS (
+  SELECT b, treated, o_totalprice, {_boot_w_case_sql()} AS w FROM reps
 ), means AS (
   SELECT b, treated,
          {dec_sum_sql('w * o_totalprice')} / CAST(SUM(w) AS BIGINT) AS m
@@ -1535,7 +1566,9 @@ def stats_lift_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible on any partitioning, any rerun, and in the oracle.
 
     Scale: one scan exploded ×B with map-side combine into 2B running
-    decimal-stable sums; the diff/quantile step touches a B-row frame."""
+    decimal-stable sums; the diff/quantile step touches a B-row frame.
+    Hashing runs once per replicate QUAD — see
+    :func:`_boot_replicates`."""
     from .sampling import hash_bucket
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1550,35 +1583,8 @@ def stats_lift_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m1"),
         (dec_sum(arm(0)) / F.count(arm(0))).alias("m0"),
     ).select((F.col("m1") - F.col("m0")).alias("lift_obs"))
-    reps = base.select(
-        "o_orderkey",
-        "o_totalprice",
-        "treated",
-        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
-    )
-    w = F.lit(7)
-    for i in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS_CDF[i]), F.lit(i)).otherwise(w)
     means = (
-        reps.select("b", "treated", "o_totalprice", w.alias("w"))
+        _boot_replicates(base, ["o_totalprice", "treated"])
         .groupBy("b", "treated")
         .agg(
             (
