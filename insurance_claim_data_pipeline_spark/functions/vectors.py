@@ -36,6 +36,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Rejected alternative (measured r5, kept as a note so it isn't re-tried):
+# unrolling the fold into a fixed 64-term expression tree
+# (lit(0.0) + a[1]*b[1] + ... + a[64]*b[64], bit-identical op order) to
+# move the dot from the higher-order-function evaluator into whole-stage
+# codegen made every pair-scan SLOWER, not faster — A/B on the 40-query
+# × 40k-vector broadcast join at sf0.1: fold 0.61 s vs unrolled 1.63 s
+# (no-cast variant on materialized double arrays; the cast-per-element
+# variant on raw float arrays was equally slow), and the full
+# brute-force pair scan regressed 24.5 s → 79.6 s. Spark 4's
+# ArrayAggregate over primitive arrays is a tight specialized loop,
+# while 64 chained element_at calls pay per-call bounds checks and the
+# deep Add tree defeats JIT inlining. The PQ min(struct) rewrite's
+# "HOFs are interpreted" lesson does NOT generalize to primitive-array
+# folds.
+
+
 # --- DuckDB mirrors (same fold order) --------------------------------------
 
 
