@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.stable import dec_avg
-from ..functions.vectors import as_double, cosine, cosine_sql, dot, dot_sql
+from ..functions.vectors import as_double, cosine, cosine_sql, dot, dot_sql, norm
 from ..functions.guards import nonzero
 from ..registry import register
 from ..session import load_table, tiny_frame_key
@@ -48,19 +48,28 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against every
     vector, rank per query on (rounded cosine desc, neighbor_id) — a
     deterministic total order shared with the oracle. The scan side is
-    never shuffled; only Q·N scored rows enter the per-query top-k."""
+    never shuffled; only Q·N scored rows enter the per-query top-k.
+
+    Norms are precomputed per VECTOR below the join (one fold per row
+    on the scan side, once per build row on the broadcast side), so the
+    Q·N stage evaluates only the pairwise dot — 1/3 of the fold work,
+    bit-unchanged (dedup_embedding_cosine's documented pattern)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -138,29 +147,48 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """IVF search given a centroid table ``(c_id, c_emb)``: assign every
     vector to its max-cosine centroid, probe each query's N_PROBE best
-    cells, exact re-rank inside the probed cells."""
+    cells, exact re-rank inside the probed cells. Norms are precomputed
+    per vector/centroid below the joins (dedup_embedding_cosine's
+    pattern), so every pairwise stage folds only the dot —
+    bit-unchanged."""
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+    cent = cent.withColumn("cnrm", norm(F.col("c_emb")))
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "c_id")
     clustered = (
         emb.crossJoin(F.broadcast(cent))
         .select(
-            "vec_id", "v", "c_id", F.round(cosine(F.col("v"), F.col("c_emb")), 6).alias("ccos")
+            "vec_id",
+            "v",
+            "nrm",
+            "c_id",
+            F.round(
+                dot(F.col("v"), F.col("c_emb")) / (F.col("nrm") * F.col("cnrm")), 6
+            ).alias("ccos"),
         )
         .withColumn("crnk", F.row_number().over(w_assign))
         .filter(F.col("crnk") == 1)
-        .select("vec_id", "v", F.col("c_id").alias("cluster"))
+        .select("vec_id", "v", "nrm", F.col("c_id").alias("cluster"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     w_probe = W.partitionBy("query_id").orderBy(F.desc("qcos"), "c_id")
     probes = (
         q.crossJoin(F.broadcast(cent))
         .select(
-            "query_id", "qv", "c_id", F.round(cosine(F.col("qv"), F.col("c_emb")), 6).alias("qcos")
+            "query_id",
+            "qv",
+            "qnrm",
+            "c_id",
+            F.round(
+                dot(F.col("qv"), F.col("c_emb")) / (F.col("qnrm") * F.col("cnrm")), 6
+            ).alias("qcos"),
         )
         .withColumn("prnk", F.row_number().over(w_probe))
         .filter(F.col("prnk") <= N_PROBE)
-        .select("query_id", "qv", F.col("c_id").alias("probe_cluster"))
+        .select("query_id", "qv", "qnrm", F.col("c_id").alias("probe_cluster"))
     )
     cand = (
         clustered.join(
@@ -168,13 +196,17 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
             (F.col("cluster") == F.col("probe_cluster"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .select(
+            "query_id", "qv", "qnrm", F.col("vec_id").alias("neighbor_id"), "v", "nrm"
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cos_sim"),
     )
     w_rank = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -212,12 +244,17 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     for _ in range(iters):
         w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "c_id")
         assigned = (
-            emb.crossJoin(F.broadcast(cent))
+            emb.withColumn("nrm", norm(F.col("v")))
+            .crossJoin(F.broadcast(cent.withColumn("cnrm", norm(F.col("c_emb")))))
             .select(
                 "vec_id",
                 "v",
                 "c_id",
-                F.round(cosine(F.col("v"), F.col("c_emb")), 6).alias("ccos"),
+                F.round(
+                    dot(F.col("v"), F.col("c_emb"))
+                    / (F.col("nrm") * F.col("cnrm")),
+                    6,
+                ).alias("ccos"),
             )
             .withColumn("crnk", F.row_number().over(w))
             .filter(F.col("crnk") == 1)
@@ -421,14 +458,20 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v").alias("v"),
         F.sum(F.expr("shiftleft(cast(bit as bigint), plane)")).alias("bucket"),
     )
-    data = bucketed.select("vec_id", "v", "bucket")
+    # norms precomputed per vector (dedup_embedding_cosine's pattern):
+    # the candidate stage folds only the dot, bit-unchanged
+    data = bucketed.select("vec_id", "v", "bucket", norm(F.col("v")).alias("nrm"))
     queries = data.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+        F.col("nrm").alias("qnrm"),
     )
     # multi-probe: own bucket + flip each bit once
     probes = queries.select(
         "query_id",
         "qv",
+        "qnrm",
         F.explode(
             F.array(
                 F.col("qb"),
@@ -442,13 +485,17 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "qv",
+        "qnrm",
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("nv")) / (F.col("qnrm") * F.col("nnrm")), 6
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -516,13 +563,16 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
         .select("label", F.transform("pc", lambda s: s["cval"]).alias("centroid"))
+        .withColumn("cnrm", norm(F.col("centroid")))  # folded once per label
     )
     scored = emb.join(F.broadcast(centarr), "label").select(
         "vec_id",
         "label",
-        F.round(cosine(as_double("embedding"), F.col("centroid")), 6).alias(
-            "cos_centroid"
-        ),
+        F.round(
+            dot(as_double("embedding"), F.col("centroid"))
+            / (norm(as_double("embedding")) * F.col("cnrm")),
+            6,
+        ).alias("cos_centroid"),
     )
     w = W.partitionBy("label").orderBy(F.col("cos_centroid").asc(), "vec_id")
     return (
@@ -915,11 +965,15 @@ def _ivfpq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell assignment as a partial-aggregable struct-max (ccos desc,
     # c_id asc tie-break via negated id) — combined map-side, no window
     # sort of the N·K candidate frame.
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+    cent = cent.withColumn("cnrm", norm(F.col("c_emb")))
     clustered = (
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
-            F.round(cosine(F.col("v"), F.col("c_emb")), 6).alias("ccos"),
+            F.round(
+                dot(F.col("v"), F.col("c_emb")) / (F.col("nrm") * F.col("cnrm")), 6
+            ).alias("ccos"),
             F.col("c_id"),
         )
         .groupBy("vec_id")
@@ -927,14 +981,19 @@ def _ivfpq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (-F.col("b.nc")).alias("cluster"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     w_probe = W.partitionBy("query_id").orderBy(F.desc("qcos"), "c_id")
     probes = (
         q.crossJoin(F.broadcast(cent))
         .select(
             "query_id",
-            F.round(cosine(F.col("qv"), F.col("c_emb")), 6).alias("qcos"),
+            F.round(
+                dot(F.col("qv"), F.col("c_emb")) / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("qcos"),
             "c_id",
         )
         .withColumn("prnk", F.row_number().over(w_probe))
@@ -1585,15 +1644,20 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical; the oracle unrolls the same five steps as CTEs."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("rel"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("rel"),
         "v",
+        "nrm",
     )
     w_pool = W.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
     pool = (
@@ -1613,7 +1677,11 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pa.query_id").alias("query_id"),
             F.col("pa.neighbor_id").alias("a_id"),
             F.col("pb.neighbor_id").alias("b_id"),
-            F.round(cosine(F.col("pa.v"), F.col("pb.v")), 6).alias("sim"),
+            F.round(
+                dot(F.col("pa.v"), F.col("pb.v"))
+                / (F.col("pa.nrm") * F.col("pb.nrm")),
+                6,
+            ).alias("sim"),
         )
         .localCheckpoint(eager=False)  # reused by each step
     )
@@ -1774,20 +1842,25 @@ def emb_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding_cosine); at corpus scale the candidate stage swaps
     in the IVF/PQ path and the voting/eval frames are unchanged.
     Rounded similarities + id/label tie-breaks keep the vote
-    deterministic in both engines."""
+    deterministic in both engines. Norms are precomputed per vector
+    below the join, so the Q·N stage folds only the dot
+    (dedup_embedding_cosine's pattern, bit-unchanged)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     q = emb.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = emb.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).select(
         "qid",
         "true_label",
         F.col("label").alias("n_label"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("sim"),
         "vec_id",
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
@@ -2194,14 +2267,18 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     t = emb.select(
         "vec_id", as_double(F.slice("embedding", 1, MATRYOSHKA_DIMS)).alias("v")
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     q = t.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = t.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     trunc_rank = (
@@ -2556,11 +2633,15 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(
         (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
+    emb = emb.withColumn("nrm", norm(F.col("v")))
+    cent = cent.withColumn("cnrm", norm(F.col("c_emb")))
     clustered = (
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
-            F.round(cosine(F.col("v"), F.col("c_emb")), 6).alias("ccos"),
+            F.round(
+                dot(F.col("v"), F.col("c_emb")) / (F.col("nrm") * F.col("cnrm")), 6
+            ).alias("ccos"),
             "c_id",
         )
         .groupBy("vec_id")
@@ -2568,14 +2649,19 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (-F.col("b.nc")).alias("cluster"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     w_probe = W.partitionBy("query_id").orderBy(F.desc("qcos"), "c_id")
     probes = (
         q.crossJoin(F.broadcast(cent))
         .select(
             "query_id",
-            F.round(cosine(F.col("qv"), F.col("c_emb")), 6).alias("qcos"),
+            F.round(
+                dot(F.col("qv"), F.col("c_emb")) / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("qcos"),
             "c_id",
         )
         .withColumn("prnk", F.row_number().over(w_probe))
@@ -2592,7 +2678,11 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prnk") <= F.col("np"))
         .select("np", "query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv2"))
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv2"),
+        F.col("nrm").alias("qnrm2"),
+    )
     scored = (
         cand.join(emb, F.col("neighbor_id") == F.col("vec_id"))
         .join(F.broadcast(qe), "query_id")
@@ -2600,7 +2690,9 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "np",
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv2"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv2"), F.col("v")) / (F.col("qnrm2") * F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     wr = W.partitionBy("np", "query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
