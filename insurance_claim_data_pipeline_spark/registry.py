@@ -127,9 +127,12 @@ _FRONT = (
     "text_lm_crossval",
     # tier 2 — the semantic-dedup scale path registered this round
     # (VERDICT r04 "What's wrong" #1) plus the exact variant it gates
-    # against: both hash rows land together.
+    # against AND the recall certificate, so the scale path, its exact
+    # reference, and the fidelity number all land as hash rows in the
+    # same CORRECTNESS file.
     "dedup_semantic_components_lsh",
     "dedup_semantic_components",
+    "dedup_semantic_lsh_recall",
     # tier 3 — scale-path flagships (the genuine 100 TB shapes with no
     # driver row yet).
     "sim_topk_ivfpq",
@@ -155,7 +158,8 @@ _FRONT = (
     "stats_brown_forsythe",
     "stats_lift_bootstrap_ci",
     "stats_welch_ttest",
-    "stats_chi2_independence",
+    # (stats_chi2_independence yielded its slot to the recall
+    # certificate above; it queues at the head of the r06 window.)
     # tier 6 — privacy audits (ADVICE r04 touched privacy_dp_counts'
     # framing; prove the family this round).
     "privacy_k_anonymity",
