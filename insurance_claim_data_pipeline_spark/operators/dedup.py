@@ -1133,8 +1133,11 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
       neighbor v > u to m = min({u} ∪ N(u));
     - small-star: attach each neighbor v ≤ u (and u itself) to m.
 
-    Both are one groupBy(u) + one re-expand — two shuffles per
-    alternation, no join against a growing frame. Convergence = the
+    Both are one map-side-combinable min-aggregate per node plus one
+    equi-join of the (shrinking) edge list to that per-node min — no
+    neighborhood is ever materialized as an array row, so a hub node
+    with millions of neighbors costs a combinable aggregate, not one
+    unbounded collect_set row (the skew-OOM shape). Convergence = the
     canonical edge set stops changing (count + order-independent
     bit_xor-of-xxhash64 checksum — two driver scalars per round, like the
     propagation loop's change count). Equality with
@@ -1149,22 +1152,20 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
 
-    def neighborhoods(e: DataFrame) -> DataFrame:
-        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        return sym.groupBy("u").agg(
-            F.min(F.least("u", F.col("v"))).alias("m"),
-            F.collect_set("v").alias("nbrs"),
-        )
-
     def star(e: DataFrame, large: bool) -> DataFrame:
-        nb = neighborhoods(e)
-        v = F.explode("nbrs").alias("v")
-        ex = nb.select("u", "m", v)
+        # (u, v, m) via a per-node min AGGREGATE joined back to the
+        # symmetric edge list — never a collect_set/explode of the
+        # neighborhood: a hub node's neighborhood array would be one
+        # unbounded row (the skew-OOM shape), while min() is map-side
+        # combinable and the join is a plain equi-join on u.
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min(F.least("u", F.col("v"))).alias("m"))
+        ex = sym.join(mins, "u")
         keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
         out = (
             ex.filter(keep)
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .unionByName(nb.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .unionByName(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
             .distinct()
