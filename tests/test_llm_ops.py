@@ -1306,6 +1306,18 @@ def test_star_contraction_matches_propagation_and_handles_long_chains(spark, sf_
     assert set(out) == set(range(100, 161))
     assert set(out.values()) == {100}
 
+    # (c) hub skew: a 1000-leaf star whose hub id is NOT the minimum —
+    # the shape where a collect_set-of-neighborhood formulation builds
+    # one unbounded array row (r05 rewrote the half-rounds as a
+    # min-aggregate equi-join precisely for this); every leaf and the
+    # hub must label to the smallest leaf id.
+    hub = spark.createDataFrame(
+        [(5000, i) for i in range(1000, 2000)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["component_id"] for r in star_contraction_components(hub).collect()}
+    assert len(out) == 1001
+    assert set(out.values()) == {1000}
+
 
 def test_vad_segments_are_maximal_islands(spark, sf_dir):
     """Segments must be maximal: within a doc, consecutive segments are
