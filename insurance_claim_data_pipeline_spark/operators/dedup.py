@@ -758,11 +758,22 @@ def incremental_dedup_frame(doc: DataFrame, max_df: int | None = None) -> DataFr
         .select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= INC_THRESHOLD)
     )
-    w = W.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
-    best = (
-        scored.select("*", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") == 1)
-        .drop("rnk")
+    # best match per new doc as a partial-aggregable min(struct) — same
+    # (jaccard DESC, corpus_id ASC) total order as the row_number window
+    # it replaces (the sim_topk_pq rewrite, reused): map-side combine
+    # instead of a per-key sort, and no WindowExec in the plan.
+    best = scored.groupBy("new_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("jaccard")).alias("nj"),
+                F.col("corpus_id").alias("corpus_id"),
+                F.col("jaccard").alias("jaccard"),
+            )
+        ).alias("b")
+    ).select(
+        "new_id",
+        F.col("b.corpus_id").alias("corpus_id"),
+        F.col("b.jaccard").alias("jaccard"),
     )
     return (
         batch.select("doc_id")
