@@ -1193,6 +1193,11 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
     prev = sig(edges)
     converged = False
     for _ in range(_STAR_MAX_ROUNDS):
+        # NOTE: one checkpoint per half-round is measured, not habit —
+        # fusing large+small into a single checkpointed job reads 20.4 s
+        # vs 11.2 s on the sf0.1 LSH flagship: star() references its
+        # input TWICE (the sym union), so without the barrier the
+        # large-star plan re-executes inside the small-star job.
         edges = star(edges, large=True).localCheckpoint()
         edges = star(edges, large=False).localCheckpoint()
         cur = sig(edges)

@@ -375,10 +375,9 @@ def test_dedup_incremental_index_probe_shape(spark, sf_dir):
     plan = physical_plan(spark, sf_dir, "dedup_incremental")
     assert "CartesianProduct" not in plan
     assert "xxhash64" in plan  # hashed 8-byte join key, not raw shingle strings
-    # every Window node is partitioned by new_id
-    for block in plan.split("Window ")[1:]:
-        head = block.split("\n", 1)[0]
-        assert "windowspecdefinition(new_id" in head, head
+    # best-match selection is the partial-aggregable min(struct), not a
+    # per-key sort: no Window node may appear anywhere in the plan
+    assert "Window" not in plan, "best-match regressed to a WindowExec sort"
     # column pruning: no documents scan may read lang/source/n_chars
     # (check every ReadSchema the plan contains)
     for line in plan.splitlines():
