@@ -1319,6 +1319,55 @@ def test_star_contraction_matches_propagation_and_handles_long_chains(spark, sf_
     assert set(out.values()) == {1000}
 
 
+def test_star_contraction_matches_union_find_on_random_graphs(spark):
+    """Adversarial randomized equivalence: seeded pseudo-random graphs
+    (md5-derived edges — reproducible, no RNG state) of assorted
+    densities, star contraction vs a pure-Python union-find reference.
+    Catches any contract drift the fixture/chain/hub shapes miss:
+    multi-component forests, self-loops, duplicate and reversed edges,
+    components whose minimum id only enters through a late edge."""
+    import hashlib
+
+    from insurance_claim_data_pipeline_spark.operators.dedup import (
+        star_contraction_components,
+    )
+
+    def h(seed: str, i: int, mod: int) -> int:
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16) % mod
+
+    for seed, n_nodes, n_edges in [("sparse", 40, 15), ("mid", 30, 30), ("dense", 12, 40)]:
+        edges = [
+            (h(seed + "a", i, n_nodes) + 1000, h(seed + "b", i, n_nodes) + 1000)
+            for i in range(n_edges)
+        ]  # includes self-loops, dups, and both orientations by construction
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical = min id per component (the operator's contract)
+        comp: dict[int, int] = {}
+        for v in parent:
+            r = find(v)
+            comp.setdefault(r, r)
+            comp[r] = min(comp[r], v)
+        expected = {v: comp[find(v)] for v in parent}
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in star_contraction_components(pairs).collect()
+        }
+        assert got == expected, f"seed={seed}"
+
+
 def test_vad_segments_are_maximal_islands(spark, sf_dir):
     """Segments must be maximal: within a doc, consecutive segments are
     separated by at least one non-speech frame (seg gap ≥ 2), frame
