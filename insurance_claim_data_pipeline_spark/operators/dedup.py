@@ -1123,7 +1123,13 @@ def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Star-contraction connected components (large-star / small-star)
 # ---------------------------------------------------------------------------
 
-_STAR_MAX_ROUNDS = 15
+# Failsafe only — the loop breaks on the first converged alternation, so
+# the cap never adds work; it exists to fail loudly instead of spinning.
+# Star contraction needs O(log2 n) alternations on ANY graph shape, so 48
+# covers components of up to ~2^48 vertices — beyond any 100 TB corpus —
+# where the old cap of 15 would have raised on a (pathological but legal)
+# ~100k-vertex near-dup chain.
+_STAR_MAX_ROUNDS = 48
 
 
 def star_contraction_components(pairs: DataFrame) -> DataFrame:
