@@ -1366,6 +1366,17 @@ def test_star_contraction_matches_union_find_on_random_graphs(spark):
             for r in star_contraction_components(pairs).collect()
         }
         assert got == expected, f"seed={seed}"
+        # and the min-label twin must agree on the same graphs (their
+        # diameters are far below its round budget)
+        from insurance_claim_data_pipeline_spark.operators.dedup import (
+            min_label_components,
+        )
+
+        got_ml = {
+            r["doc_id"]: r["component_id"]
+            for r in min_label_components(pairs).collect()
+        }
+        assert got_ml == expected, f"seed={seed} (min_label)"
 
 
 def test_vad_segments_are_maximal_islands(spark, sf_dir):
