@@ -16,6 +16,18 @@ cluster. All runs execute the full plan against the full input.
 (Raised from best-of-2 in round 5: single-run noise on this box is
 ±30% per query — documented in BASELINE.md — and the third run
 stabilizes the reported best without changing what is measured.)
+
+Two timing modes, selected per query by registry tag:
+
+- ``bench`` — time the final noop write only (fn() is pure plan
+  construction; nothing executes before the save).
+- ``bench_wall`` — time ``fn() + save`` together, wall-clock. For
+  iterative operators (star-contraction components, Lloyd steps) the
+  driver-side loop inside fn() executes jobs eagerly via
+  localCheckpoint; timing only the final save would skip the bulk of
+  the work and report a fiction. Added in round 6 so the semantic-dedup
+  flagship (the heaviest registered query, ~10 s at sf0.1) has a
+  tracked regression row (VERDICT r05 item 2).
 """
 
 from __future__ import annotations
@@ -42,17 +54,26 @@ def main() -> None:
 
     spark = get_spark("bench")
     specs = registry.all_specs()
-    bench_specs = {n: s for n, s in sorted(specs.items()) if "bench" in s.tags}
+    bench_specs = {
+        n: s
+        for n, s in sorted(specs.items())
+        if "bench" in s.tags or "bench_wall" in s.tags
+    }
 
     # warm up the JVM / parquet footer caches with a trivial action
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
+        wall = "bench_wall" in spec.tags
         best = float("inf")
         for _ in range(3):
-            df = spec.fn(spark, sf_dir)
-            t0 = time.perf_counter()
+            if wall:
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+            else:
+                df = spec.fn(spark, sf_dir)
+                t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)

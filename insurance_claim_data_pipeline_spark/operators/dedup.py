@@ -1747,7 +1747,12 @@ FROM embeddings e2 LEFT JOIN comp c ON e2.vec_id = c.vec_id
 @register(
     "dedup_semantic_components_lsh",
     oracle=SEMANTIC_LSH_ORACLE,
-    tags=("dedup", "llm", "iterative", "embedding", "approx"),
+    # bench_wall, not bench: the star-contraction loop executes
+    # driver-side inside fn() (localCheckpoint per half-round), so
+    # bench.py must clock fn()+save together or it would time only the
+    # final join (~0.3 s) and miss the ~10 s loop (VERDICT r05 item 2:
+    # the heaviest registered query needs a tracked regression row).
+    tags=("dedup", "llm", "iterative", "embedding", "approx", "bench_wall"),
 )
 def dedup_semantic_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication with BUCKETED candidate generation — the

@@ -105,13 +105,13 @@ def _load_modules() -> None:
 # lists (newly added operators) slot in right after the unproven block,
 # so a new query is always driver-visible before an old green one.
 _FRONT = (
-    # Round-5 window (the driver empirically checks the FIRST 50
-    # queries() entries per round — r01-r04 all cut at exactly 50; every
-    # r04-window query came back green in CORRECTNESS_r04.json). This
-    # rotation starts burning the never-checked backlog (198 entries at
-    # r04 end, VERDICT r04 item 1) following the pre-staged priority in
-    # COVERAGE.md "Round-5 window plan": 5 claims re-anchors + 45
-    # first-ever rows.
+    # Round-6 window (the driver empirically checks the FIRST 50
+    # queries() entries per round — r01-r05 all cut at exactly 50; the
+    # full r05 window came back in CORRECTNESS_r05.json, 47 hash-green
+    # + 3 rows-only by design). This rotation continues burning the
+    # never-checked backlog (155 at r05 end) following the pre-staged
+    # priority in COVERAGE.md "Round-6 window plan": 5 claims
+    # re-anchors + 45 first-ever rows.
     # tier 0 — claims-port re-anchor (the driver regenerates testdata
     # each round; physical parquet types drift — keep the reference port
     # pinned to a fresh hash proof every round).
@@ -120,21 +120,79 @@ _FRONT = (
     "claims_exclusion_counts",
     "claims_by_source",
     "claims_classify_denial",
-    # tier 1 — composition certifications: one oracle replaying a whole
-    # multi-operator chain certifies every stage it consumes.
+    # tier 0b — pseudonymize re-anchor (salt-injection path changed in
+    # r05 after its r02 green; VERDICT r05 item 7).
+    "claims_pseudonymize",
+    # tier 1 — proof twins and evals of already-proven flagships: these
+    # certify the *measured claims* (recall, distortion, convergence)
+    # attached to driver-green scale paths.
+    "emb_kmeans_lloyd_step",
+    "sim_ivf_recall_eval",
+    "sim_topk_pq_rerank",
+    "emb_pq_distortion",
+    "dedup_minhash_eval",
+    "dedup_components_star",
+    "mlfeat_decision_stump",
+    "mlfeat_gbm_rounds",
+    "text_naive_bayes",
+    # tier 2 — sketch family (deterministic md5 registers → fully
+    # DuckDB-oracleable despite being "approximate" algorithms).
+    "agg_ddsketch_quantiles",
+    "agg_countmin_deterministic",
+    "agg_kmv_distinct",
+    "agg_kmv_intersection",
+    "agg_bitmap_distinct",
+    "profile_ndv_hll",
+    "sink_bloom_index_stats",
+    "agg_hll_deterministic",
+    "join_bloom_prefilter",
+    "join_skew_salted",
+    # tier 3 — ML feature-engineering family.
+    "feat_drift_psi",
+    "feat_target_encode_cv",
+    "feat_calibration_ece",
+    "feat_scale_numeric",
+    "feat_categorical_encode",
+    "feat_target_encode",
+    "feat_hashing_vectorize",
+    "feat_hashed_crosses",
+    # tier 4 — statistics remainder (stats_chi2_independence yielded its
+    # r05 slot to the recall certificate; it leads this tier).
+    "stats_chi2_independence",
+    "stats_diff_in_diff",
+    "stats_cuped_adjustment",
+    "stats_srm_check",
+    "stats_anova_oneway",
+    "stats_ols_normal_equations",
+    "stats_logistic_newton",
+    "drift_wasserstein_orders",
+    "stats_sprt_sequential",
+    "events_kalman_filter",
+    # tier 5 — warehouse / sink / source maintenance family.
+    "warehouse_snapshot_diff",
+    "warehouse_asof_snapshot",
+    "warehouse_deletion_vectors",
+    "warehouse_clustering_depth",
+    "sink_compaction_plan",
+    "sink_orc_roundtrip",
+    "source_schema_evolution",
+    # ---- exactly 50 entries: the full round-6 driver window (45
+    # first-ever + 5 re-anchors + the changed-path pseudonymize row,
+    # itself first-ever under the r05 salt change). The remaining
+    # never-checked backlog (~110 after this window) queues for
+    # r07/r08; net-new round-6 registrations emit at 51+. ----
+)
+_TAIL = (
+    # --- the full r05 window, all driver-checked in
+    # CORRECTNESS_r05.json (47 hash-green; the 3 streaming twins are
+    # rows-only by design — see streaming/sinks.py readback oracles for
+    # the pattern that upgrades them). ---
     "feature_prep_pipeline",
     "curation_prep_pipeline",
     "text_lm_crossval",
-    # tier 2 — the semantic-dedup scale path registered this round
-    # (VERDICT r04 "What's wrong" #1) plus the exact variant it gates
-    # against AND the recall certificate, so the scale path, its exact
-    # reference, and the fidelity number all land as hash rows in the
-    # same CORRECTNESS file.
     "dedup_semantic_components_lsh",
     "dedup_semantic_components",
     "dedup_semantic_lsh_recall",
-    # tier 3 — scale-path flagships (the genuine 100 TB shapes with no
-    # driver row yet).
     "sim_topk_ivfpq",
     "sim_topk_ivfpq_rerank",
     "text_span_dedup",
@@ -146,34 +204,23 @@ _FRONT = (
     "feat_quantile_bin",
     "agg_bootstrap_ci",
     "sink_bucketed_join_roundtrip",
-    # tier 4 — the 3 rows-only streaming twins with zero driver rows of
-    # any kind (VERDICT r04 item 7).
     "events_watermark_drop_streaming",
     "events_cusum_streaming",
     "events_kalman_streaming",
-    # tier 5 — statistics / drift family.
     "stats_perm_test_bh",
     "stats_mann_whitney",
     "stats_spearman_corr",
     "stats_brown_forsythe",
     "stats_lift_bootstrap_ci",
     "stats_welch_ttest",
-    # (stats_chi2_independence yielded its slot to the recall
-    # certificate above; it queues at the head of the r06 window.)
-    # tier 6 — privacy audits (ADVICE r04 touched privacy_dp_counts'
-    # framing; prove the family this round).
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "privacy_t_closeness",
     "privacy_dp_counts",
-    # tier 7 — r04 retrieval-stack remainder.
     "sim_topk_binary_hamming",
     "sim_topk_rrf_fusion",
     "sim_ndcg_eval",
     "emb_matryoshka_eval",
-    # tier 8 — graph, forecast, text, packing, sampling, claims-DQ, and
-    # the er_blocking_budget empty-input guard fixed this round
-    # (ADVICE r04 #4) — prove the fix, not just the code.
     "graph_kcore",
     "graph_link_prediction",
     "events_holt_winters",
@@ -185,11 +232,6 @@ _FRONT = (
     "sample_temperature_mixture",
     "claims_dq_report",
     "er_blocking_budget",
-    # ---- exactly 50 entries: the full round-5 driver window. The
-    # remaining never-checked backlog (~150) queues for r06/r07;
-    # net-new round-5 registrations emit at 51+. ----
-)
-_TAIL = (
     # hash-proven green in CORRECTNESS_r01-r04.json; re-listed by how
     # much signal a re-check carries (the freshly-proven r04 window
     # first — newest proofs, highest-churn code — then TPC-H headliners

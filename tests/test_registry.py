@@ -90,12 +90,25 @@ def test_doc_tallies_current():
 
     total, oracled, rows_only = refresh_tallies.tally()
     expected = refresh_tallies.tally_line(total, oracled, rows_only)
+    never_checked, rounds = refresh_tallies.backlog()
+    expected_backlog = refresh_tallies.backlog_line(never_checked, rounds)
     for doc in ("README.md", "COVERAGE.md"):
         with open(os.path.join(repo, doc)) as f:
-            lines = [ln for ln in f.read().splitlines() if refresh_tallies.MARKER in ln]
+            text = f.read().splitlines()
+        lines = [ln for ln in text if refresh_tallies.MARKER in ln]
         assert lines, f"{doc} lost its registry-tally marker line"
         for ln in lines:
             assert ln == expected, (
                 f"{doc} tally is stale: run scripts/refresh_tallies.py "
                 f"(doc: {ln!r}, live: {expected!r})"
+            )
+        # VERDICT r05 item 5: the backlog figure is generated too (the
+        # marker is required in COVERAGE.md; optional elsewhere).
+        backlog_lines = [ln for ln in text if refresh_tallies.BACKLOG_MARKER in ln]
+        if doc == "COVERAGE.md":
+            assert backlog_lines, "COVERAGE.md lost its backlog-tally marker line"
+        for ln in backlog_lines:
+            assert ln == expected_backlog, (
+                f"{doc} backlog figure is stale: run scripts/refresh_tallies.py "
+                f"(doc: {ln!r}, live: {expected_backlog!r})"
             )
