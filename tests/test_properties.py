@@ -208,3 +208,43 @@ def test_ntile_closed_form_matches_spark_ntile(spark):
         ).alias("got"),
     ).collect()
     assert all(r["want"] == r["got"] for r in out)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_dot_float_bit_identical_to_dot_as_double(spark, pairs):
+    """ADVICE r05: dot_float's fold body duplicates dot's — the
+    bit-identity contract between the two (float→double cast is exact,
+    multiply/accumulate order unchanged) was asserted only in
+    docstrings. Property: on arbitrary float32 vectors,
+    dot_float(a, b) == dot(as_double(a), as_double(b)) EXACTLY (no
+    tolerance), so an edit to either fold that changes op order or cast
+    placement is a red test, not a silent oracle drift."""
+    from insurance_claim_data_pipeline_spark.functions.vectors import (
+        as_double,
+        dot,
+        dot_float,
+    )
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    df = spark.createDataFrame(
+        [(a, b)], "a array<float>, b array<float>"
+    ).select(
+        dot_float(F.col("a"), F.col("b")).alias("f"),
+        dot(as_double("a"), as_double("b")).alias("d"),
+    )
+    row = df.collect()[0]
+    # exact equality, including the sign of zero
+    import struct
+
+    assert struct.pack("<d", row["f"]) == struct.pack("<d", row["d"]), row
