@@ -1657,8 +1657,16 @@ def semantic_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     P[sign match] ≈ 1 − θ/π concentrates. The constants here are tuned so
     the fixture-scale recall gate is meaningful; the plan shape is
     unchanged by retuning."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+    # NULL-embedding guard (r06): a NULL vector folds to sign-code 0 in
+    # every band, so a NULL-heavy slice piles into one bucket per band
+    # and the candidate join goes quadratic in the NULL count (measured
+    # on the nulls probe fixture: 208 NULL vectors → 23k junk candidate
+    # pairs). The oracle applies the identical filter; on NULL-free
+    # production data both are no-ops, so prior driver hashes stand.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", as_double("embedding").alias("v"))
     )
     planes = _sem_lsh_planes(spark)
     bits = emb.crossJoin(F.broadcast(planes)).select(
@@ -1708,7 +1716,7 @@ SEMANTIC_LSH_ORACLE = f"""
 WITH planes(band, prow, w) AS (VALUES
     {{PLANES}}
 ),
-e AS (SELECT vec_id, embedding FROM embeddings),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
 bits AS (
   SELECT e.vec_id, p.band,
          CASE WHEN {dot_sql('e.embedding', 'p.w')} > 0
@@ -1804,7 +1812,7 @@ SEMANTIC_LSH_RECALL_ORACLE = f"""
 WITH planes(band, prow, w) AS (VALUES
     {{PLANES}}
 ),
-e AS (SELECT vec_id, embedding FROM embeddings),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
 exact_pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM e a JOIN e b ON a.vec_id < b.vec_id
