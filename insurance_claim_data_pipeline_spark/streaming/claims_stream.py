@@ -86,11 +86,27 @@ def candidates_stream(claims: DataFrame) -> DataFrame:
     )
 
 
-@register("claims_candidates_streaming", tags=("claims", "streaming"))
+def _candidates_oracle() -> str:
+    # The pipeline is stateless (project + filter), so append mode emits
+    # every candidate exactly once regardless of micro-batching and the
+    # drained stream equals the batch twin — claims_candidates' oracle
+    # (which reads the same fixture files via read_csv/read_json)
+    # applies verbatim.
+    from ..plans.claim_queries import CANDIDATES_ORACLE
+
+    return CANDIDATES_ORACLE
+
+
+@register(
+    "claims_candidates_streaming",
+    oracle=_candidates_oracle(),
+    tags=("claims", "streaming"),
+)
 def claims_candidates_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming execution of the candidate pipeline over the
-    reference's own fixture files (rows-only check; the oracle-checked
-    batch twin is claims_candidates — equality is asserted in tests)."""
+    reference's own fixture files, ORACLE-CHECKED (upgraded from
+    rows-only in r06 — see _candidates_oracle; equality vs the batch
+    twin is additionally asserted in tests/test_streaming.py)."""
     import os
 
     from .events_stream import run_stream_to_memory

@@ -101,23 +101,51 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
-@register("events_tumbling_window_streaming", tags=("events", "streaming"))
+def _tumbling_oracle() -> str:
+    from ..operators.eventops import TUMBLING_ORACLE
+
+    return TUMBLING_ORACLE
+
+
+def _session_window_oracle() -> str:
+    from ..operators.eventops import SESSION_WINDOW_ORACLE
+
+    return SESSION_WINDOW_ORACLE
+
+
+@register(
+    "events_tumbling_window_streaming",
+    oracle=_tumbling_oracle(),
+    tags=("events", "streaming"),
+)
 def events_tumbling_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming execution of the tumbling-window query
-    (rows-only check; the oracle-checked batch twin is
-    events_tumbling_window — results are asserted equal in tests)."""
+    """Structured Streaming execution of the tumbling-window query,
+    ORACLE-CHECKED (upgraded from rows-only in r06): the drain runs in
+    COMPLETE mode, so the memory sink holds the final snapshot of every
+    window after the last trigger — a deterministic function of the
+    finite input regardless of micro-batch splits (the watermark bounds
+    state eviction for append sinks; complete mode retains all groups).
+    That final snapshot is exactly the batch twin events_tumbling_window,
+    whose oracle this registration reuses; equality is also asserted in
+    tests/test_streaming.py."""
     events = _events_stream(spark, sf_dir)
     return run_stream_to_memory(tumbling_counts_stream(events), spark)
 
 
-@register("events_session_window_streaming", tags=("events", "streaming"))
+@register(
+    "events_session_window_streaming",
+    oracle=_session_window_oracle(),
+    tags=("events", "streaming"),
+)
 def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming execution of the gap-based session-window
-    query (rows-only check; the oracle-checked batch twin is
-    events_session_window_native — results are asserted equal in
-    tests/test_streaming.py). Session windows are the hard streaming
-    aggregation: state merges adjacent windows as gaps close, and the
-    watermark bounds how long an open session can wait for a
+    query, ORACLE-CHECKED (upgraded from rows-only in r06): COMPLETE
+    mode drains the final state snapshot — merged sessions after all
+    input — which equals the batch twin events_session_window_native
+    deterministically, so its oracle applies verbatim (equality also
+    asserted in tests/test_streaming.py). Session windows are the hard
+    streaming aggregation: state merges adjacent windows as gaps close,
+    and the watermark bounds how long an open session can wait for a
     gap-extending event."""
     events = _events_stream(spark, sf_dir)
     return run_stream_to_memory(session_counts_stream(events), spark)
@@ -167,14 +195,29 @@ def conversion_join_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
-@register("events_conversion_streaming", tags=("events", "streaming", "join"))
+def _conversion_oracle() -> str:
+    from ..operators.eventops import CONVERSION_ORACLE
+
+    return CONVERSION_ORACLE
+
+
+@register(
+    "events_conversion_streaming",
+    oracle=_conversion_oracle(),
+    tags=("events", "streaming", "join"),
+)
 def events_conversion_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming execution of the error→purchase conversion
-    join (rows-only; oracle-checked batch twin is
-    events_conversion_join, equality-tested in tests/test_streaming.py).
-    Stream-stream joins are the capstone of the streaming surface:
-    BOTH sides buffer in versioned state keyed by user, and the
-    watermark + time-bound pair is what keeps that state finite."""
+    join, ORACLE-CHECKED (upgraded from rows-only in r06): an inner
+    stream-stream join emits each matched pair exactly once, and with
+    the single-file source delivering one micro-batch both sides
+    co-arrive, so no match can be lost to watermark eviction — the
+    drained output is exactly the batch twin events_conversion_join,
+    whose oracle this registration reuses (equality also asserted in
+    tests/test_streaming.py). Stream-stream joins are the capstone of
+    the streaming surface: BOTH sides buffer in versioned state keyed
+    by user, and the watermark + time-bound pair is what keeps that
+    state finite."""
     events = _events_stream(spark, sf_dir)
     return run_stream_to_memory(conversion_join_stream(events), spark, output_mode="append")
 
@@ -227,13 +270,19 @@ def events_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_purchases(ev, F.broadcast(_user_dim(spark, sf_dir)))
 
 
-@register("events_enrich_streaming", tags=("events", "streaming"))
+@register(
+    "events_enrich_streaming",
+    oracle=ENRICHED_PURCHASES_ORACLE,
+    tags=("events", "streaming"),
+)
 def events_enrich_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAM-STATIC join (rows-only; oracle-checked batch twin is
-    events_enriched_purchases, equality asserted in
-    tests/test_streaming.py): the streaming events feed joins a static
-    per-user profile table. Stateless — unlike the stream-stream
-    conversion join there is no watermark or join state; every
+    """STREAM-STATIC join, ORACLE-CHECKED (upgraded from rows-only in
+    r06): the enrichment is stateless (filter + broadcast probe), so
+    append mode emits every purchase exactly once regardless of
+    micro-batching and the drained output equals the batch twin
+    events_enriched_purchases, whose oracle this registration reuses
+    (equality also asserted in tests/test_streaming.py). The streaming
+    events feed joins a static per-user profile table — every
     micro-batch broadcast-probes the static dim, which is how you
     enrich a firehose against a slowly-refreshed dimension at scale."""
     stream = _events_stream(spark, sf_dir)

@@ -108,12 +108,18 @@ def events_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_user_totals_stateful_streaming", tags=("events", "streaming"))
+@register(
+    "events_user_totals_stateful_streaming",
+    oracle=USER_TOTALS_ORACLE,
+    tags=("events", "streaming"),
+)
 def events_user_totals_stateful_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming execution of the stateful per-user totals
-    (rows-only check; batch/stream equality is asserted in tests against
-    the oracle-checked batch twin). Returns the final snapshot per user
-    (last update wins)."""
+    """Structured Streaming execution of the stateful per-user totals,
+    ORACLE-CHECKED (upgraded from rows-only in r06): the query returns
+    the FINAL snapshot per user (highest running n_events wins), which
+    equals the full-table totals deterministically regardless of how the
+    finite source is micro-batched — so the batch twin's oracle applies
+    verbatim (equality also asserted in tests/test_streaming.py)."""
     from .events_stream import _events_stream, run_stream_to_memory
 
     events = _events_stream(spark, sf_dir)
@@ -193,12 +199,28 @@ def ema_stream(events: DataFrame) -> DataFrame:
     )
 
 
-@register("events_ema_streaming", tags=("events", "streaming", "pandas"))
+def _ema_stream_oracle() -> str:
+    # Same argument as the Kalman twin below: update mode emits each
+    # input row exactly once and the ×1e6 integer recurrence is
+    # bit-identical to the batch twin, so events_ema_irregular's
+    # recursive-CTE oracle applies verbatim.
+    from ..operators.ema import EMA_ORACLE
+
+    return EMA_ORACLE
+
+
+@register(
+    "events_ema_streaming",
+    oracle=_ema_stream_oracle(),
+    tags=("events", "streaming", "pandas"),
+)
 def events_ema_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming execution of the per-user EMA (rows-only
-    check; every emitted row must equal the oracle-checked batch twin
-    events_ema_irregular — asserted in tests/test_streaming.py, both
-    single-batch and under forced time-split micro-batching)."""
+    """Structured Streaming execution of the per-user EMA,
+    ORACLE-CHECKED (upgraded from rows-only in r06 — see
+    _ema_stream_oracle): every emitted row equals the oracle-checked
+    batch twin events_ema_irregular, additionally asserted in
+    tests/test_streaming.py both single-batch and under forced
+    time-split micro-batching."""
     from .events_stream import _events_stream, run_stream_to_memory
 
     events = _events_stream(spark, sf_dir)
@@ -289,12 +311,28 @@ def cusum_seq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_cusum_streaming", tags=("events", "streaming", "pandas", "drift"))
+def _cusum_stream_oracle() -> str:
+    # The staged hourly frame is written coalesce(1) → the file source
+    # delivers ONE micro-batch, rows fold in hour_idx order, and update
+    # mode emits one row per observed hour — exactly the batch twin's
+    # recursive-CTE answer, so events_cusum_alarm's oracle applies.
+    from ..operators.ema import CUSUM_ORACLE
+
+    return CUSUM_ORACLE
+
+
+@register(
+    "events_cusum_streaming",
+    oracle=_cusum_stream_oracle(),
+    tags=("events", "streaming", "pandas", "drift"),
+)
 def events_cusum_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming execution of the CUSUM monitor (rows-only
-    check; equality against the oracle-checked batch twin
-    events_cusum_alarm is asserted in tests/test_streaming.py, single-
-    batch and under forced multi-batch time splits)."""
+    """Structured Streaming execution of the CUSUM monitor,
+    ORACLE-CHECKED (upgraded from rows-only in r06 — see
+    _cusum_stream_oracle): equality against the oracle-checked batch
+    twin events_cusum_alarm is additionally asserted in
+    tests/test_streaming.py, single-batch and under forced multi-batch
+    time splits."""
     import os
     import tempfile
 

@@ -176,11 +176,27 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-@register("events_dedup_streaming", tags=("events", "streaming", "dedup"))
+DEDUP_STREAM_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM events
+"""
+
+
+@register(
+    "events_dedup_streaming",
+    oracle=DEDUP_STREAM_ORACLE,
+    tags=("events", "streaming", "dedup"),
+)
 def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming execution of exact event dedup
-    (rows-only check: the duplicate-injection equality test in
-    tests/test_streaming.py carries the semantics; on the pristine
-    events table the output is simply all events)."""
+    """Structured Streaming execution of exact event dedup,
+    ORACLE-CHECKED (upgraded from rows-only in r06): event_id is unique
+    in the events table (enforced by the dq_fk_discovery canary), so on
+    the pristine source the deduped stream must emit EVERY event exactly
+    once — the oracle certifies no-drop/no-dup delivery through the
+    watermarked state store. The dedup semantics themselves (duplicates
+    within the watermark horizon dropped, first occurrence wins) are
+    pinned by the duplicate-injection equality test in
+    tests/test_streaming.py."""
     events = _events_stream(spark, sf_dir)
     return run_stream_to_memory(dedup_stream(events), spark, output_mode="append")
