@@ -66,6 +66,7 @@ def test_embeddings_invariants(spark):
         F.min(F.size("embedding")).alias("dmin"),
         F.max(F.size("embedding")).alias("dmax"),
         F.min("vec_id").alias("idmin"),
+        F.max("vec_id").alias("idmax"),
     ).first()
     assert row["n"] > 0 and row["nd"] == row["n"]
     # fixed 64-dim: PQ sub-codebooks (64 = 8 subspaces x 8 dims) and the
@@ -73,3 +74,7 @@ def test_embeddings_invariants(spark):
     assert row["dmin"] == row["dmax"] == 64
     # vec_id < N_QUERIES selects the demo query set; ids must start low
     assert row["idmin"] == 0
+    # the pruning certificate plants twins at vec_id + 1_000_000
+    # (operators/dedup.py::_augmented_prod_embeddings) — base ids must
+    # stay below the offset or twin ids would collide with real vectors
+    assert row["idmax"] < 1_000_000
