@@ -1668,32 +1668,17 @@ def semantic_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", as_double("embedding").alias("v"))
     )
-    planes = _sem_lsh_planes(spark)
-    bits = emb.crossJoin(F.broadcast(planes)).select(
-        "vec_id",
-        "band",
-        (
-            F.when(dot(F.col("v"), F.col("w")) > 0, 1).otherwise(0).cast("long")
-            * F.expr("shiftleft(1L, prow)")
-        ).alias("bitval"),
-    )
-    sigs = bits.groupBy("vec_id", "band").agg(F.sum("bitval").alias("code"))
-    # Measured and REJECTED (r06): localCheckpoint(eager=False) on sigs
-    # to compute the signature stage once instead of on both self-join
-    # sides — best-of-3 idle at sf0.1: 11.39 s vs 9.66 s baseline. The
-    # materialization barrier (write 32k rows, lose pipelining into the
-    # join) costs more than the duplicated 96k-fold sig computation
-    # saves; Spark's shuffle reuse already dedupes most of the work.
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    cand = (
-        a.join(b, ["band", "code"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
+    # Candidate stage is the SHARED banded_sign_candidates helper (the
+    # same code the production-threshold pruning certificate certifies
+    # — one source of truth for the plan shape, r06 review finding).
+    # Measured and REJECTED (r06): localCheckpoint(eager=False) on the
+    # helper's sigs frame to compute the signature stage once instead of
+    # on both self-join sides — best-of-3 idle at sf0.1: 11.39 s vs
+    # 9.66 s baseline. The materialization barrier (write 32k rows, lose
+    # pipelining into the join) costs more than the duplicated 96k-fold
+    # sig computation saves; Spark's shuffle reuse already dedupes most
+    # of the work.
+    cand = banded_sign_candidates(emb, _sem_lsh_planes(spark))
     # refine stage keeps the RAW float arrays through the candidate
     # joins (dot_float casts per element inside the fold — bit-identical,
     # see functions/vectors.py): the joined pair rows carry half the
@@ -2006,8 +1991,10 @@ def _augmented_prod_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Base embeddings (as doubles) plus deterministic planted twins: for
     every ``vec_id % 4 == 0``, a copy at ``vec_id + 1_000_000`` whose
     first coordinate is bumped by ``0.2·‖v‖``. The bump fixes the
-    planted-pair cosine in [0.98, 1.0] for ANY vector (with t = 0.2 and
-    a = v₁/‖v‖ ∈ [-1, 1], cos = (1+ta)/√(1+2ta+t²) ≥ 0.98), i.e. the
+    planted-pair cosine in [√(1−t²), 1.0] ≈ [0.9798, 1.0] for ANY
+    vector (with t = 0.2 and a = v₁/‖v‖ ∈ [-1, 1], cos =
+    (1+ta)/√(1+2ta+t²) is minimized at a = −t where it equals
+    √(1−t²) = √0.96), i.e. the
     production near-dup regime, while non-planted pairs stay at the
     fixture's near-random ≤ 0.55 — so ground truth at the 0.9 threshold
     is well-separated and the oracle's brute-force side certifies it
@@ -2048,7 +2035,7 @@ def dedup_semantic_lsh_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH (VERDICT r05 item 3): the 0.4-threshold recall certificate runs
     on near-random geometry where 87% of pairs are candidates, so it
     proves fidelity but not pruning. This query constructs the regime the
-    docstring claim is about — planted near-dup twins at cos ≥ 0.98 over
+    docstring claim is about — planted near-dup twins at cos ≥ 0.9798 over
     the same corpus (:func:`_augmented_prod_embeddings`), threshold 0.9,
     and a 12-band × 10-bit hyperplane bank — and emits both sides of the
     trade as hashable integers: ``recall_ppm`` (LSH candidates vs the

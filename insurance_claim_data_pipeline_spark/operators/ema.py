@@ -829,7 +829,10 @@ SELECT user_id, event_id, ts_us, value, kalman_e6, p_e6 FROM rec
 """
 
 
-@register("events_kalman_filter", oracle=_kalman_oracle(), tags=("events", "llm", "pandas"))
+KALMAN_ORACLE = _kalman_oracle()
+
+
+@register("events_kalman_filter", oracle=KALMAN_ORACLE, tags=("events", "llm", "pandas"))
 def events_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D Kalman filter (constant-level state-space model) over each
     user's event-value series — the optimal-in-quadratic-loss online

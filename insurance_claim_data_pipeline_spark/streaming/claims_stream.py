@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions.claims import is_eligible, recommended_changes
 from ..functions.cleaning import lower_norm, none_to_null, parse_claim_date, trim_null
+from ..plans.claim_queries import CANDIDATES_ORACLE
 from ..registry import register
 from ..schemas import ALPHA_RAW_SCHEMA, BETA_RAW_SCHEMA
 
@@ -86,20 +87,14 @@ def candidates_stream(claims: DataFrame) -> DataFrame:
     )
 
 
-def _candidates_oracle() -> str:
-    # The pipeline is stateless (project + filter), so append mode emits
-    # every candidate exactly once regardless of micro-batching and the
-    # drained stream equals the batch twin — claims_candidates' oracle
-    # (which reads the same fixture files via read_csv/read_json)
-    # applies verbatim.
-    from ..plans.claim_queries import CANDIDATES_ORACLE
-
-    return CANDIDATES_ORACLE
-
-
+# The pipeline is stateless (project + filter), so append mode emits
+# every candidate exactly once regardless of micro-batching and the
+# drained stream equals the batch twin — claims_candidates' oracle
+# (which reads the same fixture files via read_csv/read_json) applies
+# verbatim.
 @register(
     "claims_candidates_streaming",
-    oracle=_candidates_oracle(),
+    oracle=CANDIDATES_ORACLE,
     tags=("claims", "streaming"),
 )
 def claims_candidates_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:

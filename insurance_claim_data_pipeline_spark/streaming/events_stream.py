@@ -11,10 +11,13 @@ Late-data semantics: the 1-hour watermark bounds state; in a real
 deployment the source is Kafka/files-arriving and the memory sink
 becomes a real sink — the query graph is identical.
 
-The registry exposes the tumbling variant as a rows-only query (no
-oracle): streaming output depends on trigger/watermark mechanics the
-DuckDB oracle cannot model, but the batch twin covers value
-correctness.
+As of round 6 every streaming twin here is itself ORACLE-CHECKED: each
+registration documents a determinism argument (complete-mode final
+snapshot, stateless append, single-batch co-arrival, per-row update
+emission) under which the finite drain equals its batch twin, whose
+DuckDB oracle it reuses — so the external harness hash-verifies the
+streaming execution, and the batch/stream equality tests additionally
+pin multi-batch behavior.
 """
 
 from __future__ import annotations
@@ -26,6 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum, dec_sum_sql
+from ..operators.eventops import (
+    CONVERSION_ORACLE,
+    SESSION_WINDOW_ORACLE,
+    TUMBLING_ORACLE,
+)
+from ..operators.maintenance import WM_FINALIZED_ORACLE
 from ..registry import register
 from ..session import load_table, normalize_timestamps
 
@@ -101,21 +110,9 @@ def run_stream_to_memory(
     return spark.table(name)
 
 
-def _tumbling_oracle() -> str:
-    from ..operators.eventops import TUMBLING_ORACLE
-
-    return TUMBLING_ORACLE
-
-
-def _session_window_oracle() -> str:
-    from ..operators.eventops import SESSION_WINDOW_ORACLE
-
-    return SESSION_WINDOW_ORACLE
-
-
 @register(
     "events_tumbling_window_streaming",
-    oracle=_tumbling_oracle(),
+    oracle=TUMBLING_ORACLE,
     tags=("events", "streaming"),
 )
 def events_tumbling_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +131,7 @@ def events_tumbling_window_streaming(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "events_session_window_streaming",
-    oracle=_session_window_oracle(),
+    oracle=SESSION_WINDOW_ORACLE,
     tags=("events", "streaming"),
 )
 def events_session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,15 +192,9 @@ def conversion_join_stream(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
-def _conversion_oracle() -> str:
-    from ..operators.eventops import CONVERSION_ORACLE
-
-    return CONVERSION_ORACLE
-
-
 @register(
     "events_conversion_streaming",
-    oracle=_conversion_oracle(),
+    oracle=CONVERSION_ORACLE,
     tags=("events", "streaming", "join"),
 )
 def events_conversion_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,17 +305,9 @@ def watermark_finalized_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def _wm_finalized_oracle() -> str:
-    # Deferred import: operators.maintenance also registers queries, and
-    # module import order is the registry's _QUERY_MODULES list.
-    from ..operators.maintenance import WM_FINALIZED_ORACLE
-
-    return WM_FINALIZED_ORACLE
-
-
 @register(
     "events_watermark_drop_streaming",
-    oracle=_wm_finalized_oracle(),
+    oracle=WM_FINALIZED_ORACLE,
     tags=("events", "streaming"),
 )
 def events_watermark_drop_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.ema import CUSUM_ORACLE, EMA_ORACLE, KALMAN_ORACLE
 from ..registry import register
 from ..session import load_table
 
@@ -199,19 +200,12 @@ def ema_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def _ema_stream_oracle() -> str:
-    # Same argument as the Kalman twin below: update mode emits each
-    # input row exactly once and the ×1e6 integer recurrence is
-    # bit-identical to the batch twin, so events_ema_irregular's
-    # recursive-CTE oracle applies verbatim.
-    from ..operators.ema import EMA_ORACLE
-
-    return EMA_ORACLE
-
-
+# Update mode emits each input row exactly once and the ×1e6 integer
+# recurrence is bit-identical to the batch twin, so
+# events_ema_irregular's recursive-CTE oracle applies verbatim.
 @register(
     "events_ema_streaming",
-    oracle=_ema_stream_oracle(),
+    oracle=EMA_ORACLE,
     tags=("events", "streaming", "pandas"),
 )
 def events_ema_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,19 +305,13 @@ def cusum_seq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cusum_stream_oracle() -> str:
-    # The staged hourly frame is written coalesce(1) → the file source
-    # delivers ONE micro-batch, rows fold in hour_idx order, and update
-    # mode emits one row per observed hour — exactly the batch twin's
-    # recursive-CTE answer, so events_cusum_alarm's oracle applies.
-    from ..operators.ema import CUSUM_ORACLE
-
-    return CUSUM_ORACLE
-
-
+# The staged hourly frame is written coalesce(1) → the file source
+# delivers ONE micro-batch, rows fold in hour_idx order, and update
+# mode emits one row per observed hour — exactly the batch twin's
+# recursive-CTE answer, so events_cusum_alarm's oracle applies.
 @register(
     "events_cusum_streaming",
-    oracle=_cusum_stream_oracle(),
+    oracle=CUSUM_ORACLE,
     tags=("events", "streaming", "pandas", "drift"),
 )
 def events_cusum_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,20 +400,14 @@ def kalman_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def _kalman_stream_oracle() -> str:
-    # The streaming filter is bit-identical to the batch twin (same
-    # int64 ×1e6 recurrence, same (ts, event_id) fold order), and
-    # update mode emits each input row exactly once regardless of how
-    # the finite source is micro-batched — so the batch twin's
-    # recursive-CTE oracle applies verbatim.
-    from ..operators.ema import _kalman_oracle
-
-    return _kalman_oracle()
-
-
+# The streaming filter is bit-identical to the batch twin (same int64
+# ×1e6 recurrence, same (ts, event_id) fold order), and update mode
+# emits each input row exactly once regardless of how the finite source
+# is micro-batched — so the batch twin's recursive-CTE oracle applies
+# verbatim.
 @register(
     "events_kalman_streaming",
-    oracle=_kalman_stream_oracle(),
+    oracle=KALMAN_ORACLE,
     tags=("events", "streaming", "pandas"),
 )
 def events_kalman_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1581,7 +1581,7 @@ def test_semantic_lsh_recall_gate(spark, sf_dir):
 def test_semantic_lsh_pruning_gate_production_regime(spark, sf_dir):
     """VERDICT r05 item 3: the pruning claim at production thresholds
     (≥0.9) must be ASSERTED, not narrated. dedup_semantic_lsh_pruning
-    plants deterministic near-dup twins (cos ≥ 0.98) over the fixture
+    plants deterministic near-dup twins (cos ≥ √0.96 ≈ 0.9798) over the fixture
     corpus and runs the banded hyperplane LSH at threshold 0.9 with the
     production bank (12 bands × 10 bits): recall vs the brute-force
     ground truth must stay ≥0.99 while candidates shrink ≥10× vs all
