@@ -684,3 +684,108 @@ def test_streaming_kalman_multibatch_time_split(spark, sf_dir, tmp_path):
     )
     want = sorted(tuple(r) for r in events_kalman_filter(spark, sf_dir).collect())
     assert got == want and want
+
+
+def test_batching_independence_of_oracled_twins(spark, sf_dir, tmp_path):
+    """r06 upgraded five more twins to oracle-checked on
+    batching-independence arguments (complete-mode final snapshot,
+    stateless append, final-snapshot filter, watermark-margin
+    co-arrival). This test REPLAYS each argument under real
+    micro-batching — three time-ordered file drops,
+    maxFilesPerTrigger=1 — and asserts the drained result still equals
+    the batch twin row-for-row. The conversion join's margin claim is
+    load-bearing: state eviction trails the watermark by 1 h while
+    matches span <=30 min, so a time-ordered split can never separate a
+    pair beyond eviction."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.eventops import (
+        events_conversion_join,
+        events_session_window_native,
+        events_tumbling_window,
+    )
+    from insurance_claim_data_pipeline_spark.session import normalize_timestamps
+    from insurance_claim_data_pipeline_spark.streaming.events_stream import (
+        _user_dim,
+        conversion_join_stream,
+        enriched_purchases,
+        events_enriched_purchases,
+        run_stream_to_memory,
+        session_counts_stream,
+        tumbling_counts_stream,
+    )
+    from insurance_claim_data_pipeline_spark.streaming.stateful import (
+        events_user_totals,
+        user_totals_stream,
+    )
+
+    ev = normalize_timestamps(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    staging = str(tmp_path / "staging")
+    us = F.unix_micros("ts")
+    import os as _os
+    import time as _time
+
+    stamped: set[str] = set()
+    base = _time.time()
+    for i, cond in enumerate((us <= cut1, (us > cut1) & (us <= cut2), us > cut2)):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(staging)
+        for name in _os.listdir(staging):
+            if name.endswith(".parquet") and name not in stamped:
+                _os.utime(_os.path.join(staging, name), (base + 10 * i,) * 2)
+                stamped.add(name)
+
+    def staged_stream():
+        return normalize_timestamps(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+
+    # complete mode: final snapshot regardless of batching
+    got = run_stream_to_memory(tumbling_counts_stream(staged_stream()), spark)
+    want = events_tumbling_window(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    got = run_stream_to_memory(session_counts_stream(staged_stream()), spark)
+    want = events_session_window_native(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # stateless append: each purchase emitted exactly once per batch it's in
+    got = run_stream_to_memory(
+        enriched_purchases(staged_stream(), F.broadcast(_user_dim(spark, sf_dir))),
+        spark,
+        output_mode="append",
+    )
+    want = events_enriched_purchases(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # stream-stream join: watermark margin keeps cross-batch matches alive
+    got = run_stream_to_memory(
+        conversion_join_stream(staged_stream()), spark, output_mode="append"
+    )
+    want = events_conversion_join(spark, sf_dir)
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == sorted(map(tuple, want.collect())) and rows
+
+    # stateful totals: the final snapshot per user equals full-table totals
+    from pyspark.sql import Window as W
+
+    out = run_stream_to_memory(
+        user_totals_stream(staged_stream()), spark, output_mode="update"
+    )
+    w_last = W.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("last_event_us")
+    )
+    got_rows = sorted(
+        map(
+            tuple,
+            out.withColumn("rn", F.row_number().over(w_last))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .collect(),
+        )
+    )
+    want_rows = sorted(map(tuple, events_user_totals(spark, sf_dir).collect()))
+    assert got_rows == want_rows and want_rows
