@@ -71,7 +71,21 @@ def dec_sum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Exact (order-independent) SUM of a double column at the given
     decimal scale, returned as double. ``precision`` is kept for API
     compatibility with the DECIMAL formulation; the split accumulator's
-    envelope exceeds any DECIMAL(38) use here."""
+    envelope exceeds any DECIMAL(38) use here.
+
+    scale must be ≤ 6: the final DECIMAL(38,0)/DECIMAL(20,0) division
+    lands on Spark's precision-loss-adjusted scale 6, so a scale-7+ sum
+    would be silently rounded to 6 decimals HERE while the SQL mirror
+    (dec_sum_sql) keeps the full scale — a latent cross-engine
+    divergence found in r06 (the k-means trainers' scale-12 means; see
+    operators/similarity.py::_mean_e12 for the exact-integer-mean
+    pattern to use instead above scale 6)."""
+    if scale > 6:
+        raise ValueError(
+            f"dec_sum scale {scale} > 6 is silently rounded to 6 decimals by "
+            "Spark's decimal-division scale adjustment; use an exact integer "
+            "mean/sum (similarity._mean_e12 pattern) instead"
+        )
     c = F.col(col) if isinstance(col, str) else col
     x = _scaled_long(c, scale)
     r = x % _SPLIT  # sign follows x, |r| < 2^20

@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.stable import dec_avg
 from ..functions.vectors import as_double, cosine, cosine_sql, dot, dot_sql, norm
 from ..functions.guards import nonzero
 from ..registry import register
@@ -218,6 +217,45 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
 KMEANS_ITERS = 4
 
 
+def _mean_e12(col) -> F.Column:
+    """Exact cross-engine centroid mean: quantize each value to 12
+    decimals (the same sign-aware HALF_UP product rounding as
+    functions/stable.py::_scaled_long), sum as exact longs, FLOOR-divide
+    by the member count in integer domain, and only then convert the
+    ≤~1e13 quotient to double (/1e12) — every step bit-identical to the
+    DuckDB mirror :func:`_mean_e12_sql`.
+
+    Why not dec_avg(col, 12): Spark's decimal division applies
+    precision-loss scale adjustment — DECIMAL(38,0)/DECIMAL(20,0)
+    lands on scale 6, so dec_sum at scale 12 silently rounds the SUM
+    to 6 decimals while the DuckDB mirror keeps all 12; the trained
+    centroids then differ at ~1e-7 and oracle parity of anything
+    downstream rests on 6-dp cosine rounding masking it (it did for
+    IVF on the current fixture — luck, not a contract). The
+    pmod-subtract before the division makes the quotient the FLOOR for
+    negative sums, matching DuckDB's ``//``; the decimal division of
+    the exact multiple is itself exact (an integer survives the
+    scale-6 adjustment unchanged)."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = (F.floor(F.abs(c) * F.lit(10**12) + F.lit(0.5)) * F.signum(c)).cast("long")
+    s = F.sum(x)
+    n = F.count(c)
+    q = ((s - F.pmod(s, n)).cast("decimal(38,0)") / n.cast("decimal(19,0)")).cast(
+        "long"
+    )
+    return q.cast("double") / F.lit(float(10**12))
+
+
+def _mean_e12_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`_mean_e12` (``//`` floors like the
+    pmod-subtract; ROUND matches the sign-aware HALF_UP product
+    rounding)."""
+    return (
+        f"CAST((SUM(CAST(ROUND(({expr}) * 1000000000000) AS BIGINT)) "
+        f"// COUNT({expr})) AS DOUBLE) / 1000000000000.0"
+    )
+
+
 def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     """Deterministic spherical k-means for the IVF coarse quantizer.
 
@@ -262,7 +300,7 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
         means = (
             assigned.select("c_id", F.posexplode("v").alias("dim", "val"))
             .groupBy("c_id", "dim")
-            .agg(dec_avg("val", 12).alias("m"))
+            .agg(_mean_e12("val").alias("m"))
         )
         rows = means.collect()  # K·D cells only — the one tiny driver hop
         by_c: dict[int, list[float]] = {}
@@ -277,15 +315,104 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     return cent
 
 
-@register("sim_topk_ivf_trained", tags=("similarity", "llm", "approx"))  # iterative: rows-only
+def _ivf_trained_oracle(iters: int = KMEANS_ITERS) -> str:
+    """DuckDB twin of :func:`train_ivf_centroids` + :func:`_ivf_topk`:
+    the Lloyd loop has a FIXED iteration count and every step is
+    deterministic (rounded-cosine argmax assignment, exact decimal
+    means, carry-forward for empty clusters), so the whole training run
+    unrolls into ``iters`` sequential CTE stages — no recursion needed.
+    ``cent{{i+1}}`` = per-(cluster, dim) decimal mean of ``cent{{i}}``'s
+    assignment, COALESCEd against ``cent{{i}}`` for empty clusters,
+    exactly mirroring the Spark trainer's collect/reassemble round."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cent0 AS (
+  SELECT vec_id AS c_id, v AS c_emb FROM e
+  WHERE vec_id >= {IVF_C_LO} AND vec_id < {IVF_C_HI}
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+assign{i} AS (
+  SELECT e.vec_id, e.v, c.c_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ROUND({cosine_sql('e.v', 'c.c_emb')}, 6) DESC, c.c_id) AS crnk
+  FROM e, cent{i} c
+),
+cells{i} AS (
+  SELECT a.c_id, t.dim, {_mean_e12_sql('a.v[t.dim + 1]')} AS mu
+  FROM (SELECT vec_id, v, c_id FROM assign{i} WHERE crnk = 1) a, range(64) t(dim)
+  GROUP BY a.c_id, t.dim
+),
+newcent{i} AS (
+  SELECT c_id, list(mu ORDER BY dim) AS c_emb FROM cells{i} GROUP BY c_id
+),
+cent{i + 1} AS (
+  SELECT c.c_id, COALESCE(n.c_emb, c.c_emb) AS c_emb
+  FROM cent{i} c LEFT JOIN newcent{i} n ON c.c_id = n.c_id
+)"""
+        )
+    cent = f"cent{iters}"
+    parts.append(
+        f""",
+clustered AS (
+  SELECT vec_id, c_id AS cluster FROM (
+    SELECT e.vec_id, c.c_id, ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({cosine_sql('e.v', 'c.c_emb')}, 6) DESC, c.c_id) AS crnk
+    FROM e, {cent} c
+  ) WHERE crnk = 1
+),
+q AS (SELECT vec_id AS query_id, v AS q_emb FROM e WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, c_id AS probe_cluster, ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND({cosine_sql('q_emb', 'c_emb')}, 6) DESC, c_id) AS prnk
+  FROM q, {cent}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN clustered c ON c.cluster = p.probe_cluster
+  WHERE p.prnk <= {N_PROBE} AND c.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND({cosine_sql('qe.v', 'ne.v')}, 6) AS cos_sim
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ne ON ne.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "sim_topk_ivf_trained",
+    oracle=_ivf_trained_oracle(),
+    tags=("similarity", "llm", "approx"),
+)
 def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a k-means-TRAINED coarse quantizer — the recall
-    upgrade over sim_topk_ivf's fixed centroids (which remain the
-    DuckDB-oracle-checkable twin; Lloyd iteration is not reasonably
-    SQL-expressible, so this entry is a rows-only check by design).
-    Same search structure, better cell boundaries: recall@k vs the
-    exact baseline is asserted ≥ the fixed-centroid variant's in
-    tests/test_llm_ops.py."""
+    upgrade over sim_topk_ivf's fixed centroids. ORACLE-CHECKED as of
+    r06 (upgraded from rows-only): the Lloyd loop is a FIXED number of
+    deterministic rounds — rounded-cosine assignment, exact decimal
+    means, empty-cluster carry-forward — so the oracle unrolls training
+    into sequential CTE stages (:func:`_ivf_trained_oracle`) and
+    replays the identical search. Same search structure, better cell
+    boundaries: recall@k vs the exact baseline is asserted ≥ the
+    fixed-centroid variant's in tests/test_llm_ops.py."""
     emb = (
         load_table(spark, sf_dir, "embeddings")
         # fail-soft: rows with no embedding can neither train nor match
@@ -508,7 +635,6 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Centroid-distance outlier detection (embedding-space data quality)
 # ---------------------------------------------------------------------------
 
-CENTROID_SCALE = 9  # decimal scale of the exact per-dimension mean
 OUTLIER_K = 5  # flag the K least-central vectors per label
 
 CENTROID_OUTLIER_ORACLE = f"""
@@ -518,9 +644,7 @@ WITH ex AS (
          unnest(generate_series(1, len(embedding))) AS pos
   FROM embeddings
 ), cent AS (
-  SELECT label, pos,
-         CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000000) / 1000000000
-                       AS DECIMAL(18,{CENTROID_SCALE}))) AS DOUBLE) / COUNT(val) AS cval
+  SELECT label, pos, {_mean_e12_sql('CAST(val AS DOUBLE)')} AS cval
   FROM ex GROUP BY label, pos
 ), centarr AS (
   SELECT label, list(cval ORDER BY pos) AS centroid FROM cent GROUP BY label
@@ -542,10 +666,13 @@ SELECT vec_id, label, cos_centroid, rnk FROM ranked WHERE rnk <= {OUTLIER_K}
 )
 def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier detection: per-label centroid (exact
-    order-independent per-dimension mean via the split-long accumulator,
-    so the centroid is bit-identical on any partitioning), then the K
-    vectors least cosine-similar to their label's centroid — the
-    standard mislabeled/poisoned-sample screen for training corpora.
+    order-independent per-dimension integer mean — :func:`_mean_e12`;
+    r06 replaced dec_avg(val, 9), whose Spark decimal division silently
+    rounds the sum to 6 decimals while the SQL mirror kept all 9 — a
+    latent cross-engine divergence previously masked by the 6-dp cosine
+    rounding), then the K vectors least cosine-similar to their label's
+    centroid — the standard mislabeled/poisoned-sample screen for
+    training corpora.
 
     Plan shape: posexplode → one (label, dim)-keyed map-side-combined
     shuffle of |labels|·D cells → centroids re-assembled and BROADCAST
@@ -558,7 +685,7 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select(
         "vec_id", "label", F.posexplode(as_double("embedding")).alias("pos", "val")
     )
-    cent = ex.groupBy("label", "pos").agg(dec_avg("val", CENTROID_SCALE).alias("cval"))
+    cent = ex.groupBy("label", "pos").agg(_mean_e12("val").alias("cval"))
     centarr = (
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
@@ -1080,7 +1207,7 @@ def train_pq_codebooks(emb: DataFrame, iters: int = PQ_KMEANS_ITERS) -> DataFram
         means = (
             assigned.select("m", "k", F.posexplode("sv").alias("dim", "val"))
             .groupBy("m", "k", "dim")
-            .agg(dec_avg("val", 12).alias("mu"))
+            .agg(_mean_e12("val").alias("mu"))
         )
         cells = means.collect()  # M·K·PQ_SUB cells — the one driver hop
         by_mk: dict[tuple[int, int], list[float]] = {}
@@ -1095,12 +1222,109 @@ def train_pq_codebooks(emb: DataFrame, iters: int = PQ_KMEANS_ITERS) -> DataFram
     return cb
 
 
-@register("sim_topk_pq_trained", tags=("similarity", "llm", "approx"))  # iterative: rows-only
+def _l2_e6_sql(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`_l2_e6` — same zip/square/sequential-fold
+    order (0.0 + t1 ≡ t1 exactly, so the fold equals a left-assoc sum)."""
+    d = f"(CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))"
+    return (
+        f"CAST(ROUND(list_reduce(list_transform(list_zip({a}, {b}), "
+        f"t -> {d} * {d}), (x, y) -> x + y) * 1000000) AS BIGINT)"
+    )
+
+
+def _pq_trained_oracle(iters: int = PQ_KMEANS_ITERS) -> str:
+    """DuckDB twin of :func:`train_pq_codebooks` + the trained ADC scan:
+    per-subspace Lloyd with a FIXED round count unrolls into sequential
+    CTE stages (same argument as :func:`_ivf_trained_oracle`) — integer
+    ×1e6 L2 assignment with ties to the lower code, exact decimal means
+    per (m, k, dim), empty cells carried forward."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+sv AS (
+  SELECT e.vec_id, t.m, e.v[t.m * {PQ_SUB} + 1 : t.m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM e, range({PQ_M}) t(m)
+),
+cb0 AS (
+  SELECT t.m, e.vec_id - {IVF_C_LO} AS k,
+         e.v[t.m * {PQ_SUB} + 1 : t.m * {PQ_SUB} + {PQ_SUB}] AS a
+  FROM e, range({PQ_M}) t(m)
+  WHERE e.vec_id >= {IVF_C_LO} AND e.vec_id < {IVF_C_HI}
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+asg{i} AS (
+  SELECT s.vec_id, s.m, s.sv, c.k, ROW_NUMBER() OVER (
+           PARTITION BY s.vec_id, s.m
+           ORDER BY {_l2_e6_sql('s.sv', 'c.a')}, c.k) AS rnk
+  FROM sv s JOIN cb{i} c ON s.m = c.m
+),
+cells{i} AS (
+  SELECT a.m, a.k, t.dim, {_mean_e12_sql('a.sv[t.dim + 1]')} AS mu
+  FROM (SELECT m, k, sv FROM asg{i} WHERE rnk = 1) a, range({PQ_SUB}) t(dim)
+  GROUP BY a.m, a.k, t.dim
+),
+newcb{i} AS (
+  SELECT m, k, list(mu ORDER BY dim) AS a FROM cells{i} GROUP BY m, k
+),
+cb{i + 1} AS (
+  SELECT c.m, c.k, COALESCE(n.a, c.a) AS a
+  FROM cb{i} c LEFT JOIN newcb{i} n ON c.m = n.m AND c.k = n.k
+)"""
+        )
+    cb = f"cb{iters}"
+    parts.append(
+        f""",
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT s.vec_id, s.m, c.k, ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY {_l2_e6_sql('s.sv', 'c.a')}, c.k) AS rnk
+    FROM sv s JOIN {cb} c ON s.m = c.m
+  ) WHERE rnk = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.k, {_l2_e6_sql('s.sv', 'c.a')} AS d_e6
+  FROM sv s JOIN {cb} c ON s.m = c.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT lut.query_id, codes.vec_id AS neighbor_id,
+         CAST(SUM(lut.d_e6) AS BIGINT) AS adc_dist_e6
+  FROM codes JOIN lut ON codes.m = lut.m AND codes.k = lut.k
+  WHERE codes.vec_id != lut.query_id
+  GROUP BY lut.query_id, codes.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist_e6, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_dist_e6, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "sim_topk_pq_trained",
+    oracle=_pq_trained_oracle(),
+    tags=("similarity", "llm", "approx"),
+)
 def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k over TRAINED sub-codebooks: same dataflow as
     sim_topk_pq (encode corpus → broadcast per-query LUT → sum of M
     lookups → per-query window) with k-means sub-codebooks replacing
-    the fixed anchors. Rows-only for the driver (training is iterative).
+    the fixed anchors. ORACLE-CHECKED as of r06 (upgraded from
+    rows-only): the per-subspace Lloyd loop is a fixed number of
+    deterministic rounds, so the oracle unrolls training into
+    sequential CTE stages (:func:`_pq_trained_oracle`) and replays the
+    identical encode + ADC scan.
 
     What training buys: ~25% lower total quantization error after 2
     Lloyd rounds (asserted in tests — k-means provably never increases

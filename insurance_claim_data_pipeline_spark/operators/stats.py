@@ -183,11 +183,16 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (x, y, scale for Σxy) — scales keep |v·10^s| ≲ 2^53 per row while
 # resolving the smallest products (discount·tax ~ 1e-2) finely enough.
+# Scale is capped at 6 (dec_sum's decimal division clamps results to 6
+# decimals — see functions/stable.py): the raw columns are 2-decimal
+# values, so every product here has at most 4 exact decimals and the
+# scale-6 quantization is lossless — the former scale-8 entries
+# produced byte-identical sums and only tripped the r06 scale guard.
 _CORR_COLS = {
     "l_quantity": (2, 4),  # (Σx scale, Σx² scale)
     "l_extendedprice": (2, 2),
-    "l_discount": (4, 8),
-    "l_tax": (4, 8),
+    "l_discount": (4, 6),
+    "l_tax": (4, 6),
 }
 _CORR_PAIRS = (
     ("l_quantity", "l_extendedprice", 2),
@@ -195,7 +200,7 @@ _CORR_PAIRS = (
     ("l_quantity", "l_tax", 6),
     ("l_extendedprice", "l_discount", 4),
     ("l_extendedprice", "l_tax", 4),
-    ("l_discount", "l_tax", 8),
+    ("l_discount", "l_tax", 6),
 )
 
 
