@@ -107,3 +107,54 @@ def test_dec_sum_parts_merge_is_bit_identical(spark):
         .collect()[0]["s"]
     )
     assert merged == single
+
+
+def test_dec_sum_rejects_scale_above_six():
+    """r06 guard: Spark's decimal division scale-adjusts every dec_sum
+    result to 6 decimals, so a scale-7+ request would be silently
+    rounded here while the SQL mirror keeps the full scale — a latent
+    cross-engine divergence (it bit the k-means trainers at scale 12).
+    The helper must refuse loudly instead."""
+    import pytest
+
+    from insurance_claim_data_pipeline_spark.functions.stable import dec_avg, dec_sum
+
+    with pytest.raises(ValueError, match="scale 7 > 6"):
+        dec_sum("x", 7)
+    with pytest.raises(ValueError, match="scale 12 > 6"):
+        dec_avg("x", 12)
+
+
+def test_mean_e12_matches_exact_rational_floor(spark):
+    """similarity._mean_e12 must equal the pure-integer model
+    floor(sum(round_half_away(v*1e12)) / n) / 1e12 on adversarial
+    values (negatives, half-boundaries, mixed signs) — the contract
+    that makes the unrolled-Lloyd oracles exact."""
+    from pyspark.sql import functions as F
+
+    from insurance_claim_data_pipeline_spark.operators.similarity import _mean_e12
+
+    cases = [
+        [0.1, 0.2, 0.3],
+        [-0.1, -0.2, 0.05],
+        [1.0000000000005, -1.0000000000005, 0.0],  # half-boundary at 1e-12
+        [-5.4321, 2.2222, 1.1111, -0.0001],
+        [0.0000000000005] * 7,  # rounds to 1 at scale 12, floor-div by 7
+        [-0.0000000000005] * 3,
+    ]
+
+    def model(vals):
+        import math
+
+        scaled = [
+            int(math.floor(abs(v) * 10**12 + 0.5)) * (1 if v > 0 else (-1 if v < 0 else 0))
+            for v in vals
+        ]
+        s, n = sum(scaled), len(vals)
+        return (s - ((s % n) + n) % n) // n / 10**12
+
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = df.agg(_mean_e12("x").alias("mu")).first()["mu"]
+        want = model(vals)
+        assert got == want, (vals, got, want)
