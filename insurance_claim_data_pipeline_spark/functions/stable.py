@@ -53,6 +53,20 @@ _SPLIT_BITS = 20
 _SPLIT = 1 << _SPLIT_BITS  # power of two → exact shift-based quotient
 
 
+def _check_scale(scale: int, fn: str) -> None:
+    # r06 guard: the final DECIMAL(38,0)/DECIMAL(20,0) division is
+    # scale-adjusted to 6 decimals by Spark's precision-loss rule, so a
+    # scale-7+ sum would be silently rounded HERE while the SQL mirrors
+    # keep the full scale — a latent cross-engine divergence (it bit
+    # the k-means trainers at scale 12). Refuse loudly instead.
+    if scale > 6:
+        raise ValueError(
+            f"{fn} scale {scale} > 6 is silently rounded to 6 decimals by "
+            "Spark's decimal-division scale adjustment; use the exact "
+            "integer mean (functions/stable.py::mean_e12) instead"
+        )
+
+
 def dec(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """double → DECIMAL cast (used directly in window running sums,
     where per-row decimal cost is acceptable and the frame semantics
@@ -80,12 +94,7 @@ def dec_sum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     divergence found in r06 (the k-means trainers' scale-12 means; see
     operators/similarity.py::_mean_e12 for the exact-integer-mean
     pattern to use instead above scale 6)."""
-    if scale > 6:
-        raise ValueError(
-            f"dec_sum scale {scale} > 6 is silently rounded to 6 decimals by "
-            "Spark's decimal-division scale adjustment; use an exact integer "
-            "mean/sum (similarity._mean_e12 pattern) instead"
-        )
+    _check_scale(scale, "dec_sum")
     c = F.col(col) if isinstance(col, str) else col
     x = _scaled_long(c, scale)
     r = x % _SPLIT  # sign follows x, |r| < 2^20
@@ -119,9 +128,45 @@ def dec_sum_parts(col: Column | str, scale: int = 2) -> tuple[Column, Column]:
 
 def dec_sum_from_parts(q_sum: Column, r_sum: Column, scale: int = 2) -> Column:
     """Recombine (possibly merged) split-accumulator partials into the
-    exact decimal total as double — same final step as :func:`dec_sum`."""
+    exact decimal total as double — same final step as :func:`dec_sum`
+    (and the same scale-6 division clamp, hence the same guard)."""
+    _check_scale(scale, "dec_sum_from_parts")
     total = q_sum.cast("decimal(38,0)") * _SPLIT + r_sum.cast("decimal(38,0)")
     return (total / F.lit(10**scale).cast("decimal(20,0)")).cast("double")
+
+
+def mean_e12(col: Column | str) -> Column:
+    """Exact cross-engine mean at 12-decimal resolution — the sanctioned
+    replacement for ``dec_avg`` above scale 6 (k-means centroids,
+    embedding statistics): quantize each value with the same sign-aware
+    HALF_UP rounding as every dec_* helper (:func:`_scaled_long`), SUM
+    as exact DECIMAL(38,0) (no int64 wrap at any corpus size, matching
+    the split accumulator's overflow envelope), FLOOR-divide by the
+    count in exact integer domain (pmod-subtract makes the quotient the
+    floor for negative sums; the decimal division of the exact multiple
+    survives Spark's scale-6 adjustment unchanged because the quotient
+    is an integer), and only then convert the ≲1e13 quotient to double
+    (/1e12). Bit-identical to :func:`mean_e12_sql` on every input —
+    including negative-sum groups, where DuckDB's ``//`` truncates
+    toward zero and the mirror therefore spells the floor out with the
+    same pmod-subtract (r06 review finding: the first mirror used bare
+    ``//`` and diverged by 1e-12 on negative remainders)."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = _scaled_long(c, 12).cast("decimal(38,0)")
+    s = F.sum(x)
+    n = F.count(c).cast("decimal(19,0)")
+    q = ((s - F.pmod(s, n)) / n).cast("long")
+    return q.cast("double") / F.lit(float(10**12))
+
+
+def mean_e12_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`mean_e12`. The SUM lands in HUGEINT (no
+    overflow), and the floor is spelled out via pmod-subtract because
+    DuckDB's integer ``//`` truncates toward zero (−7//2 = −3, not −4)."""
+    s = f"SUM(CAST(ROUND(({expr}) * 1000000000000) AS BIGINT))"
+    n = f"COUNT({expr})"
+    q = f"((({s}) - (((({s}) % ({n})) + ({n})) % ({n}))) // ({n}))"
+    return f"CAST({q} AS DOUBLE) / 1000000000000.0"
 
 
 def _quantize_sql(expr: str, scale: int, precision: int) -> str:

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.stable import mean_e12, mean_e12_sql
 from ..functions.vectors import as_double, cosine, cosine_sql, dot, dot_sql, norm
 from ..functions.guards import nonzero
 from ..registry import register
@@ -216,44 +217,13 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
 
 KMEANS_ITERS = 4
 
-
-def _mean_e12(col) -> F.Column:
-    """Exact cross-engine centroid mean: quantize each value to 12
-    decimals (the same sign-aware HALF_UP product rounding as
-    functions/stable.py::_scaled_long), sum as exact longs, FLOOR-divide
-    by the member count in integer domain, and only then convert the
-    ≤~1e13 quotient to double (/1e12) — every step bit-identical to the
-    DuckDB mirror :func:`_mean_e12_sql`.
-
-    Why not dec_avg(col, 12): Spark's decimal division applies
-    precision-loss scale adjustment — DECIMAL(38,0)/DECIMAL(20,0)
-    lands on scale 6, so dec_sum at scale 12 silently rounds the SUM
-    to 6 decimals while the DuckDB mirror keeps all 12; the trained
-    centroids then differ at ~1e-7 and oracle parity of anything
-    downstream rests on 6-dp cosine rounding masking it (it did for
-    IVF on the current fixture — luck, not a contract). The
-    pmod-subtract before the division makes the quotient the FLOOR for
-    negative sums, matching DuckDB's ``//``; the decimal division of
-    the exact multiple is itself exact (an integer survives the
-    scale-6 adjustment unchanged)."""
-    c = F.col(col) if isinstance(col, str) else col
-    x = (F.floor(F.abs(c) * F.lit(10**12) + F.lit(0.5)) * F.signum(c)).cast("long")
-    s = F.sum(x)
-    n = F.count(c)
-    q = ((s - F.pmod(s, n)).cast("decimal(38,0)") / n.cast("decimal(19,0)")).cast(
-        "long"
-    )
-    return q.cast("double") / F.lit(float(10**12))
-
-
-def _mean_e12_sql(expr: str) -> str:
-    """DuckDB mirror of :func:`_mean_e12` (``//`` floors like the
-    pmod-subtract; ROUND matches the sign-aware HALF_UP product
-    rounding)."""
-    return (
-        f"CAST((SUM(CAST(ROUND(({expr}) * 1000000000000) AS BIGINT)) "
-        f"// COUNT({expr})) AS DOUBLE) / 1000000000000.0"
-    )
+# Why the trainers use mean_e12, not dec_avg(col, 12): Spark's decimal
+# division applies precision-loss scale adjustment — dec_sum at scale 12
+# silently rounds the SUM to 6 decimals while the DuckDB mirror keeps
+# all 12, so the trained centroids differed cross-engine at ~1e-7 and
+# oracle parity rested on 6-dp cosine rounding masking it (it did, on
+# the r05 fixtures — luck, not a contract). mean_e12 is the exact
+# integer mean, bit-identical in both engines (functions/stable.py).
 
 
 def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
@@ -300,7 +270,7 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
         means = (
             assigned.select("c_id", F.posexplode("v").alias("dim", "val"))
             .groupBy("c_id", "dim")
-            .agg(_mean_e12("val").alias("m"))
+            .agg(mean_e12("val").alias("m"))
         )
         rows = means.collect()  # K·D cells only — the one tiny driver hop
         by_c: dict[int, list[float]] = {}
@@ -345,7 +315,7 @@ assign{i} AS (
   FROM e, cent{i} c
 ),
 cells{i} AS (
-  SELECT a.c_id, t.dim, {_mean_e12_sql('a.v[t.dim + 1]')} AS mu
+  SELECT a.c_id, t.dim, {mean_e12_sql('a.v[t.dim + 1]')} AS mu
   FROM (SELECT vec_id, v, c_id FROM assign{i} WHERE crnk = 1) a, range(64) t(dim)
   GROUP BY a.c_id, t.dim
 ),
@@ -644,7 +614,7 @@ WITH ex AS (
          unnest(generate_series(1, len(embedding))) AS pos
   FROM embeddings
 ), cent AS (
-  SELECT label, pos, {_mean_e12_sql('CAST(val AS DOUBLE)')} AS cval
+  SELECT label, pos, {mean_e12_sql('CAST(val AS DOUBLE)')} AS cval
   FROM ex GROUP BY label, pos
 ), centarr AS (
   SELECT label, list(cval ORDER BY pos) AS centroid FROM cent GROUP BY label
@@ -666,7 +636,7 @@ SELECT vec_id, label, cos_centroid, rnk FROM ranked WHERE rnk <= {OUTLIER_K}
 )
 def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier detection: per-label centroid (exact
-    order-independent per-dimension integer mean — :func:`_mean_e12`;
+    order-independent per-dimension integer mean — functions/stable.py::mean_e12;
     r06 replaced dec_avg(val, 9), whose Spark decimal division silently
     rounds the sum to 6 decimals while the SQL mirror kept all 9 — a
     latent cross-engine divergence previously masked by the 6-dp cosine
@@ -685,7 +655,7 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select(
         "vec_id", "label", F.posexplode(as_double("embedding")).alias("pos", "val")
     )
-    cent = ex.groupBy("label", "pos").agg(_mean_e12("val").alias("cval"))
+    cent = ex.groupBy("label", "pos").agg(mean_e12("val").alias("cval"))
     centarr = (
         cent.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
@@ -1207,7 +1177,7 @@ def train_pq_codebooks(emb: DataFrame, iters: int = PQ_KMEANS_ITERS) -> DataFram
         means = (
             assigned.select("m", "k", F.posexplode("sv").alias("dim", "val"))
             .groupBy("m", "k", "dim")
-            .agg(_mean_e12("val").alias("mu"))
+            .agg(mean_e12("val").alias("mu"))
         )
         cells = means.collect()  # M·K·PQ_SUB cells — the one driver hop
         by_mk: dict[tuple[int, int], list[float]] = {}
@@ -1265,7 +1235,7 @@ asg{i} AS (
   FROM sv s JOIN cb{i} c ON s.m = c.m
 ),
 cells{i} AS (
-  SELECT a.m, a.k, t.dim, {_mean_e12_sql('a.sv[t.dim + 1]')} AS mu
+  SELECT a.m, a.k, t.dim, {mean_e12_sql('a.sv[t.dim + 1]')} AS mu
   FROM (SELECT m, k, sv FROM asg{i} WHERE rnk = 1) a, range({PQ_SUB}) t(dim)
   GROUP BY a.m, a.k, t.dim
 ),

@@ -109,30 +109,40 @@ def test_dec_sum_parts_merge_is_bit_identical(spark):
     assert merged == single
 
 
-def test_dec_sum_rejects_scale_above_six():
+def test_dec_sum_rejects_scale_above_six(spark):
     """r06 guard: Spark's decimal division scale-adjusts every dec_sum
     result to 6 decimals, so a scale-7+ request would be silently
     rounded here while the SQL mirror keeps the full scale — a latent
     cross-engine divergence (it bit the k-means trainers at scale 12).
-    The helper must refuse loudly instead."""
+    The helper must refuse loudly instead. (The spark fixture is
+    requested because F.col construction itself needs an active
+    session — without it the test would error before reaching the
+    guard on order-randomized runs.)"""
     import pytest
 
-    from insurance_claim_data_pipeline_spark.functions.stable import dec_avg, dec_sum
+    from insurance_claim_data_pipeline_spark.functions.stable import (
+        dec_avg,
+        dec_sum,
+        dec_sum_from_parts,
+    )
+    from pyspark.sql import functions as F
 
     with pytest.raises(ValueError, match="scale 7 > 6"):
         dec_sum("x", 7)
     with pytest.raises(ValueError, match="scale 12 > 6"):
         dec_avg("x", 12)
+    with pytest.raises(ValueError, match="scale 9 > 6"):
+        dec_sum_from_parts(F.lit(0), F.lit(0), 9)
 
 
 def test_mean_e12_matches_exact_rational_floor(spark):
-    """similarity._mean_e12 must equal the pure-integer model
+    """stable.mean_e12 must equal the pure-integer model
     floor(sum(round_half_away(v*1e12)) / n) / 1e12 on adversarial
     values (negatives, half-boundaries, mixed signs) — the contract
     that makes the unrolled-Lloyd oracles exact."""
     from pyspark.sql import functions as F
 
-    from insurance_claim_data_pipeline_spark.operators.similarity import _mean_e12
+    from insurance_claim_data_pipeline_spark.functions.stable import mean_e12
 
     cases = [
         [0.1, 0.2, 0.3],
@@ -155,6 +165,6 @@ def test_mean_e12_matches_exact_rational_floor(spark):
 
     for vals in cases:
         df = spark.createDataFrame([(v,) for v in vals], "x double")
-        got = df.agg(_mean_e12("x").alias("mu")).first()["mu"]
+        got = df.agg(mean_e12("x").alias("mu")).first()["mu"]
         want = model(vals)
         assert got == want, (vals, got, want)
