@@ -92,8 +92,8 @@ def dec_sum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     would be silently rounded to 6 decimals HERE while the SQL mirror
     (dec_sum_sql) keeps the full scale — a latent cross-engine
     divergence found in r06 (the k-means trainers' scale-12 means; see
-    operators/similarity.py::_mean_e12 for the exact-integer-mean
-    pattern to use instead above scale 6)."""
+    :func:`mean_e12` below for the exact-integer-mean pattern to use
+    instead above scale 6)."""
     _check_scale(scale, "dec_sum")
     c = F.col(col) if isinstance(col, str) else col
     x = _scaled_long(c, scale)
