@@ -168,3 +168,39 @@ def test_mean_e12_matches_exact_rational_floor(spark):
         got = df.agg(mean_e12("x").alias("mu")).first()["mu"]
         want = model(vals)
         assert got == want, (vals, got, want)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=9,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_mean_e12_cross_engine_property(spark, vals):
+    """Hypothesis cross-engine contract: Spark mean_e12 must equal
+    DuckDB mean_e12_sql bit-for-bit on arbitrary value lists — the
+    property that would have caught the r06 floor bug (DuckDB's
+    integer `//` truncates toward zero; negative-sum groups diverged
+    by 1e-12 until the mirror spelled out the pmod-subtract floor)."""
+    import struct
+
+    import duckdb
+
+    from insurance_claim_data_pipeline_spark.functions.stable import (
+        mean_e12,
+        mean_e12_sql,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(mean_e12("x").alias("mu")).first()["mu"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = con.execute(f"SELECT {mean_e12_sql('x')} FROM t").fetchone()[0]
+    con.close()
+    assert struct.pack("<d", got) == struct.pack("<d", want), (vals, got, want)
