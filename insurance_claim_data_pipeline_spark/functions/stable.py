@@ -150,9 +150,23 @@ def mean_e12(col: Column | str) -> Column:
     including negative-sum groups, where DuckDB's ``//`` truncates
     toward zero and the mirror therefore spells the floor out with the
     same pmod-subtract (r06 review finding: the first mirror used bare
-    ``//`` and diverged by 1e-12 on negative remainders)."""
+    ``//`` and diverged by 1e-12 on negative remainders).
+
+    Domain: |v| < 2^63/10^12 ≈ 9.2e6 — beyond that the per-row scaled
+    product exceeds int64 (Spark's cast would saturate while DuckDB's
+    raises: a silent cross-engine divergence). Enforced per row with
+    raise_error, same refuse-loudly contract as :func:`_check_scale`;
+    12-decimal resolution on multi-million-magnitude values is the
+    wrong tool anyway — money-scale aggregates belong to dec_sum."""
     c = F.col(col) if isinstance(col, str) else col
-    x = _scaled_long(c, 12).cast("decimal(38,0)")
+    x = F.when(
+        F.abs(c) >= F.lit(9.2e6),
+        F.raise_error(
+            F.concat(
+                F.lit("mean_e12 domain: |v| must be < 9.2e6, got "), c.cast("string")
+            )
+        ).cast("long"),
+    ).otherwise(_scaled_long(c, 12)).cast("decimal(38,0)")
     s = F.sum(x)
     n = F.count(c).cast("decimal(19,0)")
     q = ((s - F.pmod(s, n)) / n).cast("long")

@@ -204,3 +204,21 @@ def test_mean_e12_cross_engine_property(spark, vals):
     want = con.execute(f"SELECT {mean_e12_sql('x')} FROM t").fetchone()[0]
     con.close()
     assert struct.pack("<d", got) == struct.pack("<d", want), (vals, got, want)
+
+
+def test_mean_e12_rejects_out_of_domain_values(spark):
+    """r06 third-review finding: beyond |v| ~ 9.2e6 the per-row scaled
+    product exceeds int64 — Spark's cast would SATURATE silently while
+    the DuckDB mirror raises, the exact silent-divergence class the
+    helper exists to close. mean_e12 must refuse loudly per row."""
+    import pytest
+
+    from insurance_claim_data_pipeline_spark.functions.stable import mean_e12
+
+    df = spark.createDataFrame([(1e7,), (2e7,)], "x double")
+    with pytest.raises(Exception, match="mean_e12 domain"):
+        df.agg(mean_e12("x").alias("mu")).collect()
+    # in-domain values are untouched by the guard branch
+    ok = spark.createDataFrame([(9.1e6,), (-9.1e6,), (0.25,)], "x double")
+    got = ok.agg(mean_e12("x").alias("mu")).first()["mu"]
+    assert got == 0.083333333333
