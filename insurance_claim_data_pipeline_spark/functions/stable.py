@@ -135,6 +135,20 @@ def dec_sum_from_parts(q_sum: Column, r_sum: Column, scale: int = 2) -> Column:
     return (total / F.lit(10**scale).cast("decimal(20,0)")).cast("double")
 
 
+# mean_e12's per-row domain bound, just under 2^52/10^12 =
+# 4503.599627370496. The binding constraint is NOT int64 (that allows
+# |v| < 9.2e6) but faithful HALF_UP emulation: for a scaled product
+# x = |v|·10^12 in [2^52, 2^53) the double ULP is 1, so Spark's
+# floor(x + 0.5) hits a round-to-even tie on odd integer-valued
+# products (yields x+1) while DuckDB's ROUND(x) yields x — a silent
+# cross-engine divergence on ~50% of values in that band (ADVICE r06,
+# empirically confirmed: v=8320.087321044215 → 8320087321044216 vs
+# ...215). Below 2^52 the +0.5 and the floor are both exact, so the
+# two engines round identically. The guard literal sits ~3.7e-7 below
+# the exact bound so no admissible |v| can scale into the tie band.
+_MEAN_E12_MAX = 4503.5996
+
+
 def mean_e12(col: Column | str) -> Column:
     """Exact cross-engine mean at 12-decimal resolution — the sanctioned
     replacement for ``dec_avg`` above scale 6 (k-means centroids,
@@ -145,25 +159,32 @@ def mean_e12(col: Column | str) -> Column:
     count in exact integer domain (pmod-subtract makes the quotient the
     floor for negative sums; the decimal division of the exact multiple
     survives Spark's scale-6 adjustment unchanged because the quotient
-    is an integer), and only then convert the ≲1e13 quotient to double
-    (/1e12). Bit-identical to :func:`mean_e12_sql` on every input —
-    including negative-sum groups, where DuckDB's ``//`` truncates
-    toward zero and the mirror therefore spells the floor out with the
-    same pmod-subtract (r06 review finding: the first mirror used bare
+    is an integer), and only then convert the quotient to double (/1e12
+    — the quotient is bounded by max|v|·10^12 < 2^52, so the long→
+    double conversion is itself exact). Bit-identical to
+    :func:`mean_e12_sql` on every in-domain input — including
+    negative-sum groups, where DuckDB's ``//`` truncates toward zero
+    and the mirror therefore spells the floor out with the same
+    pmod-subtract (r06 review finding: the first mirror used bare
     ``//`` and diverged by 1e-12 on negative remainders).
 
-    Domain: |v| < 2^63/10^12 ≈ 9.2e6 — beyond that the per-row scaled
-    product exceeds int64 (Spark's cast would saturate while DuckDB's
-    raises: a silent cross-engine divergence). Enforced per row with
-    raise_error, same refuse-loudly contract as :func:`_check_scale`;
-    12-decimal resolution on multi-million-magnitude values is the
-    wrong tool anyway — money-scale aggregates belong to dec_sum."""
+    Domain: |v| < 2^52/10^12 ≈ 4503.6 (``_MEAN_E12_MAX``) — beyond
+    that the scaled product enters the double binade where ULP ≥ 1 and
+    the two engines' HALF_UP emulations disagree on round-to-even ties
+    (see the constant's comment; the int64 limit at ~9.2e6 is further
+    out and was the r06 guard, too loose per ADVICE r06). Enforced per
+    row with raise_error in Spark AND the same CASE/error() rejection
+    in the SQL mirror, so an out-of-domain value fails loudly in BOTH
+    engines rather than silently diverging; 12-decimal resolution on
+    thousands-magnitude values is the wrong tool anyway — money-scale
+    aggregates belong to dec_sum."""
     c = F.col(col) if isinstance(col, str) else col
     x = F.when(
-        F.abs(c) >= F.lit(9.2e6),
+        F.abs(c) >= F.lit(_MEAN_E12_MAX),
         F.raise_error(
             F.concat(
-                F.lit("mean_e12 domain: |v| must be < 9.2e6, got "), c.cast("string")
+                F.lit(f"mean_e12 domain: |v| must be < {_MEAN_E12_MAX}, got "),
+                c.cast("string"),
             )
         ).cast("long"),
     ).otherwise(_scaled_long(c, 12)).cast("decimal(38,0)")
@@ -175,9 +196,16 @@ def mean_e12(col: Column | str) -> Column:
 
 def mean_e12_sql(expr: str) -> str:
     """DuckDB mirror of :func:`mean_e12`. The SUM lands in HUGEINT (no
-    overflow), and the floor is spelled out via pmod-subtract because
-    DuckDB's integer ``//`` truncates toward zero (−7//2 = −3, not −4)."""
-    s = f"SUM(CAST(ROUND(({expr}) * 1000000000000) AS BIGINT))"
+    overflow), the floor is spelled out via pmod-subtract because
+    DuckDB's integer ``//`` truncates toward zero (−7//2 = −3, not −4),
+    and the domain guard mirrors Spark's raise_error via error() so the
+    failure window is symmetric (ADVICE r06: the int64-overflow guard
+    alone left [old guard, BIGINT max) erroring in Spark only)."""
+    s = (
+        f"SUM(CASE WHEN ABS({expr}) >= {_MEAN_E12_MAX} THEN "
+        f"CAST(error('mean_e12 domain: |v| must be < {_MEAN_E12_MAX}') AS BIGINT) "
+        f"ELSE CAST(ROUND(({expr}) * 1000000000000) AS BIGINT) END)"
+    )
     n = f"COUNT({expr})"
     q = f"((({s}) - (((({s}) % ({n})) + ({n})) % ({n}))) // ({n}))"
     return f"CAST({q} AS DOUBLE) / 1000000000000.0"

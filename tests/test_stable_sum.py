@@ -175,7 +175,12 @@ from hypothesis import given, settings, strategies as st
 
 @given(
     st.lists(
-        st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+        # The FULL advertised domain, edge to edge (ADVICE r07: the old
+        # [-100, 100] strategy sat far below both the 2^52 rounding-tie
+        # band and the guard edge, so the property could not falsify the
+        # docstring's bit-identity claim; at the old 9.2e6 guard this
+        # widened strategy immediately reproduces the band divergence).
+        st.floats(min_value=-4503.5995, max_value=4503.5995, allow_nan=False),
         min_size=1,
         max_size=9,
     )
@@ -207,18 +212,35 @@ def test_mean_e12_cross_engine_property(spark, vals):
 
 
 def test_mean_e12_rejects_out_of_domain_values(spark):
-    """r06 third-review finding: beyond |v| ~ 9.2e6 the per-row scaled
-    product exceeds int64 — Spark's cast would SATURATE silently while
-    the DuckDB mirror raises, the exact silent-divergence class the
-    helper exists to close. mean_e12 must refuse loudly per row."""
+    """ADVICE r07 tightened guard: beyond |v| = 2^52/1e12 ≈ 4503.6 the
+    scaled product enters the ULP≥1 binade where Spark's floor(x+0.5)
+    round-to-even tie diverges from DuckDB's ROUND(x) on ~50% of values
+    (and beyond 9.2e6 the cast would saturate int64) — exactly the
+    silent-divergence class the helper exists to close. mean_e12 must
+    refuse loudly per row, in BOTH engines (the SQL mirror carries the
+    same guard so the failure window is symmetric)."""
+    import duckdb
     import pytest
 
-    from insurance_claim_data_pipeline_spark.functions.stable import mean_e12
+    from insurance_claim_data_pipeline_spark.functions.stable import (
+        _MEAN_E12_MAX,
+        mean_e12,
+        mean_e12_sql,
+    )
 
-    df = spark.createDataFrame([(1e7,), (2e7,)], "x double")
-    with pytest.raises(Exception, match="mean_e12 domain"):
-        df.agg(mean_e12("x").alias("mu")).collect()
-    # in-domain values are untouched by the guard branch
-    ok = spark.createDataFrame([(9.1e6,), (-9.1e6,), (0.25,)], "x double")
+    # the r06 ADVICE counterexample sits inside the old 9.2e6 guard but
+    # inside the [2^52/1e12, 2^53/1e12) tie band — must now be rejected
+    for bad in (8320.087321044215, 1e7, _MEAN_E12_MAX):
+        df = spark.createDataFrame([(bad,), (1.0,)], "x double")
+        with pytest.raises(Exception, match="mean_e12 domain"):
+            df.agg(mean_e12("x").alias("mu")).collect()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(bad,), (1.0,)])
+        with pytest.raises(Exception, match="mean_e12 domain"):
+            con.execute(f"SELECT {mean_e12_sql('x')} FROM t").fetchone()
+        con.close()
+    # in-domain values (up to the new guard edge) are untouched
+    ok = spark.createDataFrame([(4503.5,), (-4503.5,), (0.25,)], "x double")
     got = ok.agg(mean_e12("x").alias("mu")).first()["mu"]
     assert got == 0.083333333333
