@@ -109,6 +109,26 @@ class RouterResult:
     failed_files: list[str] = field(default_factory=list)
 
 
+def _probe_readable(path: str) -> None:
+    """X2 readability probe at ROUTER time. Spark's scan is lazy: an
+    existing-but-unreadable file (broken symlink, permission error)
+    builds a DataFrame fine and only fails at the first ACTION, long
+    after the router returned — so ``failed_files`` (and the
+    malformed count derived from it) would miss it. The reference
+    fails per file at read time inside its try/except
+    (claim_pipeline.py:176, :213-215); probing one byte here restores
+    that timing. Scheme'd URIs (s3://, hdfs://) are left to Spark's
+    own listing — this probe is for the reference's local-file
+    surface, not the distributed read path."""
+    if "://" in path:
+        return
+    if os.path.isdir(path):
+        os.listdir(path)
+    else:
+        with open(path, "rb") as fh:
+            fh.read(1)
+
+
 def load_claims(spark: SparkSession, paths: list[str]) -> RouterResult:
     """S3: extension dispatch (.csv→alpha, .json→beta), warn+skip
     otherwise, union all files into one logical stream. ``_file_idx``
@@ -119,15 +139,15 @@ def load_claims(spark: SparkSession, paths: list[str]) -> RouterResult:
     for idx, path in enumerate(paths):
         try:
             if path.endswith(".csv"):
+                _probe_readable(path)
                 df = load_alpha(spark, path)
             elif path.endswith(".json"):
+                _probe_readable(path)
                 df = load_beta(spark, path)
             else:
                 logger.warning("Unsupported file type: %s", path)
                 skipped.append(path)
                 continue
-            if not os.path.exists(path):
-                raise FileNotFoundError(path)
             dfs.append(df.withColumn("_file_idx", F.lit(idx)))
         except Exception:
             logger.exception("Failed to process file %s", path)

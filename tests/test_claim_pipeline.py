@@ -89,6 +89,30 @@ def test_unsupported_and_missing_files(spark, tmp_path):
     assert res.metrics["excluded_by_reason"]["malformed"] == 1  # failed file counted once
 
 
+def test_existing_but_unreadable_file_fails_at_router_time(spark, tmp_path):
+    """VERDICT r06 item 4: the router used to check os.path.exists AFTER
+    building the (lazy) DataFrame, so an existing-but-unreadable file
+    only failed at the first action — after failed_files was already
+    returned. A broken symlink is the root-proof stand-in (the entry
+    exists, opening it raises): it must land in failed_files at router
+    time and in excluded_by_reason.malformed exactly once, matching the
+    reference's per-file read-time try/except (claim_pipeline.py:176,
+    :213-215)."""
+    import os
+
+    link = tmp_path / "ghost.csv"
+    os.symlink(str(tmp_path / "no-such-target.csv"), str(link))
+    assert os.path.lexists(link)
+
+    routed = load_claims(spark, [str(link), BETA_PATH])
+    assert routed.failed_files == [str(link)]
+    assert routed.skipped_files == []
+    assert routed.claims.count() == 4  # beta still loads
+
+    res = run_pipeline(spark, [str(link), BETA_PATH], str(tmp_path))
+    assert res.metrics["excluded_by_reason"]["malformed"] == 1
+
+
 def test_alpha_none_literal_and_empty_to_null(spark):
     rows = {r["claim_id"]: r for r in load_alpha(spark, ALPHA_PATH).collect()}
     assert rows["A126"]["denial_reason"] is None  # literal 'None' string (F4)
