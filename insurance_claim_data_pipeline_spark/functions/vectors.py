@@ -21,11 +21,19 @@ def as_double(arr: Column | str) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
 
+def _fold_dot(a: Column, b: Column, prod) -> Column:
+    # The one fold body both dot variants share (ADVICE r06): zip,
+    # per-pair product, sequential left fold from double 0.0. Keeping a
+    # single source of truth means any change to the accumulate order
+    # moves BOTH variants together — the bit-identity property
+    # (tests/test_properties.py::test_dot_float_bit_identical_to_dot)
+    # guards the contract, this guards the drift.
+    return F.aggregate(F.zip_with(a, b, prod), F.lit(0.0), lambda acc, x: acc + x)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product (order-deterministic)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    return _fold_dot(a, b, lambda x, y: x * y)
 
 
 def dot_float(a: Column, b: Column) -> Column:
@@ -50,11 +58,7 @@ def dot_float(a: Column, b: Column) -> Column:
       27.9 s (−14% from switching BACK to as_double) — nothing
       materializes between nested-loop probes, so the cast is pure
       added per-pair CPU there."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    return _fold_dot(a, b, lambda x, y: x.cast("double") * y.cast("double"))
 
 
 def norm(a: Column) -> Column:
