@@ -167,16 +167,24 @@ _FRONT = (
     "multimodal_shot_boundaries",
     "multimodal_patch_layout",
     "multimodal_audio_vad",
-    # tier 6 — stats remainder, first 6.
+    # tier 6 — stats remainder, first 4 (benford/tost yield their
+    # pre-staged slots to tier 7 and lead the r08 plan instead).
     "stats_corr_matrix",
     "stats_skew_kurtosis",
     "stats_power_mde",
     "stats_paired_ttest",
-    "stats_benford_screen",
-    "stats_tost_equivalence",
-    # ---- exactly 50 entries: the full round-7 driver window (45
-    # first-ever + 5 re-anchors). The remaining never-checked backlog
-    # (~66 after this window) queues for r08/r09 per COVERAGE.md;
+    # tier 7 — changed-path re-rides (VERDICT r06 item 3): the two
+    # k-means-trained ANN variants were upgraded rows-only → oracled in
+    # r06 but their driver records still read no_oracle from r04, AND
+    # their oracle SQL changed again this round (the mean_e12 domain
+    # guard is now mirrored in SQL) — fresh driver hashes carry the
+    # most signal of any re-ride.
+    "sim_topk_ivf_trained",
+    "sim_topk_pq_trained",
+    # ---- exactly 50 entries: the full round-7 driver window (43
+    # first-ever + 5 re-anchors + 2 changed-path re-rides; the policy
+    # floor is ≥43 first-ever). The remaining never-checked backlog
+    # (~68 after this window) queues for r08/r09 per COVERAGE.md;
     # net-new round-7 registrations emit at 51+. ----
 )
 _TAIL = (
@@ -299,8 +307,8 @@ _TAIL = (
     "multimodal_resize",
     "multimodal_feature_extract",
     "warehouse_pit_join",
-    "sim_topk_ivf_trained",
-    "sim_topk_pq_trained",
+    # (sim_topk_ivf_trained / sim_topk_pq_trained moved to _FRONT
+    # tier 7 for their changed-path re-ride.)
     "text_quality_threshold_approx",
     "events_rolling_distinct_users_approx",
     "events_dwell_time_approx",
