@@ -79,12 +79,24 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The headline total is dominated by the wall-mode flagship
+    # (dedup_semantic_components_lsh, ~8 s of iterative driver-loop
+    # work); report the plain-noop common subset separately so a
+    # regression in the other queries can't hide under the flagship's
+    # noise band (VERDICT r06 item 7) — this is the figure comparable
+    # to the pre-r06 bench history and BASELINE.md's common-subset row.
+    wall_names = sorted(n for n in timings if "bench_wall" in bench_specs[n].tags)
+    common_total = round(
+        sum(t for n, t in timings.items() if n not in wall_names), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "common_subset_total_sec": common_total,
+                "wall_mode_queries": wall_names,
                 "runs_per_query": 3,
                 "timing": "best_of_runs_steady_state",
                 "queries": timings,
