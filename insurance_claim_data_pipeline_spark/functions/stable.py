@@ -144,8 +144,9 @@ def dec_sum_from_parts(q_sum: Column, r_sum: Column, scale: int = 2) -> Column:
 # cross-engine divergence on ~50% of values in that band (ADVICE r06,
 # empirically confirmed: v=8320.087321044215 → 8320087321044216 vs
 # ...215). Below 2^52 the +0.5 and the floor are both exact, so the
-# two engines round identically. The guard literal sits ~3.7e-7 below
-# the exact bound so no admissible |v| can scale into the tie band.
+# two engines round identically. The guard literal sits ~2.74e-5 below
+# the exact bound (a ~2.7e7-scaled-unit margin, dwarfing the 0.5-ULP
+# rounding slack) so no admissible |v| can scale into the tie band.
 _MEAN_E12_MAX = 4503.5996
 
 

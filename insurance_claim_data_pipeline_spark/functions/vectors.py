@@ -26,7 +26,7 @@ def _fold_dot(a: Column, b: Column, prod) -> Column:
     # per-pair product, sequential left fold from double 0.0. Keeping a
     # single source of truth means any change to the accumulate order
     # moves BOTH variants together — the bit-identity property
-    # (tests/test_properties.py::test_dot_float_bit_identical_to_dot)
+    # (tests/test_properties.py::test_dot_float_bit_identical_to_dot_as_double)
     # guards the contract, this guards the drift.
     return F.aggregate(F.zip_with(a, b, prod), F.lit(0.0), lambda acc, x: acc + x)
 

@@ -110,8 +110,9 @@ _FRONT = (
     # full r06 window came back in CORRECTNESS_r06.json 50/50
     # hash-green). This rotation continues burning the never-checked
     # backlog (111 at r06 end) following the pre-staged priority in
-    # COVERAGE.md "Round-7 window plan": 5 claims re-anchors + 45
-    # first-ever rows.
+    # COVERAGE.md "Round-7 window plan", with the tier-7 adjustment
+    # recorded there: 5 claims re-anchors + 43 first-ever rows + 2
+    # changed-path re-rides.
     # tier 0 — claims-port re-anchor (the driver regenerates testdata
     # each round; physical parquet types drift — keep the reference port
     # pinned to a fresh hash proof every round).

@@ -123,7 +123,11 @@ def _probe_readable(path: str) -> None:
     if "://" in path:
         return
     if os.path.isdir(path):
-        os.listdir(path)
+        # Spark reads every file under a directory input, so the probe
+        # must too — a listable directory with an unreadable part file
+        # inside would otherwise still fail at first action.
+        for entry in os.scandir(path):
+            _probe_readable(entry.path)
     else:
         with open(path, "rb") as fh:
             fh.read(1)

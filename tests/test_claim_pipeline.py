@@ -112,6 +112,16 @@ def test_existing_but_unreadable_file_fails_at_router_time(spark, tmp_path):
     res = run_pipeline(spark, [str(link), BETA_PATH], str(tmp_path))
     assert res.metrics["excluded_by_reason"]["malformed"] == 1
 
+    # Directory input: Spark reads every file under it, so a listable
+    # directory with a bad part file inside must ALSO fail at router
+    # time (the probe recurses), not at first action.
+    bad_dir = tmp_path / "batch.csv"
+    bad_dir.mkdir()
+    os.symlink(str(tmp_path / "gone.part"), str(bad_dir / "part-0000.csv"))
+    routed2 = load_claims(spark, [str(bad_dir), BETA_PATH])
+    assert routed2.failed_files == [str(bad_dir)]
+    assert routed2.claims.count() == 4
+
 
 def test_alpha_none_literal_and_empty_to_null(spark):
     rows = {r["claim_id"]: r for r in load_alpha(spark, ALPHA_PATH).collect()}

@@ -172,15 +172,23 @@ def test_mean_e12_matches_exact_rational_floor(spark):
 
 from hypothesis import given, settings, strategies as st
 
+from insurance_claim_data_pipeline_spark.functions.stable import _MEAN_E12_MAX
+
+# Just inside the live guard, derived from the constant itself so the
+# property can never silently decouple from the real domain: if the
+# guard is ever loosened back toward the old 9.2e6 int64 bound, this
+# strategy widens with it, generates 2^52-band values, and reproduces
+# the ADVICE r06 tie divergence immediately. (The old [-100, 100]
+# strategy sat far below both the tie band and the guard edge, so it
+# could not falsify the docstring's bit-identity claim.)
+_E12_DOMAIN_EDGE = _MEAN_E12_MAX - 1e-4
+
 
 @given(
     st.lists(
-        # The FULL advertised domain, edge to edge (ADVICE r07: the old
-        # [-100, 100] strategy sat far below both the 2^52 rounding-tie
-        # band and the guard edge, so the property could not falsify the
-        # docstring's bit-identity claim; at the old 9.2e6 guard this
-        # widened strategy immediately reproduces the band divergence).
-        st.floats(min_value=-4503.5995, max_value=4503.5995, allow_nan=False),
+        st.floats(
+            min_value=-_E12_DOMAIN_EDGE, max_value=_E12_DOMAIN_EDGE, allow_nan=False
+        ),
         min_size=1,
         max_size=9,
     )
