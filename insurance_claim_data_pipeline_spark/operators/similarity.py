@@ -2230,32 +2230,37 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the drift family (PSI/KS/KL watch scalars; a model-upgrade or
     pipeline bug shifts the EMBEDDING distribution first). Per-dim
     sums are ×1e8 rounded-long (order-proof); the 64-term distance is
-    one explicit fixed-order expression, rounded at 6 dp. One scan,
-    two 64-number states."""
+    one explicit fixed-order expression, rounded at 6 dp.
+
+    ONE scan, both halves' 64-number states as conditional aggregates
+    (r07 rewrite): the first formulation aggregated each parity half in
+    its own job — two full passes over the embeddings table, which at
+    100 TB is twice the I/O for the same 130 numbers. Conditional
+    sums compute the identical per-half rounded-long totals (integer
+    addition is order-free; the filter merely becomes the WHEN guard).
+    A/B at sf0.1: 3.28 → 2.88 s best-of-3 (fixed overhead dominates at
+    this SF; the scan halving is the scale-path win), identical output
+    row."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+        F.pmod("vec_id", F.lit(2)).alias("p"), as_double("embedding").alias("v")
     )
+    is_a, is_b = F.col("p") == 0, F.col("p") == 1
 
-    def half(parity: int) -> DataFrame:
-        h = emb.filter(F.pmod("vec_id", F.lit(2)) == parity)
-        aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
-            (
-                F.sum(
-                    F.floor(F.element_at("v", i) * F.lit(100_000_000) + F.lit(0.5)).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / F.lit(100_000_000)
-            ).alias(f"s{i}")
-            for i in range(1, EMB_DIM + 1)
-        ]
-        return h.agg(*aggs)
+    def scaled(i: int):
+        return F.floor(F.element_at("v", i) * F.lit(100_000_000) + F.lit(0.5)).cast("long")
 
-    a = half(0)
-    b = half(1).select(
-        F.col("n").alias("bn"), *[F.col(f"s{i}").alias(f"t{i}") for i in range(1, EMB_DIM + 1)]
-    )
-    j = a.crossJoin(F.broadcast(b))
+    aggs = [
+        F.count(F.when(is_a, F.lit(1))).cast("long").alias("n"),
+        F.count(F.when(is_b, F.lit(1))).cast("long").alias("bn"),
+    ]
+    for i in range(1, EMB_DIM + 1):
+        aggs.append(
+            (F.sum(F.when(is_a, scaled(i))).cast("double") / F.lit(100_000_000)).alias(f"s{i}")
+        )
+        aggs.append(
+            (F.sum(F.when(is_b, scaled(i))).cast("double") / F.lit(100_000_000)).alias(f"t{i}")
+        )
+    j = emb.agg(*aggs)
     diff = None
     for i in range(1, EMB_DIM + 1):
         d = F.col(f"s{i}") / F.col("n") - F.col(f"t{i}") / F.col("bn")
