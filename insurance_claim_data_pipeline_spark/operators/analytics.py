@@ -2483,7 +2483,13 @@ def events_metric_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: integer-cent revenue, exact distinct/count/sum state per
     half (one conditional-aggregate pass), logs quantized ×1e6 from
     identical exact integers. Scale: one purchase-filtered scan to a
-    2-row frame."""
+    2-row frame, then a max(when())-pivot of that 2-row frame into one
+    wide row — r07 fix: the first formulation filtered the lns plan
+    twice (half=0 / half=1) and cross-joined, which RE-EXECUTED the
+    count_distinct aggregation once per side (the checkpoint below only
+    pins the detail scan); the pivot keeps one linear plan, so the
+    heavy agg runs once. A/B at sf0.1: 0.85 → 0.72 s best-of-3,
+    identical row."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -2513,13 +2519,22 @@ def events_metric_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         ln_e6(F.col("rev_c").cast("double") / F.col("orders")).alias("ln_aov_e6"),
         ln_e6(F.col("rev_c").cast("double")).alias("ln_rev_e6"),
     )
-    a = lns.filter(F.col("half") == 0).select(
-        *[F.col(c).alias(f"a_{c}") for c in lns.columns]
+    cols = ["users", "rev_c", "ln_rev_e6", "ln_users_e6", "ln_freq_e6", "ln_aov_e6"]
+
+    def side(h: int, c: str):
+        # exactly one lns row per half, so max(when()) IS that value
+        return F.max(F.when(F.col("half") == h, F.col(c)))
+
+    wide = lns.agg(
+        *[side(0, c).alias(f"a_{c}") for c in cols],
+        *[side(1, c).alias(f"b_{c}") for c in cols],
+    ).where(
+        # the no-groupBy agg always yields one row; the oracle's
+        # a JOIN b (and the old crossJoin) yields ZERO rows unless both
+        # halves exist — keep that contract on degenerate inputs
+        F.col("a_users").isNotNull() & F.col("b_users").isNotNull()
     )
-    b = lns.filter(F.col("half") == 1).select(
-        *[F.col(c).alias(f"b_{c}") for c in lns.columns]
-    )
-    return a.crossJoin(F.broadcast(b)).select(
+    return wide.select(
         (F.col("b_users") - F.col("a_users")).alias("d_users"),
         (F.col("b_rev_c") - F.col("a_rev_c")).alias("d_rev_c"),
         (F.col("b_ln_rev_e6") - F.col("a_ln_rev_e6")).alias("dln_rev_e6"),
