@@ -2609,8 +2609,13 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     each part's cross-period term is rounded once to an integer so the
     basket sums are order-independent; Σp₀q₀ and Σp₁q₁ need no
     rounding at all (they ARE the exact revenue sums). One fact scan,
-    one (part, half) aggregate, one part-keyed self-join of that small
-    frame."""
+    ONE part-keyed conditional-pivot aggregate — r07 rewrite: the first
+    formulation aggregated per (part, half), checkpointed, and
+    self-joined the halves back on l_partkey, paying a checkpoint
+    materialization plus a join shuffle for what one groupBy(l_partkey)
+    with per-half conditional sums produces directly; the
+    both-halves-non-NULL filter IS the matched-model inner join. A/B at
+    sf0.1: 0.78 → 0.65 s best-of-3, identical row."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.when(
@@ -2621,21 +2626,15 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("rev_c"),
         F.round(F.col("l_quantity") * 100).cast("long").alias("qty_u"),
     )
-    agg = li.groupBy("l_partkey", "half").agg(
-        F.sum("rev_c").cast("long").alias("rev_c"),
-        F.sum("qty_u").cast("long").alias("qty_u"),
-    ).localCheckpoint(eager=False)  # self-joined across halves
-    a = agg.filter(F.col("half") == 0).select(
-        "l_partkey",
-        F.col("rev_c").alias("rev0"),
-        F.col("qty_u").alias("qty0"),
+    is0, is1 = F.col("half") == 0, F.col("half") == 1
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(F.when(is0, F.col("rev_c"))).cast("long").alias("rev0"),
+        F.sum(F.when(is0, F.col("qty_u"))).cast("long").alias("qty0"),
+        F.sum(F.when(is1, F.col("rev_c"))).cast("long").alias("rev1"),
+        F.sum(F.when(is1, F.col("qty_u"))).cast("long").alias("qty1"),
     )
-    b = agg.filter(F.col("half") == 1).select(
-        "l_partkey",
-        F.col("rev_c").alias("rev1"),
-        F.col("qty_u").alias("qty1"),
-    )
-    terms = a.join(b, "l_partkey").select(
+    both = agg.where(F.col("rev0").isNotNull() & F.col("rev1").isNotNull())
+    terms = both.select(
         "rev0",
         "rev1",
         F.round((F.col("rev1").cast("double") / F.col("qty1")) * F.col("qty0"))
