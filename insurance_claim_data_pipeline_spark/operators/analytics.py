@@ -2157,30 +2157,38 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's established integer-sum Pearson rounded at 6 dp, the
     six-term Q sum is an EXPLICIT expression (fixed order, not an
     aggregation), and the verdict is an integer compare — deterministic
-    end to end."""
+    end to end.
+
+    Plan shape (r07 rewrite): the first formulation built each ρ_k as
+    its own window+aggregate job cross-joined together, so the hourly
+    frame's events scan+groupBy executed SEVEN times (t plus six lags).
+    One window projection computes lag₁..lag₆ side by side and one
+    conditional aggregate produces every ρ_k (the y-not-null filter
+    becomes a per-lag WHEN guard — identical filtered sums): one events
+    scan, one job. A/B at sf0.1: 0.94 → 0.57 s best-of-3, identical
+    row."""
     ev = load_table(spark, sf_dir, "events")
     hour_us = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))).alias("hour_us")
     hourly = ev.select(hour_us).groupBy("hour_us").agg(F.count(F.lit(1)).alias("n"))
-    t = hourly.agg(F.count(F.lit(1)).cast("long").alias("t_hours"))
-
-    def rho(k: int) -> DataFrame:
-        w = W.partitionBy(tiny_frame_key("hour_us")).orderBy("hour_us")
-        pairs = hourly.select(
-            F.col("n").alias("x"), F.lag("n", k).over(w).alias("y")
-        ).filter(F.col("y").isNotNull())
-        cnt = F.count(F.lit(1))
+    w = W.partitionBy(tiny_frame_key("hour_us")).orderBy("hour_us")
+    lagged = hourly.select(
+        F.col("n").alias("x"),
+        *[F.lag("n", k).over(w).alias(f"y{k}") for k in range(1, LB_LAGS + 1)],
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("t_hours")]
+    for k in range(1, LB_LAGS + 1):
+        ok = F.col(f"y{k}").isNotNull()
+        x, y = F.when(ok, F.col("x")), F.when(ok, F.col(f"y{k}"))
+        cnt = F.count(x)
         r = (
-            (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            (cnt * F.sum(x * y) - F.sum(x) * F.sum(y))
             / (
-                F.sqrt((cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast("double"))
-                * F.sqrt((cnt * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")).cast("double"))
+                F.sqrt((cnt * F.sum(x * x) - F.sum(x) * F.sum(x)).cast("double"))
+                * F.sqrt((cnt * F.sum(y * y) - F.sum(y) * F.sum(y)).cast("double"))
             )
         )
-        return pairs.agg(F.round(r, 6).alias(f"r{k}"))
-
-    out = t
-    for k in range(1, LB_LAGS + 1):
-        out = out.crossJoin(F.broadcast(rho(k)))
+        aggs.append(F.round(r, 6).alias(f"r{k}"))
+    out = lagged.agg(*aggs)
     th = F.col("t_hours")
     q_sum = None
     for k in range(1, LB_LAGS + 1):
