@@ -1,0 +1,84 @@
+"""Repeated-scan plan audit: for every registered query, count how many
+times each base table's Relation appears in the OPTIMIZED logical plan
+and flag queries scanning one table >= THRESHOLD times.
+
+Why: a frame that feeds several consumers unmaterialized re-executes
+its whole lineage per consumer — locally that duplicates a sub-second
+job, at 100 TB it duplicates a full corpus pass. This audit caught
+(r07, each fixed with a measured A/B): the JSD token counts consumed
+3× (0.90→0.71 s), the char-bigram pair counts 5× (1.70→1.50 s), the
+PSI bucket counts re-running the PIT plan 2× (1.19→1.09 s), the funnel
+cascade re-running prior stages (6 scans→3, 0.72→0.65 s), the
+Ljung-Box hourly frame 7× (fused to one conditional aggregate,
+0.94→0.57 s), the metric-tree halves double-executing a count_distinct
+agg (0.85→0.72 s), the price-index half self-join (0.78→0.65 s), and
+the centroid-drift two half-scans (3.28→2.88 s).
+
+KNOWN-JUSTIFIED repeat classes — do NOT "fix" these without an A/B:
+- LSH/minhash/jaccard band self-joins: the signature pipeline feeds
+  both join sides BY DESIGN; pinning the sigs frame was measured
+  SLOWER (11.39 vs 9.66 s, recorded in dedup.py) — the barrier costs
+  more than the duplicated fold work.
+- Unrolled iterative rounds (gbm_rounds, Lloyd trainers, power
+  iteration): each round's scan is the unrolled-round design that
+  makes the query oracle-expressible; the repeat count IS the round
+  count.
+- Eval/certificate queries comparing two methods (minhash_eval, the
+  recall/pruning certificates, nprobe/depth sweeps): each arm scans by
+  construction.
+- Self-joins with different predicates (fk_discovery probes every
+  candidate key pair; skipping_stats ranks per column).
+A flag is a PROMPT for an A/B (lazy localCheckpoint on the shared
+frame, or fusing per-arm jobs into conditional aggregates), never an
+automatic fix: the r06/r07 record holds both winners and a recorded
+loser.
+
+Run: python scripts/plan_scan_audit.py [sf_dir] [threshold]
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from insurance_claim_data_pipeline_spark import registry  # noqa: E402
+from insurance_claim_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def scan_counts(df) -> dict[str, int]:
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # Relations print as `Relation [first_col#id,...] parquet`; the
+    # first column name identifies the base table (o_/c_/l_... prefixes
+    # are unique per table in this schema).
+    rels = re.findall(r"Relation \[(\w+)#", plan)
+    return collections.Counter(rels)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    threshold = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    spark = get_spark("plan-scan-audit")
+    flagged = 0
+    for name, spec in registry.all_specs().items():
+        if name.startswith("claims_") or "streaming" in name:
+            continue  # fixture-file / streaming surfaces
+        try:
+            cnt = scan_counts(spec.fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - diagnostic tool
+            print(f"ERROR  {name}: {type(e).__name__}: {str(e)[:100]}")
+            continue
+        heavy = {t: c for t, c in cnt.items() if c >= threshold}
+        if heavy:
+            flagged += 1
+            print(f"{name}: {heavy}")
+    print(f"done: {flagged} quer(ies) with >= {threshold} scans of one table")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
