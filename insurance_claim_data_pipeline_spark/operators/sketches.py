@@ -534,7 +534,17 @@ def agg_countmin_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the shuffle carries at most d*w rows whatever the event
     volume or user cardinality — the heavy-hitter/frequency monitor
     that replaces a full user-keyed aggregation when only point/top
-    estimates are needed."""
+    estimates are needed.
+
+    Measured and REJECTED (r07, recorded so it isn't re-tried): fusing
+    the d union branches into one scan via
+    ``posexplode(array(pos_0..pos_3))`` — 0.79 → 1.14 s best-of-3 at
+    sf0.1. The generator leaves whole-stage codegen and the md5 count
+    per row is unchanged, while the d union branches are each a cheap
+    single-column scan feeding the same map-side-combined groupBy. (At
+    a truly I/O-bound scale the branch scans re-read the column d
+    times where the explode reads once — if this query ever moves to a
+    fat-table/remote-storage context, re-run the A/B there.)"""
     ev = load_table(spark, sf_dir, "events")
     # Spark-side position: same arithmetic as the oracle's _cm_pos_sql,
     # rendered in the Spark SQL dialect (conv-based h60).
