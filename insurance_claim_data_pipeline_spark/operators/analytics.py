@@ -1778,15 +1778,21 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ij/n_all means ONE quantized term per observed transition pair —
     each rounded at ×1e6 before the integer sum (order-proof). Same
     single window pass as events_markov_transitions plus two tiny
-    aggregates."""
+    aggregates — the k²-bounded pairs frame is lazily pinned because
+    it feeds four consumers; unpinned, each re-ran the per-user window
+    sort (r07 plan-scan audit; 0.87 → 0.69 s best-of-3 at sf0.1)."""
     ev = load_table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("src"),
         F.lead("event_type").over(order).alias("dst"),
     ).filter(F.col("dst").isNotNull())
-    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = pairs.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    pairs = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
+    tot = pairs.groupBy("src").agg(
+        F.sum("n").cast("long").alias("n_src")
+    ).localCheckpoint(eager=False)  # read by n_states and the join
     grand = pairs.agg(F.sum("n").cast("long").alias("n_all"))
     n_states = tot.agg(F.count(F.lit(1)).cast("long").alias("n_states"))
     term = F.round(
