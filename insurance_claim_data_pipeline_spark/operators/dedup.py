@@ -1493,7 +1493,14 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates are data-bounded (shingle df² per key, never corpus²);
     hot boilerplate shingles are the same skew the set variant guards
     with ``max_df`` in production. ×1e6 fixed-point with truncating
-    div — integer-exact across engines."""
+    div — integer-exact across engines.
+
+    Measured and REJECTED (r07 plan-scan audit, recorded so it isn't
+    re-tried): lazily checkpointing ``sizes`` (0.89 → 1.25 s best-of-3
+    at sf0.1) and ``cnt``+``sizes`` (→ 0.95 s) to dedupe the repeated
+    shingle pipeline — the barrier serializes work the scheduler
+    otherwise overlaps with the self-join, the same trade recorded for
+    the LSH sigs frame."""
     doc = load_table(spark, sf_dir, "documents")
     cnt = (
         shingle_rows(doc.select("doc_id", "text"), distinct=False)

@@ -1328,9 +1328,12 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PMI_MIN_COUNT} are dropped (PMI is unstable on rare pairs), and
     the statistic is a ×1e6 integer on exact count ratios.
 
-    Scale: the pair-count aggregate is the only pass over token data;
-    margins re-aggregate the (vocab²-bounded) pair table, and the two
-    margin joins are vocabulary-keyed — broadcastable for any real
+    Scale: the pair-count aggregate is the only pass over token data
+    (the vocab²-bounded pair table is lazily pinned — it feeds both
+    margins, the total, and the final join, and unpinned each consumer
+    re-ran the corpus tokenize; r07 plan-scan audit, 0.87 → 0.65 s
+    best-of-3 at sf0.1); margins re-aggregate the pair table, and the
+    two margin joins are vocabulary-keyed — broadcastable for any real
     vocabulary."""
     doc = load_table(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("toks"))
     k = F.size("toks") - 1
@@ -1344,7 +1347,9 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("toks", F.col("i") + 1).alias("w2"),
         )
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n12"))
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n12")
+    ).localCheckpoint(eager=False)
     c1 = c2.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
     cr = c2.groupBy("w2").agg(F.sum("n12").cast("long").alias("n2"))
     tot = c2.agg(F.sum("n12").cast("long").alias("n"))
@@ -2403,7 +2408,11 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE bigram-count shuffle; c1/fw derive from c2 by a |vocab|
     aggregate (n1 and N1+ in the same pass), bw by a second |vocab|
     aggregate; |bigram types| is a broadcast scalar. No pass ever
-    re-reads the corpus."""
+    re-reads the corpus — enforced by the lazy pin on c2 (it feeds
+    c1, bw, btypes AND the model join; unpinned, each consumer re-ran
+    the tokenize — r07 plan-scan audit; timing-neutral at sf0.1,
+    0.60 vs 0.60 s, the removed three redundant corpus passes are the
+    scale win)."""
     doc = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
     k = F.size("toks") - 1
@@ -2415,7 +2424,9 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("toks", F.col("i") + 1).alias("w2"),
         )
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n12"))
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n12")
+    ).localCheckpoint(eager=False)
     c1 = c2.groupBy("w1").agg(
         F.sum("n12").cast("long").alias("n1"),
         F.count(F.lit(1)).cast("long").alias("n1plus_fw"),
@@ -2591,8 +2602,13 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness/scale: hashed {DSIR_BUCKETS}-bucket features (no vocab to
     ship), add-one smoothing, each bucket's log ratio rounded ×1e6 ONCE
     (order-independent integer doc sums — the bigram-logprob idiom).
-    Two count aggregates + a broadcast-sized ratio table joined back on
-    the bucket id; one scan of the corpus tokens."""
+    ONE conditional margins aggregate (the target count is a
+    WHEN-guarded count in the same groupBy as the corpus count — r07
+    rewrite: separate target/corpus aggregates plus their two total
+    rows re-ran the corpus tokenize ~5×; the merged bucket-bounded
+    frame is lazily pinned, leaving two corpus passes: margins +
+    scoring. A/B at sf0.1: 1.48 → 1.11 s best-of-3, identical top-50)
+    + a broadcast-sized ratio table joined back on the bucket id."""
     tok = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
@@ -2605,25 +2621,22 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bkt"),
         )
     )
-    tgt = (
-        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
-    )
-    corp = tok.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("c_c"))
-    n_t = tgt.agg(F.sum("c_t").alias("n_t"))
-    n_c = corp.agg(F.sum("c_c").alias("n_c"))
+    m = tok.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("c_c"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)))
+        .cast("long")
+        .alias("c_t"),
+    ).localCheckpoint(eager=False)
+    n = m.agg(F.sum("c_c").alias("n_c"), F.sum("c_t").alias("n_t"))
     sm = DSIR_ALPHA * DSIR_BUCKETS
     ratio = (
-        corp.join(tgt, "bkt", "left")
-        .crossJoin(F.broadcast(n_t))
-        .crossJoin(F.broadcast(n_c))
+        m.crossJoin(F.broadcast(n))
         .select(
             "bkt",
             F.round(
                 F.log(
                     (
-                        (F.coalesce("c_t", F.lit(0)) + DSIR_ALPHA).cast("double")
+                        (F.col("c_t") + DSIR_ALPHA).cast("double")
                         / (F.col("n_t") + sm)
                     )
                     / (
