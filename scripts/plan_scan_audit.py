@@ -27,11 +27,19 @@ KNOWN-JUSTIFIED repeat classes — do NOT "fix" these without an A/B:
   recall/pruning certificates, nprobe/depth sweeps): each arm scans by
   construction.
 - Self-joins with different predicates (fk_discovery probes every
-  candidate key pair; skipping_stats ranks per column).
+  candidate key pair) and multi-arm layout comparisons
+  (skipping_stats' four layout arms ARE the comparison — only its
+  shared stats row was accidental, fixed r07).
+- Distinct per-doc feature extractions over the same column
+  (text_repetition_filter: n_tok + unigram tf + 2-gram + 3-gram are
+  four different explodes, not recompute; AQE co-partitions the
+  doc_id joins).
 A flag is a PROMPT for an A/B (lazy localCheckpoint on the shared
 frame, or fusing per-arm jobs into conditional aggregates), never an
-automatic fix: the r06/r07 record holds both winners and a recorded
-loser.
+automatic fix: the r07 record holds twelve winners and three recorded
+losers (LSH sigs barrier, count-min posexplode fusion, and
+weighted-jaccard checkpoints — the barrier serializes work the
+scheduler overlaps with the self-join).
 
 Run: python scripts/plan_scan_audit.py [sf_dir] [threshold]
 """
