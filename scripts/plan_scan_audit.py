@@ -59,12 +59,24 @@ from insurance_claim_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def scan_counts(df) -> dict[str, int]:
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # Relations print as `Relation [first_col#id,...] parquet`; the
-    # first column name identifies the base table (o_/c_/l_... prefixes
-    # are unique per table in this schema).
-    rels = re.findall(r"Relation \[(\w+)#", plan)
-    return collections.Counter(rels)
+    # Walk the optimized plan's leaf nodes (ADVICE r07: don't regex the
+    # printed plan — two tables sharing a leading column name, or a
+    # print-format change across Spark versions, would silently merge
+    # or drop counts). LogicalRelation leaves carry their file-source
+    # rootPaths, whose basename IS the table; lazy-localCheckpoint
+    # boundaries surface as LogicalRDD leaves and are NOT base-table
+    # scans (the lineage below them runs once), so they don't count.
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    cnt: collections.Counter[str] = collections.Counter()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() != "LogicalRelation":
+            continue
+        paths = leaf.relation().location().rootPaths()
+        for j in range(paths.size()):
+            base = os.path.basename(paths.apply(j).toString())
+            cnt[re.sub(r"\.parquet$", "", base)] += 1
+    return cnt
 
 
 def main() -> int:
