@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import logging
 import os
+import stat
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,7 +110,17 @@ class RouterResult:
     failed_files: list[str] = field(default_factory=list)
 
 
-def _probe_readable(path: str) -> None:
+# Driver-side probe budget per router input (ADVICE r07 / VERDICT r07
+# item 7): the probe is O(files) on the DRIVER, fine for the
+# reference's handful-of-local-files surface but not for a directory
+# of many thousands of part files — past the cap the remaining files
+# are left to Spark's scan (whose task-level failure the PERMISSIVE
+# X1 path and the driver's action-time try/except still surface, just
+# later than router time).
+_PROBE_MAX_FILES = 1024
+
+
+def _probe_readable(path: str, _visited: set | None = None, _budget: list | None = None) -> None:
     """X2 readability probe at ROUTER time. Spark's scan is lazy: an
     existing-but-unreadable file (broken symlink, permission error)
     builds a DataFrame fine and only fails at the first ACTION, long
@@ -119,16 +130,39 @@ def _probe_readable(path: str) -> None:
     (claim_pipeline.py:176, :213-215); probing one byte here restores
     that timing. Scheme'd URIs (s3://, hdfs://) are left to Spark's
     own listing — this probe is for the reference's local-file
-    surface, not the distributed read path."""
+    surface, not the distributed read path.
+
+    Hardened per ADVICE r07: a non-regular file (FIFO, device, socket)
+    is REJECTED before opening — ``open()+read(1)`` on a FIFO with no
+    writer blocks forever, which no except clause can reach; directory
+    recursion tracks visited (st_dev, st_ino) so a symlink cycle
+    terminates by skip instead of by RecursionError; and at most
+    ``_PROBE_MAX_FILES`` files are probed per router input."""
     if "://" in path:
         return
-    if os.path.isdir(path):
+    if _visited is None:
+        _visited = set()
+    if _budget is None:
+        _budget = [_PROBE_MAX_FILES]
+    st = os.stat(path)  # follows symlinks; broken symlink raises here
+    if stat.S_ISDIR(st.st_mode):
+        key = (st.st_dev, st.st_ino)
+        if key in _visited:  # symlink cycle / repeated subtree: probe once
+            return
+        _visited.add(key)
         # Spark reads every file under a directory input, so the probe
         # must too — a listable directory with an unreadable part file
         # inside would otherwise still fail at first action.
         for entry in os.scandir(path):
-            _probe_readable(entry.path)
+            if _budget[0] <= 0:
+                return
+            _probe_readable(entry.path, _visited, _budget)
+    elif not stat.S_ISREG(st.st_mode):
+        raise OSError(f"not a regular file (mode {stat.S_IFMT(st.st_mode):#o}): {path}")
     else:
+        if _budget[0] <= 0:
+            return
+        _budget[0] -= 1
         with open(path, "rb") as fh:
             fh.read(1)
 

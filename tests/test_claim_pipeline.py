@@ -123,6 +123,71 @@ def test_existing_but_unreadable_file_fails_at_router_time(spark, tmp_path):
     assert routed2.claims.count() == 4
 
 
+def test_probe_rejects_fifo_instead_of_blocking(spark, tmp_path):
+    """ADVICE r07: open()+read(1) on a FIFO with no writer blocks
+    forever — unreachable by any except clause. The probe must stat
+    first and reject non-regular files explicitly, landing the input
+    in failed_files like any other unreadable file."""
+    import os
+
+    fifo = tmp_path / "pipe.csv"
+    os.mkfifo(str(fifo))
+    routed = load_claims(spark, [str(fifo), BETA_PATH])
+    assert routed.failed_files == [str(fifo)]
+    assert routed.claims.count() == 4
+
+    # Same for a FIFO hiding inside a directory input.
+    d = tmp_path / "dirin.csv"
+    d.mkdir()
+    os.mkfifo(str(d / "part-0000.csv"))
+    routed2 = load_claims(spark, [str(d), BETA_PATH])
+    assert routed2.failed_files == [str(d)]
+
+
+def test_probe_symlink_cycle_terminates(tmp_path):
+    """ADVICE r07: a directory symlink cycle used to recurse until
+    RecursionError (caught, but misclassifying the cause). The visited
+    (st_dev, st_ino) set now terminates the walk by skip — and the
+    regular files in the cycle's directory are still probed."""
+    import os
+
+    from insurance_claim_data_pipeline_spark.sources.claims import _probe_readable
+
+    d = tmp_path / "loop"
+    d.mkdir()
+    (d / "ok.csv").write_text("claim_id\n1\n")
+    os.symlink(str(d), str(d / "self"))
+    _probe_readable(str(d))  # terminates, no RecursionError
+
+    # A cycle THROUGH two directories also terminates.
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    os.symlink(str(b), str(a / "to_b"))
+    os.symlink(str(a), str(b / "to_a"))
+    _probe_readable(str(a))
+
+
+def test_probe_budget_bounds_directory_walk(tmp_path):
+    """VERDICT r07 item 7: the probe is O(files) driver-side; a cap
+    bounds it for many-part-file directory inputs. Past the budget the
+    walk stops (remaining files are left to Spark's scan — the X1
+    PERMISSIVE path still surfaces them, just at action time)."""
+    from insurance_claim_data_pipeline_spark.sources.claims import _probe_readable
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(5):
+        (d / f"part-{i:04d}.csv").write_text("x\n")
+    budget = [2]
+    _probe_readable(str(d), _budget=budget)
+    assert budget[0] == 0  # stopped at the cap, probed exactly 2
+    full = [1024]
+    _probe_readable(str(d), _budget=full)
+    assert full[0] == 1024 - 5  # in-budget walk probes every file
+
+
 def test_alpha_none_literal_and_empty_to_null(spark):
     rows = {r["claim_id"]: r for r in load_alpha(spark, ALPHA_PATH).collect()}
     assert rows["A126"]["denial_reason"] is None  # literal 'None' string (F4)
