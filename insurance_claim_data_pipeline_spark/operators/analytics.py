@@ -41,7 +41,7 @@ from pyspark.sql.group import GroupedData
 from ..functions.stable import dec, dec_sum, dec_sum_sql
 from ..functions.guards import nonzero
 from ..registry import register
-from ..session import load_table, tiny_frame_key
+from ..session import load_table, pin, tiny_frame_key
 
 US_1H = 3_600_000_000
 
@@ -126,8 +126,8 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-    ).localCheckpoint(eager=False)
-    c = first_after("click", v, "t1", "t2").localCheckpoint(eager=False)
+    ).transform(pin)
+    c = first_after("click", v, "t1", "t2").transform(pin)
     p = first_after("purchase", c, "t2", "t3")
 
     def count_row(df: DataFrame, step_no: int, step: str) -> DataFrame:
@@ -878,7 +878,7 @@ def _with_global_rank(
     # of a checkpointed frame) pass materialize=False to skip the second
     # block-write.
     if materialize:
-        df = df.localCheckpoint(eager=False)
+        df = df.transform(pin)
     bounds = df.agg(F.percentile_approx(value, probs, 10_000).alias("_bounds"))
     bkt = F.aggregate(
         "_bounds",
@@ -1504,7 +1504,7 @@ def with_global_prefix_sums(df: DataFrame, order_col: str, sum_cols: list[str]) 
     formulation with one min/max agg and one integer division
     (~2x on the helper, measured at sf0.1 on spearman's 583k-value
     price-rank pass)."""
-    df = df.localCheckpoint(eager=False)  # range scan + bucket scan share one materialization
+    df = df.transform(pin)  # range scan + bucket scan share one materialization
     lo = F.min(order_col).cast("long")
     hi = F.max(order_col).cast("long")
     rng = df.agg(
@@ -1789,10 +1789,10 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     pairs = seq.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     tot = pairs.groupBy("src").agg(
         F.sum("n").cast("long").alias("n_src")
-    ).localCheckpoint(eager=False)  # read by n_states and the join
+    ).transform(pin)  # read by n_states and the join
     grand = pairs.agg(F.sum("n").cast("long").alias("n_all"))
     n_states = tot.agg(F.count(F.lit(1)).cast("long").alias("n_states"))
     term = F.round(
@@ -1971,7 +1971,7 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = (
         (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1W))) / F.lit(US_1W)
     ).cast("long")
-    act = ev.select("user_id", wk.alias("wk")).distinct().localCheckpoint(eager=False)
+    act = ev.select("user_id", wk.alias("wk")).distinct().transform(pin)
     w_all = W.partitionBy("user_id")
     w_ord = W.partitionBy("user_id").orderBy("wk")
     seq = act.select(
@@ -2396,7 +2396,7 @@ def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on ≤30 points."""
     ev = load_table(spark, sf_dir, "events")
     activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    activity = activity.localCheckpoint(eager=False)  # cohort + bounds + ret
+    activity = activity.transform(pin)  # cohort + bounds + ret
     cohort = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     bounds = activity.agg(F.max("d").alias("max_d"))
     ret = (
@@ -2514,7 +2514,7 @@ def events_metric_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.round(F.col("value") * 100).cast("long").alias("val_c"),
-    ).localCheckpoint(eager=False)  # feeds the midpoint + both halves
+    ).transform(pin)  # feeds the midpoint + both halves
     mid = p.agg(
         F.expr("(MIN(ts_us) + MAX(ts_us)) div 2").cast("long").alias("mid_us")
     )
@@ -2769,7 +2769,7 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio); the ratio is exact integer division."""
     ev = load_table(spark, sf_dir, "events")
     au = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    au = au.localCheckpoint(eager=False)  # feeds dau + the 7x expansion
+    au = au.transform(pin)  # feeds dau + the 7x expansion
     bounds = ev.agg(
         F.min(F.to_date("ts")).alias("min_d"), F.max(F.to_date("ts")).alias("max_d")
     )

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..functions.text import shingle_rows, shingles_sql, tokens
 from ..functions.vectors import as_double, cosine_sql, dot, dot_float, dot_sql, norm
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, pin, pin_eager
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -494,7 +494,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     # upstream candidate-generation plan (for the semantic caller, a
     # quadratic cosine scan) re-executes per round (measured: the
     # sf0.1 semantic-dedup run went from tens of minutes to seconds).
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.transform(pin)
     # vertices that participate in at least one near-dup pair
     verts = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -524,7 +524,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
                     "_changed"
                 ),
             )
-        ).localCheckpoint()
+        ).transform(pin_eager)
         changed = updated.filter("_changed").limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
@@ -1160,13 +1160,13 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
     propagation loop's change count). Equality with
     min_label_components on the same pair graph is asserted in tests;
     the registry entry shares the recursive-CTE oracle."""
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.transform(pin)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin_eager)
     )
 
     def star(e: DataFrame, large: bool) -> DataFrame:
@@ -1204,8 +1204,8 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
         # vs 11.2 s on the sf0.1 LSH flagship: star() references its
         # input TWICE (the sym union), so without the barrier the
         # large-star plan re-executes inside the small-star job.
-        edges = star(edges, large=True).localCheckpoint()
-        edges = star(edges, large=False).localCheckpoint()
+        edges = star(edges, large=True).transform(pin_eager)
+        edges = star(edges, large=False).transform(pin_eager)
         cur = sig(edges)
         if cur == prev:
             converged = True

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.grouped import sorted_grouped_map
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, pin
 
 TAU_US = 3_600_000_000  # 1-hour decay constant
 E6 = 1_000_000
@@ -380,7 +380,7 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", hour_idx.alias("hour_idx"))
         .groupBy("event_type", "hour_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint(eager=False)  # feeds index build + adjusted series
+        .transform(pin)  # feeds index build + adjusted series
     )
     sidx = hourly.groupBy(
         "event_type", F.pmod("hour_idx", F.lit(24)).alias("hod")
@@ -650,7 +650,7 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cusum_frame(hourly: DataFrame) -> DataFrame:
     """Core of :func:`events_cusum_alarm` over any
     ``(event_type, hour_idx, n)`` hourly-count frame."""
-    hourly = hourly.localCheckpoint(eager=False)  # feeds mu + the series
+    hourly = hourly.transform(pin)  # feeds mu + the series
     mu = hourly.groupBy("event_type").agg(
         F.expr(f"(SUM(n) * {E6}) div COUNT(*)").cast("long").alias("mu_e6")
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table, tiny_frame_key
+from ..session import load_table, pin, pin_eager, tiny_frame_key
 from .dedup import COMPONENTS_ORACLE, JACCARD_THRESHOLD, shingles_sql
 
 PR_SCALE = 10**12
@@ -98,7 +98,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # pre-join degree into the edge list once; the loop body then only
     # joins ranks (the small changing side) per iteration
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    edges_deg = edges.join(deg, "src").transform(pin)
 
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar driver value: node-count, not data
@@ -165,7 +165,7 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # consumed 4x (three self-join roles + the edge count); without
         # the cut each role re-runs the co-occurrence join from parquet
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = e1.join(e2, F.col("e2.p1") == F.col("e1.p2")).join(
@@ -216,7 +216,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")))
         .select(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
         .distinct()
-        .localCheckpoint(eager=False)  # both union arms read the same edge list
+        .transform(pin)  # both union arms read the same edge list
     )
     nodes = edges.select(F.col("p1").alias("node")).unionAll(
         edges.select(F.col("p2").alias("node"))
@@ -274,7 +274,7 @@ def graph_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct().localCheckpoint(eager=False)  # feeds degrees AND the pair join
+    ).distinct().transform(pin)  # feeds degrees AND the pair join
     deg = op.groupBy("pkey").agg(F.count(F.lit(1)).cast("long").alias("d"))
     a, b = op.alias("a"), op.alias("b")
     co = (
@@ -439,7 +439,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")))
         .select(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     deg = (
         edges.select(F.col("p1").alias("node"))
@@ -545,7 +545,7 @@ def kcore_frame(
 ) -> DataFrame:
     """Core of :func:`graph_kcore` over any symmetric ``(src, dst)``
     edge list."""
-    edges = edges.localCheckpoint(eager=False)  # joined twice per round
+    edges = edges.transform(pin)  # joined twice per round
     alive = edges.select(F.col("src").alias("node")).distinct()
     for _ in range(iters):
         alive = (
@@ -554,7 +554,7 @@ def kcore_frame(
             .groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
             .filter(F.col("deg") >= k)
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
     return alive.select("node", "deg")
 
@@ -626,7 +626,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.l_partkey") < F.col("b.l_partkey")))
         .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
         .distinct()
-        .localCheckpoint(eager=False)  # feeds sym (x2), the anti-join
+        .transform(pin)  # feeds sym (x2), the anti-join
     )
     sym = edges.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
         edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
@@ -739,9 +739,7 @@ def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dedup run's metrics."""
     from .dedup import dedup_components, dedup_ngram_jaccard
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(
-        eager=False
-    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").transform(pin)
     comp = dedup_components(spark, sf_dir)
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -828,7 +826,7 @@ def graph_pointer_jump_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 1)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("v"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     # u -> (target = parent(u), s = sum over the HALF-OPEN path
     # [u, t(u)) — the root's own value joins once at finalization)
@@ -861,7 +859,7 @@ def graph_pointer_jump_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("d") + F.coalesce("g_d", F.lit(0)))
                 .alias("d"),
             )
-            .localCheckpoint()
+            .transform(pin_eager)
         )
         if f.filter(F.col("t") != TREE_ROOT).limit(1).count() == 0:
             break
@@ -947,7 +945,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     # edges are consumed LPA_ROUNDS times — cache the one shuffle.
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(pin)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table, tiny_frame_key
+from ..session import load_table, pin, tiny_frame_key
 
 # ---------------------------------------------------------------------------
 # Compaction planner (OPTIMIZE-style bin packing of small files)
@@ -474,7 +474,7 @@ def warehouse_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("l_shipdate").alias("dt_lo"), F.max("l_shipdate").alias("dt_hi"))
             .select(F.lit("sorted").alias("layout"), "file_id", "dt_lo", "dt_hi")
         )
-        .localCheckpoint(eager=False)  # tiny 64-row frame, self-joined next
+        .transform(pin)  # tiny 64-row frame, self-joined next
     )
     a, b = ranges.alias("a"), ranges.alias("b")
     depth = (

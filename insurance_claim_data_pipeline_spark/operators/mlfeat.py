@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.stable import dec_sum, dec_sum_sql
 from ..functions.guards import nonzero
 from ..registry import register
-from ..session import load_table, tiny_frame_key
+from ..session import load_table, pin, tiny_frame_key
 from .analytics import _ntile_from_rank, _with_global_rank
 from .sampling import _bucket_sql, hash_bucket
 
@@ -358,7 +358,7 @@ def feat_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed by the rank's bounds sketch, bucket counts, AND the
         # final pass — cut lineage so the orders⋈lineitem label join
         # runs once (10 parquet scans observed without it).
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     ranked = _with_global_rank(labeled, "o_totalprice", "o_orderkey", "_rank")
     binned = ranked.select(
@@ -605,7 +605,7 @@ def feat_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     lab = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", F.unix_micros("ts").alias("ts_us")
-    ).localCheckpoint(eager=False)  # feeds midpoint + the half split
+    ).transform(pin)  # feeds midpoint + the half split
     mid = lab.agg(F.expr("(MIN(ts_us) + MAX(ts_us)) div 2").alias("mid_us"))
     fx = (
         feats.join(lab, feats["label_event_id"] == lab["event_id"])
@@ -618,7 +618,7 @@ def feat_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = fx.groupBy("bucket").agg(
         F.count(F.when(F.col("half") == 0, 1)).cast("long").alias("n0"),
         F.count(F.when(F.col("half") == 1, 1)).cast("long").alias("n1"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     # ^ cnt (5 rows) feeds tot AND the terms join; unpinned, each
     # consumer re-executed the whole upstream PIT-features plan — the
     # expensive part of this query. r07 A/B at sf0.1: 1.19 → 1.09 s

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles_sql, tokens
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, pin
 from .dedup import JACCARD_THRESHOLD, min_label_components, ngram_jaccard_pairs
 from .sampling import TRAIN_PCT, VAL_PCT, _bucket_sql, hash_bucket
 from .textops import _STOPWORDS
@@ -384,7 +384,7 @@ def feature_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialization = one pass over the fact tables — at 100 TB
         # this is the "persist the labeled training frame" step every
         # feature pipeline has.
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     train = base.filter(F.col("split") == "train")
     x = F.col("o_totalprice")
@@ -572,7 +572,7 @@ def curation_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.join(q, "doc_id")
         .filter(F.col("quality_score") >= QUALITY_MIN)
         .select("doc_id", "lang")
-        .localCheckpoint(eager=False)  # feeds mixture counts + final sample
+        .transform(pin)  # feeds mixture counts + final sample
     )
     cnt = s2.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     sc = cnt.select(

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.stable import dec, dec_avg, dec_sum, dec_sum_sql
 from ..functions.guards import nonzero
 from ..registry import register
-from ..session import load_table, tiny_frame_key
+from ..session import load_table, pin, tiny_frame_key
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2450,7 +2450,7 @@ def sink_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_partkey").cast("long").alias("max_pk"),
         F.min("l_suppkey").cast("long").alias("min_sk"),
         F.max("l_suppkey").cast("long").alias("max_sk"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     # ^ the one-row stats frame feeds both span-file arms AND the band
     # bounds; unpinned, each consumer re-ran the base slice scan (r07
     # plan-scan audit; 3.51 → 3.14 s best-of-3 at sf0.1). The four

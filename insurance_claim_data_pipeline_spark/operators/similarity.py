@@ -22,7 +22,7 @@ from ..functions.stable import mean_e12, mean_e12_sql
 from ..functions.vectors import as_double, cosine, cosine_sql, dot, dot_sql, norm
 from ..functions.guards import nonzero
 from ..registry import register
-from ..session import load_table, tiny_frame_key
+from ..session import load_table, pin, tiny_frame_key
 
 N_QUERIES = 8  # vec_id < 8 are the demo query vectors
 TOP_K = 5
@@ -1601,7 +1601,7 @@ def pca_centered(emb: DataFrame) -> DataFrame:
         e.join(F.broadcast(mean), "dim")
         .select("vec_id", "dim", (F.col("v_e6") - F.col("m_e6")).alias("c_e6"))
         .repartition("vec_id")
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
 
@@ -1625,7 +1625,7 @@ def pca_direction_from_centered(centered: DataFrame) -> DataFrame:
             centered.join(F.broadcast(w), "dim")
             .groupBy("vec_id")
             .agg(F.sum(F.col("c_e6") * F.col("w_e6")).alias("s"))
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
         smax = s.agg(
             F.expr(f"GREATEST(MAX(ABS(s)) div {PCA_SCALE}, 1)").alias("d")
@@ -1637,7 +1637,7 @@ def pca_direction_from_centered(centered: DataFrame) -> DataFrame:
             centered.join(s2, "vec_id")
             .groupBy("dim")
             .agg(F.sum(F.col("s2") * F.col("c_e6")).alias("y"))
-            .localCheckpoint(eager=False)
+            .transform(pin)
         )
         ymax = y.agg(
             F.expr(f"GREATEST(MAX(ABS(y)) div {PCA_SCALE}, 1)").alias("d")
@@ -1858,7 +1858,7 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w_pool))
         .filter(F.col("rn") <= MMR_POOL_K)
         .drop("rn")
-        .localCheckpoint(eager=False)  # consumed by psim + every greedy step
+        .transform(pin)  # consumed by psim + every greedy step
     )
     pa, pb = pool.alias("pa"), pool.alias("pb")
     psim = (
@@ -1877,7 +1877,7 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("sim"),
         )
-        .localCheckpoint(eager=False)  # reused by each step
+        .transform(pin)  # reused by each step
     )
     w1 = W.partitionBy("query_id").orderBy(F.desc("rel"), "neighbor_id")
     sel = (
@@ -2997,7 +2997,7 @@ def emb_farthest_point_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    emb = emb.localCheckpoint(eager=False)  # scanned once per round
+    emb = emb.transform(pin)  # scanned once per round
     subdist = " + ".join(
         f"(element_at(v, {j}) - element_at(sv, {j}))"
         f" * (element_at(v, {j}) - element_at(sv, {j}))"
@@ -3020,7 +3020,7 @@ def emb_farthest_point_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seeds.select("vec_id").unionByName(pick).distinct(), "vec_id"
             )
             .select("vec_id", F.col("v").alias("sv"))
-            .localCheckpoint(eager=False)  # seed set feeds the next round
+            .transform(pin)  # seed set feeds the next round
         )
     dist = (
         emb.crossJoin(F.broadcast(seeds.select("sv")))

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum, dec_sum_sql
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, pin
 
 # ---------------------------------------------------------------- HLL ----
 # Precision p=8 -> m=256 registers; h60 = top 60 bits of md5 (15 hex
@@ -705,8 +705,8 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # each hash set feeds the union sketch, a membership probe, and the
     # truth join — materialize once per side
-    a = hs("click").localCheckpoint(eager=False)
-    b = hs("purchase").localCheckpoint(eager=False)
+    a = hs("click").transform(pin)
+    b = hs("purchase").transform(pin)
     uni = a.unionByName(b).distinct().orderBy("hv").limit(KMV_K)
     marked = (
         uni.join(a.withColumnRenamed("hv", "ha"), uni.hv == F.col("ha"), "left")

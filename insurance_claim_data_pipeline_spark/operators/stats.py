@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from ..functions.stable import dec_sum, dec_sum_sql
 from ..functions.guards import nonzero
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, pin, pin_eager
 
 # ---------------------------------------------------------------------------
 # Welch's unequal-variance t-test: click vs purchase event values.
@@ -146,7 +146,7 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     obs = orders.groupBy(
         F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
-    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).alias("o")).transform(pin)
     # ^ the <=15-cell table feeds margins, total, dof AND the cell pass —
     # one orders scan instead of five
     rt = obs.groupBy("r").agg(F.sum("o").cast("long").alias("row_n"))
@@ -304,7 +304,7 @@ def drift_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     byv = s.groupBy("v").agg(
         F.sum("g").cast("long").alias("c1"),
         (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c0"),
-    ).localCheckpoint(eager=False)  # feeds bounds sketch + bucket pass + totals: one orders scan, not four
+    ).transform(pin)  # feeds bounds sketch + bucket pass + totals: one orders scan, not four
     from .analytics import with_global_prefix_sums
 
     cum = with_global_prefix_sums(byv, "v", ["c1", "c0"]).select(
@@ -471,7 +471,7 @@ def events_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("c_post"),
         )
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     t = g.agg(
         F.sum("c_pre").cast("long").alias("n_pre"),
         F.sum("c_post").cast("long").alias("n_post"),
@@ -608,7 +608,7 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "ad", F.abs(F.col("value") - F.col("med"))
     )
@@ -1379,7 +1379,7 @@ def mann_whitney_frame(s: DataFrame) -> DataFrame:
             (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c0"),
         )
         .withColumn("cnt", F.col("c1") + F.col("c0"))
-        .localCheckpoint(eager=False)  # feeds bounds sketch + bucket pass
+        .transform(pin)  # feeds bounds sketch + bucket pass
     )
     cum = with_global_prefix_sums(byv, "vc", ["c1", "cnt"])
     midrank2 = 2 * (F.col("cum_cnt") - F.col("cnt")) + F.col("cnt") + 1
@@ -1505,7 +1505,7 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def spearman_frame(pts: DataFrame) -> DataFrame:
     """Core of :func:`stats_spearman_corr` over any ``(xv, yv)`` BIGINT
     frame."""
-    li = pts.localCheckpoint(eager=False)  # feeds both rank passes + the row join
+    li = pts.transform(pin)  # feeds both rank passes + the row join
     bx = li.groupBy("xv").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     by = li.groupBy("yv").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     cx = _spearman_midranks(bx, "xv").withColumnRenamed("mr2", "rx")
@@ -1589,7 +1589,7 @@ def stats_lift_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         F.when(hash_bucket("o_custkey") < DID_TREAT_PCT, 1).otherwise(0).alias("treated"),
-    ).localCheckpoint(eager=False)  # feeds observed means + B replicates
+    ).transform(pin)  # feeds observed means + B replicates
     arm = lambda t: F.when(F.col("treated") == t, F.col("o_totalprice"))  # noqa: E731
     obs = base.agg(
         (dec_sum(arm(1)) / F.count(arm(1)))
@@ -2275,7 +2275,7 @@ def stats_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") / 100000).alias("x1"),
             (F.substring("o_orderpriority", 1, 1).cast("int") / 5.0).alias("x2"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
 
     def rsum(col):
@@ -2335,7 +2335,7 @@ def stats_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
             (prev[0] + d1 / det).alias("b0"),
             (prev[1] + d2 / det).alias("b1"),
             (prev[2] + d3 / det).alias("b2"),
-        ).localCheckpoint()
+        ).transform(pin_eager)
     fin = base.crossJoin(F.broadcast(beta_row))
     eta = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
     p = 1.0 / (1.0 + F.exp(-eta))
@@ -2750,7 +2750,7 @@ def drift_wasserstein_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g").cast("long").alias("c1"),
             (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c0"),
         )
-        .localCheckpoint(eager=False)  # feeds bounds sketch + bucket pass once
+        .transform(pin)  # feeds bounds sketch + bucket pass once
     )
     from ..session import tiny_frame_key
     from .analytics import _DIST_BUCKETS

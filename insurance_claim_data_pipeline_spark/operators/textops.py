@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.text import shingle_rows, shingles, shingles_sql, tokens
 from ..functions.guards import nonzero
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, pin
 
 TOKEN_STATS_ORACLE = """
 WITH tok AS (
@@ -842,7 +842,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = per_term[0]
     for p in per_term[1:]:
         tf = tf.unionByName(p)
-    tf = tf.filter(F.col("tf") > 0).localCheckpoint(eager=False)  # df + scoring both read it
+    tf = tf.filter(F.col("tf") > 0).transform(pin)  # df + scoring both read it
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     contrib = idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
@@ -1349,7 +1349,7 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c2 = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n12")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     c1 = c2.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
     cr = c2.groupBy("w2").agg(F.sum("n12").cast("long").alias("n2"))
     tot = c2.agg(F.sum("n12").cast("long").alias("n"))
@@ -1652,7 +1652,7 @@ def text_lm_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass is the scale win)
     c2 = train.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n12")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     c1 = c2.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
     vocab = (
         doc.filter(F.col("bkt") < LM_TRAIN_PCT)
@@ -1919,7 +1919,7 @@ def text_jsd_split_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = occ.groupBy("t").agg(
         F.sum(F.col("in_train").cast("long")).cast("long").alias("cp"),
         F.sum((~F.col("in_train")).cast("long")).cast("long").alias("cq"),
-    ).localCheckpoint(eager=False)  # feeds totals + term sum
+    ).transform(pin)  # feeds totals + term sum
     tot = c.agg(
         F.sum("cp").cast("long").alias("np"),
         F.sum("cq").cast("long").alias("nq"),
@@ -2010,10 +2010,10 @@ def text_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (A/B at sf0.1: 1.70 → 1.50 s; one pass is the scale argument)
     pairs = ch.groupBy("c1", "c2").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     tot = pairs.groupBy("c1").agg(
         F.sum("n").cast("long").alias("n1")
-    ).localCheckpoint(eager=False)  # read by n_chars and the join
+    ).transform(pin)  # read by n_chars and the join
     grand = pairs.agg(F.sum("n").cast("long").alias("n_all"))
     n_chars = tot.agg(F.count(F.lit(1)).cast("long").alias("n_chars"))
     n_bi = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
@@ -2328,7 +2328,7 @@ def text_ctfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=False)  # feeds class totals, df and scoring
+        .transform(pin)  # feeds class totals, df and scoring
     )
     cls = tf.groupBy("source").agg(F.sum("tf").cast("long").alias("class_toks"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
@@ -2432,7 +2432,7 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c2 = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n12")
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     c1 = c2.groupBy("w1").agg(
         F.sum("n12").cast("long").alias("n1"),
         F.count(F.lit(1)).cast("long").alias("n1plus_fw"),
@@ -2632,7 +2632,7 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)))
         .cast("long")
         .alias("c_t"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin)
     n = m.agg(F.sum("c_c").alias("n_c"), F.sum("c_t").alias("n_t"))
     sm = DSIR_ALPHA * DSIR_BUCKETS
     ratio = (
@@ -2764,11 +2764,11 @@ def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same ×1e6-before-sum exactness discipline; every ranking carries a
     doc_id tie-break."""
     bm1 = text_bm25_topk(spark, sf_dir)
-    fb = bm1.limit(PRF_FEEDBACK_K).select("doc_id").localCheckpoint(eager=False)
+    fb = bm1.limit(PRF_FEEDBACK_K).select("doc_id").transform(pin)
     doc = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     base = doc.select("doc_id", toks.alias("toks"), F.size(toks).cast("double").alias("dl"))
-    base = base.localCheckpoint(eager=False)
+    base = base.transform(pin)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avg_len"),
@@ -2796,7 +2796,7 @@ def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [(t, 1.0) for t in BM25_QUERY], "term string, wt double"
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     tf = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))

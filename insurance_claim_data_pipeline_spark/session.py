@@ -58,6 +58,63 @@ def tiny_frame_key(col_name: str):
     return F.pmod(F.col(col_name), F.lit(1))
 
 
+# Materialization-pin mode (ADVICE r07): "local" | "reliable".
+# Module-level so tests can monkeypatch; read from the environment once.
+_PIN_MODE = os.environ.get("SPARK_GRAFT_PIN_MODE", "local")
+
+
+def pin(df, eager: bool = False):
+    """Materialization pin for a frame that feeds several consumers (or
+    an iterative loop whose lineage would otherwise grow per round):
+    compute the frame once and truncate its lineage.
+
+    Chainable: ``df.transform(pin)`` / ``df.transform(pin_eager)``.
+
+    Two modes, selected by ``SPARK_GRAFT_PIN_MODE``:
+
+    - ``local`` (default): ``localCheckpoint(eager=...)`` — blocks live
+      on executor block managers only, no disk round-trip to a reliable
+      store. Fastest, and correct for ``local[*]`` (one JVM: losing the
+      "executor" is losing the driver). CAVEAT (the fault-tolerance
+      trade, ADVICE r07): on a real multi-executor cluster the
+      truncated lineage means an executor loss or decommission makes
+      every downstream stage UNRECOVERABLE — Spark can neither refetch
+      nor recompute the pinned blocks — so a 1000-executor deployment
+      of the pinned plans must run with ``reliable``.
+    - ``reliable``: ``DataFrame.checkpoint(eager=...)`` — same lineage
+      truncation, blocks written to the checkpoint directory
+      (``SPARK_GRAFT_CHECKPOINT_DIR``, which should be HDFS/S3 on a
+      cluster), recoverable across executor loss. Costs one write +
+      re-read of the pinned frame; every pin() site pins a frame that
+      is small relative to its inputs (pre-aggregates, edge lists,
+      signature tables), so the trade is cheap insurance at scale.
+
+    ``persist()`` is deliberately NOT a mode: it keeps lineage (so it
+    recovers from executor loss) but does not truncate it, and half the
+    pin() sites exist precisely to stop per-round lineage growth in
+    iterative loops, where persist alone re-inflates the optimizer's
+    plan every round.
+    """
+    if _PIN_MODE == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                os.environ.get(
+                    "SPARK_GRAFT_CHECKPOINT_DIR",
+                    os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark_graft_ckpt"),
+                )
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def pin_eager(df):
+    """``pin`` with eager materialization — for per-round pins inside
+    iterative loops, where truncating lineage NOW (not at first
+    downstream action) is the point."""
+    return pin(df, eager=True)
+
+
 def get_spark(app_name: str = "insurance_claim_data_pipeline_spark") -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults applied."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))

@@ -32,7 +32,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.ema import CUSUM_ORACLE, EMA_ORACLE, KALMAN_ORACLE
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, pin
 
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, sum_value_cents bigint, last_event_us bigint"
@@ -289,7 +289,7 @@ def cusum_seq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", hour_idx.alias("hour_idx"))
         .groupBy("event_type", "hour_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(pin)
     )
     mu = hourly.groupBy("event_type").agg(
         F.expr(f"(SUM(n) * {E6}) div COUNT(*)").cast("long").alias("mu_e6")

@@ -66,16 +66,27 @@ def scan_counts(df) -> dict[str, int]:
     # rootPaths, whose basename IS the table; lazy-localCheckpoint
     # boundaries surface as LogicalRDD leaves and are NOT base-table
     # scans (the lineage below them runs once), so they don't count.
-    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    # Subquery expressions carry their own plans that collectLeaves
+    # does NOT traverse (verified: llm_prep_pipeline's third documents
+    # scan lives in a scalar subquery) — walk subqueriesAll too.
+    plan = df._jdf.queryExecution().optimizedPlan()
     cnt: collections.Counter[str] = collections.Counter()
-    for i in range(leaves.size()):
-        leaf = leaves.apply(i)
-        if leaf.getClass().getSimpleName() != "LogicalRelation":
-            continue
-        paths = leaf.relation().location().rootPaths()
-        for j in range(paths.size()):
-            base = os.path.basename(paths.apply(j).toString())
-            cnt[re.sub(r"\.parquet$", "", base)] += 1
+
+    def count_leaves(p) -> None:
+        leaves = p.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "LogicalRelation":
+                continue
+            paths = leaf.relation().location().rootPaths()
+            for j in range(paths.size()):
+                base = os.path.basename(paths.apply(j).toString())
+                cnt[re.sub(r"\.parquet$", "", base)] += 1
+
+    count_leaves(plan)
+    subs = plan.subqueriesAll()
+    for i in range(subs.size()):
+        count_leaves(subs.apply(i))
     return cnt
 
 

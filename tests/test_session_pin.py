@@ -1,0 +1,71 @@
+"""The materialization-pin helper (ADVICE r07).
+
+Every lazy/eager lineage pin in the engine routes through
+``session.pin`` so the local-fast vs cluster-fault-tolerant trade is a
+single config (``SPARK_GRAFT_PIN_MODE``) instead of 76 hard-coded
+``localCheckpoint`` sites: ``local`` truncates lineage onto executor
+block managers (fastest; unrecoverable on executor loss — fine for
+local[*] where executor loss IS driver loss), ``reliable`` routes the
+same pins through ``DataFrame.checkpoint`` (checkpoint-dir blocks,
+recoverable) for real multi-executor deployments.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from insurance_claim_data_pipeline_spark import session
+from insurance_claim_data_pipeline_spark.registry import all_specs
+
+from .conftest import SF_SMOKE as SF_DIR
+
+
+def test_no_direct_localcheckpoint_call_sites():
+    # The caveat lives on pin(); a new direct .localCheckpoint() call
+    # site would silently reintroduce the unconfigurable trade.
+    import glob
+    import os
+
+    pkg = os.path.dirname(session.__file__)
+    offenders = []
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        if os.path.basename(f) == "session.py":
+            continue
+        for i, line in enumerate(open(f), 1):
+            if ".localCheckpoint(" in line:
+                offenders.append(f"{f}:{i}")
+    assert not offenders, f"route these through session.pin: {offenders}"
+
+
+def test_reliable_mode_matches_local_mode(spark, tmp_path, monkeypatch):
+    """Same rows either way: the pin mode changes WHERE truncated-plan
+    blocks live (executor memory vs checkpoint dir), never the values.
+    events_ljung_box pins a shared lag frame; dedup_components_star
+    pins eagerly per contraction half-round — both classes covered."""
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    specs = all_specs()
+    for name in ("events_ljung_box", "dedup_components"):
+        base = specs[name].fn(spark, SF_DIR).collect()
+        monkeypatch.setattr(session, "_PIN_MODE", "reliable")
+        try:
+            rel = specs[name].fn(spark, SF_DIR).collect()
+        finally:
+            monkeypatch.setattr(session, "_PIN_MODE", "local")
+        assert sorted(map(tuple, rel)) == sorted(map(tuple, base)), name
+
+
+def test_reliable_mode_sets_checkpoint_dir(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt2"))
+    monkeypatch.setattr(session, "_PIN_MODE", "reliable")
+    df = session.pin(spark.range(10))
+    assert df.count() == 10
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().getCheckpointDir().isEmpty()
+
+
+@pytest.mark.parametrize("eager", [False, True])
+def test_pin_local_is_chainable_and_lazy_default(spark, eager):
+    df = spark.range(100).transform(
+        session.pin_eager if eager else session.pin
+    )
+    assert df.count() == 100
