@@ -61,6 +61,10 @@ def tiny_frame_key(col_name: str):
 # Materialization-pin mode (ADVICE r07): "local" | "reliable".
 # Module-level so tests can monkeypatch; read from the environment once.
 _PIN_MODE = os.environ.get("SPARK_GRAFT_PIN_MODE", "local")
+# Base path last passed to setCheckpointDir (Spark appends a random
+# UUID subdir, so the context's own getCheckpointDir can't be compared
+# against the configured base directly).
+_CKPT_BASE: str | None = None
 
 
 def pin(df, eager: bool = False):
@@ -88,6 +92,12 @@ def pin(df, eager: bool = False):
       re-read of the pinned frame; every pin() site pins a frame that
       is small relative to its inputs (pre-aggregates, edge lists,
       signature tables), so the trade is cheap insurance at scale.
+      Cleanup: get_spark sets
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+      static conf — an externally-built session must set it at
+      spark-submit time) so checkpoints are deleted when their RDD is
+      GC'd; anything still referenced at app exit survives and the
+      checkpoint path should carry a storage-side TTL.
 
     ``persist()`` is deliberately NOT a mode: it keeps lineage (so it
     recovers from executor loss) but does not truncate it, and half the
@@ -96,15 +106,26 @@ def pin(df, eager: bool = False):
     plan every round.
     """
     if _PIN_MODE == "reliable":
+        global _CKPT_BASE
         sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
-            sc.setCheckpointDir(
-                os.environ.get(
-                    "SPARK_GRAFT_CHECKPOINT_DIR",
-                    os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark_graft_ckpt"),
-                )
-            )
+        base = os.environ.get(
+            "SPARK_GRAFT_CHECKPOINT_DIR",
+            os.path.join(os.environ.get("TMPDIR", "/tmp"), "spark_graft_ckpt"),
+        )
+        # Re-set when the configured base CHANGES, not just when unset:
+        # setCheckpointDir is first-wins per context otherwise, so a pin
+        # that ran before the operator exported the real HDFS/S3 dir
+        # would silently keep every later pin on the fallback path.
+        if _CKPT_BASE != base or sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(base)
+            _CKPT_BASE = base
         return df.checkpoint(eager=eager)
+    if _PIN_MODE != "local":
+        raise ValueError(
+            f"SPARK_GRAFT_PIN_MODE={_PIN_MODE!r}: expected 'local' or 'reliable' "
+            "(a misspelt mode silently losing fault tolerance would be worse "
+            "than failing here)"
+        )
     return df.localCheckpoint(eager=eager)
 
 
@@ -138,6 +159,14 @@ def get_spark(app_name: str = "insurance_claim_data_pipeline_spark") -> SparkSes
         # et al. working without a per-column cast; normalize_timestamps
         # remains the fallback for sessions where this conf is locked.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Reliable-mode pins (SPARK_GRAFT_PIN_MODE=reliable) write
+        # checkpoint blocks that Spark NEVER deletes by default; with
+        # the cleaner conf on, a checkpoint is removed once its RDD is
+        # GC'd on the driver, so repeated sweeps don't accumulate
+        # unbounded data in the checkpoint store. (Checkpoints still
+        # referenced at app exit survive it — a cluster deployment
+        # should also TTL the SPARK_GRAFT_CHECKPOINT_DIR path.)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

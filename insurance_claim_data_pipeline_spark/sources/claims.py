@@ -144,12 +144,17 @@ def _probe_readable(path: str, _visited: set | None = None, _budget: list | None
         _visited = set()
     if _budget is None:
         _budget = [_PROBE_MAX_FILES]
+    if _budget[0] <= 0:
+        return
     st = os.stat(path)  # follows symlinks; broken symlink raises here
     if stat.S_ISDIR(st.st_mode):
         key = (st.st_dev, st.st_ino)
         if key in _visited:  # symlink cycle / repeated subtree: probe once
             return
         _visited.add(key)
+        _budget[0] -= 1  # directories consume budget too: a partition
+        # tree of 100k subdirs is the same unbounded driver-side walk
+        # as 100k files, whether or not any file open happens.
         # Spark reads every file under a directory input, so the probe
         # must too — a listable directory with an unreadable part file
         # inside would otherwise still fail at first action.
@@ -160,8 +165,6 @@ def _probe_readable(path: str, _visited: set | None = None, _budget: list | None
     elif not stat.S_ISREG(st.st_mode):
         raise OSError(f"not a regular file (mode {stat.S_IFMT(st.st_mode):#o}): {path}")
     else:
-        if _budget[0] <= 0:
-            return
         _budget[0] -= 1
         with open(path, "rb") as fh:
             fh.read(1)

@@ -180,12 +180,22 @@ def test_probe_budget_bounds_directory_walk(tmp_path):
     d.mkdir()
     for i in range(5):
         (d / f"part-{i:04d}.csv").write_text("x\n")
-    budget = [2]
+    budget = [3]
     _probe_readable(str(d), _budget=budget)
-    assert budget[0] == 0  # stopped at the cap, probed exactly 2
+    assert budget[0] == 0  # stopped at the cap: the dir + 2 files
     full = [1024]
     _probe_readable(str(d), _budget=full)
-    assert full[0] == 1024 - 5  # in-budget walk probes every file
+    assert full[0] == 1024 - 6  # in-budget walk: the dir + every file
+
+    # Directories consume budget too — a deep/wide partition TREE with
+    # no files at all must still stop at the cap, not walk unbounded.
+    deep = tmp_path / "tree"
+    deep.mkdir()
+    for i in range(4):
+        (deep / f"p={i}").mkdir()
+    tree_budget = [3]
+    _probe_readable(str(deep), _budget=tree_budget)
+    assert tree_budget[0] == 0  # root + 2 subdirs, then stopped
 
 
 def test_alpha_none_literal_and_empty_to_null(spark):

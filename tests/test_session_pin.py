@@ -55,12 +55,24 @@ def test_reliable_mode_matches_local_mode(spark, tmp_path, monkeypatch):
 
 
 def test_reliable_mode_sets_checkpoint_dir(spark, tmp_path, monkeypatch):
+    # The configured base must win even if an EARLIER pin already set a
+    # different checkpoint dir on this shared context (setCheckpointDir
+    # is first-wins otherwise — a pin that ran before the operator
+    # exported the real dir would pin to the fallback forever).
     monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt2"))
     monkeypatch.setattr(session, "_PIN_MODE", "reliable")
     df = session.pin(spark.range(10))
     assert df.count() == 10
-    sc = spark.sparkContext
-    assert not sc._jsc.sc().getCheckpointDir().isEmpty()
+    current = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    assert "ckpt2" in current
+
+
+def test_pin_rejects_unknown_mode(spark, monkeypatch):
+    # Fail-open would silently lose the fault tolerance the operator
+    # asked for; an unknown mode must raise.
+    monkeypatch.setattr(session, "_PIN_MODE", "RELIABLE")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_PIN_MODE"):
+        session.pin(spark.range(1))
 
 
 @pytest.mark.parametrize("eager", [False, True])
