@@ -1382,9 +1382,18 @@ def orders_open_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("start_day"))
         .agg(F.max(F.to_date("l_shipdate")).alias("end_day"))
     )
-    deltas = iv.select(F.col("start_day").alias("day"), F.lit(1).alias("d")).unionAll(
-        iv.select(F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d"))
-    )
+    # Both boundary rows come out of ONE pass over iv via explode — the
+    # old two-arm unionAll re-ran the orders⋈lineitem join + groupBy
+    # per arm (the audit's 2-scan case; here the duplicated lineage is
+    # a full co-keyed join, not just a scan).
+    deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("start_day").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("x")
+    ).select("x.day", "x.d")
     byday = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("delta"))
     byday = byday.withColumn("_dayn", F.datediff("day", F.lit("1970-01-01").cast("date")))
     w = (
@@ -1633,19 +1642,21 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dur_h"),
         converted.cast("int").alias("converted"),
     )
-    n_tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     byt = obs.groupBy("dur_h").agg(
         F.sum("converted").cast("long").alias("d"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
-    pre_w = (
+    # at-risk = total minus removals before this duration = the
+    # INCLUSIVE SUFFIX sum of removals — same value, computed on the
+    # tiny duration axis alone. The old shape aggregated obs a second
+    # time for the grand total, re-running the per-user reduction of
+    # the whole fact table (the audit's 2-scan case).
+    suf_w = (
         W.partitionBy(tiny_frame_key("dur_h"))
         .orderBy("dur_h")
-        .rowsBetween(W.unboundedPreceding, -1)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
-    cum = byt.crossJoin(F.broadcast(n_tot)).withColumn(
-        "at_risk", F.col("n") - F.coalesce(F.sum("c").over(pre_w), F.lit(0))
-    )
+    cum = byt.withColumn("at_risk", F.sum("c").over(suf_w).cast("long"))
     lns = F.when(
         F.col("d") > 0,
         F.round(
@@ -2248,6 +2259,9 @@ def orders_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         dec_sum("o_totalprice").alias("rev"),
     )
+    # 12 rows consumed twice (the all-time total + the final join);
+    # unpinned, both consumers re-run the full orders aggregate.
+    m = m.transform(pin)
     t = m.agg(
         F.sum(F.round(F.col("rev") * 100).cast("long")).cast("long").alias("rev_tot_c"),
         F.sum("n_orders").cast("long").alias("n_tot"),
@@ -2317,6 +2331,10 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = seq.groupBy(
         F.concat_ws(">", "t1", "t2", "t3").alias("path")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # distinct-path frame consumed twice (grand total + ranking);
+    # unpinned, both consumers re-run the per-user lead windows over
+    # the whole fact table.
+    paths = paths.transform(pin)
     tot = paths.agg(F.sum("n").cast("long").alias("n_tot"))
     wr = W.partitionBy(tiny_frame_key("n")).orderBy(F.desc("n"), "path")
     return (
@@ -3042,6 +3060,10 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s")
         .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+        # 16 rows consumed twice (the co/cv sides of the marginal
+        # join); unpinned, each side re-runs the per-user as-of window
+        # over the whole fact table — the audit's 2-scan floor case.
+        .transform(pin)
     )
     chans = spark.createDataFrame(
         [(1 << i, c) for i, c in enumerate(_SHAPLEY_CHANNELS)], "bit long, channel string"

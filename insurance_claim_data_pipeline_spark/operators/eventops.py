@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import dec_sum, dec_sum_sql
 from ..registry import register
-from ..session import load_table
+from ..session import load_table, pin
 
 US_10MIN = 600_000_000
 US_5MIN = 300_000_000
@@ -649,6 +649,9 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("dow", "hod")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # ≤168 cells consumed twice (the total and the final join);
+        # unpinned, each consumer re-runs the full fact-table aggregate.
+        .transform(pin)
     )
     t = c.agg(F.sum("n").cast("long").alias("n_all"))
     return (
@@ -717,17 +720,16 @@ def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_s")
         .rangeBetween(-BOT_BURST_WINDOW_S, 0)
     )
-    burst = s.select("user_id", F.count(F.lit(1)).over(wb).alias("w_cnt"))
-    per_user = (
-        s.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            (F.max("ts_s") - F.min("ts_s")).cast("long").alias("span_s"),
-        )
-        .join(
-            burst.groupBy("user_id").agg(F.max("w_cnt").cast("long").alias("max_burst")),
-            "user_id",
-        )
+    # One pass: the lifetime aggregates ride the SAME windowed frame as
+    # the burst counts (the window keeps every row, so per-user count /
+    # min / max are unchanged), and the groupBy reuses the window's
+    # user_id partitioning — the old shape scanned events twice and
+    # joined two separately-shuffled per-user frames.
+    burst = s.select("user_id", "ts_s", F.count(F.lit(1)).over(wb).alias("w_cnt"))
+    per_user = burst.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts_s") - F.min("ts_s")).cast("long").alias("span_s"),
+        F.max("w_cnt").cast("long").alias("max_burst"),
     )
     scored = per_user.select(
         "user_id",
@@ -877,6 +879,9 @@ def events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(h.cast("long").alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        # hours-sized frame consumed twice (global stats + centering);
+        # unpinned, both consumers re-run the fact-table aggregate.
+        .transform(pin)
     )
     b = hourly.agg(
         F.min("h").alias("h0"), F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n")
@@ -961,6 +966,9 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(hour_idx.alias("hour_idx"))
         .groupBy("hour_idx")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # hours-sized frame consumed twice (totals + the neighbor
+        # windows); unpinned, both re-run the fact-table aggregate.
+        .transform(pin)
     )
     tot = hourly.agg(
         F.sum("n").cast("long").alias("tot_n"), F.count(F.lit(1)).cast("long").alias("tot_h")

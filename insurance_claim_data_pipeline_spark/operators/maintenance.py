@@ -274,13 +274,23 @@ def events_watermark_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.unix_micros("ts").alias("ts_us"), "event_type"
     )
-    mx = ev.agg(F.max("ts_us").alias("max_us"))
+    # The global max event time is the max of per-window maxes, so it
+    # rides the SAME aggregate instead of a second full scan (the
+    # audit's 2-scan case: ev fed both mx and agg), and the global fold
+    # is a window over the tiny grouped frame — no pin barrier, no
+    # crossJoin, one corpus pass.
     agg = ev.groupBy(
-        (F.floor(F.col("ts_us") / WM_WINDOW_US) * WM_WINDOW_US).alias("window_start_us"),
+        (F.floor(F.col("ts_us") / WM_WINDOW_US) * WM_WINDOW_US).alias(
+            "window_start_us"
+        ),
         "event_type",
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts_us").alias("g_max_us"),
+    )
+    max_us = F.max("g_max_us").over(Window.partitionBy(tiny_frame_key("window_start_us")))
     return (
-        agg.crossJoin(F.broadcast(mx))
+        agg.withColumn("max_us", max_us)
         .filter(
             F.col("window_start_us") + WM_WINDOW_US
             <= F.col("max_us") - WM_TWIN_DELAY_US
