@@ -66,7 +66,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a distinct user count because ``activity`` is already distinct
     per (user, day) — cheaper than COUNT(DISTINCT) at the final agg."""
     ev = load_table(spark, sf_dir, "events")
-    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # the distinct user-day frame feeds BOTH the cohort aggregate and
+    # the join; unpinned, each consumer re-runs the fact scan + the
+    # distinct shuffle (the retention_decay_fit pin, same frame).
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct().transform(pin)
     cohort = activity.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
         activity.join(cohort, "user_id")
@@ -359,6 +362,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", hour_us)
         .groupBy("event_type", "hour_us")
         .agg(F.count(F.lit(1)).alias("n"))
+        # types×hours frame consumed twice (moments + the z-score
+        # join); unpinned, both re-run the fact-table aggregate.
+        .transform(pin)
     )
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours"),
@@ -495,7 +501,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("src"),
         F.lead("event_type").over(order).alias("dst"),
     ).filter(F.col("dst").isNotNull())
-    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    # types² frame consumed twice (row totals + the prob join);
+    # unpinned, both re-run the per-user lead window over the fact
+    # table (the markov_entropy_rate pin, same shape).
+    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")).transform(pin)
     totals = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
     return pairs.join(F.broadcast(totals), "src").select(
         "src",
@@ -585,7 +594,14 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume."""
     ev = load_table(spark, sf_dir, "events")
     hour_us = (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))).alias("hour_us")
-    hourly = ev.select(hour_us).groupBy("hour_us").agg(F.count(F.lit(1)).alias("n"))
+    # hours-sized series consumed once per lag; unpinned, every lag
+    # re-runs the fact-table aggregate.
+    hourly = (
+        ev.select(hour_us)
+        .groupBy("hour_us")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(pin)
+    )
 
     def corr_at(lag: int) -> DataFrame:
         # single partition over the tiny hourly series, by design;
@@ -726,6 +742,9 @@ def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_ref").alias("n_ref"),
             F.sum(1 - F.col("is_ref")).alias("n_cur"),
         )
+        # bucket frame consumed twice (totals + psi terms); unpinned,
+        # both re-run the orders scan (the feat_drift_psi pin, r07).
+        .transform(pin)
     )
     totals = counts.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
     p = F.col("n_ref").cast("double") / F.col("t_ref")

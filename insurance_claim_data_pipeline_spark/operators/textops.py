@@ -1267,11 +1267,14 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("phrase_id"),
     )
     words = marked.filter(F.col("is_stop") == 0).select("doc_id", "w", "phrase_id")
-    plen = words.groupBy("doc_id", "phrase_id").agg(
-        F.count(F.lit(1)).cast("long").alias("plen")
-    )
+    # Phrase length as a second window over the SAME frame: the
+    # doc_id hash partitioning already satisfies the (doc_id,
+    # phrase_id) clustering, so this adds a sort, not a shuffle — the
+    # old groupBy+join shape consumed `words` twice, re-running the
+    # corpus posexplode + running-sum window per consumer.
+    plen_w = Window.partitionBy("doc_id", "phrase_id")
     st = (
-        words.join(plen, ["doc_id", "phrase_id"])
+        words.withColumn("plen", F.count(F.lit(1)).over(plen_w).cast("long"))
         .groupBy(F.col("w").alias("word"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("freq"),
@@ -2260,8 +2263,12 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: composes the langid scan (narrow, broadcast word profiles)
     with a |langs|²-bounded aggregate — one pass, one tiny shuffle."""
     pred = text_langid(spark, sf_dir)
-    conf = pred.groupBy("labeled_lang", "predicted_lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    conf = (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # |langs|² frame consumed twice (row totals + the rate join);
+        # unpinned, both re-run the langid scan over the corpus.
+        .transform(pin)
     )
     tot = conf.groupBy("labeled_lang").agg(F.sum("n").cast("long").alias("n_label"))
     return conf.join(F.broadcast(tot), "labeled_lang").select(
