@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..functions.text import shingle_rows, shingles_sql, tokens
 from ..functions.vectors import as_double, cosine_sql, dot, dot_float, dot_sql, norm
 from ..registry import register
-from ..session import load_table, pin, pin_eager
+from ..session import load_table, pin, pin_eager, pin_eager_observed
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -489,11 +489,12 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     compositions (operators/pipeline.py) can canonicalize their own
     candidate graphs."""
     # Cut lineage on the INPUT once: every propagation round references
-    # the pair frame through edges/verts, and each round adds an eager
-    # checkpoint plus a convergence count — without this cut the
-    # upstream candidate-generation plan (for the semantic caller, a
-    # quadratic cosine scan) re-executes per round (measured: the
-    # sf0.1 semantic-dedup run went from tens of minutes to seconds).
+    # the pair frame through edges/verts, and each round runs an eager
+    # checkpoint job (which also carries the convergence probe via
+    # observe) — without this cut the upstream candidate-generation
+    # plan (for the semantic caller, a quadratic cosine scan)
+    # re-executes per round (measured: the sf0.1 semantic-dedup run
+    # went from tens of minutes to seconds).
     pairs = pairs.transform(pin)
     # vertices that participate in at least one near-dup pair
     verts = (
@@ -524,9 +525,16 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
                     "_changed"
                 ),
             )
-        ).transform(pin_eager)
-        changed = updated.filter("_changed").limit(1).count()
-        labels = updated.drop("_changed")
+        )
+        # one job per round: the convergence probe rides the pin's own
+        # materialization job (it used to be a second job re-scanning
+        # the pinned blocks), and _changed is computed for the metric
+        # but never stored — at 100 TB that's a corpus-width boolean
+        # kept out of the pin store every round.
+        labels, m = pin_eager_observed(
+            updated, [F.max("_changed").alias("changed")], drop=("_changed",)
+        )
+        changed = 1 if m["changed"] else 0
         if changed == 0:
             break
     if changed != 0:
@@ -1160,13 +1168,23 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
     propagation loop's change count). Equality with
     min_label_components on the same pair graph is asserted in tests;
     the registry entry shares the recursive-CTE oracle."""
+    def sig_metrics():
+        # order-independent (count, bit_xor-of-xxhash64) edge-set
+        # checksum, collected DURING each pin's materialization job via
+        # observe — the old agg(...).first() probe was a third job per
+        # round re-reading the just-pinned edge blocks.
+        return [
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ]
+
     pairs = pairs.transform(pin)
-    edges = (
+    edges, m = pin_eager_observed(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
-        .transform(pin_eager)
+        .distinct(),
+        sig_metrics(),
     )
 
     def star(e: DataFrame, large: bool) -> DataFrame:
@@ -1189,14 +1207,7 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
         )
         return out
 
-    def sig(e: DataFrame):
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
-    prev = sig(edges)
+    prev = (m["n"], m["h"])
     converged = False
     for _ in range(_STAR_MAX_ROUNDS):
         # NOTE: one checkpoint per half-round is measured, not habit —
@@ -1205,8 +1216,8 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
         # input TWICE (the sym union), so without the barrier the
         # large-star plan re-executes inside the small-star job.
         edges = star(edges, large=True).transform(pin_eager)
-        edges = star(edges, large=False).transform(pin_eager)
-        cur = sig(edges)
+        edges, m = pin_eager_observed(star(edges, large=False), sig_metrics())
+        cur = (m["n"], m["h"])
         if cur == prev:
             converged = True
             break

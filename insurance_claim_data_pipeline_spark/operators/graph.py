@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table, pin, pin_eager, tiny_frame_key
+from ..session import load_table, pin, pin_eager, pin_eager_observed, tiny_frame_key
 from .dedup import COMPONENTS_ORACLE, JACCARD_THRESHOLD, shingles_sql
 
 PR_SCALE = 10**12
@@ -859,9 +859,13 @@ def graph_pointer_jump_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("d") + F.coalesce("g_d", F.lit(0)))
                 .alias("d"),
             )
-            .transform(pin_eager)
         )
-        if f.filter(F.col("t") != TREE_ROOT).limit(1).count() == 0:
+        # the not-yet-at-root probe rides the pin's materialization job
+        # (observe) instead of a second job re-scanning the pinned frame
+        f, m = pin_eager_observed(
+            f, [F.max(F.col("t") != TREE_ROOT).alias("pending")]
+        )
+        if not m["pending"]:
             break
     root_v = val.filter(F.col("user_id") == TREE_ROOT).select(
         F.col("v").alias("root_v")

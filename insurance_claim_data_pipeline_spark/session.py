@@ -136,6 +136,42 @@ def pin_eager(df):
     return pin(df, eager=True)
 
 
+def pin_eager_observed(df, metrics, drop=()):
+    """Eager pin that ALSO collects global aggregate metrics during the
+    pin's own materialization job, via ``DataFrame.observe``.
+
+    Returns ``(pinned_df, metrics_dict)``.
+
+    Why: every convergence-probed iterative loop here used to run TWO
+    jobs per round — the eager pin, then a separate probe job
+    (``filter(...).limit(1).count()`` or an ``agg(...).first()``
+    checksum) re-scanning the just-pinned blocks — and some stored a
+    probe-only column (``_changed``) in every round's pinned frame.
+    ``observe`` attaches a CollectMetrics node computed task-side during
+    the SAME job that materializes the pin: one job per round, no probe
+    re-scan, and with ``drop`` the probe column is computed for the
+    metric but never stored. At 100 TB the dropped probe column alone is
+    a corpus-width boolean written to the pin store every round, and the
+    removed probe job a full re-read of it.
+
+    Semantics (verified against the agg path, including the empty-frame
+    case): metrics are the same global aggregates ``df.agg(*metrics)``
+    would return — empty frame gives count 0 and NULL (Python ``None``)
+    for max/bit_xor, so callers should treat ``None`` as falsy exactly
+    as they would a missing row. EAGER ONLY: with a lazy pin the
+    Observation would block/misreport (the first downstream action may
+    execute the checkpointed RDD without re-running CollectMetrics), so
+    this helper always pins eagerly; keep plain ``pin`` for lazy sites.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, *metrics)
+    for c in drop:
+        out = out.drop(c)
+    return pin(out, eager=True), obs.get
+
+
 def get_spark(app_name: str = "insurance_claim_data_pipeline_spark") -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults applied."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))

@@ -81,3 +81,48 @@ def test_pin_local_is_chainable_and_lazy_default(spark, eager):
         session.pin_eager if eager else session.pin
     )
     assert df.count() == 100
+
+
+@pytest.mark.parametrize("mode", ["local", "reliable"])
+def test_pin_eager_observed_metrics_match_agg(spark, tmp_path, monkeypatch, mode):
+    """The fused convergence probe (metrics collected DURING the pin's
+    materialization job) must return exactly what a separate
+    ``df.agg(...)`` probe job would have — in both pin modes, including
+    the checksum aggregate the star-contraction loop rides on."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.setattr(session, "_PIN_MODE", mode)
+    df = spark.range(97).select(
+        F.col("id").alias("u"),
+        (F.col("id") * 31 % 89).alias("v"),
+        (F.col("id") % 7 == 0).alias("_changed"),
+    )
+    metrics = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        F.max("_changed").alias("changed"),
+    ]
+    pinned, m = session.pin_eager_observed(df, metrics, drop=("_changed",))
+    expect = df.agg(*metrics).first()
+    assert m == {"n": expect["n"], "h": expect["h"], "changed": expect["changed"]}
+    # the probe column is computed for the metric but never stored
+    assert pinned.columns == ["u", "v"]
+    assert pinned.count() == 97
+
+
+def test_pin_eager_observed_empty_frame(spark):
+    """Empty input: count 0, NULL (None) for max/bit_xor — callers
+    treat None as falsy exactly as they would a missing agg row."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).filter("id < 0").select(
+        F.col("id").alias("u"), (F.col("id") % 2 == 0).alias("_changed")
+    )
+    pinned, m = session.pin_eager_observed(
+        df,
+        [F.count(F.lit(1)).alias("n"), F.max("_changed").alias("changed")],
+        drop=("_changed",),
+    )
+    assert m == {"n": 0, "changed": None}
+    assert pinned.count() == 0
