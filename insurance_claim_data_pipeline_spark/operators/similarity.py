@@ -153,21 +153,28 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
     bit-unchanged."""
     emb = emb.withColumn("nrm", norm(F.col("v")))
     cent = cent.withColumn("cnrm", norm(F.col("c_emb")))
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "c_id")
+    # struct-min argmax (ccos desc via exact negation, ties to lower
+    # c_id) — map-side combinable, so each vector's K candidate rows
+    # collapse before any exchange instead of the old row_number window
+    # shuffling the corpus×K candidate frame; v/nrm ride in the struct
+    # tail (c_id is unique per group, so they never compare).
     clustered = (
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
-            "v",
-            "nrm",
-            "c_id",
             F.round(
                 dot(F.col("v"), F.col("c_emb")) / (F.col("nrm") * F.col("cnrm")), 6
             ).alias("ccos"),
+            "c_id",
+            "v",
+            "nrm",
         )
-        .withColumn("crnk", F.row_number().over(w_assign))
-        .filter(F.col("crnk") == 1)
-        .select("vec_id", "v", "nrm", F.col("c_id").alias("cluster"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct((-F.col("ccos")).alias("nc"), "c_id", "v", "nrm")).alias("b")
+        )
+        .select("vec_id", F.col("b.v").alias("v"), F.col("b.nrm").alias("nrm"),
+                F.col("b.c_id").alias("cluster"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -240,32 +247,52 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     assignment + un-normalized mean is spherical k-means: the centroid's
     norm is irrelevant to cosine, only its direction matters.
 
-    Scale note: per round, one narrow crossJoin-with-broadcast scan and
-    one (cluster, dim)-keyed shuffle of K·D cells; at 100 TB you train
-    on a sample (this is what FAISS does) — the procedure is unchanged,
-    only the input frame is sampled. Only K·D doubles ever reach the
-    driver per round."""
-    cent = emb.filter(
-        (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
-    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
+    Scale note: per round, one crossJoin-with-broadcast scan whose
+    struct-min argmax collapses each vector's K candidate rows
+    map-side (partial aggregate) before any exchange, then one
+    (cluster, dim)-keyed shuffle whose partials reduce to K·D cells
+    per partition; at 100 TB you train on a sample (this is what FAISS
+    does) — the procedure is unchanged, only the input frame is
+    sampled. Only K·D doubles ever reach the driver per round."""
     spark = emb.sparkSession
+    # one corpus hop for the fixed init vectors; thereafter the K
+    # centroids live in this driver dict (the old shape re-collected
+    # the centroid frame it had just built from the same dict, an
+    # extra job per round — and in round 1 a second corpus-filter
+    # scan).
+    prev = {
+        int(r["c_id"]): list(r["c_emb"])
+        for r in emb.filter(
+            (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+        )
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
+        .collect()
+    }
+    cent = spark.createDataFrame(sorted(prev.items()), "c_id int, c_emb array<double>")
     for _ in range(iters):
-        w = W.partitionBy("vec_id").orderBy(F.desc("ccos"), "c_id")
+        # struct-min assignment (ccos desc via exact negation, ties to
+        # lower c_id) — map-side combinable like the PQ trainer's, so
+        # each vector's K candidate rows collapse to one BEFORE any
+        # exchange; the old row_number window shuffled the corpus×K
+        # candidate frame with every candidate carrying the full
+        # 64-double vector. v rides in the struct tail (c_id is unique
+        # per group, so it never compares).
         assigned = (
             emb.withColumn("nrm", norm(F.col("v")))
             .crossJoin(F.broadcast(cent.withColumn("cnrm", norm(F.col("c_emb")))))
             .select(
                 "vec_id",
-                "v",
-                "c_id",
                 F.round(
                     dot(F.col("v"), F.col("c_emb"))
                     / (F.col("nrm") * F.col("cnrm")),
                     6,
                 ).alias("ccos"),
+                "c_id",
+                "v",
             )
-            .withColumn("crnk", F.row_number().over(w))
-            .filter(F.col("crnk") == 1)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct((-F.col("ccos")).alias("nc"), "c_id", "v")).alias("b"))
+            .select("vec_id", F.col("b.c_id").alias("c_id"), F.col("b.v").alias("v"))
         )
         means = (
             assigned.select("c_id", F.posexplode("v").alias("dim", "val"))
@@ -277,7 +304,6 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
         for r in rows:
             by_c.setdefault(r["c_id"], [0.0] * 64)[r["dim"]] = r["m"]
         # empty clusters keep their previous centroid (standard Lloyd fix)
-        prev = {r["c_id"]: list(r["c_emb"]) for r in cent.collect()}
         prev.update(by_c)
         cent = spark.createDataFrame(
             sorted(prev.items()), "c_id int, c_emb array<double>"
@@ -1157,8 +1183,19 @@ def train_pq_codebooks(emb: DataFrame, iters: int = PQ_KMEANS_ITERS) -> DataFram
     anchors = emb.filter(
         (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
     ).select((F.col("vec_id") - IVF_C_LO).alias("k"), F.col("v").alias("v"))
-    cb = _pq_subvectors(anchors.withColumnRenamed("k", "vec_id")).select(
-        "m", F.col("vec_id").alias("k"), F.col("sv").alias("a")
+    # one corpus hop for the anchor subvectors; thereafter the M·K
+    # codebook lives in this driver dict (the old shape re-collected
+    # the codebook frame it had just built from the same dict — an
+    # extra job per round, and in round 1 a second anchor-filter scan).
+    prev = {
+        (int(r["m"]), int(r["k"])): list(r["a"])
+        for r in _pq_subvectors(anchors.withColumnRenamed("k", "vec_id"))
+        .select("m", F.col("vec_id").alias("k"), F.col("sv").alias("a"))
+        .collect()
+    }
+    cb = spark.createDataFrame(
+        [(m, k, v) for (m, k), v in sorted(prev.items())],
+        "m int, k int, a array<double>",
     )
     subv = _pq_subvectors(emb)
     for _ in range(iters):
@@ -1183,7 +1220,7 @@ def train_pq_codebooks(emb: DataFrame, iters: int = PQ_KMEANS_ITERS) -> DataFram
         by_mk: dict[tuple[int, int], list[float]] = {}
         for r in cells:
             by_mk.setdefault((r["m"], r["k"]), [0.0] * PQ_SUB)[r["dim"]] = r["mu"]
-        prev = {(r["m"], r["k"]): list(r["a"]) for r in cb.collect()}
+        # empty cells keep their previous entry (standard Lloyd fix)
         prev.update(by_mk)
         cb = spark.createDataFrame(
             [(m, k, v) for (m, k), v in sorted(prev.items())],
@@ -1310,13 +1347,16 @@ def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = train_pq_codebooks(emb)
     subv = _pq_subvectors(emb)
-    w_enc = W.partitionBy("vec_id", "m").orderBy("dist_e6", "k")
+    # struct-min argmin (dist asc, k asc) — map-side combinable like
+    # the trainer's own assignment, so each (vec, m)'s K candidate rows
+    # collapse before any exchange; the old row_number window shuffled
+    # the N·M·K candidate frame.
     codes = (
         subv.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "k", _l2_e6(F.col("sv"), F.col("a")).alias("dist_e6"))
-        .withColumn("rnk", F.row_number().over(w_enc))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "m", "k")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist_e6", "k")).alias("b"))
+        .select("vec_id", "m", F.col("b.k").alias("k"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     lut = (
@@ -3302,12 +3342,20 @@ def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= KM_C_LO) & (F.col("vec_id") < KM_C_HI)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
     d2 = F.round(_sq_l2(F.col("v"), F.col("c_emb")) * 1_000_000).cast("long")
-    w = W.partitionBy("vec_id").orderBy("d2_e6", "c_id")
+    # struct-min argmin (d2 asc, c_id asc) — map-side combinable, so
+    # each vector's K candidate rows collapse before any exchange; the
+    # old row_number window shuffled the corpus×K candidate frame,
+    # contradicting the no-shuffle assignment this docstring promises.
+    # v rides in the struct tail (c_id is unique per group).
     asg = (
         emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "c_id", d2.alias("d2_e6"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .select("vec_id", d2.alias("d2_e6"), "c_id", "v")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2_e6", "c_id", "v")).alias("b"))
+        .select(
+            "vec_id", F.col("b.v").alias("v"), F.col("b.c_id").alias("c_id"),
+            F.col("b.d2_e6").alias("d2_e6"),
+        )
     )
     perk = asg.groupBy("c_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_assigned"),
