@@ -929,8 +929,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape per round — the canonical Pregel step as DataFrame
     ops: one shuffle join of the edge list against the |V|-row label
-    frame, one (node, label) partial-aggregated count, one per-node
-    argmax window. Labels never leave the cluster; rounds are a fixed
+    frame, one (node, label) partial-aggregated count, one map-side-
+    combinable per-node struct-min argmax (no window sort). Labels never leave the cluster; rounds are a fixed
     unrolled chain, so Catalyst sees one straight-line plan. Community
     detection complements the modularity audit
     (graph_components_modularity scores a GIVEN partition; this
@@ -953,7 +953,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    w = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
     for _ in range(LPA_ROUNDS):
         votes = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -961,10 +960,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
             .select(F.col("n2").alias("node"), "lbl", "cnt")
         )
+        # struct-min argmax (cnt desc via exact negation, ties to the
+        # smaller label) — map-side combinable, replacing a per-round
+        # row_number window's full sort+shuffle of the votes frame.
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("ncnt"), "lbl")).alias("b"))
+            .select("node", F.col("b.lbl").alias("lbl"))
         )
     return labels.groupBy(F.col("lbl").cast("long").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
