@@ -1095,19 +1095,27 @@ def text_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "pred_lang")
         .agg(F.sum(F.col("tf") * F.col("logp_e6")).alias("s"))
     )
-    ranked = scores.join(
-        F.broadcast(prior), scores["pred_lang"] == prior["p_lang"]
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("doc_id").orderBy(
-                F.desc(F.col("s") + F.col("prior_e6")), F.asc("pred_lang")
-            )
-        ),
+    # struct-min argmax (posterior desc via exact integer negation,
+    # ties to the smaller predicted lang) — map-side combinable, so
+    # each doc's per-language score rows collapse before any exchange
+    # instead of a row_number window sorting the doc×lang frame.
+    picked = (
+        scores.join(F.broadcast(prior), scores["pred_lang"] == prior["p_lang"])
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-(F.col("s") + F.col("prior_e6"))).alias("ns"),
+                    "pred_lang",
+                    "lang",
+                )
+            ).alias("b")
+        )
     )
     return (
-        ranked.filter(F.col("rn") == 1)
-        .groupBy("lang", "pred_lang")
+        picked.groupBy(
+            F.col("b.lang").alias("lang"), F.col("b.pred_lang").alias("pred_lang")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
 

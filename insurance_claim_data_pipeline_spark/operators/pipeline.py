@@ -244,11 +244,21 @@ def rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_words") >= RAG_MIN_WORDS)
         & (F.size(F.array_distinct("cw")) * 2 >= F.size("cw"))
     )
-    win = W.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    # first-occurrence election per chunk hash as a map-side-combinable
+    # min-by ((doc_id, chunk_idx) is the window's order and is unique
+    # per row, so the payload fields never compare) — a boilerplate
+    # chunk with many copies collapses to one partial-combined row per
+    # partition instead of one partition's ordered scan.
     canonical = (
-        quality.select("*", F.row_number().over(win).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        quality.groupBy("chunk_hash")
+        .agg(F.min(F.struct("doc_id", "chunk_idx", "cw", "n_words")).alias("k"))
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.chunk_idx").alias("chunk_idx"),
+            F.col("k.cw").alias("cw"),
+            "chunk_hash",
+            F.col("k.n_words").alias("n_words"),
+        )
     )
     bench_sh = (
         doc.filter(F.col("doc_id") % BENCH_MOD == 0)

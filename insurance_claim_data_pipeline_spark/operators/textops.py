@@ -2886,11 +2886,11 @@ def text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Dataflow: one narrow pass slices blocks via posexplode over
     ``sequence(0, ceil(n/16)-1)`` + ``slice(toks, ...)`` — no
-    per-token explosion; first-occurrence election is ONE row_number
-    window keyed by block md5 (uniform 128-bit key → no skew; at
-    100 TB this is the passage index, and a boilerplate block with a
-    million copies is still one partition's ordered scan because only
-    rank 1 survives — min-by would cut even that); rebuild is a
+    per-token explosion; first-occurrence election is ONE map-side-
+    combinable min-by keyed by block md5 (uniform 128-bit key → no
+    skew; at 100 TB this is the passage index, and a boilerplate
+    block with a million copies collapses to one partial-combined
+    row per partition before the exchange); rebuild is a
     per-doc groupBy with an ordered array_join. No pair enumeration,
     no corpus-wide window, no Python."""
     doc = load_table(spark, sf_dir, "documents")
@@ -2909,8 +2909,16 @@ def text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("btoks_arr", " ").alias("btext"),
         F.size("btoks_arr").alias("btoks"),
     )
-    w = Window.partitionBy(F.md5("btext")).orderBy("doc_id", "b")
-    kept = blk.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # first-occurrence election as the min-by the docstring promises:
+    # min(struct(doc_id, b, payload…)) per block md5 is map-side
+    # combinable, so a boilerplate block with a million copies costs
+    # one partial-combined row per partition instead of one
+    # partition's full ordered scan under a row_number window.
+    kept = (
+        blk.groupBy(F.md5("btext").alias("_h"))
+        .agg(F.min(F.struct("doc_id", "b", "n_blocks", "btext", "btoks")).alias("k"))
+        .select("k.doc_id", "k.n_blocks", "k.b", "k.btext", "k.btoks")
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("kept_blocks"),
         F.sum("btoks").cast("long").alias("kept_tokens"),
