@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..functions.text import shingle_rows, shingles_sql, tokens
 from ..functions.vectors import as_double, cosine_sql, dot, dot_float, dot_sql, norm
 from ..registry import register
-from ..session import load_table, pin, pin_eager, pin_eager_observed
+from ..session import load_table, pin, pin_eager_observed
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -1158,16 +1158,30 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
       neighbor v > u to m = min({u} ∪ N(u));
     - small-star: attach each neighbor v ≤ u (and u itself) to m.
 
-    Both are one map-side-combinable min-aggregate per node plus one
-    equi-join of the (shrinking) edge list to that per-node min — no
-    neighborhood is ever materialized as an array row, so a hub node
-    with millions of neighbors costs a combinable aggregate, not one
-    unbounded collect_set row (the skew-OOM shape). Convergence = the
-    canonical edge set stops changing (count + order-independent
-    bit_xor-of-xxhash64 checksum — two driver scalars per round, like the
-    propagation loop's change count). Equality with
-    min_label_components on the same pair graph is asserted in tests;
-    the registry entry shares the recursive-CTE oracle."""
+    Both are ONE linear pass over the (shrinking) edge list: explode
+    the two directions of each edge (a single reference to the input —
+    no self-union), attach each node's min via a partition-wide window
+    aggregate (one shuffle; no per-node frame joined back), and emit
+    the kept (v, m) half plus the per-row (u, m) half through one
+    conditional explode into the closing distinct, which dedups the
+    per-row (u, m) copies. No neighborhood is ever materialized as an
+    array row, so a hub node with millions of neighbors costs one
+    sorted partition scan, not one unbounded collect_set row (the
+    skew-OOM shape). Because each half-round references its input
+    exactly once, a full round is a single linear plan needing ONE
+    eager pin (at the small-star output, where the convergence metrics
+    ride via observe) instead of the former per-half-round barrier +
+    self-join shape — bit-identical output, locally timing-neutral
+    (interleaved sf0.1 A/B on the LSH flagship: 7.17/7.22 vs
+    6.99/7.24 s), kept because it halves the corpus-scale edge blocks
+    written to the pin store per round and drops the self-join's
+    second shuffle of the symmetric edge list. Convergence = the
+    canonical edge
+    set stops changing (count + order-independent bit_xor-of-xxhash64
+    checksum — two driver scalars per round, like the propagation
+    loop's change count). Equality with min_label_components on the
+    same pair graph is asserted in tests; the registry entry shares
+    the recursive-CTE oracle."""
     def sig_metrics():
         # order-independent (count, bit_xor-of-xxhash64) edge-set
         # checksum, collected DURING each pin's materialization job via
@@ -1188,35 +1202,58 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
     )
 
     def star(e: DataFrame, large: bool) -> DataFrame:
-        # (u, v, m) via a per-node min AGGREGATE joined back to the
-        # symmetric edge list — never a collect_set/explode of the
-        # neighborhood: a hub node's neighborhood array would be one
-        # unbounded row (the skew-OOM shape), while min() is map-side
-        # combinable and the join is a plain equi-join on u.
-        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(F.min(F.least("u", F.col("v"))).alias("m"))
-        ex = sym.join(mins, "u")
+        # ONE linear pass, ONE reference to e: explode both directions
+        # of each edge (no self-union), per-node min via a
+        # partition-wide window aggregate (no per-node frame joined
+        # back — the join's shuffle-by-u is exactly the window's, minus
+        # a second pass over sym), then one conditional explode emits
+        # the kept (v, m) half plus a per-row (u, m) copy that the
+        # closing distinct dedups (the old shape emitted (u, m) once
+        # per node from the mins frame; same set either way). A hub
+        # node is one sorted partition scan, never a collect_set row.
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("s")
+        ).select("s.u", "s.v")
+        x = sym.withColumn(
+            "m", F.min(F.least("u", "v")).over(W.partitionBy("u"))
+        )
         keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-        out = (
-            ex.filter(keep)
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .unionByName(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        um = F.struct(F.col("u").alias("a"), F.col("m").alias("b"))
+        vm = F.struct(F.col("v").alias("a"), F.col("m").alias("b"))
+        return (
+            x.select(
+                F.explode(
+                    F.when(keep, F.array(vm, um)).otherwise(F.array(um))
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
             .filter(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
             .distinct()
         )
-        return out
 
     prev = (m["n"], m["h"])
     converged = False
     for _ in range(_STAR_MAX_ROUNDS):
-        # NOTE: one checkpoint per half-round is measured, not habit —
-        # fusing large+small into a single checkpointed job reads 20.4 s
-        # vs 11.2 s on the sf0.1 LSH flagship: star() references its
-        # input TWICE (the sym union), so without the barrier the
-        # large-star plan re-executes inside the small-star job.
-        edges = star(edges, large=True).transform(pin_eager)
-        edges, m = pin_eager_observed(star(edges, large=False), sig_metrics())
+        # ONE pin per full round: each half-round references its input
+        # exactly once, so the large-star output needs no barrier of
+        # its own — the whole round is a single linear job whose
+        # convergence metrics ride the pin via observe. (The former
+        # shape's per-half-round checkpoint was itself measured against
+        # a no-barrier variant — 20.4 s vs 11.2 s — but that variant
+        # kept the self-join whose double reference re-executed the
+        # large-star plan; the one-reference rewrite removes the reason
+        # the barrier existed. Interleaved sf0.1 flagship A/B:
+        # timing-neutral locally; kept for the halved pin volume and
+        # removed join shuffle.)
+        edges, m = pin_eager_observed(
+            star(star(edges, large=True), large=False), sig_metrics()
+        )
         cur = (m["n"], m["h"])
         if cur == prev:
             converged = True
