@@ -465,9 +465,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitively similar to).
 
     Spark-side algorithm: iterative min-label propagation — each round
-    joins current labels across edges, takes the min of own and
-    neighbors' labels, and stops when no label changed (the only
-    driver-side values are the per-round change counts). Rounds needed =
+    joins current labels across a self-looped adjacency and takes the
+    per-node min (self-loops make "min of own and neighbors" ONE join +
+    one combinable aggregate), stopping when the labels checksum stops
+    changing (the only driver-side values are two scalars per round).
+    Rounds needed =
     graph diameter ≤ O(log n) for near-dup clusters, each round one
     shuffle-join — the standard scalable formulation (GraphX/GraphFrames
     use the same shape); the oracle's recursive-CTE transitive closure
@@ -502,42 +504,46 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    edges = (
+    # adjacency WITH self-loops, built once: with (n, n) rows present,
+    # each round's least(own_label, min neighbor label) is just the
+    # min over adj of the dst labels — one join + one combinable
+    # aggregate per round, where the self-loop-free shape needed a
+    # second join of the labels frame against the per-node minima
+    # (plus a null-coalesce for isolated-in-round nodes).
+    adj = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .unionByName(
+            verts.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v"))
+        )
+        .transform(pin)  # consumed once per round; materialized lazily
     )
     labels = verts.select("doc_id", F.col("doc_id").alias("component_id"))
-    changed = 1
+    # Convergence = the labels checksum stops changing (the star loop's
+    # count + order-independent bit_xor-of-xxhash64 signature — labels
+    # only ever decrease, so an unchanged checksum means a fixed point
+    # up to the same astronomically-unlikely xor collision the star
+    # signature already accepts). prev=None forces the first round.
+    prev = None
+    converged = False
     for _ in range(_COMPONENTS_MAX_ROUNDS):
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.doc_id)
-            .groupBy(F.col("u").alias("doc_id"))
-            .agg(F.min("component_id").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "component_id", F.coalesce("nbr_min", "component_id")
-                ).alias("component_id"),
-                (F.col("component_id") > F.coalesce("nbr_min", "component_id")).alias(
-                    "_changed"
-                ),
-            )
-        )
-        # one job per round: the convergence probe rides the pin's own
-        # materialization job (it used to be a second job re-scanning
-        # the pinned blocks), and _changed is computed for the metric
-        # but never stored — at 100 TB that's a corpus-width boolean
-        # kept out of the pin store every round.
+        # one job per round, one join + one aggregate: the convergence
+        # checksum rides the pin's own materialization job via observe.
         labels, m = pin_eager_observed(
-            updated, [F.max("_changed").alias("changed")], drop=("_changed",)
+            adj.join(labels, adj.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("component_id").alias("component_id")),
+            [
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(doc_id, component_id))").alias("h"),
+            ],
         )
-        changed = 1 if m["changed"] else 0
-        if changed == 0:
+        cur = (m["n"], m["h"])
+        if cur == prev:
+            converged = True
             break
-    if changed != 0:
+        prev = cur
+    if not converged:
         # Silently returning partial labels would mis-cluster long
         # chains with no signal; fail loudly instead.
         raise RuntimeError(
