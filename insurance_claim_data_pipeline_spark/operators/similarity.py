@@ -1344,6 +1344,10 @@ def sim_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fail-soft: rows with no embedding can neither train nor match
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", as_double("embedding").alias("v"))
+        # scanned once per Lloyd round (each round's cell collect is
+        # its own job) + twice in encode/LUT — same cache the IVF
+        # trained twin carries
+        .cache()
     )
     cb = train_pq_codebooks(emb)
     subv = _pq_subvectors(emb)

@@ -3108,7 +3108,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         "w",
         "freq",
         F.concat(F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")).alias("seq"),
-    )
+    ).transform(pin)
+    # ^ pin the vocab frame: each merge step's top-pair collect is its
+    # own JOB, so without the pin every step re-ran the corpus explode
+    # + word-count shuffle (a per-step full corpus pass the plan-scan
+    # audit cannot see — it only inspects the FINAL frame's plan, and
+    # the per-step collect jobs are separate). The vocab frame is
+    # distinct-words-sized; the per-step replace chain stays narrow
+    # expressions on top of the pinned blocks.
     merges = []
     for step in range(1, BPE_MERGES + 1):
         t = F.split(F.trim("seq"), "  ")
