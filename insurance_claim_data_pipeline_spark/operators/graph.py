@@ -737,10 +737,16 @@ def graph_components_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     component labels are the inputs you already materialized for
     dedup; the modularity audit is a cheap by-product that belongs in
     every dedup run's metrics."""
-    from .dedup import dedup_components, dedup_ngram_jaccard
+    from .dedup import dedup_ngram_jaccard, min_label_components
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").transform(pin)
-    comp = dedup_components(spark, sf_dir)
+    # label the SAME pinned pair frame (dedup_components(sf_dir) would
+    # re-run the whole jaccard candidate generation inside its own pin
+    # jobs — a duplicate corpus pass the plan audit can't see because
+    # it executes eagerly during the components loop, not in the final
+    # plan); min_label_components(pairs) is dedup_components' exact
+    # body, so values and the shared oracle are unchanged.
+    comp = min_label_components(pairs)
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
