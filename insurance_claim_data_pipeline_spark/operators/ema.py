@@ -187,7 +187,9 @@ FROM rec
 
 
 @register("events_holt_linear", oracle=HOLT_ORACLE, tags=("events", "llm", "pandas", "forecast"))
-def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_holt_linear(
+    spark: SparkSession, sf_dir: str, hourly: DataFrame | None = None
+) -> DataFrame:
     """Holt two-parameter (level + trend) exponential smoothing of each
     event type's hourly count series, with the one-step-ahead forecast
     ``level + trend`` per row — the classic operational-forecasting
@@ -202,15 +204,20 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit floor division, replayed exactly by the recursive-CTE
     oracle; the trend term goes negative on falling series, which is
     why the floor/truncate reconciliation matters here."""
-    ev = load_table(spark, sf_dir, "events")
-    hour_idx = (
-        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
-    ).cast("long")
-    hourly = (
-        ev.select("event_type", hour_idx.alias("hour_idx"))
-        .groupBy("event_type", "hour_idx")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    if hourly is None:
+        # callers composing several models over the SAME series (the
+        # forecast ensemble) pass a shared pinned hourly frame instead
+        # of re-aggregating the events corpus per model arm
+        ev = load_table(spark, sf_dir, "events")
+        hour_idx = (
+            (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H)))
+            / F.lit(US_1H)
+        ).cast("long")
+        hourly = (
+            ev.select("event_type", hour_idx.alias("hour_idx"))
+            .groupBy("event_type", "hour_idx")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     e6, alpha, beta = E6, ALPHA_E6, BETA_E6
 
     def holt_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -354,7 +361,9 @@ JOIN sadj sn ON sn.event_type = r.event_type AND sn.hod = (r.hour_idx + 1) % 24
 @register(
     "events_holt_winters", oracle=HW_ORACLE, tags=("events", "llm", "pandas", "forecast")
 )
-def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_holt_winters(
+    spark: SparkSession, sf_dir: str, hourly: DataFrame | None = None
+) -> DataFrame:
     """Seasonal operational forecasting — the classical-decomposition
     composition (seasonal adjustment + Holt, the STL→ETS production
     pattern): per event type, (1) an additive hour-of-day seasonal
@@ -372,16 +381,20 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back broadcast; only the tiny per-type hourly series enters
     the Arrow closure (the recurrence depends on its own output — no
     window frame can express it)."""
-    ev = load_table(spark, sf_dir, "events")
-    hour_idx = (
-        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
-    ).cast("long")
-    hourly = (
-        ev.select("event_type", hour_idx.alias("hour_idx"))
-        .groupBy("event_type", "hour_idx")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .transform(pin)  # feeds index build + adjusted series
-    )
+    if hourly is None:
+        # the forecast ensemble passes a shared pinned hourly frame so
+        # its model arms aggregate the events corpus once, not per arm
+        ev = load_table(spark, sf_dir, "events")
+        hour_idx = (
+            (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H)))
+            / F.lit(US_1H)
+        ).cast("long")
+        hourly = (
+            ev.select("event_type", hour_idx.alias("hour_idx"))
+            .groupBy("event_type", "hour_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .transform(pin)  # feeds index build + adjusted series
+        )
     sidx = hourly.groupBy(
         "event_type", F.pmod("hour_idx", F.lit(24)).alias("hod")
     ).agg(F.expr(f"(SUM(n) * {E6}) div COUNT(*)").cast("long").alias("m_hod_e6"))
@@ -734,10 +747,24 @@ def events_forecast_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAEs are floor divisions of exact sums. Scale: two per-type hourly
     recursions (tiny Arrow closures) + one window + a |types|-row
     aggregate."""
-    holt = events_holt_linear(spark, sf_dir).select(
+    # aggregate the events corpus to the hourly series ONCE and pin it;
+    # both model arms consume the same frame (each arm used to re-run
+    # the corpus aggregation internally — a duplicate pass the plan
+    # audit could not see past the winters arm's internal pin)
+    ev = load_table(spark, sf_dir, "events")
+    hour_idx = (
+        (F.unix_micros("ts") - F.pmod(F.unix_micros("ts"), F.lit(US_1H))) / F.lit(US_1H)
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_idx.alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(pin)
+    )
+    holt = events_holt_linear(spark, sf_dir, hourly=hourly).select(
         "event_type", "hour_idx", "n", F.col("forecast_e6").alias("f_holt")
     )
-    hw = events_holt_winters(spark, sf_dir).select(
+    hw = events_holt_winters(spark, sf_dir, hourly=hourly).select(
         "event_type", "hour_idx", F.col("forecast_e6").alias("f_hw")
     )
     win = W.partitionBy("event_type").orderBy("hour_idx")
