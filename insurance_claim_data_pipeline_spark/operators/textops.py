@@ -2089,6 +2089,13 @@ def span_dedup_frame(doc: DataFrame) -> DataFrame:
     # probe join (same collision trade as the hashed-shingle dedups:
     # a 64-bit collision could mark a unique span duplicated,
     # P ≈ n²/2⁶⁵ — diagnosable via the oracle's raw-string twin).
+    # sh feeds BOTH the df aggregate and the probe join unmaterialized —
+    # measured (r08): pinning it reads 1.04-1.25 vs 1.09-1.32 s at
+    # sf0.1, inside noise, and at 100 TB the pinned frame is a
+    # token-POSITION-scale intermediate (larger than the compressed
+    # corpus text it derives from) written to the pin store, while the
+    # duplicated work is one narrow explode the scheduler overlaps —
+    # the same call the block-dedup triage made; stays unpinned.
     sh = pos.select("doc_id", "i", F.xxhash64(shingle).alias("sh_key"))
     dup = (
         sh.groupBy("sh_key")
