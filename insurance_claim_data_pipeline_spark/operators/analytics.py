@@ -960,7 +960,11 @@ def orders_rfm_segmentation_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_rdays", F.datediff("last_order", F.to_date(F.lit("1970-01-01")))
     )
     df = _with_global_rank(per_cust, "_rdays", "o_custkey", "_r_rank")
-    df = _with_global_rank(df.drop("_n_total"), "frequency", "o_custkey", "_f_rank")
+    # _rdays only keys the first rank; keeping it rode through the two
+    # later ranks' pins as a dead column (pin-width audit r09).
+    df = _with_global_rank(
+        df.drop("_n_total", "_rdays"), "frequency", "o_custkey", "_f_rank"
+    )
     df = _with_global_rank(df.drop("_n_total"), "monetary", "o_custkey", "_m_rank")
     n = F.col("_n_total")
     return df.select(

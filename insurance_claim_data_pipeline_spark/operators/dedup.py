@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..functions.text import shingle_rows, shingles_sql, tokens
 from ..functions.vectors import as_double, cosine_sql, dot, dot_float, dot_sql, norm
 from ..registry import register
-from ..session import load_table, pin, pin_eager_observed
+from ..session import is_pinned, load_table, pin, pin_eager_observed
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -496,8 +496,13 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     # observe) — without this cut the upstream candidate-generation
     # plan (for the semantic caller, a quadratic cosine scan)
     # re-executes per round (measured: the sf0.1 semantic-dedup run
-    # went from tens of minutes to seconds).
-    pairs = pairs.transform(pin)
+    # went from tens of minutes to seconds). Skip when the caller
+    # already pinned the frame to share it across consumers
+    # (graph_components_modularity): re-pinning a bare LogicalRDD leaf
+    # is a redundant second block copy — and in reliable mode a
+    # duplicate checkpoint-store write (ADVICE r08).
+    if not is_pinned(pairs):
+        pairs = pairs.transform(pin)
     # vertices that participate in at least one near-dup pair
     verts = (
         pairs.select(F.col("doc_a").alias("doc_id"))

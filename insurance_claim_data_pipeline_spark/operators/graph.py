@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table, pin, pin_eager, pin_eager_observed, tiny_frame_key
+from ..session import load_table, pin, pin_eager_observed, tiny_frame_key
 from .dedup import COMPONENTS_ORACLE, JACCARD_THRESHOLD, shingles_sql
 
 PR_SCALE = 10**12
@@ -547,15 +547,21 @@ def kcore_frame(
     edge list."""
     edges = edges.transform(pin)  # joined twice per round
     alive = edges.select(F.col("src").alias("node")).distinct()
-    for _ in range(iters):
-        alive = (
+    for rnd in range(iters):
+        survivors = (
             edges.join(alive.select(F.col("node").alias("src")), "src")
             .join(alive.select(F.col("node").alias("dst")), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
             .filter(F.col("deg") >= k)
-            .transform(pin)
         )
+        # intermediate rounds consume only the node key (the next
+        # round's two joins); deg is read solely from the FINAL round's
+        # frame, so earlier pins drop it (pin-width audit r09 — a dead
+        # per-node long in every round's pin payload at scale).
+        if rnd < iters - 1:
+            survivors = survivors.select("node")
+        alive = survivors.transform(pin)
     return alive.select("node", "deg")
 
 

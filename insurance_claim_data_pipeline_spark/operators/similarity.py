@@ -158,6 +158,15 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
     # collapse before any exchange instead of the old row_number window
     # shuffling the corpus×K candidate frame; v/nrm ride in the struct
     # tail (c_id is unique per group, so they never compare).
+    # NaN/NULL ordering asymmetry of the negation trick (ADVICE r08):
+    # desc(ccos) sorts NaN FIRST and NULL last (a 0/0 candidate would
+    # win), while min(struct(-ccos,…)) sorts NaN last and NULL first
+    # (it would lose to any finite score, and a NULL would win) — so
+    # non-finite scores are filtered explicitly rather than left to
+    # either ordering. A NaN ccos means a zero-norm side (0/0): cosine
+    # is undefined there, and dropping the row keeps the argmax
+    # deterministic under both formulations. NULL ccos (NULL vector)
+    # drops too: ~isnan(NULL) is NULL, which filter() discards.
     clustered = (
         emb.crossJoin(F.broadcast(cent))
         .select(
@@ -169,6 +178,7 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
             "v",
             "nrm",
         )
+        .filter(~F.isnan("ccos"))
         .groupBy("vec_id")
         .agg(
             F.min(F.struct((-F.col("ccos")).alias("nc"), "c_id", "v", "nrm")).alias("b")
@@ -276,7 +286,12 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
         # exchange; the old row_number window shuffled the corpus×K
         # candidate frame with every candidate carrying the full
         # 64-double vector. v rides in the struct tail (c_id is unique
-        # per group, so it never compares).
+        # per group, so it never compares). Non-finite guard as in
+        # _ivf_topk (ADVICE r08): the negation trick inverts the
+        # NaN/NULL ordering vs desc(ccos), so a zero-norm (0/0 → NaN)
+        # or NULL-vector candidate is filtered out rather than decided
+        # by either formulation's sort quirk — a zero-norm vector has
+        # no defined cosine assignment and simply sits out the round.
         assigned = (
             emb.withColumn("nrm", norm(F.col("v")))
             .crossJoin(F.broadcast(cent.withColumn("cnrm", norm(F.col("c_emb")))))
@@ -290,6 +305,7 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
                 "c_id",
                 "v",
             )
+            .filter(~F.isnan("ccos"))
             .groupBy("vec_id")
             .agg(F.min(F.struct((-F.col("ccos")).alias("nc"), "c_id", "v")).alias("b"))
             .select("vec_id", F.col("b.c_id").alias("c_id"), F.col("b.v").alias("v"))

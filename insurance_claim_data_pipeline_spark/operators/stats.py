@@ -1376,9 +1376,11 @@ def mann_whitney_frame(s: DataFrame) -> DataFrame:
         s.groupBy("vc")
         .agg(
             F.sum("g").cast("long").alias("c1"),
-            (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c0"),
+            # cnt directly; c0 (= cnt − c1) was pinned but never read
+            # downstream (pin-width audit r09) — n2 derives from the
+            # totals as tot_cnt − tot_c1.
+            F.count(F.lit(1)).cast("long").alias("cnt"),
         )
-        .withColumn("cnt", F.col("c1") + F.col("c0"))
         .transform(pin)  # feeds bounds sketch + bucket pass
     )
     cum = with_global_prefix_sums(byv, "vc", ["c1", "cnt"])

@@ -1922,7 +1922,10 @@ def text_jsd_split_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = occ.groupBy("t").agg(
         F.sum(F.col("in_train").cast("long")).cast("long").alias("cp"),
         F.sum((~F.col("in_train")).cast("long")).cast("long").alias("cq"),
-    ).transform(pin)  # feeds totals + term sum
+    ).select("cp", "cq").transform(pin)  # feeds totals + term sum; the
+    # token string itself is dead after the groupBy (pin-width audit
+    # r09) — at 100 TB it was the whole vocab's strings materialized
+    # into the pin store for nothing.
     tot = c.agg(
         F.sum("cp").cast("long").alias("np"),
         F.sum("cq").cast("long").alias("nq"),
@@ -3103,7 +3106,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the BPE merge loop; return (post-merge word table, merges).
 
-    The word table carries (w, freq, seq) with seq in canonical
+    The word table carries (freq, seq) with seq in canonical
     double-space symbol form after ALL learned merges are applied."""
     doc = load_table(spark, sf_dir, "documents")
     words = (
@@ -3112,10 +3115,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
     cur = words.select(
-        "w",
         "freq",
         F.concat(F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")).alias("seq"),
     ).transform(pin)
+    # ^ the raw word string is dead once seq is derived (pin-width
+    # audit r09): no merge step, the merges output, nor the fertility
+    # consumer reads w — dropping it halves the widest column out of
+    # the vocab pin payload.
     # ^ pin the vocab frame: each merge step's top-pair collect is its
     # own JOB, so without the pin every step re-ran the corpus explode
     # + word-count shuffle (a per-step full corpus pass the plan-scan

@@ -129,6 +129,25 @@ def pin(df, eager: bool = False):
     return df.localCheckpoint(eager=eager)
 
 
+def is_pinned(df) -> bool:
+    """True when ``df``'s whole plan is already a materialized-RDD leaf
+    (``LogicalRDD`` — what both pin modes produce, verified for
+    localCheckpoint lazy/eager and reliable checkpoint on Spark 4).
+
+    Why (ADVICE r08): helpers that pin their own input for loop-lineage
+    truncation (e.g. ``min_label_components``) are sometimes handed a
+    frame the caller ALREADY pinned to share across consumers
+    (``graph_components_modularity``); re-pinning makes a redundant
+    second executor-block copy — and under ``SPARK_GRAFT_PIN_MODE=
+    reliable`` a duplicate full write of the frame to the checkpoint
+    store. Only a bare leaf counts: any Project/Filter above the leaf
+    means new lineage worth truncating.
+    """
+    return (
+        df._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD"
+    )
+
+
 def pin_eager(df):
     """``pin`` with eager materialization — for per-round pins inside
     iterative loops, where truncating lineage NOW (not at first

@@ -13,16 +13,32 @@ sf0.1 a wasted column is microseconds; at 100 TB it is a full-corpus
 column materialization plus checkpoint-store write traffic for data nobody
 reads.
 
-Mechanism: monkeypatch ``session.pin`` to record each pinned frame's
-column list while building every registered query, then walk the final
+Mechanism: monkeypatch ``pin`` at EVERY binding — ``session.pin``
+itself (covers pin_eager / pin_eager_observed, whose bodies resolve
+``pin`` through session-module globals) AND the by-value copy each
+operator module holds from ``from ..session import pin`` (ADVICE r08:
+patching session alone never intercepts the ~78 lazy
+``.transform(pin)`` call sites, because Python binds the imported name
+at import time; those queries were silently skipped by the no-pins
+gate). With each pinned frame's column list recorded, walk the final
 OPTIMIZED logical plan (children recursion + subqueriesAll, same
 leaf-walk discipline as plan_scan_audit after ADVICE r07): a
 ``Project`` whose single child is a ``LogicalRDD`` and whose output is
 narrower than the child's output is Catalyst telling us exactly which
-pinned columns are dead. Pins that never surface in the final plan
-(consumed only inside an iterative loop's earlier rounds) are reported
-separately as UNSEEN — those need manual reading of the loop body, not
-a plan walk.
+pinned columns are dead.
+
+The final plan alone is not enough (found by the r09 full-interception
+sweep): a pin consumed by ANOTHER pin's build job hides behind that
+pin's LogicalRDD leaf and looks fully dead (events_funnel_steps: the
+view-stage pin feeds the click-stage pin's lineage; the final plan
+shows only count(*) rows). The spy therefore keeps each PRE-pin
+DataFrame and walks its optimized plan too — earlier pins appear there
+as LogicalRDD leaves with their real column consumption — and the
+per-pin walks are unioned with the final-plan walk before anything is
+called dead. The same walk marks loop-internal pins (each round's
+frame consumes the previous round's pin) as seen, so UNSEEN now means
+"consumed by NO recorded plan", a much stronger prompt than the old
+"not in the final plan".
 
 A flag is a PROMPT for a .select() before the pin plus an A/B, never an
 automatic fix: a column can be dead in the final plan but alive in a
@@ -30,6 +46,24 @@ mid-loop consumer of the same pinned frame, and the recorded plan-audit
 history (three measured negatives in r07 alone) says barriers and
 projections interact with scheduler overlap in ways only a measurement
 settles.
+
+r09 triage of the first FULL-interception sweep (ADVICE r08 fix — 15
+bindings spied, 8 raw dead-column flags + 27 raw UNSEEN):
+- Cross-pin lineage walk added (see above): cleared the
+  events_funnel_steps / sim_topk_mmr / stats_spearman false positives
+  and collapsed UNSEEN 27 → 1 (the BPE vocab pin, consumed by
+  driver-side per-merge collect jobs no DataFrame plan can show —
+  justified, the r08 BPE fix's whole point).
+- 5 REAL dead columns fixed (strict parity green on all consumers):
+  text_jsd_split_shift pinned the vocab token string `t` nobody read;
+  _bpe_train pinned the raw word `w` alongside its derived seq;
+  mann_whitney pinned c0 (= cnt−c1, derivable from totals);
+  kcore_frame pinned deg in every intermediate round (only the final
+  round's deg is returned; inner rounds read just the node key);
+  orders_rfm_segmentation_dist rode `_rdays` through the 2nd/3rd rank
+  pins after the 1st rank consumed it.
+- Remaining residue = exactly the two KNOWN-JUSTIFIED loop-carried
+  join keys from r08 (below).
 
 r08 triage of the first full sweep (16 raw flags):
 - doc_a/doc_b pairs on the edge pins: FALSE POSITIVES of the
@@ -108,30 +142,64 @@ def rdd_projections(df) -> dict[tuple[int, tuple[str, ...]], set[str]]:
     return used
 
 
+def _pin_bindings(real_pin) -> list:
+    """Every (module, attr) slot holding the real ``session.pin``.
+
+    Operator modules import pin BY VALUE (``from ..session import
+    pin``), so the spy must be installed on each module's own binding,
+    not just on the session module — otherwise every lazy
+    ``.transform(pin)`` call site goes straight to the real function
+    and the query is invisibly skipped (ADVICE r08). registry.all_specs
+    has already imported every query module by the time this runs.
+    """
+    pkg = "insurance_claim_data_pipeline_spark"
+    slots = [(session_mod, "pin")]
+    for mod_name, mod in list(sys.modules.items()):
+        if (
+            mod_name.startswith(pkg)
+            and mod is not session_mod
+            and getattr(mod, "pin", None) is real_pin
+        ):
+            slots.append((mod, "pin"))
+    return slots
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("pin-width-audit")
     real_pin = session_mod.pin
+    specs = registry.all_specs()  # imports every query module
+    bindings = _pin_bindings(real_pin)
+    print(f"spying {len(bindings)} pin bindings "
+          f"(session + {len(bindings) - 1} by-value imports)")
     flagged = unseen_total = 0
 
-    for name, spec in registry.all_specs().items():
+    for name, spec in specs.items():
         if name.startswith("claims_") or "streaming" in name:
             continue  # fixture-file / streaming surfaces
-        pinned: list[tuple[str, ...]] = []
+        pinned: list[tuple] = []  # (columns, pre-pin DataFrame)
 
         def spy(df, eager: bool = False, _rec=pinned):
-            _rec.append(tuple(df.columns))
+            _rec.append((tuple(df.columns), df))
             return real_pin(df, eager)
 
-        session_mod.pin = spy
+        for mod, attr in bindings:
+            setattr(mod, attr, spy)
         try:
             df = spec.fn(spark, sf_dir)
             used = rdd_projections(df) if pinned else {}
+            # union in each pre-pin lineage's consumption: earlier pins
+            # appear there as LogicalRDD leaves (cross-pin and
+            # loop-round consumers the final plan hides).
+            for _, pre in pinned:
+                for key, consumed in rdd_projections(pre).items():
+                    used.setdefault(key, set()).update(consumed)
         except Exception as e:  # pragma: no cover - diagnostic tool
             print(f"ERROR  {name}: {type(e).__name__}: {str(e)[:100]}")
             continue
         finally:
-            session_mod.pin = real_pin
+            for mod, attr in bindings:
+                setattr(mod, attr, real_pin)
         if not pinned:
             continue
         seen: set[tuple[str, ...]] = set()
@@ -141,11 +209,11 @@ def main() -> int:
             if dead:
                 flagged += 1
                 print(f"{name}: pin cols={len(avail)} dead={dead}")
-        unseen = [cols for cols in pinned if cols not in seen]
+        unseen = [cols for cols, _ in pinned if cols not in seen]
         if unseen:
             unseen_total += len(unseen)
-            print(f"{name}: {len(unseen)} pin(s) not in final plan "
-                  f"(loop-internal): {[len(c) for c in unseen]} col(s) each")
+            print(f"{name}: {len(unseen)} pin(s) consumed by no recorded "
+                  f"plan: {[len(c) for c in unseen]} col(s) each")
     print(f"done: {flagged} pin(s) with dead columns; "
           f"{unseen_total} loop-internal pin(s) need manual reading")
     return 0

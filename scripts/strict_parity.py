@@ -10,7 +10,9 @@ Here every cell is canonicalized WITH its type family:
 so any cross-engine representation drift the type audit could miss
 (int-vs-float column, Decimal scale) shows up as a strict mismatch.
 
-Run: python scripts/strict_parity.py [sf_dir]   (defaults to sf0.01)
+Run: python scripts/strict_parity.py [sf_dir] [name ...]
+(sf_dir defaults to sf0.01; with names given, only those queries run —
+the targeted re-verify loop after a plan change.)
 """
 
 from __future__ import annotations
@@ -67,11 +69,12 @@ def table_sig(pdf: pd.DataFrame) -> list[tuple]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark("strict-parity")
     con = duckdb_conn(sf_dir)
     bad = 0
     for name, spec in registry.all_specs().items():
-        if spec.oracle is None:
+        if spec.oracle is None or (only and name not in only):
             continue
         try:
             s = table_sig(spec.fn(spark, sf_dir).toPandas())

@@ -54,6 +54,73 @@ def test_reliable_mode_matches_local_mode(spark, tmp_path, monkeypatch):
         assert sorted(map(tuple, rel)) == sorted(map(tuple, base)), name
 
 
+def test_reliable_mode_flagship_and_bpe(spark, tmp_path, monkeypatch):
+    """VERDICT r08 item 5: the two HEAVIEST iterative loops — the
+    semantic-dedup flagship (banded LSH + star-contraction components,
+    one eager observed pin per half-round) and the BPE trainer
+    (per-merge-step vocab pins + driver-side argmax collects) — must
+    each run end-to-end under ``SPARK_GRAFT_PIN_MODE=reliable`` every
+    round, or the multi-executor fault-tolerant path rots while the
+    equality tests above only exercise the simpler pin shapes."""
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    specs = all_specs()
+    for name in ("dedup_semantic_components_lsh", "text_bpe_train_merges"):
+        base = specs[name].fn(spark, SF_DIR).collect()
+        monkeypatch.setattr(session, "_PIN_MODE", "reliable")
+        try:
+            rel = specs[name].fn(spark, SF_DIR).collect()
+        finally:
+            monkeypatch.setattr(session, "_PIN_MODE", "local")
+        assert sorted(map(tuple, rel)) == sorted(map(tuple, base)), name
+
+
+def test_is_pinned_detects_materialized_leaf(spark, tmp_path, monkeypatch):
+    """``is_pinned`` (ADVICE r08): True only when the WHOLE plan is a
+    materialized-RDD leaf — what both pin modes produce — so helpers
+    that pin their own input (min_label_components) can skip the
+    redundant second copy when the caller already pinned the frame."""
+    df = spark.range(10).selectExpr("id", "id * 2 as x")
+    assert not session.is_pinned(df)
+    p = session.pin(df)
+    assert session.is_pinned(p)
+    # any lineage above the leaf is worth truncating again
+    assert not session.is_pinned(p.select("id"))
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.setattr(session, "_PIN_MODE", "reliable")
+    assert session.is_pinned(session.pin(df))
+
+
+def test_min_label_components_skips_prepinned_input(spark):
+    """The double-pin fix must not change values: identical components
+    whether the caller hands an already-pinned pair frame (modularity's
+    shared-frame path) or a raw one — and the pre-pinned path must not
+    add a second pin (spied via the session binding the helper's
+    is_pinned gate routes through)."""
+    from insurance_claim_data_pipeline_spark.operators import dedup as dedup_mod
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "doc_a long, doc_b long"
+    )
+    raw = sorted(map(tuple, dedup_mod.min_label_components(pairs).collect()))
+    calls = []
+    real_pin = session.pin
+
+    def spy(df, eager=False):
+        calls.append(tuple(df.columns))
+        return real_pin(df, eager)
+
+    dedup_mod.pin, session.pin = spy, spy
+    try:
+        pre = real_pin(pairs)
+        pinned_in = sorted(map(tuple, dedup_mod.min_label_components(pre).collect()))
+        # the input pin was skipped: no spied pin call saw the 2-col
+        # (doc_a, doc_b) input frame itself
+        assert ("doc_a", "doc_b") not in calls
+    finally:
+        dedup_mod.pin = session.pin = real_pin
+    assert pinned_in == raw
+
+
 def test_reliable_mode_sets_checkpoint_dir(spark, tmp_path, monkeypatch):
     # The configured base must win even if an EARLIER pin already set a
     # different checkpoint dir on this shared context (setCheckpointDir
