@@ -1722,7 +1722,21 @@ def semantic_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates by orders of magnitude while keeping recall ≥0.99, because
     P[sign match] ≈ 1 − θ/π concentrates. The constants here are tuned so
     the fixture-scale recall gate is meaningful; the plan shape is
-    unchanged by retuning."""
+    unchanged by retuning.
+
+    Measured growth law (r09 scale lab, scripts/scale_lab.py, k×
+    key-shifted sf0.1 replicas with cross-copy geometry decorrelated):
+    ANY fixed bank admits a constant FRACTION of random pairs
+    (≈ bands·2^-rows OR-folded), so candidates grow quadratically in
+    corpus size — this bank holds 87.1% of all pairs at every k
+    (174M candidate rows at k=10, the measured 34× wall-time growth),
+    and even the 12×10 production bank holds a constant 1.51%. Holding
+    candidates LINEAR requires the code space to grow with the corpus:
+    rows_per_band ≈ const + log2(N/N₀). Measured with rows = 10 +
+    log2(k): candidates/vector stay 15–23 across k = 1/2/5/10 (463k at
+    k=10 vs 3.0M fixed-production vs 174M fixture). At 100 TB that is
+    a CONFIG sized to the corpus snapshot — the (band, code) equi-join
+    plan is unchanged by bank size."""
     # NULL-embedding guard (r06): a NULL vector folds to sign-code 0 in
     # every band, so a NULL-heavy slice piles into one bucket per band
     # and the candidate join goes quadratic in the NULL count (measured

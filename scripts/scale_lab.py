@@ -1,0 +1,207 @@
+"""Scale lab: measure how the headline plans behave as the DATA grows,
+not just how fast they are at sf0.1.
+
+Why: every scale claim in this repo ("one shuffle on the key", "never
+all-pairs", "work ∝ corpus, not corpus²") is an assertion about the
+plan's growth ORDER. The per-round bench measures a point; this lab
+measures the curve. It materializes k× replicas of the sf0.1 tables
+(k ∈ 2, 5, 10 by default) with key-shifted copies, runs a headliner
+set at each k, and prints per-query wall-time ratios vs k=1 — a query
+whose plan is linear in the data should grow ≲ k (usually much less
+here, where fixed job overhead still dominates); anything growing ≳ k²
+has a quadratic corner the sf0.1 bench cannot see.
+
+Replication semantics (copy i = 0..k-1; i=0 is the original bytes):
+
+- ``region``/``nation`` stay as-is — fixed-cardinality dimensions,
+  exactly like TPC-H scaling.
+- ``customer``/``supplier``/``part``/``orders``/``lineitem`` replicate
+  with all PK/FK keys shifted by i·SHIFT, so each copy is a disjoint
+  shard that joins only within itself: join/agg outputs scale k×, key
+  cardinality scales k×, and no artificial skew is introduced.
+- ``events`` shifts event_id/user_id and keeps ts — k× traffic over
+  the same time window (what load growth actually looks like; windows
+  and sessionization get k× keys, per-key depth unchanged).
+- ``documents`` shifts doc_id and, for i>0, laces a copy-marker token
+  into every doc after every 4th token: every 5-token shingle then
+  contains a marker, so shingle sets across copies are DISJOINT
+  (shingle/minhash dup rates scale k×), while a pair of docs inside a
+  copy keeps its aligned shared runs (exact dups stay exact dups).
+  The first perturbation tried — sorting each doc's tokens by
+  md5(token ‖ i) — was measured pathological: the per-copy global
+  token order turns every doc into a sorted subsequence of the same
+  sequence, so all docs in a copy share sorted-stopword shingles and
+  the inverted-index join exploded quadratically (ratio 105× at k=10)
+  on skew the REAL corpus doesn't have. Kept here as the recorded
+  negative: a scale lab's replication scheme must not manufacture
+  skew, and max_df (the documented hot-shingle guard) is the knob for
+  corpora that do have it.
+- ``embeddings`` shifts vec_id and, for i>0, ROTATES the 64 dims by
+  3·i (an orthogonal permutation): within a copy all pairwise
+  cosines — and therefore the near-dup cluster structure — are
+  preserved EXACTLY, while across copies both the cosines and the
+  random-hyperplane LSH band signatures decorrelate, so semantic-LSH
+  candidates scale k×. The first attempt (flip 4 signs) kept 60/64
+  dims identical, which left band signatures near-identical across
+  copies: candidate pairs grew k²× (ratio 42× at k=10) — an LSH
+  granularity artifact, not a plan defect.
+
+Run:  python scripts/scale_lab.py [k ...]        (default: 2 5 10)
+      python scripts/scale_lab.py --queries q1_pricing_summary ...
+Output: one table of wall seconds + growth ratios; the lab dirs are
+written under .scale_lab/ (gitignored) and reused if present.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from insurance_claim_data_pipeline_spark import registry  # noqa: E402
+from insurance_claim_data_pipeline_spark.session import get_spark, load_table  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+LAB = os.path.join(REPO, ".scale_lab")
+KEY_SHIFT = 100_000_000
+
+# The headliner set: the bench queries minus the wall-mode flagship's
+# eval siblings, plus the flagship itself (wall mode — its loop runs
+# during fn()). Chosen to cover every plan family with a scale story:
+# TPC-H joins/aggs, window/sort, exact + minhash + semantic dedup,
+# brute + composed ANN, events sessionization, text spans.
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "window_topk_per_group",
+    "agg_salted_two_stage",
+    "events_sessionize",
+    "events_tumbling_window",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_semantic_components_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_ivfpq_rerank",
+    "text_span_dedup",
+    "stats_corr_matrix",
+]
+
+_SHIFTED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _copy(df, table: str, i: int):
+    out = df
+    for key in _SHIFTED[table]:
+        out = out.withColumn(key, (F.col(key) + F.lit(i * KEY_SHIFT)).cast("long"))
+    if i and table == "documents":
+        marker = F.lit(f"copymark{i}")
+        toks = F.filter(F.split("text", " "), lambda t: t != "")
+        laced = F.flatten(
+            F.transform(
+                toks,
+                lambda t, j: F.when(j % 4 == 0, F.array(marker, t)).otherwise(F.array(t)),
+            )
+        )
+        out = out.withColumn("text", F.array_join(laced, " ")).withColumn(
+            "n_chars", F.length("text").cast(df.schema["n_chars"].dataType)
+        )
+    if i and table == "embeddings":
+        rot = (3 * i) % 64
+        out = out.withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.element_at("embedding", (j + rot) % 64 + 1),
+            ),
+        )
+    return out
+
+
+def materialize(spark, k: int) -> str:
+    dest = os.path.join(LAB, f"x{k}")
+    marker = os.path.join(dest, "_DONE")
+    if os.path.exists(marker):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    for table in ("region", "nation"):
+        load_table(spark, BASE_SF, table).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{table}.parquet")
+        )
+    for table, _ in _SHIFTED.items():
+        base = load_table(spark, BASE_SF, table)
+        parts = [_copy(base, table, i) for i in range(k)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(os.path.join(dest, f"{table}.parquet"))
+    open(marker, "w").close()
+    return dest
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    names = DEFAULT_QUERIES
+    if "--queries" in args:
+        at = args.index("--queries")
+        names = args[at + 1 :]
+        args = args[:at]
+    ks = [int(a) for a in args] or [2, 5, 10]
+    spark = get_spark("scale-lab")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    specs = registry.all_specs()
+    dirs = {1: BASE_SF}
+    for k in ks:
+        print(f"materializing x{k} ...", flush=True)
+        dirs[k] = materialize(spark, k)
+    # untimed warm-up pass at k=1: whole-stage codegen compiles per
+    # plan SHAPE, which is identical across k — without this the x1
+    # readings absorb every query's compile cost and the growth ratios
+    # read low (measured: q1 1.67 s cold vs 0.86 s warm).
+    for name in names:
+        specs[name].fn(spark, dirs[1]).write.mode("overwrite").format("noop").save()
+    results: dict[str, dict[int, float]] = {}
+    for k in [1, *ks]:
+        for name in names:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, dirs[k]).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            results.setdefault(name, {})[k] = dt
+            print(f"x{k:<3d} {dt:7.2f}s  {name}", flush=True)
+    print(f"\n{'query':<32s}" + "".join(f"  x{k:<3d}/s" for k in [1, *ks])
+          + "".join(f"  r{k}" for k in ks))
+    worst: list[tuple[float, str]] = []
+    for name in names:
+        r = results[name]
+        ratios = [r[k] / r[1] for k in ks]
+        worst.append((ratios[-1] / ks[-1], name))
+        print(
+            f"{name:<32s}"
+            + "".join(f"  {r[k]:6.2f}" for k in [1, *ks])
+            + "".join(f"  {x:4.1f}" for x in ratios)
+        )
+    worst.sort(reverse=True)
+    print("\ngrowth vs linear (ratio_k / k) — >1 means superlinear at the top k:")
+    for g, name in worst[:5]:
+        print(f"  {g:5.2f}  {name}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
