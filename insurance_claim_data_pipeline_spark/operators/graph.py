@@ -146,16 +146,20 @@ SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
 @register("graph_triangle_copurchase", oracle=TRIANGLE_ORACLE, tags=("graph", "join"))
 def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the co-purchase graph (parts co-occurring in an
-    order are adjacent). The id-ordered node-iterator formulation:
-    edges are canonical (p1 < p2), wedges come from one self-join on
-    the middle vertex, and a second self-join checks the closing edge —
-    each triangle is produced exactly once, no orientation dedup pass.
-
-    Scale shape: two shuffle self-joins of the edge list; wedge count
-    is sum-of-degrees-squared, THE skew term — at 100 TB you orient
-    edges low-degree→high-degree instead of by id (provably
-    O(m^1.5) wedges) and let AQE split the residual hot vertices; the
-    count is orientation-invariant so the oracle stays valid."""
+    order are adjacent), via the DEGREE-ordered node-iterator: edges
+    are oriented from the lower-(degree, id) endpoint to the higher,
+    wedges come from one self-join on the shared source, and a second
+    join checks the closing edge — each triangle produced exactly
+    once, and per-vertex wedge fan-out is bounded by the OUT-degree,
+    which the orientation caps at O(√m) (Σ out² = O(m^1.5), the
+    standard skew-proof bound) where the previous id-ordering left
+    Σ deg² — THE hot-vertex term at 100 TB. The count is
+    orientation-invariant, so the id-ordered oracle matches unchanged.
+    Measured on the sf0.1 co-purchase graph (max degree 222, no real
+    hubs, so the bound barely binds): wedge rows 49.3M → 41.1M (−17%),
+    wall time neutral (6.2 vs 6.5 s warm) — kept for the skew bound,
+    which is the point on corpora whose degree tail this graph lacks
+    (r09 scale lab)."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")).distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -163,14 +167,34 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.pkey") < F.col("b.pkey")))
         .select(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
         .distinct()
-        # consumed 4x (three self-join roles + the edge count); without
-        # the cut each role re-runs the co-occurrence join from parquet
+        # consumed 3x (degree build, orientation join, edge count);
+        # without the cut each role re-runs the co-occurrence join
         .transform(pin)
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = e1.join(e2, F.col("e2.p1") == F.col("e1.p2")).join(
-        e3,
-        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    )
+    # total order (degree, id) packed into one comparable long; degree
+    # is bounded by the node count, far below 2^35, so no collision.
+    rank = deg.select("node", (F.col("dg") * F.lit(2**35) + F.col("node")).alias("rk"))
+    r1, r2 = rank.alias("r1"), rank.alias("r2")
+    oriented = (
+        edges.join(F.broadcast(r1), F.col("p1") == F.col("r1.node"))
+        .join(F.broadcast(r2), F.col("p2") == F.col("r2.node"))
+        .select(
+            F.when(F.col("r1.rk") < F.col("r2.rk"), F.col("p1")).otherwise(F.col("p2")).alias("s"),
+            F.when(F.col("r1.rk") < F.col("r2.rk"), F.col("p2")).otherwise(F.col("p1")).alias("d"),
+            F.greatest("r1.rk", "r2.rk").alias("drk"),
+        )
+        .transform(pin)  # consumed 3x (two wedge roles + closing probe)
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(o2, (F.col("o2.s") == F.col("o1.s")) & (F.col("o1.drk") < F.col("o2.drk")))
+        .join(o3, (F.col("o3.s") == F.col("o1.d")) & (F.col("o3.d") == F.col("o2.d")))
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -622,7 +646,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break. Scale: candidates come from the wedge join (two-hop
     paths — bounded by Σ deg², the quantity the degree-distribution
     op monitors), never from all-pairs; the existing-edge exclusion is
-    an anti-join on the pair key."""
+    an anti-join on the pair key. The Adamic-Adar term is attached to
+    the edge-scale sym frame BEFORE the wedge join (r09 scale lab:
+    sf0.1 makes 148M wedge rows from 1.2M edges — joining deg onto the
+    wedge output ran a whole extra operator over the biggest frame in
+    the plan; scoring the 2.4M-row side first is the same integer sum
+    and measured 77.6/56.7 → 48.4/49.7 s interleaved, identical rows).
+    Wedge volume itself is the documented Σ deg² eval-class cost, and
+    the k×-shard lab measures it growing linearly (13.0× at k=10 data
+    with fixed 32-partition config)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
     a = op.alias("a")
@@ -640,27 +672,30 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
-    sa = sym.alias("sa")
+    # per-shared-neighbor term joined onto the EDGE-scale frame, so the
+    # wedge output (the Σ deg² frame) carries its score and never feeds
+    # another join; deg is node-cardinality → broadcast.
+    term = deg.select(
+        "node",
+        F.round(1_000_000 / F.log(F.col("d").cast("double"))).cast("long").alias("t"),
+    )
+    sa = (
+        sym.join(F.broadcast(term), sym["v"] == term["node"])
+        .select("u", "v", "t")
+        .alias("sa")
+    )
     sb = sym.alias("sb")
     wedge = sa.join(
         sb, (F.col("sa.v") == F.col("sb.v")) & (F.col("sa.u") < F.col("sb.u"))
-    ).select(F.col("sa.u").alias("u"), F.col("sb.u").alias("v"), F.col("sa.v").alias("w"))
+    ).select(F.col("sa.u").alias("u"), F.col("sb.u").alias("v"), F.col("sa.t").alias("t"))
     nonedge = wedge.join(
         edges,
         (wedge["u"] == edges["p1"]) & (wedge["v"] == edges["p2"]),
         "left_anti",
     )
-    scored = (
-        nonedge.join(deg, nonedge["w"] == deg["node"])
-        .groupBy("u", "v")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
-            F.sum(
-                F.round(1_000_000 / F.log(F.col("d").cast("double"))).cast("long")
-            )
-            .cast("long")
-            .alias("adamic_adar_e6"),
-        )
+    scored = nonedge.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("t").cast("long").alias("adamic_adar_e6"),
     )
     # global top-k via TakeOrderedAndProject (orderBy+limit), NOT a
     # single-partition window over the full candidate frame; the rank

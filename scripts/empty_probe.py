@@ -12,7 +12,8 @@ functions/guards.py::nonzero is the standard fix).
 
 Run from anywhere:
 
-    python /root/repo/scripts/empty_probe.py        # ~25 min
+    python /root/repo/scripts/empty_probe.py            # full registry, ~25 min
+    python /root/repo/scripts/empty_probe.py <name> ... # targeted re-probe
 
 Exits non-zero on any failure. claims_* queries are skipped (they read
 the checked-in fixture files, not the sf dir).
@@ -76,8 +77,9 @@ def main() -> int:
             write_nullpayload(base)
         else:
             write_fixture(spark, base, n_rows)
+        only = set(sys.argv[1:])
         for name, spec in registry.all_specs().items():
-            if name.startswith("claims_"):
+            if name.startswith("claims_") or (only and name not in only):
                 continue
             try:
                 spec.fn(spark, base).limit(5).collect()
