@@ -1919,6 +1919,18 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= MMR_POOL_K)
         .drop("rn")
         .transform(pin)  # consumed by psim + every greedy step
+        # Measured and REJECTED (r09 exchange audit): an explicit
+        # .repartition("query_id") above this pin and psim's — pinned
+        # LogicalRDDs drop partitioning metadata, so every greedy step
+        # re-shuffles both pins, and one post-pin exchange would be
+        # reused by all steps via subset-key clustering (verified on
+        # probe frames: joins/windows/groupBys keyed on query_id all
+        # satisfy hash(query_id)). Interleaved warm A/B at sf0.1 read
+        # 4.91-5.79 s (as-is) vs 5.81-7.60 s (repartitioned): the added
+        # barrier serializes more than the reused shuffle saves on
+        # these Q·pool_k frames. Re-visit only with a measured win at a
+        # larger Q — the step shuffles are pool/psim-sized (re-rank
+        # grain), never corpus-sized, so this is not a 100 TB cliff.
     )
     pa, pb = pool.alias("pa"), pool.alias("pb")
     psim = (
