@@ -33,7 +33,6 @@ which is the point of the watermarked variant.
 
 from __future__ import annotations
 
-import os
 from typing import TYPE_CHECKING, Any, Iterator, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
