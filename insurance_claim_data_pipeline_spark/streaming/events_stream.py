@@ -46,14 +46,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # file-stream sources require a DIRECTORY; pathGlobFilter narrows the
-    # listing to the events table inside the shared sf_dir
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    static = spark.read.parquet(path)
+    if os.path.isdir(path):
+        # the standard layout: events.parquet is a DIRECTORY of part
+        # files (every real writer's output) — stream it directly.
+        stream = spark.readStream.schema(static.schema).parquet(path)
+    else:
+        # single-FILE layout (this harness's generated testdata): a
+        # file-stream source needs a directory, so list the shared
+        # sf_dir narrowed to the one table. pathGlobFilter matches LEAF
+        # file names — applying it to the directory layout matched
+        # nothing and every twin silently streamed ZERO rows (caught by
+        # the r09 scale lab, whose replicas are directory-layout; the
+        # driver's single-file testdata was never affected).
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_timestamps(stream)
 
 

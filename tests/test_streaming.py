@@ -22,6 +22,29 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
     assert _sorted_rows(stream_result, cols) == _sorted_rows(batch_result, cols)
 
 
+def test_streaming_reads_directory_layout_parquet(spark, sf_dir, tmp_path):
+    """r09 scale-lab catch: `pathGlobFilter="events.parquet"` matches
+    LEAF file names, so when events.parquet is a DIRECTORY of part
+    files — every real writer's output layout — the file-stream source
+    listed nothing and every events twin silently streamed ZERO rows.
+    The harness's generated single-file testdata never trips it, so
+    this fixture writes the directory layout explicitly and pins
+    stream == batch == nonzero on it."""
+    from insurance_claim_data_pipeline_spark.operators.eventops import (
+        events_tumbling_window as batch_fn,
+    )
+    from insurance_claim_data_pipeline_spark.session import load_table
+
+    d = tmp_path / "dir_layout_sf"
+    load_table(spark, sf_dir, "events").write.parquet(str(d / "events.parquet"))
+    stream_result = es.events_tumbling_window_streaming(spark, str(d))
+    batch_result = batch_fn(spark, str(d))
+    cols = ["window_start_us", "event_type", "n_events", "sum_value"]
+    got = _sorted_rows(stream_result, cols)
+    assert got == _sorted_rows(batch_result, cols)
+    assert got, "directory-layout stream read zero rows"
+
+
 def test_streaming_session_window_equals_batch(spark, sf_dir):
     events = es._events_stream(spark, sf_dir)
     stream_result = es.run_stream_to_memory(es.session_counts_stream(events), spark)
