@@ -46,6 +46,15 @@ Replication semantics (copy i = 0..k-1; i=0 is the original bytes):
   copies: candidate pairs grew k²× (ratio 42× at k=10) — an LSH
   granularity artifact, not a plan defect.
 
+Interpretation rule (learned on join_interval_overlap, r09): compare a
+query's growth ratio against its OUTPUT growth before calling it
+superlinear. k× concurrent intervals in the same time window have
+~k²× genuinely-overlapping pairs — the lab measured 31× wall at k=10
+against a measured 100× output (685k → 68.6M pairs), i.e. the plan is
+SUBLINEAR in its own result. Pair-producing operators (overlap joins,
+wedge joins, candidate generators) are result-size-bound; only a
+ratio exceeding the output ratio indicates a plan defect.
+
 Run:  python scripts/scale_lab.py [k ...]        (default: 2 5 10)
       python scripts/scale_lab.py --queries q1_pricing_summary ...
 Output: one table of wall seconds + growth ratios; the lab dirs are
