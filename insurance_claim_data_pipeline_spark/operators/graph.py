@@ -177,8 +177,13 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("dg"))
     )
-    # total order (degree, id) packed into one comparable long; degree
-    # is bounded by the node count, far below 2^35, so no collision.
+    # total order (degree, id) packed into one comparable long; the
+    # packing dg*2^35 + node is collision-free iff BOTH dg < 2^28
+    # (keeps the product in int64) AND node < 2^35 (keeps the id out of
+    # the degree bits). Nodes are l_partkey: 2e8 parts at TPC-H SF 1000
+    # and 2e10 at SF 100k vs 2^35 ≈ 3.4e10 — inside the bound at any
+    # target scale, but a corpus with wider ids must switch to a
+    # two-column (dg, node) struct ordering instead (ADVICE r09 low).
     rank = deg.select("node", (F.col("dg") * F.lit(2**35) + F.col("node")).alias("rk"))
     r1, r2 = rank.alias("r1"), rank.alias("r2")
     oriented = (
@@ -674,8 +679,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-shared-neighbor term joined onto the EDGE-scale frame, so the
     # wedge output (the Σ deg² frame) carries its score and never feeds
-    # another join; deg is node-cardinality → broadcast.
-    term = deg.select(
+    # another join; deg is node-cardinality → broadcast. Degree-1 nodes
+    # are dropped FIRST: they can never be a shared neighbor (a wedge
+    # needs two distinct edges at v), and under ANSI (this session's
+    # default) log(1)=0 would make the term a DIVIDE_BY_ZERO crash —
+    # the pre-r09 plan only evaluated it on join rows where deg >= 2
+    # held structurally (ADVICE r09 high).
+    term = deg.filter(F.col("d") > 1).select(
         "node",
         F.round(1_000_000 / F.log(F.col("d").cast("double"))).cast("long").alias("t"),
     )

@@ -152,7 +152,12 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
     pattern), so every pairwise stage folds only the dot —
     bit-unchanged."""
     emb = emb.withColumn("nrm", norm(F.col("v")))
-    cent = cent.withColumn("cnrm", norm(F.col("c_emb")))
+    # zero-norm / NULL centroids sit out entirely (cosine to them is
+    # undefined, and the probe/re-rank divisions below would be ANSI
+    # DIVIDE_BY_ZERO crashes otherwise); K-sized frame, free filter.
+    cent = cent.withColumn("cnrm", norm(F.col("c_emb"))).filter(
+        F.col("cnrm").isNotNull() & (F.col("cnrm") != 0)
+    )
     # struct-min argmax (ccos desc via exact negation, ties to lower
     # c_id) — map-side combinable, so each vector's K candidate rows
     # collapse before any exchange instead of the old row_number window
@@ -161,24 +166,33 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
     # NaN/NULL ordering asymmetry of the negation trick (ADVICE r08):
     # desc(ccos) sorts NaN FIRST and NULL last (a 0/0 candidate would
     # win), while min(struct(-ccos,…)) sorts NaN last and NULL first
-    # (it would lose to any finite score, and a NULL would win) — so
-    # non-finite scores are filtered explicitly rather than left to
-    # either ordering. A NaN ccos means a zero-norm side (0/0): cosine
-    # is undefined there, and dropping the row keeps the argmax
-    # deterministic under both formulations. NULL ccos (NULL vector)
-    # drops too: ~isnan(NULL) is NULL, which filter() discards.
+    # (a NULL would win) — so non-finite scores are excluded explicitly
+    # rather than left to either ordering. Two corrections from ADVICE
+    # r09 (both verified on this Spark): (1) under ANSI — this
+    # session's default — a zero-norm side throws DIVIDE_BY_ZERO at the
+    # division itself, so the zero case must be guarded BEFORE it can
+    # produce a NaN: the when() yields NULL there instead; (2)
+    # isnan(NULL) is false (not NULL), so ~isnan alone would PASS a
+    # NULL ccos straight into the min-struct where NULL-sorts-first
+    # makes it win — NULL needs its own isNotNull() filter. A zero-norm
+    # or NULL-embedding candidate is thereby dropped, keeping the
+    # argmax deterministic under both formulations.
     clustered = (
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
             F.round(
-                dot(F.col("v"), F.col("c_emb")) / (F.col("nrm") * F.col("cnrm")), 6
+                F.when(
+                    F.col("nrm") * F.col("cnrm") != 0,
+                    dot(F.col("v"), F.col("c_emb")) / (F.col("nrm") * F.col("cnrm")),
+                ),
+                6,
             ).alias("ccos"),
             "c_id",
             "v",
             "nrm",
         )
-        .filter(~F.isnan("ccos"))
+        .filter(F.col("ccos").isNotNull() & ~F.isnan("ccos"))
         .groupBy("vec_id")
         .agg(
             F.min(F.struct((-F.col("ccos")).alias("nc"), "c_id", "v", "nrm")).alias("b")
@@ -186,7 +200,15 @@ def _ivf_topk(emb: DataFrame, cent: DataFrame) -> DataFrame:
         .select("vec_id", F.col("b.v").alias("v"), F.col("b.nrm").alias("nrm"),
                 F.col("b.c_id").alias("cluster"))
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    # a zero-norm / NULL query has no defined cosine ranking and would
+    # crash the probe division under ANSI — it sits out like a
+    # zero-norm candidate does (the r09 guard made assignment total;
+    # this makes the whole search total).
+    q = emb.filter(
+        (F.col("vec_id") < N_QUERIES)
+        & F.col("nrm").isNotNull()
+        & (F.col("nrm") != 0)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
@@ -270,10 +292,16 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     # the centroid frame it had just built from the same dict, an
     # extra job per round — and in round 1 a second corpus-filter
     # scan).
+    # a NULL embedding in the fixed init range cannot seed a centroid
+    # (list(None) is a driver TypeError); it sits out like it does in
+    # assignment. A zero-norm seed needs no special case: the guarded
+    # assignment gives it no members, so it carries forward inert.
     prev = {
         int(r["c_id"]): list(r["c_emb"])
         for r in emb.filter(
-            (F.col("vec_id") >= IVF_C_LO) & (F.col("vec_id") < IVF_C_HI)
+            (F.col("vec_id") >= IVF_C_LO)
+            & (F.col("vec_id") < IVF_C_HI)
+            & F.col("v").isNotNull()
         )
         .select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
         .collect()
@@ -287,10 +315,12 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
         # candidate frame with every candidate carrying the full
         # 64-double vector. v rides in the struct tail (c_id is unique
         # per group, so it never compares). Non-finite guard as in
-        # _ivf_topk (ADVICE r08): the negation trick inverts the
-        # NaN/NULL ordering vs desc(ccos), so a zero-norm (0/0 → NaN)
-        # or NULL-vector candidate is filtered out rather than decided
-        # by either formulation's sort quirk — a zero-norm vector has
+        # _ivf_topk (ADVICE r08/r09): the division is when()-guarded
+        # because ANSI mode (session default) throws DIVIDE_BY_ZERO on
+        # a zero norm before any filter could run, and the filter needs
+        # an explicit isNotNull() because isnan(NULL) is false — a bare
+        # ~isnan would pass a NULL ccos into min(struct) where
+        # NULL-sorts-first makes it win. A zero-norm or NULL vector has
         # no defined cosine assignment and simply sits out the round.
         assigned = (
             emb.withColumn("nrm", norm(F.col("v")))
@@ -298,14 +328,17 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
             .select(
                 "vec_id",
                 F.round(
-                    dot(F.col("v"), F.col("c_emb"))
-                    / (F.col("nrm") * F.col("cnrm")),
+                    F.when(
+                        F.col("nrm") * F.col("cnrm") != 0,
+                        dot(F.col("v"), F.col("c_emb"))
+                        / (F.col("nrm") * F.col("cnrm")),
+                    ),
                     6,
                 ).alias("ccos"),
                 "c_id",
                 "v",
             )
-            .filter(~F.isnan("ccos"))
+            .filter(F.col("ccos").isNotNull() & ~F.isnan("ccos"))
             .groupBy("vec_id")
             .agg(F.min(F.struct((-F.col("ccos")).alias("nc"), "c_id", "v")).alias("b"))
             .select("vec_id", F.col("b.c_id").alias("c_id"), F.col("b.v").alias("v"))
