@@ -718,6 +718,146 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bounded-grain link prediction: the production-shaped counterpart of
+# the exact eval above (the same eval-vs-pipeline split the dedup family
+# has between the brute-force recall certificates and the LSH flagship).
+# ---------------------------------------------------------------------------
+
+LINKPRED_Q = 8  # wedge budget: each center contributes at most C(q,2) pairs
+
+LINKPRED_TOPQ_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.pkey AS p1, b.pkey AS p2
+  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+), sym AS (
+  SELECT p1 AS u, p2 AS v FROM edges
+  UNION ALL SELECT p2, p1 FROM edges
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1
+), nbr AS (
+  SELECT s.u, s.v,
+         ROW_NUMBER() OVER (PARTITION BY s.v ORDER BY d.d, s.u) AS r
+  FROM sym s JOIN deg d ON s.u = d.node
+), sel AS (
+  SELECT u, v FROM nbr WHERE r <= {LINKPRED_Q}
+), wedge AS (
+  SELECT a.u AS u, b.u AS v, a.v AS w
+  FROM sel a JOIN sel b ON a.v = b.v AND a.u < b.u
+), nonedge AS (
+  SELECT w.u, w.v, w.w FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.p1 = w.u AND e.p2 = w.v)
+), scored AS (
+  SELECT n.u, n.v,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(CAST(ROUND(1000000 / ln(CAST(d.d AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS adamic_adar_e6
+  FROM nonedge n JOIN deg d ON n.w = d.node
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY adamic_adar_e6 DESC, u, v) AS rnk
+  FROM scored
+)
+SELECT u, v, common_neighbors, adamic_adar_e6, rnk
+FROM ranked WHERE rnk <= {LINKPRED_TOP_K}
+"""
+
+
+@register(
+    "graph_link_prediction_topq",
+    oracle=LINKPRED_TOPQ_ORACLE,
+    tags=("graph", "join", "window"),
+)
+def graph_link_prediction_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted Adamic-Adar link prediction: identical semantics to
+    :func:`graph_link_prediction` except each wedge CENTER contributes
+    only its q = LINKPRED_Q = 8 lowest-degree neighbors (deterministic
+    (deg, id) order), so the wedge frame is O(n·q²) instead of the exact
+    eval's Σ deg² — the bound that turns all-pairs Adamic-Adar from an
+    eval query into a pipeline operator (VERDICT r09 #4; the r09 scale
+    lab measured the exact variant's 148M-row wedge frame at sf0.1 as
+    the slowest plan on record).
+
+    Why lowest-degree-first: the per-neighbor budget is a grain bound,
+    not a ranking of evidence — but cutting HIGH-degree endpoints first
+    loses the least, because a high-degree endpoint reaches the same
+    candidate pairs through its many other centers while a low-degree
+    endpoint's wedges exist nowhere else. Scores are an exact lower
+    bound of the full Adamic-Adar sum (every counted wedge is a real
+    wedge with its true 1/ln deg(center) term; wedges through a center's
+    q+1-th neighbor are dropped, never approximated).
+
+    Plan: degree build and neighbor ranking shuffle the 2m-row sym
+    frame once each (the rank window partitions by center — bounded
+    partitions, no global sort); the selected frame is ≤ n·q rows, the
+    wedge self-join fans out to ≤ n·C(q,2), and the center's
+    1e6/ln(deg) term is attached to the SELECTED frame before the wedge
+    join (the r09 rewrite's lesson: score the small side, never run an
+    extra operator over the wedge-grain frame). Degree-1 centers are
+    filtered before the term for the same ANSI-DIVIDE_BY_ZERO reason as
+    the exact variant — they cannot form a wedge. Top-k is
+    TakeOrderedAndProject, not a global window."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+        .transform(pin)  # feeds sym (x2), the anti-join
+    )
+    sym = edges.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionAll(
+        edges.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    # per-center neighbor budget: rank each center's neighbors by
+    # (endpoint degree, id) and keep q. deg is node-cardinality →
+    # broadcast onto the 2m-row sym frame.
+    dn = deg.select(F.col("node").alias("nbr_node"), F.col("d").alias("du"))
+    w_sel = W.partitionBy("v").orderBy("du", "u")
+    sel = (
+        sym.join(F.broadcast(dn), sym["u"] == dn["nbr_node"])
+        .select("u", "v", "du")
+        .withColumn("r", F.row_number().over(w_sel))
+        .filter(F.col("r") <= LINKPRED_Q)
+        .select("u", "v")
+        .transform(pin)  # both wedge roles read it
+    )
+    term = deg.filter(F.col("d") > 1).select(
+        "node",
+        F.round(1_000_000 / F.log(F.col("d").cast("double"))).cast("long").alias("t"),
+    )
+    sa = (
+        sel.join(F.broadcast(term), sel["v"] == term["node"])
+        .select("u", "v", "t")
+        .alias("sa")
+    )
+    sb = sel.alias("sb")
+    wedge = sa.join(
+        sb, (F.col("sa.v") == F.col("sb.v")) & (F.col("sa.u") < F.col("sb.u"))
+    ).select(F.col("sa.u").alias("u"), F.col("sb.u").alias("v"), F.col("sa.t").alias("t"))
+    nonedge = wedge.join(
+        edges,
+        (wedge["u"] == edges["p1"]) & (wedge["v"] == edges["p2"]),
+        "left_anti",
+    )
+    scored = nonedge.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+        F.sum("t").cast("long").alias("adamic_adar_e6"),
+    )
+    top = scored.orderBy(F.desc("adamic_adar_e6"), "u", "v").limit(LINKPRED_TOP_K)
+    w_rank = W.partitionBy(tiny_frame_key("common_neighbors")).orderBy(
+        F.desc("adamic_adar_e6"), "u", "v"
+    )
+    return top.select("*", F.row_number().over(w_rank).cast("long").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
 # Modularity of the dedup clustering over the near-dup pair graph.
 # ---------------------------------------------------------------------------
 

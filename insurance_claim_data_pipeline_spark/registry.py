@@ -105,27 +105,87 @@ def _load_modules() -> None:
 # lists (newly added operators) slot in right after the unproven block,
 # so a new query is always driver-visible before an old green one.
 _FRONT = (
-    # Round-9 window (the driver empirically checks the FIRST 50
-    # queries() entries per round — r01-r08 all cut at exactly 50; the
-    # full r08 window came back in CORRECTNESS_r08.json 50/50
-    # hash-green). This rotation burns the never-checked backlog to
-    # ZERO (23 remaining after r08) following the pre-staged priority
-    # in COVERAGE.md "Round-9 window plan": 5 claims re-anchors + 23
-    # first-ever rows + the 13-entry re-ride queue + 9 stalest-green
-    # r01-cohort re-anchors. (The ≥43-first-ever policy floor applies
-    # only while the backlog exceeds the window's first-ever count —
-    # with 23 == all remaining, this window finishes the job.)
-    # tier 0 — claims-port re-anchor (the driver regenerates testdata
-    # each round; physical parquet types drift — keep the reference port
-    # pinned to a fresh hash proof every round).
+    # Round-10 window (driver checks the FIRST 50 queries() entries per
+    # round — r01-r09 all cut at exactly 50; CORRECTNESS_r09 came back
+    # 50/50 green and the never-checked backlog is ZERO). From r10 the
+    # steady-state rotation: claims re-anchors + net-new registrations
+    # (the freeze lifted at backlog zero) + changed-plan re-rides + a
+    # staleness fill (oldest latest-record first, ties by registration
+    # order) — computed from CORRECTNESS_r01-r09, see COVERAGE.md
+    # "Round-10 window plan (EXECUTED)".
+    # tier 0 — claims-port re-anchor (driver regenerates testdata each
+    # round; keep the reference port pinned to a fresh hash proof).
     "claims_normalized",
     "claims_candidates",
     "claims_exclusion_counts",
     "claims_by_source",
     "claims_classify_denial",
-    # tier 1 — the final 23 never-checked entries, in COVERAGE.md's
-    # pre-staged order (sorts/joins, samples, lineitem analytics,
-    # sinks, profiles, warehouse ops, stats singles).
+    # tier 1 — net-new r10 registrations (first driver rows): the
+    # log-sized-bank LSH eval (VERDICT r09 #2) and the bounded-grain
+    # O(n*q^2) Adamic-Adar pipeline variant (VERDICT r09 #4).
+    "dedup_semantic_lsh_sized_bank",
+    "graph_link_prediction_topq",
+    # tier 2 — changed-plan re-rides: the ADVICE r09 ANSI/NULL guards
+    # (link_prediction degree-1 filter, the IVF argmax guards riding
+    # sim_topk_ivf and sim_topk_ivf_trained), the r09-session rewrites
+    # (triangle orientation, wedge-frame cut), and the five
+    # pin-width-narrowed queries of commit a237000.
+    "graph_link_prediction",
+    "graph_triangle_copurchase",
+    "sim_topk_ivf_trained",
+    "sim_topk_ivf",
+    "text_jsd_split_shift",
+    "text_bpe_train_merges",
+    "stats_mann_whitney",
+    "graph_kcore",
+    "orders_rfm_segmentation",
+    "orders_rfm_segmentation_dist",
+    "events_funnel_steps",
+    # tier 3 — staleness fill: the 32 oldest latest-records (all r01).
+    # After this window lands the only green records older than r02 are
+    # the r01-cohort remainder dedup_simhash / dedup_embedding_cosine /
+    # text_token_stats — they head the r11 fill.
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_approx",
+    "pivot_priority_counts",
+    "join_broadcast_inner",
+    "join_left_semi",
+    "join_left_anti",
+    "join_full_outer",
+    "join_range_bands",
+    "window_order_stats",
+    "window_rank_functions",
+    "sort_topk_global",
+    "sort_percentiles",
+    "distinct_pairs",
+    "setop_intersect",
+    "setop_except",
+    "setop_union_distinct",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "join_asof_last_error",
+    "join_right_outer",
+    "scalar_array_funcs",
+    "scalar_map_funcs",
+    "subquery_scalar",
+    "subquery_correlated",
+    "setop_union_all",
+    "explode_token_freq",
+    "agg_salted_two_stage",
+    "window_range_frame",
+    # ---- exactly 50 entries. ----
+)
+_TAIL = (
+    # r01-stale leftover displaced from the r10 fill by the
+    # sim_topk_ivf changed-plan re-ride; heads the r11 fill with
+    # dedup_embedding_cosine and text_token_stats.
+    "dedup_simhash",
+    # --- the r09 window's 45 non-claims entries, all driver-checked in
+    # CORRECTNESS_r09.json (claims re-anchors stay in _FRONT tier 0). ---
     "sort_hilbert_interleave",
     "join_asof_interpolate",
     "sort_exact_median_twopass",
@@ -149,10 +209,6 @@ _FRONT = (
     "stats_theil_sen_slope",
     "stats_two_proportion_ztest",
     "sink_vacuum_plan",
-    # tier 2 — re-ride queue: the 11 streaming twins whose latest
-    # driver records still read `no_oracle` from r02–r05 despite the
-    # r06 readback-oracle upgrade (streaming/sinks.py) — their first
-    # hash rows.
     "claims_candidates_streaming",
     "events_conversion_streaming",
     "events_cusum_streaming",
@@ -164,14 +220,8 @@ _FRONT = (
     "events_tumbling_window_streaming",
     "events_user_totals_stateful_streaming",
     "events_watermark_drop_streaming",
-    # tier 3 — the two queries whose mean_e12-guard oracle change (r07)
-    # never rode a driver window (the trained ANNs rode it in r07).
     "emb_kmeans_lloyd_step",
     "emb_centroid_outliers",
-    # tier 4 — 9 stalest green records (latest row = CORRECTNESS_r01,
-    # 8 rounds old): the TPC-H/dedup/ANN headliners. These double as
-    # plan-change re-anchors for the r08-session rewrites (components /
-    # minhash / window argmax paths).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -181,16 +231,6 @@ _FRONT = (
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "window_topk_per_group",
-    # ---- exactly 50 entries. After this window lands, every
-    # registered query has a driver row and no oracled query's latest
-    # record is `no_oracle`; from r10 the window becomes a pure
-    # staleness rotation (oldest latest-record first, claims re-anchors
-    # always tier 0). Net-new round-9 registrations emit at 51+. ----
-)
-_TAIL = (
-    # --- the full r08 window, all 50 driver-checked hash-green in
-    # CORRECTNESS_r08.json (the claims re-anchors stay in _FRONT
-    # tier 0). ---
     "stats_benford_screen",
     "stats_tost_equivalence",
     "events_watermark_lateness",
@@ -236,9 +276,6 @@ _TAIL = (
     "orders_month_seasonality",
     "orders_backlog_aging",
     "sink_skipping_stats",
-    # --- the full r07 window, all 50 driver-checked hash-green in
-    # CORRECTNESS_r07.json (the claims re-anchors stay in _FRONT
-    # tier 0). ---
     "source_schema_evolution",
     "text_rake_keywords",
     "text_pmi_bigrams",
@@ -247,7 +284,6 @@ _TAIL = (
     "text_tokenizer_fertility",
     "text_simpson_diversity",
     "text_lexical_sophistication",
-    "text_jsd_split_shift",
     "text_char_entropy_rate",
     "text_langid_confusion",
     "text_ctfidf_topk",
@@ -256,7 +292,6 @@ _TAIL = (
     "text_dsir_importance",
     "text_block_dedup",
     "text_quality_hashclf",
-    "text_bpe_train_merges",
     "text_bpe_apply_fertility",
     "text_train_novelty",
     "dedup_cluster_sizes",
@@ -282,12 +317,7 @@ _TAIL = (
     "stats_skew_kurtosis",
     "stats_power_mde",
     "stats_paired_ttest",
-    "sim_topk_ivf_trained",
     "sim_topk_pq_trained",
-    # --- the full r06 window, all 50 driver-checked hash-green in
-    # CORRECTNESS_r06.json (the claims re-anchors stay in _FRONT
-    # tier 0; pseudonymize rotates out after its fresh r06 hash under
-    # the r05 salt change). ---
     "claims_pseudonymize",
     "sim_ivf_recall_eval",
     "sim_topk_pq_rerank",
@@ -332,10 +362,6 @@ _TAIL = (
     "sink_compaction_plan",
     "sink_orc_roundtrip",
     "dedup_semantic_lsh_pruning",
-    # --- the full r05 window, all driver-checked in
-    # CORRECTNESS_r05.json (47 hash-green; the 3 streaming twins are
-    # rows-only by design — see streaming/sinks.py readback oracles for
-    # the pattern that upgrades them). ---
     "feature_prep_pipeline",
     "curation_prep_pipeline",
     "text_lm_crossval",
@@ -354,7 +380,6 @@ _TAIL = (
     "agg_bootstrap_ci",
     "sink_bucketed_join_roundtrip",
     "stats_perm_test_bh",
-    "stats_mann_whitney",
     "stats_spearman_corr",
     "stats_brown_forsythe",
     "stats_lift_bootstrap_ci",
@@ -367,8 +392,6 @@ _TAIL = (
     "sim_topk_rrf_fusion",
     "sim_ndcg_eval",
     "emb_matryoshka_eval",
-    "graph_kcore",
-    "graph_link_prediction",
     "events_holt_winters",
     "lineitem_croston_demand",
     "events_forecast_ensemble",
@@ -378,18 +401,12 @@ _TAIL = (
     "sample_temperature_mixture",
     "claims_dq_report",
     "er_blocking_budget",
-    # hash-proven green in CORRECTNESS_r01-r04.json; re-listed by how
-    # much signal a re-check carries (the freshly-proven r04 window
-    # first — newest proofs, highest-churn code — then TPC-H headliners
-    # and the dedup/ANN family, scalar-function checks last).
-    # --- the full r04 window, all green in CORRECTNESS_r04.json ---
     "dedup_ngram_jaccard",
     "dedup_components",
     "sim_topk_lsh",
     "dedup_incremental",
     "text_inverted_index",
     "text_rolling_fingerprint",
-    "orders_rfm_segmentation_dist",
     "lineitem_pareto_abc_dist",
     "agg_equidepth_histogram",
     "events_changepoint_meanshift",
@@ -399,8 +416,6 @@ _TAIL = (
     "multimodal_resize",
     "multimodal_feature_extract",
     "warehouse_pit_join",
-    # (sim_topk_ivf_trained / sim_topk_pq_trained moved to _FRONT
-    # tier 7 for their changed-path re-ride.)
     "text_quality_threshold_approx",
     "events_rolling_distinct_users_approx",
     "events_dwell_time_approx",
@@ -423,47 +438,9 @@ _TAIL = (
     "scalar_null_funcs",
     "scalar_bitwise_funcs",
     "scalar_struct_funcs",
-    # --- r01-r03 greens ---
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_topk_ivf",
     "text_token_stats",
-    "join_asof_last_error",
-    "join_range_bands",
-    "join_broadcast_inner",
-    "join_left_semi",
-    "join_left_anti",
-    "join_full_outer",
-    "join_right_outer",
-    "agg_salted_two_stage",
-    "window_order_stats",
-    "window_rank_functions",
-    "window_range_frame",
-    "sort_topk_global",
-    "sort_percentiles",
-    "agg_stats",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_approx",
-    "pivot_priority_counts",
-    "explode_token_freq",
-    "distinct_pairs",
-    "subquery_scalar",
-    "subquery_correlated",
-    "setop_intersect",
-    "setop_except",
-    "setop_union_distinct",
-    "setop_union_all",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_array_funcs",
-    "scalar_map_funcs",
-    # r02-window queries rotated out of _FRONT, all green in
-    # CORRECTNESS_r02.json (listed here so newly-registered queries
-    # slot ahead of them in emission order, not behind). The claims_*
-    # re-anchors moved back to _FRONT tier 0 for the r04 regen re-proof.
     "events_tumbling_window",
     "events_sliding_window",
     "events_sessionize",
@@ -486,24 +463,19 @@ _TAIL = (
     "dq_violations",
     "events_enriched_purchases",
     "events_retention_cohorts",
-    "events_funnel_steps",
     "events_rolling_distinct_users",
     "events_gap_fill_locf",
     "events_anomaly_zscore",
     "events_dwell_time",
     "events_markov_transitions",
-    "orders_rfm_segmentation",
     "basket_association_rules",
     "agg_histogram",
     "dedup_containment_ngram",
-    "graph_triangle_copurchase",
     "join_fuzzy_levenshtein",
     "text_chunk_overlap",
     "emb_l2_normalize",
     "unpivot_metrics",
     "window_distribution_funcs",
-    # r03-window queries rotated out of _FRONT, all 50 green in
-    # CORRECTNESS_r03.json.
     "events_json_extract",
     "events_user_totals",
     "sample_split_hash",
