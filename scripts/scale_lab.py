@@ -63,6 +63,7 @@ written under .scale_lab/ (gitignored) and reused if present.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -164,9 +165,29 @@ def materialize(spark, k: int) -> str:
     return dest
 
 
+# Documented O(n²)-by-design eval queries (brute-force ground-truth
+# sides / all-pairs audits, run on bounded samples at production scale)
+# plus the flagship whose fixed-bank quadratic geometry is already
+# quantified — excluded from --all sweeps so one quadratic eval cannot
+# eat the whole sweep's wall budget. Each has a recorded growth row or
+# an explicit eval-class bound in its docstring.
+ALL_SWEEP_EXCLUDED = {
+    "dedup_semantic_lsh_pruning",      # O(n²) brute ground truth by design
+    "dedup_semantic_lsh_recall",       # O(n²) brute ground truth by design
+    "dedup_embedding_cosine",          # all-pairs brute reference by design
+    "dedup_semantic_components_lsh",   # 34× at k=10 quantified (fixed-bank law, r09)
+    "graph_link_prediction",           # Σ deg² exact eval, 13× at k=10 (r09)
+    "emb_knn_eval",                    # eval-class exact kNN ground truth
+}
+
+
 def main() -> int:
     args = sys.argv[1:]
     names = DEFAULT_QUERIES
+    run_all = "--all" in args
+    if run_all:
+        args.remove("--all")
+        names = [n for n in registry.all_specs() if n not in ALL_SWEEP_EXCLUDED]
     if "--queries" in args:
         at = args.index("--queries")
         names = args[at + 1 :]
@@ -183,21 +204,37 @@ def main() -> int:
     # plan SHAPE, which is identical across k — without this the x1
     # readings absorb every query's compile cost and the growth ratios
     # read low (measured: q1 1.67 s cold vs 0.86 s warm).
-    for name in names:
-        specs[name].fn(spark, dirs[1]).write.mode("overwrite").format("noop").save()
+    failures: list[str] = []
+    for name in list(names):
+        try:
+            specs[name].fn(spark, dirs[1]).write.mode("overwrite").format("noop").save()
+        except Exception as ex:  # noqa: BLE001 — report-and-continue sweep
+            failures.append(name)
+            names = [n for n in names if n != name]
+            print(f"WARM-UP FAIL {name}: {str(ex)[:120]}", flush=True)
     results: dict[str, dict[int, float]] = {}
+    ledger = open(os.path.join(LAB, "coverage.jsonl"), "a")
     for k in [1, *ks]:
         for name in names:
             t0 = time.perf_counter()
-            specs[name].fn(spark, dirs[k]).write.mode("overwrite").format("noop").save()
+            try:
+                specs[name].fn(spark, dirs[k]).write.mode("overwrite").format("noop").save()
+            except Exception as ex:  # noqa: BLE001
+                failures.append(name)
+                print(f"x{k:<3d} FAIL {name}: {str(ex)[:120]}", flush=True)
+                continue
             dt = time.perf_counter() - t0
             results.setdefault(name, {})[k] = dt
+            ledger.write(json.dumps({"query": name, "k": k, "sec": round(dt, 3)}) + "\n")
+            ledger.flush()
             print(f"x{k:<3d} {dt:7.2f}s  {name}", flush=True)
     print(f"\n{'query':<32s}" + "".join(f"  x{k:<3d}/s" for k in [1, *ks])
           + "".join(f"  r{k}" for k in ks))
     worst: list[tuple[float, str]] = []
     for name in names:
-        r = results[name]
+        r = results.get(name)
+        if not r or 1 not in r or any(k not in r for k in ks):
+            continue
         ratios = [r[k] / r[1] for k in ks]
         worst.append((ratios[-1] / ks[-1], name))
         print(
@@ -207,9 +244,11 @@ def main() -> int:
         )
     worst.sort(reverse=True)
     print("\ngrowth vs linear (ratio_k / k) — >1 means superlinear at the top k:")
-    for g, name in worst[:5]:
+    for g, name in worst[:10]:
         print(f"  {g:5.2f}  {name}")
-    return 0
+    if failures:
+        print(f"FAILURES: {sorted(set(failures))}")
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
