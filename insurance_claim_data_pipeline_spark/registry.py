@@ -439,7 +439,6 @@ _TAIL = (
     "scalar_bitwise_funcs",
     "scalar_struct_funcs",
     "dedup_embedding_cosine",
-    "sim_topk_ivf",
     "text_token_stats",
     "events_tumbling_window",
     "events_sliding_window",
