@@ -2635,11 +2635,13 @@ WITH li AS (
          CAST(ROUND((CAST(rev0 AS DOUBLE) / qty0) * qty1) AS BIGINT) AS p_den
   FROM both_h
 ), s AS (
+  -- HUGEINT sums (no BIGINT cast): the e6 products below exceed int64
+  -- at 10x sf0.1 — mirror of the Spark side's DECIMAL(38,0) widening
   SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
-         CAST(SUM(l_num) AS BIGINT) AS sl_num,
-         CAST(SUM(rev0) AS BIGINT) AS sl_den,
-         CAST(SUM(rev1) AS BIGINT) AS sp_num,
-         CAST(SUM(p_den) AS BIGINT) AS sp_den
+         SUM(l_num) AS sl_num,
+         SUM(rev0) AS sl_den,
+         SUM(rev1) AS sp_num,
+         SUM(p_den) AS sp_den
   FROM terms
 )
 SELECT n_parts,
@@ -2704,12 +2706,17 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_den"),
     )
+    # DECIMAL(38,0) corpus-level sums: the r10 scale sweep measured the
+    # long `sl_num * 1000000` product wrapping at 10x data (ANSI
+    # ARITHMETIC_OVERFLOW); DuckDB's SUM(BIGINT) is HUGEINT already, so
+    # the decimal widening aligns engines — div stays exact-integer and
+    # the e6-scaled quotients are small, only the intermediates widen.
     s = terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.sum("l_num").cast("long").alias("sl_num"),
-        F.sum("rev0").cast("long").alias("sl_den"),
-        F.sum("rev1").cast("long").alias("sp_num"),
-        F.sum("p_den").cast("long").alias("sp_den"),
+        F.sum(F.col("l_num").cast("decimal(38,0)")).alias("sl_num"),
+        F.sum(F.col("rev0").cast("decimal(38,0)")).alias("sl_den"),
+        F.sum(F.col("rev1").cast("decimal(38,0)")).alias("sp_num"),
+        F.sum(F.col("p_den").cast("decimal(38,0)")).alias("sp_den"),
     )
     lasp = F.expr("CAST(sl_num * 1000000 div sl_den AS BIGINT)")
     paas = F.expr("CAST(sp_num * 1000000 div sp_den AS BIGINT)")

@@ -159,7 +159,20 @@ def graph_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs, so the bound barely binds): wedge rows 49.3M → 41.1M (−17%),
     wall time neutral (6.2 vs 6.5 s warm) — kept for the skew bound,
     which is the point on corpora whose degree tail this graph lacks
-    (r09 scale lab)."""
+    (r09 scale lab).
+
+    Broadcast note (r10, measured): the rank table is NODE-cardinality
+    (grows with the corpus — 200k rows at sf0.1, 2M at the 10× shards),
+    so the forced broadcast was A/B'd against plain joins at both
+    scales: no-hint read 8.0 s x1 / 77.2 s x10 vs 6.5 / 54.4 with the
+    hint — the double sort-merge of the edge frame costs more than
+    shipping 2M×16B twice, so the hint stays. At true 100 TB node
+    counts (≫ executor memory) drop the hint and let AQE choose; the
+    orientation itself — the part that matters — is join-strategy
+    agnostic. The r10 full-registry sweep read 23.8× here at k=10; a
+    fresh-session re-measure is 8.9× (54.4 s) — the long-session
+    elevation documented in BASELINE.md's mover-protocol row, not plan
+    order."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")).distinct()
     a, b = op.alias("a"), op.alias("b")

@@ -640,17 +640,19 @@ s AS (
   FROM documents doc JOIN plan p ON doc.lang = p.lang
   WHERE {_bucket_sql('doc.doc_id', 1000000)} < p.rate_e6
 ), est AS (
+  -- HUGEINT sums (no BIGINT cast) — mirror of the Spark DECIMAL(38,0)
+  -- widening; the e6 products below exceed int64 at 10x sf0.1
   SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
-         CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
-         CAST(SUM(n_chars * (1000000000000 // rate_e6)) AS BIGINT) AS ht_num,
-         CAST(SUM(1000000000000 // rate_e6) AS BIGINT) AS ht_den,
+         SUM(n_chars) AS kept_chars,
+         SUM(n_chars * (1000000000000 // rate_e6)) AS ht_num,
+         SUM(1000000000000 // rate_e6) AS ht_den,
          CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS kept_en,
-         CAST(SUM(CASE WHEN lang = 'en' THEN 1000000000000 // rate_e6 ELSE 0 END)
-              AS BIGINT) AS ht_en_num
+         SUM(CASE WHEN lang = 'en' THEN 1000000000000 // rate_e6 ELSE 0 END)
+              AS ht_en_num
   FROM kept
 ), truth AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
-         CAST(SUM(n_chars) AS BIGINT) AS all_chars,
+         SUM(n_chars) AS all_chars,
          CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS n_en
   FROM documents
 )
@@ -710,19 +712,25 @@ def sample_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hash_bucket("doc_id", 1_000_000)
     kept = doc.join(F.broadcast(plan), "lang").filter(b < F.col("rate_e6"))
     w_inv = F.expr("1000000000000 div rate_e6")
+    # DECIMAL(38,0) HT accumulators: w_inv reaches 1e12 per row, so the
+    # long `ht_num * 1000000` product wrapped at 10x data in the r10
+    # scale sweep (ANSI ARITHMETIC_OVERFLOW). The per-row n_chars*w_inv
+    # multiply stays long (bounded ~1e16); only the corpus-level sums
+    # and their e6 quotient intermediates widen. DuckDB mirrors via its
+    # native HUGEINT sums.
     est = kept.agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("n_chars").cast("long").alias("kept_chars"),
-        F.sum(F.col("n_chars") * w_inv).cast("long").alias("ht_num"),
-        F.sum(w_inv).cast("long").alias("ht_den"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("kept_chars"),
+        F.sum((F.col("n_chars") * w_inv).cast("decimal(38,0)")).alias("ht_num"),
+        F.sum(w_inv.cast("decimal(38,0)")).alias("ht_den"),
         F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("kept_en"),
-        F.sum(F.when(F.col("lang") == "en", w_inv).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("ht_en_num"),
+        F.sum(
+            F.when(F.col("lang") == "en", w_inv).otherwise(F.lit(0)).cast("decimal(38,0)")
+        ).alias("ht_en_num"),
     )
     truth = doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.sum("n_chars").cast("long").alias("all_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("all_chars"),
         F.count(F.when(F.col("lang") == "en", 1)).cast("long").alias("n_en"),
     )
     return est.crossJoin(F.broadcast(truth)).select(

@@ -373,7 +373,13 @@ FROM cm
 
 
 def _mom_sum(expr):
-    return F.sum(F.floor(expr * F.lit(_MOM_E) + F.lit(0.5)).cast("long")).cast(
+    # DECIMAL(38,0) sum, not long: the per-row quantized terms are ~1e14
+    # and the r10 full-registry scale sweep measured the LONG sum
+    # wrapping at 10x data (stats_power_mde, ARITHMETIC_OVERFLOW under
+    # ANSI) — same class as the r08 dec_sum widening. DuckDB's
+    # SUM(BIGINT) is already HUGEINT, so this aligns engines; the final
+    # cast to double is taken from the identical exact integer.
+    return F.sum(F.floor(expr * F.lit(_MOM_E) + F.lit(0.5)).cast("decimal(38,0)")).cast(
         "double"
     ) / F.lit(_MOM_E)
 
@@ -943,9 +949,10 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mom(expr):
-        return F.sum(F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("long")).cast(
-            "double"
-        ) / F.lit(_CUPED_E)
+        # decimal(38,0) sum — long wraps at scale (see _mom_sum)
+        return F.sum(
+            F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double") / F.lit(_CUPED_E)
 
     x, y = F.col("x"), F.col("y")
     m = per_user.agg(
@@ -1223,9 +1230,10 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mom(expr):
-        return F.sum(F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("long")).cast(
-            "double"
-        ) / F.lit(_CUPED_E)
+        # decimal(38,0) sum — long wraps at scale (see _mom_sum)
+        return F.sum(
+            F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double") / F.lit(_CUPED_E)
 
     m = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
@@ -1308,9 +1316,10 @@ def stats_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mom(expr):
-        return F.sum(F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("long")).cast(
-            "double"
-        ) / F.lit(_CUPED_E)
+        # decimal(38,0) sum — long wraps at scale (see _mom_sum)
+        return F.sum(
+            F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double") / F.lit(_CUPED_E)
 
     m = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

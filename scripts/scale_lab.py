@@ -178,6 +178,10 @@ ALL_SWEEP_EXCLUDED = {
     "dedup_semantic_components_lsh",   # 34× at k=10 quantified (fixed-bank law, r09)
     "graph_link_prediction",           # Σ deg² exact eval, 13× at k=10 (r09)
     "emb_knn_eval",                    # eval-class exact kNN ground truth
+    "dedup_semantic_components",       # consumes the brute all-pairs baseline
+                                       # by design (scale path: _lsh flagship);
+                                       # 352 s at k=10 measured r10 before
+                                       # exclusion — sublinear in its own n²
 }
 
 
