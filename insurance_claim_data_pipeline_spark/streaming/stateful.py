@@ -188,7 +188,13 @@ def ema_stream(events: DataFrame) -> DataFrame:
         state.update((last_ts, ema, initialized))
         yield pd.DataFrame(out)
 
-    prepared = events.select(
+    # NULL measurements sit out BEFORE the Arrow stage — the identical
+    # fail-soft filter the batch twin applies (operators/ema.py:120), so
+    # stream == batch holds on NULL-bearing corpora too. Without it a
+    # NULL value is a float(None) TypeError inside the state handler —
+    # invisible until r09's directory-layout fix let file streams
+    # actually read the NULL-payload probe fixture (caught r10).
+    prepared = events.filter(F.col("value").isNotNull()).select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
@@ -388,7 +394,8 @@ def kalman_stream(events: DataFrame) -> DataFrame:
         state.update((x, p, initialized))
         yield pd.DataFrame(out)
 
-    prepared = events.select(
+    # same NULL sit-out as ema_stream / the batch twin (ema.py:915)
+    prepared = events.filter(F.col("value").isNotNull()).select(
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
