@@ -2243,12 +2243,14 @@ merged AS (
     )
     + """
 )
+-- HUGEINT products: candidate counts are corpus-pair-scale, so the
+-- e2/e6 products would wrap int64 exactly like the r10 overflow class
 SELECT m.rows_per_band, nv.n_vectors, m.n_candidates,
-       (m.n_candidates * 100) // GREATEST(nv.n_vectors, 1)
-           AS cand_per_vec_x100,
-       (m.n_candidates * 1000000)
-           // GREATEST((nv.n_vectors * (nv.n_vectors - 1)) // 2, 1)
-           AS pair_fraction_ppm
+       CAST((m.n_candidates::HUGEINT * 100) // GREATEST(nv.n_vectors, 1)
+            AS BIGINT) AS cand_per_vec_x100,
+       CAST((m.n_candidates::HUGEINT * 1000000)
+            // GREATEST((nv.n_vectors::HUGEINT * (nv.n_vectors - 1)) // 2, 1)
+            AS BIGINT) AS pair_fraction_ppm
 FROM merged m, nv
 ORDER BY rows_per_band
 """
@@ -2325,12 +2327,19 @@ def dedup_semantic_lsh_sized_bank(spark: SparkSession, sf_dir: str) -> DataFrame
             "rows_per_band",
             "n_vectors",
             "n_candidates",
-            F.expr("(n_candidates * 100) div greatest(n_vectors, 1)")
+            # DECIMAL(38,0) intermediates: candidate counts are
+            # corpus-pair-scale, so the e2/e6 products would wrap int64
+            # at large corpora — same class as the r10 overflow fixes.
+            F.expr(
+                "(cast(n_candidates as decimal(38,0)) * 100)"
+                " div greatest(n_vectors, 1)"
+            )
             .cast("long")
             .alias("cand_per_vec_x100"),
             F.expr(
-                "(n_candidates * 1000000)"
-                " div greatest((n_vectors * (n_vectors - 1)) div 2, 1)"
+                "(cast(n_candidates as decimal(38,0)) * 1000000)"
+                " div greatest((cast(n_vectors as decimal(38,0))"
+                " * (n_vectors - 1)) div 2, 1)"
             )
             .cast("long")
             .alias("pair_fraction_ppm"),
