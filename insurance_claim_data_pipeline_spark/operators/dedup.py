@@ -351,7 +351,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two shuffles (doc_id for the vote, band_val for candidates);
     the 60× bit explosion is a narrow int projection that stays in
-    whole-stage codegen — no UDFs anywhere."""
+    whole-stage codegen — no UDFs anywhere.
+
+    Fixed-bank law note (r10, measured): 4×15-bit banding admits a
+    constant ≈ 4·2⁻¹⁵ fraction of RANDOM pairs, so candidate volume is
+    quadratic in corpus size — 9.2 s at 10× sf0.1 but 153 s at 100×
+    (~190× wall on 100× docs), the third measured instance of the law
+    the sized-bank eval (dedup_semantic_lsh_sized_bank) quantifies for
+    hyperplane LSH. The dial is identical: widen the bands with the
+    corpus (e.g. 5×16 of an 80-bit fingerprint at 10× the docs) —
+    pigeonhole completeness then covers Hamming ≤ 4, and band width ≈
+    const + log2(N) holds candidates linear. Band count/width here are
+    constants of the 60-bit fingerprint contract, so the fixture-scale
+    config stays as registered."""
     doc = load_table(spark, sf_dir, "documents")
     feat = shingle_rows(doc).withColumnRenamed("shingle", "feature")
     tokhash = feat.select("doc_id", F.md5("feature").alias("h"))
