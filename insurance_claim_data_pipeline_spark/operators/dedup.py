@@ -2348,10 +2348,16 @@ def dedup_semantic_lsh_sized_bank(spark: SparkSession, sf_dir: str) -> DataFrame
             )
             .cast("long")
             .alias("cand_per_vec_x100"),
+            # ADVICE r10: an inner `... div 2` would re-narrow to BIGINT
+            # (IntegralDivide returns LongType), wrapping at ~4.3e9
+            # vectors while DuckDB keeps HUGEINT. n*(n-1) is always
+            # even, so (c*1e6) div (n*(n-1) div 2) == (c*2e6) div
+            # (n*(n-1)) — the doubled-numerator form keeps BOTH div
+            # operands DECIMAL(38,0) end to end.
             F.expr(
-                "(cast(n_candidates as decimal(38,0)) * 1000000)"
-                " div greatest((cast(n_vectors as decimal(38,0))"
-                " * (n_vectors - 1)) div 2, 1)"
+                "(cast(n_candidates as decimal(38,0)) * 2000000)"
+                " div greatest(cast(n_vectors as decimal(38,0))"
+                " * (n_vectors - 1), 1)"
             )
             .cast("long")
             .alias("pair_fraction_ppm"),

@@ -217,21 +217,27 @@ def main() -> int:
             names = [n for n in names if n != name]
             print(f"WARM-UP FAIL {name}: {str(ex)[:120]}", flush=True)
     results: dict[str, dict[int, float]] = {}
-    ledger = open(os.path.join(LAB, "coverage.jsonl"), "a")
-    for k in [1, *ks]:
-        for name in names:
-            t0 = time.perf_counter()
-            try:
-                specs[name].fn(spark, dirs[k]).write.mode("overwrite").format("noop").save()
-            except Exception as ex:  # noqa: BLE001
-                failures.append(name)
-                print(f"x{k:<3d} FAIL {name}: {str(ex)[:120]}", flush=True)
-                continue
-            dt = time.perf_counter() - t0
-            results.setdefault(name, {})[k] = dt
-            ledger.write(json.dumps({"query": name, "k": k, "sec": round(dt, 3)}) + "\n")
-            ledger.flush()
-            print(f"x{k:<3d} {dt:7.2f}s  {name}", flush=True)
+    # ADVICE r10: context-manage the ledger so the handle closes (and
+    # final buffers land) even when a query raises mid-sweep.
+    with open(os.path.join(LAB, "coverage.jsonl"), "a") as ledger:
+        for k in [1, *ks]:
+            for name in names:
+                t0 = time.perf_counter()
+                try:
+                    specs[name].fn(spark, dirs[k]).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                except Exception as ex:  # noqa: BLE001
+                    failures.append(name)
+                    print(f"x{k:<3d} FAIL {name}: {str(ex)[:120]}", flush=True)
+                    continue
+                dt = time.perf_counter() - t0
+                results.setdefault(name, {})[k] = dt
+                ledger.write(
+                    json.dumps({"query": name, "k": k, "sec": round(dt, 3)}) + "\n"
+                )
+                ledger.flush()
+                print(f"x{k:<3d} {dt:7.2f}s  {name}", flush=True)
     print(f"\n{'query':<32s}" + "".join(f"  x{k:<3d}/s" for k in [1, *ks])
           + "".join(f"  r{k}" for k in ks))
     worst: list[tuple[float, str]] = []
