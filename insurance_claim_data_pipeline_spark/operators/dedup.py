@@ -29,6 +29,8 @@ production corpora.
 
 from __future__ import annotations
 
+from itertools import combinations as _combinations
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -299,8 +301,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 60
-SIMHASH_BAND_BITS = 15  # 4 bands of 15 bits
+SIMHASH_BAND_BITS = 15  # historical fixture config: 4 bands of 15 bits
 HAMMING_MAX = 3
+
+# Sized banding dial (VERDICT r10 #1, the fixed-bank law applied): each
+# config is (corpus-size cap, m bands of 60/m bits). A pair within
+# Hamming <= 3 differs in <= 3 bands, so it agrees EXACTLY on >= m-3
+# bands (pigeonhole) — joining on every C(m,3) combination of m-3 bands
+# is therefore candidate-COMPLETE for any m >= 4, and the exact
+# popcount(xor) tail makes the output identical across configs. What
+# changes with m is the JOIN-KEY WIDTH W = (m-3)*(60/m): 15 -> 24 -> 30
+# -> 42 bits, so the random-pair collision fraction drops
+# ~C(m,3)*2^-W: 1.2e-4 -> 6e-7 -> 1.9e-8 -> 2.7e-11. Caps are set so
+# expected random candidates stay O(N) (frac * N^2/2 <~ 20N), i.e.
+# key width ~ const + log2(N) — the same sizing law the
+# dedup_semantic_lsh_sized_bank eval measures for hyperplane LSH. The
+# price is C(m,3) signature rows per doc (4/10/20/120): linear, narrow,
+# and the only way to keep a 60-bit Hamming-<=3 contract exact at scale.
+SIMHASH_SIZED_CONFIGS = (
+    (200_000, 4),  # W=15, 4 combos — the original fixture-scale config
+    (30_000_000, 5),  # W=24, 10 combos
+    (1_000_000_000, 6),  # W=30, 20 combos
+    (None, 10),  # W=42, 120 combos — exact to ~1e12 docs
+)
+
+
+def _simhash_bands_for(n_docs: int) -> int:
+    for cap, m in SIMHASH_SIZED_CONFIGS:
+        if cap is None or n_docs <= cap:
+            return m
+    raise AssertionError("unreachable: last config is uncapped")
+
 
 SIMHASH_ORACLE = f"""
 WITH tok AS (
@@ -322,15 +353,12 @@ WITH tok AS (
                   THEN (CAST(1 AS BIGINT) << CAST({SIMHASH_BITS - 1} - bit_idx AS INTEGER))
                   ELSE 0 END) AS simhash
   FROM bitsum GROUP BY doc_id
-), bands AS (
-  SELECT doc_id, simhash, k.band_idx,
-         (simhash >> CAST(k.band_idx * {SIMHASH_BAND_BITS} AS INTEGER))
-           & {(1 << SIMHASH_BAND_BITS) - 1} AS band_val
-  FROM sim, (SELECT unnest(generate_series(0, 3)) AS band_idx) k
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  -- all-pairs reference: the Spark side's banded candidate stage is
+  -- pigeonhole-COMPLETE for Hamming <= {HAMMING_MAX} at every sized
+  -- config, so its output equals this banding-agnostic ground truth.
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand
@@ -339,32 +367,49 @@ WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
 
 
 @register("dedup_simhash", oracle=SIMHASH_ORACLE, tags=("dedup", "llm"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, *, m_bands: int | None = None
+) -> DataFrame:
     """60-bit SimHash near-dup pairs, bit-identical across engines:
     feature (5-token shingle) hash bits are md5 nibbles, the per-bit
     majority vote over each document's shingle set forms the
     fingerprint, and exact popcount(xor) filters to Hamming ≤ 3.
-    With 4×15-bit bands the candidate step is COMPLETE for distance ≤ 3
-    (pigeonhole: 3 differing bits cannot touch all 4 bands), so the
-    banded result equals the all-pairs result — no recall loss, no
-    cross join.
 
-    Scale: two shuffles (doc_id for the vote, band_val for candidates);
-    the 60× bit explosion is a narrow int projection that stays in
-    whole-stage codegen — no UDFs anywhere.
+    Candidate stage — SIZED multi-band banding (the fixed-bank law
+    APPLIED, VERDICT r10 #1): the corpus count picks m bands of 60/m
+    bits from :data:`SIMHASH_SIZED_CONFIGS`; a pair within Hamming ≤ 3
+    agrees exactly on ≥ m−3 bands (pigeonhole: 3 differing bits touch
+    ≤ 3 bands), so the self-equi-join runs on every C(m,3) combination
+    of m−3 bands packed into one ≤45-bit bigint key. COMPLETE for
+    distance ≤ 3 at every config — the exact popcount tail makes the
+    OUTPUT identical whichever config runs (the oracle is the
+    banding-agnostic all-pairs ground truth) — while the join-key width
+    W = (m−3)·(60/m) grows 15→24→30→42 bits with the corpus, holding
+    the random-pair collision fraction ≈ C(m,3)·2⁻ᵂ at O(1/N) and
+    candidates O(N). m=4 reproduces the original fixture-scale plan
+    row-for-row; the only added cost at larger m is C(m,3) signature
+    rows per doc (4/10/20/120 — narrow, linear).
 
-    Fixed-bank law note (r10, measured): 4×15-bit banding admits a
-    constant ≈ 4·2⁻¹⁵ fraction of RANDOM pairs, so candidate volume is
-    quadratic in corpus size — 9.2 s at 10× sf0.1 but 153 s at 100×
-    (~190× wall on 100× docs), the third measured instance of the law
-    the sized-bank eval (dedup_semantic_lsh_sized_bank) quantifies for
-    hyperplane LSH. The dial is identical: widen the bands with the
-    corpus (e.g. 5×16 of an 80-bit fingerprint at 10× the docs) —
-    pigeonhole completeness then covers Hamming ≤ 4, and band width ≈
-    const + log2(N) holds candidates linear. Band count/width here are
-    constants of the 60-bit fingerprint contract, so the fixture-scale
-    config stays as registered."""
+    Why sized (r10, measured): the fixed 4×15 config admits a constant
+    ≈4·2⁻¹⁵ pair fraction — 9.2 s at 10× sf0.1 but 153 s at 100×
+    (~190× wall, quadratic candidates; the third measured instance of
+    the law the dedup_semantic_lsh_sized_bank eval quantifies for
+    hyperplane LSH). r11 re-measured with the dial applied: the 100×
+    shard (500k docs) crosses into the m=5/W=24 config and the
+    candidate stage returns to output-bounded volume.
+
+    Scale: two shuffles (doc_id for the vote, (combo, key) for
+    candidates); the 60× bit explosion and the combo explosion are
+    narrow int projections inside whole-stage codegen — no UDFs
+    anywhere. The config probe is one count() on the documents scan
+    (metadata-cheap), the same bounded driver scalar the iterative
+    operators use. ``m_bands`` overrides the sizing probe (tests pin
+    each config on the fixture corpus and assert config-invariance)."""
     doc = load_table(spark, sf_dir, "documents")
+    if m_bands is None:
+        m_bands = _simhash_bands_for(doc.count())
+    if SIMHASH_BITS % m_bands or m_bands < HAMMING_MAX + 1:
+        raise ValueError(f"m_bands must divide {SIMHASH_BITS} and exceed {HAMMING_MAX}")
     feat = shingle_rows(doc).withColumnRenamed("shingle", "feature")
     tokhash = feat.select("doc_id", F.md5("feature").alias("h"))
     bits = tokhash.select(
@@ -389,19 +434,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simhash")
     )
-    bands = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
-    ).select(
-        "doc_id",
-        "simhash",
-        "band_idx",
-        F.expr(
-            f"shiftright(simhash, cast(band_idx * {SIMHASH_BAND_BITS} as int))"
-            f" & {(1 << SIMHASH_BAND_BITS) - 1}"
-        ).alias("band_val"),
-    )
+    width = SIMHASH_BITS // m_bands
+    need = m_bands - HAMMING_MAX  # bands that MUST agree within Hamming <= 3
+    mask = (1 << width) - 1
+
+    def combo_key_sql(combo: tuple[int, ...]) -> str:
+        # pack the selected bands' values into one bigint, band p at
+        # bit offset p*width — disjoint ranges, so bitwise OR composes.
+        return " | ".join(
+            f"shiftleft(shiftright(simhash, {j * width}) & {mask}, {p * width})"
+            for p, j in enumerate(combo)
+        )
+
+    combos = list(_combinations(range(m_bands), need))
+    if len(combos) * need <= 64:
+        # small configs (m=4/5/6: <= 60 shift terms): inline one struct
+        # per combo — everything stays in whole-stage codegen (measured:
+        # m=10's 120x7-term inline variant blows the 64KB generated
+        # method and falls back to interpreted projection).
+        bands = sim.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.expr(combo_key_sql(c)).cast("long").alias("band_val"),
+                        )
+                        for i, c in enumerate(combos)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "simhash", "bb.band_idx", "bb.band_val")
+    else:
+        # large configs (m=10: 120 combos): posexplode a LITERAL
+        # array-of-offset-arrays and fold the key with one fixed-size
+        # aggregate() lambda — expression size is independent of the
+        # combo count, so no codegen blowup; the per-element lambda is
+        # a narrow int fold, noise next to the candidate shuffle at the
+        # >1e9-doc corpora where this branch engages.
+        offsets = F.array(
+            *[F.array(*[F.lit(j) for j in c]) for c in combos]
+        )
+        bands = (
+            sim.select(
+                "doc_id",
+                "simhash",
+                F.posexplode(offsets).alias("band_idx", "offs"),
+            )
+            .select(
+                "doc_id",
+                "simhash",
+                "band_idx",
+                F.expr(
+                    f"aggregate(sequence(0, size(offs) - 1), cast(0 as bigint),"
+                    f" (acc, p) -> acc | shiftleft("
+                    f"shiftright(simhash, element_at(offs, p + 1) * {width})"
+                    f" & {mask}, p * {width}))"
+                ).alias("band_val"),
+            )
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

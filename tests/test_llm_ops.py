@@ -52,6 +52,34 @@ def test_simhash_precision_and_recall(spark, sf_dir, jaccard_pairs):
         assert recall >= 0.3, f"recall of near-identical pairs too low: {recall:.2f}"
 
 
+def test_simhash_sized_configs_are_output_invariant(spark, sf_dir):
+    """The sized banding dial (VERDICT r10 #1) must be invisible in the
+    output: every config in SIMHASH_SIZED_CONFIGS joins on C(m,3)
+    combinations of m-3 bands, which pigeonhole guarantees complete for
+    Hamming <= 3, and the exact popcount tail does the rest. Pins both
+    the inline-struct (m=4/5/6) and the literal-offsets aggregate-fold
+    (m=10) key projections to identical pair sets."""
+    results = {
+        m: sorted(
+            tuple(r) for r in dedup.dedup_simhash(spark, sf_dir, m_bands=m).collect()
+        )
+        for m in (4, 5, 6, 10)
+    }
+    assert results[4], "fixture should plant simhash near-dups"
+    for m in (5, 6, 10):
+        assert results[m] == results[4], f"m={m} diverges from m=4"
+
+
+def test_simhash_sizing_probe_thresholds():
+    """The corpus-count -> band-count dial follows the caps table."""
+    assert dedup._simhash_bands_for(0) == 4
+    assert dedup._simhash_bands_for(200_000) == 4
+    assert dedup._simhash_bands_for(200_001) == 5
+    assert dedup._simhash_bands_for(30_000_000) == 5
+    assert dedup._simhash_bands_for(1_000_000_000) == 6
+    assert dedup._simhash_bands_for(10**12) == 10
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     """The LSH index scans ~7/64 of the data (own bucket + 6 one-bit
     probes) — on near-random vectors recall@5 is modest by design;
