@@ -171,17 +171,27 @@ def materialize(spark, k: int) -> str:
 # quantified — excluded from --all sweeps so one quadratic eval cannot
 # eat the whole sweep's wall budget. Each has a recorded growth row or
 # an explicit eval-class bound in its docstring.
+# O(n²)-by-design eval queries, excluded from --all. Every entry names
+# its bounded production twin (VERDICT r10 #5 audit): the twin is the
+# registered query a production pipeline runs at scale, while the
+# excluded eval stays a sampled-corpus fidelity/ground-truth audit.
+# dedup_semantic_components_lsh left this list in r11: the sized bank
+# (_sem_lsh_rows_for) made it linear — x10 7.7 s / x100 42.4 s fresh,
+# vs the 34× at k=10 that excluded it in r09.
 ALL_SWEEP_EXCLUDED = {
-    "dedup_semantic_lsh_pruning",      # O(n²) brute ground truth by design
-    "dedup_semantic_lsh_recall",       # O(n²) brute ground truth by design
-    "dedup_embedding_cosine",          # all-pairs brute reference by design
-    "dedup_semantic_components_lsh",   # 34× at k=10 quantified (fixed-bank law, r09)
+    "dedup_semantic_lsh_pruning",      # planted-twin brute ground truth
+                                       # → twin: dedup_semantic_components_lsh
+    "dedup_semantic_lsh_recall",       # O(n²) exact side of the recall audit
+                                       # → twin: dedup_semantic_components_lsh
+    "dedup_embedding_cosine",          # all-pairs brute reference
+                                       # → twin: dedup_semantic_components_lsh
     "graph_link_prediction",           # Σ deg² exact eval, 13× at k=10 (r09)
-    "emb_knn_eval",                    # eval-class exact kNN ground truth
-    "dedup_semantic_components",       # consumes the brute all-pairs baseline
-                                       # by design (scale path: _lsh flagship);
-                                       # 352 s at k=10 measured r10 before
-                                       # exclusion — sublinear in its own n²
+                                       # → twin: graph_link_prediction_topq
+    "emb_knn_eval",                    # exact kNN ground truth (recall denom)
+                                       # → twin: sim_topk_ivf / sim_topk_ivf_trained
+    "dedup_semantic_components",       # consumes the brute all-pairs pair
+                                       # stage by design (352 s at k=10, r10)
+                                       # → twin: dedup_semantic_components_lsh
 }
 
 

@@ -70,6 +70,27 @@ def test_simhash_sized_configs_are_output_invariant(spark, sf_dir):
         assert results[m] == results[4], f"m={m} diverges from m=4"
 
 
+def test_sem_lsh_sizing_ladder():
+    """The flagship's sized-bank ladder: fixture contract (rows=3 at
+    N <= 5000, keeping every driver-SF hash), then the r09-measured
+    linear regime rows = 10 + ceil(log2(N/5000)), capped at MAX_ROWS;
+    the generated SQL CASE must agree with the Python rung table at
+    every boundary (the two engines size from the same count)."""
+    import duckdb
+
+    assert dedup._sem_lsh_ladder() == [
+        (5_000, 3),
+        (10_000, 11),
+        (20_000, 12),
+        (40_000, 13),
+        (None, 14),
+    ]
+    case = dedup._sem_lsh_rows_case_sql("n")
+    for n in (0, 1, 5_000, 5_001, 10_000, 10_001, 20_000, 20_001, 40_000, 40_001, 10**9):
+        sql_r = duckdb.sql(f"SELECT {case} FROM (SELECT {n} AS n)").fetchone()[0]
+        assert sql_r == dedup._sem_lsh_rows_for(n), n
+
+
 def test_simhash_sizing_probe_thresholds():
     """The corpus-count -> band-count dial follows the caps table."""
     assert dedup._simhash_bands_for(0) == 4
