@@ -105,31 +105,76 @@ def _load_modules() -> None:
 # lists (newly added operators) slot in right after the unproven block,
 # so a new query is always driver-visible before an old green one.
 _FRONT = (
-    # Round-10 window (driver checks the FIRST 50 queries() entries per
-    # round — r01-r09 all cut at exactly 50; CORRECTNESS_r09 came back
-    # 50/50 green and the never-checked backlog is ZERO). From r10 the
-    # steady-state rotation: claims re-anchors + net-new registrations
-    # (the freeze lifted at backlog zero) + changed-plan re-rides + a
-    # staleness fill (oldest latest-record first, ties by registration
-    # order) — computed from CORRECTNESS_r01-r09, see COVERAGE.md
-    # "Round-10 window plan (EXECUTED)".
-    # tier 0 — claims-port re-anchor (driver regenerates testdata each
-    # round; keep the reference port pinned to a fresh hash proof).
+    # Round-11 window (steady-state staleness rotation; the driver
+    # checks the FIRST 50 queries() entries — r01-r10 all cut at 50).
+    # Composition per COVERAGE.md 'Round-11 window plan': claims
+    # re-anchors + this round's changed-plan re-rides (the sized-bank
+    # law applied to dedup_simhash and the semantic-dedup flagship +
+    # recall certificate, and the sized-bank eval's decimal-safe
+    # pair_fraction_ppm) + the staleness fill (oldest latest-record
+    # first: the 3 displaced r01-cohort entries, the full r02 cohort,
+    # then the r03 cohort head; q13/q14/q15 displaced to r12 by the
+    # three re-ride slots, oldest-stays rule).
+    # tier 0 — claims-port re-anchor (driver regenerates testdata
+    # each round; keep the reference port pinned to a fresh hash).
     "claims_normalized",
     "claims_candidates",
     "claims_exclusion_counts",
     "claims_by_source",
     "claims_classify_denial",
-    # tier 1 — net-new r10 registrations (first driver rows): the
-    # log-sized-bank LSH eval (VERDICT r09 #2) and the bounded-grain
-    # O(n*q^2) Adamic-Adar pipeline variant (VERDICT r09 #4).
+    # tier 1 — r11 changed-plan re-rides (sized-bank law).
+    "dedup_simhash",
+    "dedup_semantic_components_lsh",
+    "dedup_semantic_lsh_recall",
     "dedup_semantic_lsh_sized_bank",
+    # tier 2 — staleness fill (r01 leftovers, r02 cohort, r03 head).
+    "dedup_embedding_cosine",
+    "text_token_stats",
+    "window_distribution_funcs",
+    "agg_collect_list",
+    "join_fuzzy_levenshtein",
+    "unpivot_metrics",
+    "dedup_containment_ngram",
+    "sample_bernoulli_hash",
+    "emb_quantize_int8",
+    "emb_l2_normalize",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_chunk_overlap",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_session_window_native",
+    "events_hypertable_rollup",
+    "events_error_rate",
+    "events_retention_cohorts",
+    "events_rolling_distinct_users",
+    "events_gap_fill_locf",
+    "agg_histogram",
+    "events_anomaly_zscore",
+    "events_dwell_time",
+    "events_markov_transitions",
+    "basket_association_rules",
+    "llm_prep_pipeline",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample",
+    "dq_violations",
+    "warehouse_merge_upsert",
+    "warehouse_scd2_history",
+    "warehouse_incremental_agg",
+    "events_enriched_purchases",
+    "events_cdc_upsert_stream",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    # ---- exactly 50 entries. ----
+)
+_TAIL = (
+    # Demoted r10-window entries first (freshest green records),
+    # then the prior tail minus this round's promotions.
     "graph_link_prediction_topq",
-    # tier 2 — changed-plan re-rides: the ADVICE r09 ANSI/NULL guards
-    # (link_prediction degree-1 filter, the IVF argmax guards riding
-    # sim_topk_ivf and sim_topk_ivf_trained), the r09-session rewrites
-    # (triangle orientation, wedge-frame cut), and the five
-    # pin-width-narrowed queries of commit a237000.
     "graph_link_prediction",
     "graph_triangle_copurchase",
     "sim_topk_ivf_trained",
@@ -141,10 +186,6 @@ _FRONT = (
     "orders_rfm_segmentation",
     "orders_rfm_segmentation_dist",
     "events_funnel_steps",
-    # tier 3 — staleness fill: the 32 oldest latest-records (all r01).
-    # After this window lands the only green records older than r02 are
-    # the r01-cohort remainder dedup_simhash / dedup_embedding_cosine /
-    # text_token_stats — they head the r11 fill.
     "agg_stats",
     "agg_rollup",
     "agg_cube",
@@ -177,15 +218,6 @@ _FRONT = (
     "explode_token_freq",
     "agg_salted_two_stage",
     "window_range_frame",
-    # ---- exactly 50 entries. ----
-)
-_TAIL = (
-    # r01-stale leftover displaced from the r10 fill by the
-    # sim_topk_ivf changed-plan re-ride; heads the r11 fill with
-    # dedup_embedding_cosine and text_token_stats.
-    "dedup_simhash",
-    # --- the r09 window's 45 non-claims entries, all driver-checked in
-    # CORRECTNESS_r09.json (claims re-anchors stay in _FRONT tier 0). ---
     "sort_hilbert_interleave",
     "join_asof_interpolate",
     "sort_exact_median_twopass",
@@ -365,9 +397,7 @@ _TAIL = (
     "feature_prep_pipeline",
     "curation_prep_pipeline",
     "text_lm_crossval",
-    "dedup_semantic_components_lsh",
     "dedup_semantic_components",
-    "dedup_semantic_lsh_recall",
     "sim_topk_ivfpq",
     "sim_topk_ivfpq_rerank",
     "text_span_dedup",
@@ -438,53 +468,12 @@ _TAIL = (
     "scalar_null_funcs",
     "scalar_bitwise_funcs",
     "scalar_struct_funcs",
-    "dedup_embedding_cosine",
-    "text_token_stats",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_sessionize",
-    "events_session_window_native",
-    "events_hypertable_rollup",
-    "events_error_rate",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "multimodal_decode_metadata",
-    "multimodal_frame_sample",
-    "sample_bernoulli_hash",
-    "agg_collect_list",
-    "emb_quantize_int8",
-    "llm_prep_pipeline",
-    "events_cdc_upsert_stream",
-    "warehouse_incremental_agg",
-    "warehouse_merge_upsert",
-    "warehouse_scd2_history",
-    "dq_violations",
-    "events_enriched_purchases",
-    "events_retention_cohorts",
-    "events_rolling_distinct_users",
-    "events_gap_fill_locf",
-    "events_anomaly_zscore",
-    "events_dwell_time",
-    "events_markov_transitions",
-    "basket_association_rules",
-    "agg_histogram",
-    "dedup_containment_ngram",
-    "join_fuzzy_levenshtein",
-    "text_chunk_overlap",
-    "emb_l2_normalize",
-    "unpivot_metrics",
-    "window_distribution_funcs",
     "events_json_extract",
     "events_user_totals",
     "sample_split_hash",
     "events_ema_irregular",
     "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
     "q11_important_stock",
     "q12_shipping_priority_classes",
     "q13_customer_distribution",
