@@ -71,6 +71,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.5
 
+# Hot-shingle cap for the REGISTERED defaults (r11, skew-lab finding):
+# the uncapped inverted index is quadratic in any Zipf-head shingle —
+# the skew shard's one 2000-df stop-phrase doubled the query's wall for
+# ZERO output change (candidates 256 → ~2M, output 256 → 252). A
+# CONSTANT cap is the scale-correct dial here (unlike the banded
+# families' log-sized banks): each indexed shingle occurrence can pair
+# with at most max_df−1 others, so candidates ≤ max_df · |shingle rows|
+# — linear in the corpus by construction. 256 is inactive on every
+# driver corpus (measured base max df = 4 at sf0.001/0.01/0.1, so all
+# recorded hashes stand) and engages exactly on boilerplate. Ordering
+# contract, as in production (SlimPajama-style): run dedup_exact first —
+# an exact-dup cluster larger than the cap shares ONLY capped shingles
+# and is the exact-dedup pass's job, not the near-dup scorer's.
+NGRAM_MAX_DF = 256
+
 NGRAM_JACCARD_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -78,9 +93,14 @@ WITH tok AS (
   SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {NGRAM_MAX_DF}
+), idx AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -158,9 +178,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5× less shuffle volume, same result (a 64-bit collision between
     distinct shingles in the same corpus is ~2^-64·pairs — negligible;
     the oracle joins on the raw string, so parity itself guards this).
-    The oracle-checked query runs uncapped; production corpora pass
-    ``max_df`` through :func:`ngram_jaccard_pairs` (hot-shingle guard)."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    The registered default runs with the :data:`NGRAM_MAX_DF` hot-shingle
+    cap APPLIED (r11, skew-lab finding — see the constant's rationale;
+    the oracle mirrors the cap, and on the driver corpora, whose max
+    shingle df is 4, the capped and uncapped outputs are identical)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), max_df=NGRAM_MAX_DF
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -721,9 +745,14 @@ WITH tok AS (
   SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {NGRAM_MAX_DF}
+), idx AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -741,11 +770,20 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     container grows. Same inverted-index candidate generation as
     dedup_ngram_jaccard (pairs must share ≥1 shingle — candidate count
     is data-bounded, never O(n²)); ordered pairs, normalized by the
-    CONTAINED side only. Production corpora pass the same max_df
-    hot-shingle guard; the oracle-checked query runs uncapped."""
+    CONTAINED side only. The registered default applies the
+    :data:`NGRAM_MAX_DF` hot-shingle cap (r11, skew-lab class — same
+    rationale and oracle mirror as dedup_ngram_jaccard; inactive on the
+    driver corpora, max df 4)."""
     doc = load_table(spark, sf_dir, "documents")
     sh = shingle_rows(doc)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_DF)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     cand = (
@@ -787,9 +825,14 @@ WITH tok AS (
   FROM tok WHERE bkt >= {INC_CORPUS_PCT}
 ), csz AS (SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY doc_id),
 bsz AS (SELECT doc_id, COUNT(*) AS sz FROM bsh GROUP BY doc_id),
+hot AS (
+  -- hot-shingle cap, CORPUS-side df (mirrors incremental_dedup_frame)
+  SELECT shingle FROM csh GROUP BY shingle HAVING COUNT(*) > {NGRAM_MAX_DF}
+),
 cand AS (
   SELECT b.doc_id AS new_id, c.doc_id AS corpus_id, COUNT(*) AS n_common
   FROM bsh b JOIN csh c ON b.shingle = c.shingle
+  WHERE b.shingle NOT IN (SELECT shingle FROM hot)
   GROUP BY 1, 2
 ), scored AS (
   SELECT new_id, corpus_id,
@@ -923,12 +966,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     and it is NOT a self-join: the batch's hashed shingles probe the
     corpus inverted index (8-byte keys), so work scales with
     |batch shingles| x avg shingle df, independent of corpus pair
-    count. The oracle-checked query runs uncapped; production corpora
-    pass ``max_df`` through :func:`incremental_dedup_frame` (hot-
-    shingle guard, tested in tests/test_llm_ops.py). Best match =
-    (rounded jaccard DESC, corpus_id) — a total order shared with the
-    oracle."""
-    return incremental_dedup_frame(load_table(spark, sf_dir, "documents"))
+    count. The registered default applies the :data:`NGRAM_MAX_DF`
+    hot-shingle cap (r11, skew-lab finding: the uncapped probe went
+    1.47× wall on the hot-phrase shard for identical output; corpus-side
+    df, both sides filtered, oracle mirrored — inactive on the driver
+    corpora whose max df is 4, so recorded hashes stand; also tested in
+    tests/test_llm_ops.py). Best match = (rounded jaccard DESC,
+    corpus_id) — a total order shared with the oracle."""
+    return incremental_dedup_frame(
+        load_table(spark, sf_dir, "documents"), max_df=NGRAM_MAX_DF
+    )
 
 
 APPLY_REPS_ORACLE = f"""

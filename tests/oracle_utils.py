@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 from decimal import Decimal
 
 import duckdb
@@ -36,7 +37,12 @@ NULL = "␀NULL"
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        # Spark-written tables (scale/skew lab shards) are DIRECTORIES
+        # of part files; the driver's testdata are single files. Glob
+        # the directory case so parity runs on either layout.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return con
 
 
