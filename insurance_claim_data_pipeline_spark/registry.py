@@ -127,6 +127,8 @@ _FRONT = (
     "dedup_semantic_components_lsh",
     "dedup_semantic_lsh_recall",
     "dedup_semantic_lsh_sized_bank",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
     # tier 2 — staleness fill (r01 leftovers, r02 cohort, r03 head).
     "dedup_embedding_cosine",
     "text_token_stats",
@@ -167,13 +169,13 @@ _FRONT = (
     "events_cdc_upsert_stream",
     "q7_volume_shipping",
     "q8_market_share",
-    "q6_forecast_revenue",
-    "q10_returned_items",
     # ---- exactly 50 entries. ----
 )
 _TAIL = (
     # Demoted r10-window entries first (freshest green records),
     # then the prior tail minus this round's promotions.
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "graph_link_prediction_topq",
     "graph_link_prediction",
     "graph_triangle_copurchase",
@@ -431,10 +433,8 @@ _TAIL = (
     "sample_temperature_mixture",
     "claims_dq_report",
     "er_blocking_budget",
-    "dedup_ngram_jaccard",
     "dedup_components",
     "sim_topk_lsh",
-    "dedup_incremental",
     "text_inverted_index",
     "text_rolling_fingerprint",
     "lineitem_pareto_abc_dist",
