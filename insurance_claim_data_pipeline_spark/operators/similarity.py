@@ -509,11 +509,16 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.floor(x / F.col("scale") + 0.5), F.lit(127)), F.lit(-127)
         ).cast("int"),
     )
+    # Round in a SEPARATE projection: inside a higher-order-function
+    # lambda, F.col("scale") binds to a same-name SIBLING alias (Spark
+    # 4 lateral-alias resolution — the r11 emb_l2_normalize bug class;
+    # plain references resolve against the input, lambda-interior ones
+    # do not). Same shape, pinned in tests/test_guards_r10.py.
     return with_scale.select(
         "vec_id",
-        F.round("scale", 9).alias("scale"),
+        "scale",
         F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q"),
-    )
+    ).select("vec_id", F.round("scale", 9).alias("scale"), "q")
 
 
 N_PLANES = 6  # 64 buckets
@@ -1461,7 +1466,18 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/vectors.py); normalized elements are emitted quantized
     to 1e-6 (HALF_UP, sign-aware — the _scaled_long rule) and
     ','-joined so the driver hashes compact scalar cells. Pure
-    higher-order expressions, one narrow pass, no shuffle."""
+    higher-order expressions, one narrow pass, no shuffle.
+
+    Lateral-alias pitfall (REAL bug, caught r11 by sf0.1-scale strict
+    parity on the skew shard): with ``round(nrm, 9).alias("nrm")`` in
+    the SAME projection, Spark 4's lateral column alias resolution
+    binds the lambda's ``F.col("nrm")`` to that sibling OUTPUT — the
+    quantization silently divided by the ROUNDED norm and flipped
+    exactly the elements within ~1e-10 of a quantization boundary
+    (two in 128k at sf0.1, zero in 32k at sf0.01 — ten driver rounds
+    green on a wrong plan). The rounding therefore happens in a
+    SEPARATE outer projection; tests/test_guards_r10.py pins the
+    resolution rule."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -1476,9 +1492,9 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_norm.select(
         "vec_id",
-        F.round("nrm", 9).alias("nrm"),
+        "nrm",
         F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("unit_q"),
-    )
+    ).select("vec_id", F.round("nrm", 9).alias("nrm"), "unit_q")
 
 
 # ---------------------------------------------------------------------------

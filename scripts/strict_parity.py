@@ -40,7 +40,14 @@ def strict_cell(v) -> str:
         return f"b:{bool(v)}"
     if isinstance(v, (float, np.floating)):
         f = float(v)
-        return "␀" if math.isnan(f) else f"f:{f!r}"
+        if math.isnan(f):
+            return "␀"
+        if f == 0.0:
+            # r11 skew-parity finding: DuckDB ROUND propagates the sign
+            # of zero (-0.0) where Spark normalizes to +0.0; IEEE says
+            # they are equal, so the strict canon must too.
+            return "f:0.0"
+        return f"f:{f!r}"
     if isinstance(v, (int, np.integer)):
         return f"i:{int(v)}"
     if isinstance(v, Decimal):

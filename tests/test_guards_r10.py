@@ -102,3 +102,64 @@ def test_isnan_null_semantics_still_hold(spark):
         F.isnan(F.lit(None).cast("double")).alias("isnan_null"),
     ).first()
     assert row["isnan_null"] is False
+
+
+def test_lateral_alias_resolution_rule(spark):
+    """Engine-semantics pin for the r11 emb_l2_normalize bug class: in
+    one projection that aliases a NEW expression to an EXISTING input
+    name, a PLAIN sibling reference resolves to the INPUT column (the
+    documented lateral-column-alias priority), but a reference INSIDE a
+    higher-order-function lambda binds to the sibling ALIAS. Any query
+    that quantizes/normalizes inside a transform() must therefore do
+    display-rounding of the divisor in a SEPARATE projection
+    (emb_l2_normalize, emb_quantize_int8 — both bitten at sf0.1, fixed
+    r11). If a Spark upgrade changes this outcome, re-audit those two
+    and the scan in COVERAGE.md round-11 notes."""
+    df = spark.createDataFrame([(2.345678, [1.0, 2.0])], "c double, arr array<double>")
+    plain = df.select(
+        F.round("c", 2).alias("c"), (F.col("c") * 1000).alias("d")
+    ).first()["d"]
+    assert plain == 2345.678  # input wins for plain references
+    lam = df.select(
+        F.round("c", 2).alias("c"),
+        F.transform("arr", lambda x: x * F.col("c")).alias("d"),
+    ).first()["d"]
+    assert lam == [2.35, 4.7]  # sibling alias wins inside HOF lambdas
+
+
+def test_l2_normalize_quantizes_by_unrounded_norm(spark, tmp_path):
+    """Regression for the r11 finding itself: a vector engineered so an
+    element sits within 1e-10 of a quantization boundary under the
+    UNROUNDED norm must quantize by that norm, not by round(nrm, 9).
+    Uses the real sf0.1 reproducer geometry: x/nrm*1e6+0.5 just below
+    an integer; dividing by the rounded norm pushes it over."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # vec 27 of the sf0.1 corpus reproduced the boundary; rebuild a
+    # 2-element corpus around the same arithmetic: norm slightly under
+    # 1.0 such that round(nrm, 9) != nrm flips one element's floor.
+    base = [0.06184249371290207] + [0.12466] * 63
+    d = os.path.join(str(tmp_path), "embeddings.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([27], pa.int64()),
+            "embedding": pa.array([base], pa.list_(pa.float32())),
+            "label": pa.array([0], pa.int32()),
+        }),
+        d,
+    )
+    out = similarity.emb_l2_normalize(spark, str(tmp_path)).first()
+    q = [int(t) for t in out["unit_q"].split(",")]
+    # recompute the ground truth in python from the float32-read values
+    import math
+    import numpy as np
+    xs = [float(np.float32(v)) for v in base]
+    nrm = 0.0
+    acc = 0.0
+    for v in xs:
+        acc = acc + v * v  # sequential fold, same as dot()
+    nrm = math.sqrt(acc)
+    expect = [int(math.floor(abs(v / nrm) * 1e6 + 0.5)) * (1 if v >= 0 else -1) for v in xs]
+    assert q == expect
