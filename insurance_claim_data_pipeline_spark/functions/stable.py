@@ -42,6 +42,18 @@ the ROUND quantizes the same double product the Spark side rounds, so
 both engines agree even when a computed value's exact binary expansion
 and its double product straddle a .5 boundary (a bare double→DECIMAL
 cast in DuckDB rounds the exact expansion and diverges ~1e-6 of rows).
+
+2^53 boundary (r11 skew-sweep finding): the two engines' FINAL
+decimal→double conversions differ once ``|sum|·10^s`` exceeds 2^53 —
+DuckDB double-rounds (int128 → double, then /10^s) while Spark's
+BigDecimal→double is correctly rounded, so sums-of-squares-scale
+accumulations (ss ≈ 7.4e16 scaled cents at sf0.1) can sit 1 ulp apart
+(caught in feat_scale_numeric's sigma at sf0.1; every per-row scaled
+integer and the exact decimal sums were verified equal — only the final
+cast differs). Monetary-magnitude sums (≲1e13 scaled) are exact in
+double and unaffected. Downstream consumers of a >2^53-scale dec_sum
+must ROUND the emitted double (or emit the scaled integer itself)
+rather than compare raw last-bit doubles across engines.
 """
 
 from __future__ import annotations

@@ -553,9 +553,17 @@ WITH tok AS (
   SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), hot AS (
+  -- r11: the pair stage consumes the capped dedup_ngram_jaccard, so
+  -- the closure mirrors NGRAM_MAX_DF (caught by the skew sweep:
+  -- consumer capped, oracle not — divergent only on Zipf-head corpora)
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {NGRAM_MAX_DF}
+), idx AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), edges AS (
   SELECT doc_a, doc_b FROM cand

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..session import load_table, pin, pin_eager_observed, tiny_frame_key
-from .dedup import COMPONENTS_ORACLE, JACCARD_THRESHOLD, shingles_sql
+from .dedup import COMPONENTS_ORACLE, JACCARD_THRESHOLD, NGRAM_MAX_DF, shingles_sql
 
 PR_SCALE = 10**12
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
@@ -882,9 +882,16 @@ tok AS (
   SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), hot AS (
+  -- r11: mirror the consumed dedup_ngram_jaccard's NGRAM_MAX_DF cap
+  -- (skew-sweep finding: consumer capped, oracle edge re-derivation not)
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {NGRAM_MAX_DF}
+), idx AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), edges AS (
   SELECT doc_a, doc_b FROM cand

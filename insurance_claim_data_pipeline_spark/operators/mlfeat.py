@@ -61,7 +61,13 @@ WITH stats AS (
 )
 SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
        l.l_extendedprice AS price,
-       (l.l_extendedprice - m.mean) / sqrt((m.ss - m.s * m.mean) / (m.n - 1)) AS z_score,
+       -- ROUND(...,6): the ss sum crosses 2^53 in scaled cents at
+       -- sf0.1-size groups, where DuckDB's DECIMAL->DOUBLE cast
+       -- double-rounds (int128 -> double, then /10^s) while Spark's
+       -- BigDecimal->double is correctly rounded — a 1-ulp sigma
+       -- divergence (r11 skew-sweep finding). Rounding to 6 absorbs it.
+       ROUND((l.l_extendedprice - m.mean)
+             / sqrt((m.ss - m.s * m.mean) / (m.n - 1)), 6) AS z_score,
        (l.l_extendedprice - m.mn) / (m.mx - m.mn) AS minmax
 FROM lineitem l JOIN mu m ON l.l_returnflag = m.l_returnflag
 WHERE l.l_orderkey % {_ROW_MOD} = 0
@@ -98,7 +104,8 @@ def feat_scale_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "l_returnflag",
             x.alias("price"),
-            ((x - F.col("mean")) / sigma).alias("z_score"),
+            # rounded to 6: see the oracle's 2^53 double-rounding note
+            F.round((x - F.col("mean")) / sigma, 6).alias("z_score"),
             ((x - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("minmax"),
         )
     )

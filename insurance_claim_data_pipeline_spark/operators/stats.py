@@ -877,7 +877,18 @@ _CUPED_E = 100_000_000  # x1e8 quantization of per-user moment terms
 
 
 def _cuped_mom_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST(FLOOR(({expr}) * {_CUPED_E} + 0.5) AS BIGINT)) AS DOUBLE) / {_CUPED_E}"
+    # FLOOR over a DECIMAL(38,6) intermediate, not a BIGINT cast: the
+    # per-row terms here are PER-USER aggregates squared, so a hot user
+    # can push a single quantized term past int64 — the r11 skew shard
+    # measured 2.24e20, where the old BIGINT cast made DuckDB error and
+    # Spark's floor(double)->long SILENTLY SATURATE at Long.Max (no
+    # ANSI error — pinned in tests/test_guards_r10.py). The decimal
+    # path is exact to 1e32 and identical in both engines (the Spark
+    # twin quantizes through the same DECIMAL(38,6)).
+    return (
+        f"CAST(SUM(FLOOR(CAST(({expr}) * {_CUPED_E} + 0.5 AS DECIMAL(38,6))))"
+        f" AS DOUBLE) / {_CUPED_E}"
+    )
 
 
 def _cuped_oracle() -> str:
@@ -949,9 +960,14 @@ def stats_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mom(expr):
-        # decimal(38,0) sum — long wraps at scale (see _mom_sum)
+        # quantize through DECIMAL(38,6), then a decimal(38,0) sum: the
+        # long sum wraps at scale (see _mom_sum) AND floor(double)->long
+        # silently saturates per row once a hot key pushes one term past
+        # int64 (r11 skew finding, see _cuped_mom_sql) — the decimal
+        # path is exact to 1e32 and mirrored in the oracle.
         return F.sum(
-            F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("decimal(38,0)")
+            F.floor((expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("decimal(38,0)")
         ).cast("double") / F.lit(_CUPED_E)
 
     x, y = F.col("x"), F.col("y")
@@ -1230,9 +1246,14 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mom(expr):
-        # decimal(38,0) sum — long wraps at scale (see _mom_sum)
+        # quantize through DECIMAL(38,6), then a decimal(38,0) sum: the
+        # long sum wraps at scale (see _mom_sum) AND floor(double)->long
+        # silently saturates per row once a hot key pushes one term past
+        # int64 (r11 skew finding, see _cuped_mom_sql) — the decimal
+        # path is exact to 1e32 and mirrored in the oracle.
         return F.sum(
-            F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("decimal(38,0)")
+            F.floor((expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("decimal(38,0)")
         ).cast("double") / F.lit(_CUPED_E)
 
     m = per_user.agg(
@@ -1316,9 +1337,14 @@ def stats_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mom(expr):
-        # decimal(38,0) sum — long wraps at scale (see _mom_sum)
+        # quantize through DECIMAL(38,6), then a decimal(38,0) sum: the
+        # long sum wraps at scale (see _mom_sum) AND floor(double)->long
+        # silently saturates per row once a hot key pushes one term past
+        # int64 (r11 skew finding, see _cuped_mom_sql) — the decimal
+        # path is exact to 1e32 and mirrored in the oracle.
         return F.sum(
-            F.floor(expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("decimal(38,0)")
+            F.floor((expr * F.lit(_CUPED_E) + F.lit(0.5)).cast("decimal(38,6)"))
+            .cast("decimal(38,0)")
         ).cast("double") / F.lit(_CUPED_E)
 
     m = per_user.agg(

@@ -163,3 +163,21 @@ def test_l2_normalize_quantizes_by_unrounded_norm(spark, tmp_path):
     nrm = math.sqrt(acc)
     expect = [int(math.floor(abs(v / nrm) * 1e6 + 0.5)) * (1 if v >= 0 else -1) for v in xs]
     assert q == expect
+
+
+def test_floor_double_to_long_saturates_silently(spark):
+    """Engine-semantics pin for the r11 per-row quantization fix:
+    Spark's floor(DOUBLE) returns LONG and SILENTLY SATURATES at
+    Long.Max for inputs past int64 — no ANSI error — while DuckDB's
+    BIGINT cast of the same value raises. A hot key that pushes one
+    quantized per-row term past int64 therefore corrupts results
+    quietly unless the quantization goes through DECIMAL (see
+    stats._cuped_mom_sql and the three mom() twins). If an upgrade
+    makes this raise instead, the decimal path stays correct — this
+    canary just documents why it exists."""
+    row = spark.sql("SELECT floor(2.2e20) AS f").first()
+    assert row["f"] == 9223372036854775807  # silent saturation, today
+    dec = spark.sql(
+        "SELECT floor(CAST(2.2e20 + 0.5 AS DECIMAL(38,6))) AS f"
+    ).first()
+    assert float(dec["f"]) == 2.2e20  # the decimal path is exact
