@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles_sql, tokens
 from ..registry import register
 from ..session import load_table, pin
-from .dedup import JACCARD_THRESHOLD, min_label_components, ngram_jaccard_pairs
+from .dedup import (
+    JACCARD_THRESHOLD,
+    NGRAM_MAX_DF,
+    min_label_components,
+    ngram_jaccard_pairs,
+)
 from .sampling import TRAIN_PCT, VAL_PCT, _bucket_sql, hash_bucket
 from .textops import _STOPWORDS
 
@@ -66,9 +71,16 @@ WITH tok AS (
   SELECT doc_id, unnest({shingles_sql('toks')}) AS shingle FROM tok2
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), hot AS (
+  -- r11: mirror the consumed ngram_jaccard_pairs' NGRAM_MAX_DF cap
+  -- (same skew class as COMPONENTS_ORACLE — inactive at driver SFs)
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {NGRAM_MAX_DF}
+), idx AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), edges AS (
   SELECT doc_a, doc_b FROM cand
@@ -130,7 +142,11 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keep = keepq.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     surv = keepq.join(exact_keep.select("doc_id"), "doc_id")
 
-    pairs = ngram_jaccard_pairs(surv.select("doc_id", "text")).select("doc_a", "doc_b")
+    # r11: the registered default applies the NGRAM_MAX_DF hot-shingle
+    # cap (oracle mirrored; inactive on driver corpora — max df 4)
+    pairs = ngram_jaccard_pairs(
+        surv.select("doc_id", "text"), max_df=NGRAM_MAX_DF
+    ).select("doc_a", "doc_b")
     comp = min_label_components(pairs)
     canon = (
         surv.join(comp, "doc_id", "left")
