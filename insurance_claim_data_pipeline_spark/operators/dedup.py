@@ -1676,10 +1676,17 @@ sh AS (
   FROM sh GROUP BY doc_id, shingle
 ), sizes AS (
   SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id
+), hot AS (
+  -- r11: NGRAM_MAX_DF document-frequency cap (skew-lab class; sizes
+  -- keep the FULL multiset weight, hot shingles just leave the index)
+  SELECT shingle FROM cnt GROUP BY shingle HAVING COUNT(*) > 256
+), idx AS (
+  SELECT doc_id, shingle, c FROM cnt
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          SUM(LEAST(a.c, b.c)) AS inter_w
-  FROM cnt a JOIN cnt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -1709,10 +1716,12 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing ≥1 shingle, keyed on 8-byte xxhash64 shingle keys — the
     raw-string oracle guards the negligible 64-bit collision risk),
     but aggregating Σ least(cₐ, c_b) per pair instead of a count.
-    Candidates are data-bounded (shingle df² per key, never corpus²);
-    hot boilerplate shingles are the same skew the set variant guards
-    with ``max_df`` in production. ×1e6 fixed-point with truncating
-    div — integer-exact across engines.
+    The registered default applies the :data:`NGRAM_MAX_DF`
+    document-frequency cap (r11 skew-lab class: 1.65× wall for 1.00×
+    output on the hot-phrase shard uncapped; per-doc multiset totals
+    ``n`` keep the FULL weight, hot shingles just leave the index —
+    oracle mirrored, inactive on driver corpora). ×1e6 fixed-point
+    with truncating div — integer-exact across engines.
 
     Measured and REJECTED (r07 plan-scan audit, recorded so it isn't
     re-tried): lazily checkpointing ``sizes`` (0.89 → 1.25 s best-of-3
@@ -1728,8 +1737,15 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     sizes = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    a = cnt.alias("a")
-    b = cnt.alias("b")
+    hot = (
+        cnt.groupBy("sh_key")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_DF)
+        .select("sh_key")
+    )
+    idx = cnt.join(F.broadcast(hot), "sh_key", "left_anti")
+    a = idx.alias("a")
+    b = idx.alias("b")
     inter = (
         a.join(
             b,
