@@ -1665,7 +1665,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WJACCARD_THRESHOLD_E6 = 300_000  # 0.30 on the multiset Jaccard
 
-WEIGHTED_JACCARD_ORACLE = """
+WEIGHTED_JACCARD_ORACLE = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 sh AS (
   SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
@@ -1679,7 +1679,7 @@ sh AS (
 ), hot AS (
   -- r11: NGRAM_MAX_DF document-frequency cap (skew-lab class; sizes
   -- keep the FULL multiset weight, hot shingles just leave the index)
-  SELECT shingle FROM cnt GROUP BY shingle HAVING COUNT(*) > 256
+  SELECT shingle FROM cnt GROUP BY shingle HAVING COUNT(*) > {NGRAM_MAX_DF}
 ), idx AS (
   SELECT doc_id, shingle, c FROM cnt
   WHERE shingle NOT IN (SELECT shingle FROM hot)
@@ -1696,7 +1696,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
-WHERE inter_w * 1000000 // (sa.n + sb.n - inter_w) >= 300000
+WHERE inter_w * 1000000 // (sa.n + sb.n - inter_w) >= {WJACCARD_THRESHOLD_E6}
 """
 
 

@@ -196,7 +196,9 @@ def main() -> int:
             names = [n for n in names if n != name]
             print(f"WARM-UP FAIL {name}: {str(ex)[:120]}", flush=True)
     results: dict[str, dict[str, float]] = {}
-    with open(os.path.join(LAB, "coverage.jsonl"), "a") as ledger:
+    # Separate ledger from scale_lab's coverage.jsonl ({query,k,sec} rows):
+    # skew rows carry {lab,query,shard,sec} so no consumer misparses them.
+    with open(os.path.join(LAB, "skew_coverage.jsonl"), "a") as ledger:
         for shard, d in (("base", BASE_SF), ("skew1", SKEW_DIR)):
             for name in names:
                 t0 = time.perf_counter()
@@ -211,7 +213,9 @@ def main() -> int:
                 dt = time.perf_counter() - t0
                 results.setdefault(name, {})[shard] = dt
                 ledger.write(
-                    json.dumps({"query": name, "shard": shard, "sec": round(dt, 3)})
+                    json.dumps(
+                        {"lab": "skew", "query": name, "shard": shard, "sec": round(dt, 3)}
+                    )
                     + "\n"
                 )
                 ledger.flush()
