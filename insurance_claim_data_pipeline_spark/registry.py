@@ -105,16 +105,17 @@ def _load_modules() -> None:
 # lists (newly added operators) slot in right after the unproven block,
 # so a new query is always driver-visible before an old green one.
 _FRONT = (
-    # Round-11 window (steady-state staleness rotation; the driver
-    # checks the FIRST 50 queries() entries — r01-r10 all cut at 50).
-    # Composition per COVERAGE.md 'Round-11 window plan': claims
-    # re-anchors + this round's changed-plan re-rides (the sized-bank
-    # law applied to dedup_simhash and the semantic-dedup flagship +
-    # recall certificate, and the sized-bank eval's decimal-safe
-    # pair_fraction_ppm) + the staleness fill (oldest latest-record
-    # first: the 3 displaced r01-cohort entries, the full r02 cohort,
-    # then the r03 cohort head; q13/q14/q15 displaced to r12 by the
-    # three re-ride slots, oldest-stays rule).
+    # Round-12 window (steady-state staleness rotation; driver checks
+    # the FIRST 50 queries() entries). Composition per COVERAGE.md
+    # 'Round-12 window plan': claims re-anchors + the r11 changed-plan
+    # re-rides (skew-parity fixes whose live plans/oracles have no
+    # post-change driver hash: the ROUND(...,6) z-score, the three
+    # DECIMAL(38,6) per-row quantizations, the post-rotation
+    # weighted-jaccard cap, and the six COMPONENTS_ORACLE cap-mirror
+    # consumers) + the staleness fill (first 34 of the pre-staged 45;
+    # the 11 re-ride slots displace the tail, oldest-stays rule —
+    # split_leakage_safe, the seventh cap-mirror consumer, rides the
+    # fill on its own staleness).
     # tier 0 — claims-port re-anchor (driver regenerates testdata
     # each round; keep the reference port pinned to a fresh hash).
     "claims_normalized",
@@ -122,14 +123,65 @@ _FRONT = (
     "claims_exclusion_counts",
     "claims_by_source",
     "claims_classify_denial",
-    # tier 1 — r11 changed-plan re-rides (sized-bank law).
+    # tier 1 — r11 changed-plan re-rides (skew-parity fix classes).
+    "feat_scale_numeric",
+    "stats_power_mde",
+    "stats_cuped_adjustment",
+    "stats_paired_ttest",
+    "dedup_weighted_jaccard",
+    "dedup_components",
+    "dedup_cluster_sizes",
+    "dedup_components_star",
+    "graph_components_modularity",
+    "dedup_token_yield",
+    "dedup_apply_representatives",
+    # tier 2 — staleness fill (displaced r03-cohort head, then the
+    # r03 cohort in registration order).
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipping_priority_classes",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "agg_weighted_median_pandas",
+    "agg_argminmax",
+    "sample_split_hash",
+    "sample_stratified_lang",
+    "split_leakage_safe",
+    "sample_mixture_weights",
+    "emb_pq_encode",
+    "sim_topk_pq",
+    "text_tfidf_topk",
+    "text_boilerplate_ngrams",
+    "text_quality_quantile",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_contamination",
+    "text_bigram_logprob",
+    "text_bm25_topk",
+    "events_json_extract",
+    "events_conversion_join",
+    "events_autocorrelation",
+    # ---- exactly 50 entries. ----
+)
+_TAIL = (
+    # Demoted r11-window entries first (freshest green records),
+    # then the prior tail minus this round's promotions.
     "dedup_simhash",
     "dedup_semantic_components_lsh",
     "dedup_semantic_lsh_recall",
     "dedup_semantic_lsh_sized_bank",
     "dedup_ngram_jaccard",
     "dedup_incremental",
-    # tier 2 — staleness fill (r01 leftovers, r02 cohort, r03 head).
     "dedup_embedding_cosine",
     "text_token_stats",
     "window_distribution_funcs",
@@ -169,13 +221,6 @@ _FRONT = (
     "events_cdc_upsert_stream",
     "q7_volume_shipping",
     "q8_market_share",
-    # ---- exactly 50 entries. ----
-)
-_TAIL = (
-    # Demoted r10-window entries first (freshest green records),
-    # then the prior tail minus this round's promotions.
-    "q6_forecast_revenue",
-    "q10_returned_items",
     "graph_link_prediction_topq",
     "graph_link_prediction",
     "graph_triangle_copurchase",
@@ -300,7 +345,6 @@ _TAIL = (
     "graph_item_cf_topk",
     "graph_edge_churn",
     "graph_assortativity",
-    "graph_components_modularity",
     "graph_pointer_jump_rollup",
     "graph_label_propagation",
     "orders_open_concurrency",
@@ -328,10 +372,7 @@ _TAIL = (
     "text_quality_hashclf",
     "text_bpe_apply_fertility",
     "text_train_novelty",
-    "dedup_cluster_sizes",
-    "dedup_token_yield",
     "dedup_cdc_chunks",
-    "dedup_weighted_jaccard",
     "dedup_prefix_cluster",
     "emb_pca_project",
     "emb_knn_eval",
@@ -349,15 +390,12 @@ _TAIL = (
     "multimodal_audio_vad",
     "stats_corr_matrix",
     "stats_skew_kurtosis",
-    "stats_power_mde",
-    "stats_paired_ttest",
     "sim_topk_pq_trained",
     "claims_pseudonymize",
     "sim_ivf_recall_eval",
     "sim_topk_pq_rerank",
     "emb_pq_distortion",
     "dedup_minhash_eval",
-    "dedup_components_star",
     "mlfeat_decision_stump",
     "mlfeat_gbm_rounds",
     "text_naive_bayes",
@@ -374,14 +412,12 @@ _TAIL = (
     "feat_drift_psi",
     "feat_target_encode_cv",
     "feat_calibration_ece",
-    "feat_scale_numeric",
     "feat_categorical_encode",
     "feat_target_encode",
     "feat_hashing_vectorize",
     "feat_hashed_crosses",
     "stats_chi2_independence",
     "stats_diff_in_diff",
-    "stats_cuped_adjustment",
     "stats_srm_check",
     "stats_anova_oneway",
     "stats_ols_normal_equations",
@@ -433,7 +469,6 @@ _TAIL = (
     "sample_temperature_mixture",
     "claims_dq_report",
     "er_blocking_budget",
-    "dedup_components",
     "sim_topk_lsh",
     "text_inverted_index",
     "text_rolling_fingerprint",
@@ -456,7 +491,6 @@ _TAIL = (
     "sample_reservoir_stratified",
     "sample_temporal_split",
     "sample_systematic_weighted",
-    "dedup_apply_representatives",
     "dedup_exact_normalized",
     "emb_random_projection",
     "emb_pca_power_iteration",
@@ -468,51 +502,19 @@ _TAIL = (
     "scalar_null_funcs",
     "scalar_bitwise_funcs",
     "scalar_struct_funcs",
-    "events_json_extract",
     "events_user_totals",
-    "sample_split_hash",
     "events_ema_irregular",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipping_priority_classes",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "emb_pq_encode",
-    "sim_topk_pq",
-    "sample_stratified_lang",
-    "split_leakage_safe",
-    "sample_mixture_weights",
     "graph_pagerank",
     "profile_documents",
     "pack_concat_chunks",
-    "text_tfidf_topk",
-    "text_boilerplate_ngrams",
-    "text_quality_quantile",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "text_contamination",
-    "text_bigram_logprob",
-    "text_bm25_topk",
-    "events_conversion_join",
     "events_errors_foreachbatch",
     "events_lastk_types",
-    "events_autocorrelation",
     "events_linear_trend",
     "drift_psi_orders",
     "orders_cohort_ltv",
     "lineitem_pareto_abc",
     "multimodal_binaryfile_ingest",
     "multimodal_header_parse",
-    "agg_weighted_median_pandas",
-    "agg_argminmax",
 )
 
 
