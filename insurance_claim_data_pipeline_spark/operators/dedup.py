@@ -390,50 +390,13 @@ WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
 """
 
 
-@register("dedup_simhash", oracle=SIMHASH_ORACLE, tags=("dedup", "llm"))
-def dedup_simhash(
-    spark: SparkSession, sf_dir: str, *, m_bands: int | None = None
-) -> DataFrame:
-    """60-bit SimHash near-dup pairs, bit-identical across engines:
-    feature (5-token shingle) hash bits are md5 nibbles, the per-bit
-    majority vote over each document's shingle set forms the
-    fingerprint, and exact popcount(xor) filters to Hamming ≤ 3.
-
-    Candidate stage — SIZED multi-band banding (the fixed-bank law
-    APPLIED, VERDICT r10 #1): the corpus count picks m bands of 60/m
-    bits from :data:`SIMHASH_SIZED_CONFIGS`; a pair within Hamming ≤ 3
-    agrees exactly on ≥ m−3 bands (pigeonhole: 3 differing bits touch
-    ≤ 3 bands), so the self-equi-join runs on every C(m,3) combination
-    of m−3 bands packed into one ≤45-bit bigint key. COMPLETE for
-    distance ≤ 3 at every config — the exact popcount tail makes the
-    OUTPUT identical whichever config runs (the oracle is the
-    banding-agnostic all-pairs ground truth) — while the join-key width
-    W = (m−3)·(60/m) grows 15→24→30→42 bits with the corpus, holding
-    the random-pair collision fraction ≈ C(m,3)·2⁻ᵂ at O(1/N) and
-    candidates O(N). m=4 reproduces the original fixture-scale plan
-    row-for-row; the only added cost at larger m is C(m,3) signature
-    rows per doc (4/10/20/120 — narrow, linear).
-
-    Why sized (r10, measured): the fixed 4×15 config admits a constant
-    ≈4·2⁻¹⁵ pair fraction — 9.2 s at 10× sf0.1 but 153 s at 100×
-    (~190× wall, quadratic candidates; the third measured instance of
-    the law the dedup_semantic_lsh_sized_bank eval quantifies for
-    hyperplane LSH). r11 re-measured with the dial applied: the 100×
-    shard (500k docs) crosses into the m=5/W=24 config and the
-    candidate stage returns to output-bounded volume.
-
-    Scale: two shuffles (doc_id for the vote, (combo, key) for
-    candidates); the 60× bit explosion and the combo explosion are
-    narrow int projections inside whole-stage codegen — no UDFs
-    anywhere. The config probe is one count() on the documents scan
-    (metadata-cheap), the same bounded driver scalar the iterative
-    operators use. ``m_bands`` overrides the sizing probe (tests pin
-    each config on the fixture corpus and assert config-invariance)."""
-    doc = load_table(spark, sf_dir, "documents")
-    if m_bands is None:
-        m_bands = _simhash_bands_for(doc.count())
-    if SIMHASH_BITS % m_bands or m_bands < HAMMING_MAX + 1:
-        raise ValueError(f"m_bands must divide {SIMHASH_BITS} and exceed {HAMMING_MAX}")
+def simhash_fingerprints(doc: DataFrame) -> DataFrame:
+    """60-bit SimHash fingerprints ``(doc_id, simhash)`` — the
+    rung-INDEPENDENT stage of :func:`dedup_simhash` (md5-nibble feature
+    bits, per-bit majority vote). Extracted r12 (pure extraction,
+    expressions unchanged) so the rung lab (scripts/simhash_rungs.py)
+    can measure the banded candidate stage per config against one
+    shared fingerprint frame."""
     feat = shingle_rows(doc).withColumnRenamed("shingle", "feature")
     tokhash = feat.select("doc_id", F.md5("feature").alias("h"))
     bits = tokhash.select(
@@ -450,7 +413,7 @@ def dedup_simhash(
         ).alias("bit"),
     )
     bitsum = bits.groupBy("doc_id", "bit_idx").agg(F.sum(2 * F.col("bit") - 1).alias("s"))
-    sim = bitsum.groupBy("doc_id").agg(
+    return bitsum.groupBy("doc_id").agg(
         F.sum(
             F.expr(
                 f"case when s > 0 then shiftleft(cast(1 as bigint),"
@@ -458,6 +421,17 @@ def dedup_simhash(
             )
         ).alias("simhash")
     )
+
+
+def simhash_banded_candidates(sim: DataFrame, m_bands: int) -> DataFrame:
+    """Sized multi-band candidate stage of :func:`dedup_simhash`:
+    ``(doc_a, doc_b, ha, hb)`` pairs agreeing exactly on at least one
+    C(m,3) combination of m-3 of the m bands — pigeonhole-complete for
+    Hamming <= HAMMING_MAX at every valid m (see dedup_simhash's
+    docstring for the sizing law). Extracted r12 (pure extraction,
+    expressions unchanged)."""
+    if SIMHASH_BITS % m_bands or m_bands < HAMMING_MAX + 1:
+        raise ValueError(f"m_bands must divide {SIMHASH_BITS} and exceed {HAMMING_MAX}")
     width = SIMHASH_BITS // m_bands
     need = m_bands - HAMMING_MAX  # bands that MUST agree within Hamming <= 3
     mask = (1 << width) - 1
@@ -521,7 +495,7 @@ def dedup_simhash(
         )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -536,6 +510,52 @@ def dedup_simhash(
         )
         .distinct()
     )
+
+
+@register("dedup_simhash", oracle=SIMHASH_ORACLE, tags=("dedup", "llm"))
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, *, m_bands: int | None = None
+) -> DataFrame:
+    """60-bit SimHash near-dup pairs, bit-identical across engines:
+    feature (5-token shingle) hash bits are md5 nibbles, the per-bit
+    majority vote over each document's shingle set forms the
+    fingerprint, and exact popcount(xor) filters to Hamming ≤ 3.
+
+    Candidate stage — SIZED multi-band banding (the fixed-bank law
+    APPLIED, VERDICT r10 #1): the corpus count picks m bands of 60/m
+    bits from :data:`SIMHASH_SIZED_CONFIGS`; a pair within Hamming ≤ 3
+    agrees exactly on ≥ m−3 bands (pigeonhole: 3 differing bits touch
+    ≤ 3 bands), so the self-equi-join runs on every C(m,3) combination
+    of m−3 bands packed into one ≤45-bit bigint key. COMPLETE for
+    distance ≤ 3 at every config — the exact popcount tail makes the
+    OUTPUT identical whichever config runs (the oracle is the
+    banding-agnostic all-pairs ground truth) — while the join-key width
+    W = (m−3)·(60/m) grows 15→24→30→42 bits with the corpus, holding
+    the random-pair collision fraction ≈ C(m,3)·2⁻ᵂ at O(1/N) and
+    candidates O(N). m=4 reproduces the original fixture-scale plan
+    row-for-row; the only added cost at larger m is C(m,3) signature
+    rows per doc (4/10/20/120 — narrow, linear).
+
+    Why sized (r10, measured): the fixed 4×15 config admits a constant
+    ≈4·2⁻¹⁵ pair fraction — 9.2 s at 10× sf0.1 but 153 s at 100×
+    (~190× wall, quadratic candidates; the third measured instance of
+    the law the dedup_semantic_lsh_sized_bank eval quantifies for
+    hyperplane LSH). r11 re-measured with the dial applied: the 100×
+    shard (500k docs) crosses into the m=5/W=24 config and the
+    candidate stage returns to output-bounded volume.
+
+    Scale: two shuffles (doc_id for the vote, (combo, key) for
+    candidates); the 60× bit explosion and the combo explosion are
+    narrow int projections inside whole-stage codegen — no UDFs
+    anywhere. The config probe is one count() on the documents scan
+    (metadata-cheap), the same bounded driver scalar the iterative
+    operators use. ``m_bands`` overrides the sizing probe (tests pin
+    each config on the fixture corpus and assert config-invariance)."""
+    doc = load_table(spark, sf_dir, "documents")
+    if m_bands is None:
+        m_bands = _simhash_bands_for(doc.count())
+    sim = simhash_fingerprints(doc)
+    cand = simhash_banded_candidates(sim, m_bands)
     hamming = F.expr("bit_count(ha ^ hb)")
     return cand.filter(hamming <= HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
