@@ -38,7 +38,13 @@ from pyspark.sql import functions as F
 from ..functions.text import shingle_rows, shingles_sql, tokens
 from ..functions.vectors import as_double, cosine_sql, dot, dot_float, dot_sql, norm
 from ..registry import register
-from ..session import is_pinned, load_table, pin, pin_eager_observed
+from ..session import (
+    is_pinned,
+    load_table,
+    loop_shuffle_partitions,
+    pin,
+    pin_eager_observed,
+)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -1430,26 +1436,46 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
 
     prev = (m["n"], m["h"])
     converged = False
-    for _ in range(_STAR_MAX_ROUNDS):
-        # ONE pin per full round: each half-round references its input
-        # exactly once, so the large-star output needs no barrier of
-        # its own — the whole round is a single linear job whose
-        # convergence metrics ride the pin via observe. (The former
-        # shape's per-half-round checkpoint was itself measured against
-        # a no-barrier variant — 20.4 s vs 11.2 s — but that variant
-        # kept the self-join whose double reference re-executed the
-        # large-star plan; the one-reference rewrite removes the reason
-        # the barrier existed. Interleaved sf0.1 flagship A/B:
-        # timing-neutral locally; kept for the halved pin volume and
-        # removed join shuffle.)
-        edges, m = pin_eager_observed(
-            star(star(edges, large=True), large=False), sig_metrics()
-        )
-        cur = (m["n"], m["h"])
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    # Per-round shuffle sizing (r12): each round's job shuffles only the
+    # loop's own (shrinking) edge frame, whose row count the previous
+    # pin's observe metrics already report — size the round's exchanges
+    # from it instead of the session's corpus-scale default (measured
+    # 5.6 s → 2.7-3.1 s for the whole loop at sf0.1; output
+    # checksum-identical). Restored in the finally even on a
+    # non-converging raise; the loop is driver-sequential, so the
+    # session-level set cannot leak into a concurrent query here.
+    spark = edges.sparkSession
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for _ in range(_STAR_MAX_ROUNDS):
+            # ONE pin per full round: each half-round references its input
+            # exactly once, so the large-star output needs no barrier of
+            # its own — the whole round is a single linear job whose
+            # convergence metrics ride the pin via observe. (The former
+            # shape's per-half-round checkpoint was itself measured against
+            # a no-barrier variant — 20.4 s vs 11.2 s — but that variant
+            # kept the self-join whose double reference re-executed the
+            # large-star plan; the one-reference rewrite removes the reason
+            # the barrier existed. Interleaved sf0.1 flagship A/B:
+            # timing-neutral locally; kept for the halved pin volume and
+            # removed join shuffle. A 2-rounds-per-pin batching was also
+            # measured r12 and REJECTED: 3.5 vs 2.6 s at the sized
+            # partition counts — the doubled per-pin plan costs more than
+            # the saved pin/job overhead.)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(loop_shuffle_partitions(spark, prev[0] or 0)),
+            )
+            edges, m = pin_eager_observed(
+                star(star(edges, large=True), large=False), sig_metrics()
+            )
+            cur = (m["n"], m["h"])
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     if not converged:
         raise RuntimeError(
             f"star_contraction_components: no fixed point in "
@@ -2339,7 +2365,29 @@ def banded_signatures(aug: DataFrame, planes: DataFrame) -> DataFrame:
 def signature_candidates(sigs: DataFrame) -> DataFrame:
     """Join half of :func:`banded_sign_candidates`: SELF-EQUI-JOIN a
     ``(vec_id, band, code)`` signature frame on ``(band, code)`` into
-    distinct candidate pairs."""
+    distinct candidate pairs.
+
+    Expanding-join parallelism (r12, measured): this join's OUTPUT is
+    orders of magnitude larger than its input — a few signature rows
+    per vector fan out into every bucket-co-occupant pair — but AQE
+    sizes post-shuffle partitions by MAP-OUTPUT bytes, so a small
+    signature exchange (~0.6 MB at sf0.1) coalesces to ONE partition
+    under the default 1m ``coalescePartitions.minPartitionSize`` floor
+    and the pair explosion runs single-threaded (the flagship's
+    candidate stage measured 5.7 s vs 2.9 s at sf0.1/local[32]).
+    AQE cannot see the expansion, so pin the join's parallelism
+    explicitly: repartition the signature frame by the join key into
+    ``defaultParallelism`` partitions (scale-adaptive — the cluster's
+    core count, never a constant; an explicit-N repartition is exempt
+    from AQE coalescing). Both self-join sides reference the same
+    repartitioned frame, so the exchange is built once and reused —
+    same exchange count as the implicit plan, never fewer tasks than
+    cores. On a real cluster where the signature exchange is GB-sized,
+    AQE would already give ≥cores partitions; this floor only binds in
+    the small-input/huge-output regime, which is exactly the case AQE
+    mis-sizes."""
+    n_part = sigs.sparkSession.sparkContext.defaultParallelism
+    sigs = sigs.repartition(n_part, "band", "code")
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     return (
