@@ -694,23 +694,38 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     # signature already accepts). prev=None forces the first round.
     prev = None
     converged = False
-    for _ in range(_COMPONENTS_MAX_ROUNDS):
-        # one job per round, one join + one aggregate: the convergence
-        # checksum rides the pin's own materialization job via observe.
-        labels, m = pin_eager_observed(
-            adj.join(labels, adj.v == labels.doc_id)
-            .groupBy(F.col("u").alias("doc_id"))
-            .agg(F.min("component_id").alias("component_id")),
-            [
-                F.count(F.lit(1)).alias("n"),
-                F.expr("bit_xor(xxhash64(doc_id, component_id))").alias("h"),
-            ],
-        )
-        cur = (m["n"], m["h"])
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    # Per-round shuffle sizing from the observed label count (the same
+    # r12 rule as the star loop — see loop_shuffle_partitions): round 1
+    # runs at the session default (no observed count yet), later rounds
+    # at a count derived from the label frame the round actually
+    # shuffles. Restored in the finally.
+    spark = pairs.sparkSession
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for _ in range(_COMPONENTS_MAX_ROUNDS):
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(loop_shuffle_partitions(spark, prev[0] or 0)),
+                )
+            # one job per round, one join + one aggregate: the convergence
+            # checksum rides the pin's own materialization job via observe.
+            labels, m = pin_eager_observed(
+                adj.join(labels, adj.v == labels.doc_id)
+                .groupBy(F.col("u").alias("doc_id"))
+                .agg(F.min("component_id").alias("component_id")),
+                [
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(doc_id, component_id))").alias("h"),
+                ],
+            )
+            cur = (m["n"], m["h"])
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     if not converged:
         # Silently returning partial labels would mis-cluster long
         # chains with no signal; fail loudly instead.

@@ -228,6 +228,15 @@ def get_spark(app_name: str = "insurance_claim_data_pipeline_spark") -> SparkSes
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Allow shuffled-hash joins where Spark's size conditions hold
+        # (r12, guide §3.1/§9): sort-merge pays two per-partition sorts
+        # that a hash build skips; the planner still falls back to SMJ
+        # when neither side can build a local map, and AQE skew
+        # splitting applies to SHJ too. Interleaved A/B over the 21
+        # bench queries: total 16.65 → 15.40 s, flagship 7.31 → 6.24
+        # (the candidate self-join's two signature sorts removed), no
+        # per-query regression beyond noise.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
         # timestamp type, so read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -266,6 +275,8 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # allow shuffled-hash join — see get_spark for the measured rationale
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
