@@ -947,8 +947,23 @@ def incremental_dedup_frame(doc: DataFrame, max_df: int | None = None) -> DataFr
     )
     csh = sh_all.filter(~F.col("_is_batch")).drop("_is_batch")
     bsh = sh_all.filter(F.col("_is_batch")).drop("_is_batch")
-    csz = csh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c_sz"))
-    bsz = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("b_sz"))
+    # ONE set-size aggregation over the whole shingle set, branched by
+    # the (deterministic, doc_id-derived) membership flag AFTER the agg
+    # (r12): per-side groupBys put the filters below the aggregates, so
+    # the two subtrees shared nothing and the shingle set was
+    # aggregated twice through two exchanges; aggregating once and
+    # filtering the ~per-doc-count output costs one exchange and one
+    # pass. max(_is_batch) is exact — the flag is a function of the
+    # grouping key, constant within every group.
+    sizes_all = sh_all.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz"), F.max("_is_batch").alias("_is_batch")
+    )
+    csz = sizes_all.filter(~F.col("_is_batch")).select(
+        "doc_id", F.col("sz").alias("c_sz")
+    )
+    bsz = sizes_all.filter(F.col("_is_batch")).select(
+        "doc_id", F.col("sz").alias("b_sz")
+    )
     c_idx, b_idx = csh, bsh
     if max_df is not None:
         hot = (
