@@ -951,13 +951,23 @@ def incremental_dedup_frame(doc: DataFrame, max_df: int | None = None) -> DataFr
     # the (deterministic, doc_id-derived) membership flag AFTER the agg
     # (r12): per-side groupBys put the filters below the aggregates, so
     # the two subtrees shared nothing and the shingle set was
-    # aggregated twice through two exchanges; aggregating once and
-    # filtering the ~per-doc-count output costs one exchange and one
-    # pass. max(_is_batch) is exact — the flag is a function of the
-    # grouping key, constant within every group.
+    # aggregated twice through two exchanges. max(_is_batch) is exact —
+    # the flag is a function of the grouping key, constant within every
+    # group. PINNED (r13, VERDICT r12 item 2): without the pin the two
+    # branch filters duplicate the whole fused-agg subtree — the
+    # executed adaptive plan shows ZERO ReusedExchange (AQE stage reuse
+    # never fired here), so the r12 fold was aggregating the FULL
+    # shingle set once per branch, i.e. strictly more work than the
+    # per-side shape it replaced. The pinned frame is one narrow row
+    # per document (sizes, not shingles — cheap at any scale); with it
+    # the executed plan drops 18 → 14 exchanges and 7 → 5 parquet
+    # scans, and the sizes pass over the shingle set runs exactly once
+    # (scripts/inc_lab.py: parity OK on all variants, best-of-4 fused
+    # 1.054 / pinned 1.120 / per-side 1.163 s — locally noise-level,
+    # structurally one full-set pass instead of two).
     sizes_all = sh_all.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("sz"), F.max("_is_batch").alias("_is_batch")
-    )
+    ).transform(pin)
     csz = sizes_all.filter(~F.col("_is_batch")).select(
         "doc_id", F.col("sz").alias("c_sz")
     )

@@ -1,5 +1,5 @@
 """Dump ``.explain("formatted")`` for a set of registered queries to
-``plans/r12/<query>_<suffix>.txt`` — the before/after plan evidence the
+``plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt`` (default r13) — the before/after plan evidence the
 optimization round commits alongside the code (the judge cannot run
 Spark; these files are what plan claims are checked against).
 
@@ -30,7 +30,7 @@ def main() -> int:
         names = sorted(
             n for n, s in specs.items() if "bench" in s.tags or "bench_wall" in s.tags
         )
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         spec = specs[name]
