@@ -40,6 +40,7 @@ from pyspark.sql.group import GroupedData
 
 from ..functions.stable import dec, dec_sum, dec_sum_sql
 from ..functions.guards import nonzero
+from ..functions.localframe import local_frame
 from ..registry import register
 from ..session import load_table, pin, tiny_frame_key
 
@@ -3095,8 +3096,8 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         # over the whole fact table — the audit's 2-scan floor case.
         .transform(pin)
     )
-    chans = spark.createDataFrame(
-        [(1 << i, c) for i, c in enumerate(_SHAPLEY_CHANNELS)], "bit long, channel string"
+    chans = local_frame(
+        spark, [(1 << i, c) for i, c in enumerate(_SHAPLEY_CHANNELS)], "bit long, channel string"
     )
     weight = None
     for sbits, w in _SHAPLEY_W24.items():

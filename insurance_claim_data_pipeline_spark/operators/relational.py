@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.stable import dec, dec_avg, dec_sum, dec_sum_sql
 from ..functions.guards import nonzero
+from ..functions.localframe import local_frame
 from ..registry import register
 from ..session import load_table, pin, tiny_frame_key
 
@@ -419,7 +420,8 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical plan; for large-large range joins see the as-of join's
     union+window technique instead."""
     part = _t(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = local_frame(
+        spark,
         [("900-925", 900.0, 925.0), ("925-950", 925.0, 950.0),
          ("950-975", 950.0, 975.0), ("975-1000", 975.0, 1000.0)],
         "band string, lo double, hi double",

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.stable import mean_e12, mean_e12_sql
 from ..functions.vectors import as_double, cosine, cosine_sql, dot, dot_sql, norm
 from ..functions.guards import nonzero
+from ..functions.localframe import local_frame
 from ..registry import register
 from ..session import load_table, pin, tiny_frame_key
 
@@ -306,7 +307,12 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
         .select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_emb"))
         .collect()
     }
-    cent = spark.createDataFrame(sorted(prev.items()), "c_id int, c_emb array<double>")
+    # local_frame, not createDataFrame (r13): the per-round centroid
+    # frame was an RDD leaf — every Lloyd round paid a pickle →
+    # parallelize → Scan ExistingRDD → broadcast-collect round-trip
+    # for K rows the driver already holds. A VALUES-literal
+    # LocalRelation broadcasts directly.
+    cent = local_frame(spark, sorted(prev.items()), "c_id int, c_emb array<double>")
     for _ in range(iters):
         # struct-min assignment (ccos desc via exact negation, ties to
         # lower c_id) — map-side combinable like the PQ trainer's, so
@@ -354,8 +360,8 @@ def train_ivf_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
             by_c.setdefault(r["c_id"], [0.0] * 64)[r["dim"]] = r["m"]
         # empty clusters keep their previous centroid (standard Lloyd fix)
         prev.update(by_c)
-        cent = spark.createDataFrame(
-            sorted(prev.items()), "c_id int, c_emb array<double>"
+        cent = local_frame(
+            spark, sorted(prev.items()), "c_id int, c_emb array<double>"
         )
     return cent
 
@@ -536,7 +542,10 @@ def _plane_weights(spark: SparkSession):
             h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
             w.append((h % 2001 - 1000) / 1000.0)
         rows.append((p, w))
-    return spark.createDataFrame(rows, "plane int, w array<double>")
+    # VALUES-literal LocalRelation, not an RDD leaf (r13 — the r12
+    # flagship plane-bank recipe, shared helper): the constant bank
+    # broadcast no longer pays an RDD scan + pickle round-trip.
+    return local_frame(spark, rows, "plane int, w array<double>")
 
 
 def _lsh_oracle() -> str:
@@ -1247,7 +1256,10 @@ def train_pq_codebooks(emb: DataFrame, iters: int = PQ_KMEANS_ITERS) -> DataFram
         .select("m", F.col("vec_id").alias("k"), F.col("sv").alias("a"))
         .collect()
     }
-    cb = spark.createDataFrame(
+    # local_frame for the same reason as the IVF trainer above (r13):
+    # the per-round codebook is M·K driver-held rows, not an RDD.
+    cb = local_frame(
+        spark,
         [(m, k, v) for (m, k), v in sorted(prev.items())],
         "m int, k int, a array<double>",
     )
@@ -1276,7 +1288,8 @@ def train_pq_codebooks(emb: DataFrame, iters: int = PQ_KMEANS_ITERS) -> DataFram
             by_mk.setdefault((r["m"], r["k"]), [0.0] * PQ_SUB)[r["dim"]] = r["mu"]
         # empty cells keep their previous entry (standard Lloyd fix)
         prev.update(by_mk)
-        cb = spark.createDataFrame(
+        cb = local_frame(
+            spark,
             [(m, k, v) for (m, k), v in sorted(prev.items())],
             "m int, k int, a array<double>",
         )
@@ -3307,7 +3320,7 @@ def sim_rerank_depth_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    ds = spark.createDataFrame([(d,) for d in RERANK_DEPTHS], "depth int")
+    ds = local_frame(spark, [(d,) for d in RERANK_DEPTHS], "depth int")
     resc = (
         shortlist.join(emb, F.col("neighbor_id") == F.col("vec_id"))
         .join(F.broadcast(q), "query_id")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingle_rows, shingles, shingles_sql, tokens
 from ..functions.guards import nonzero
+from ..functions.localframe import local_frame
 from ..registry import register
 from ..session import load_table, pin
 
@@ -2809,8 +2810,8 @@ def sim_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q2 = (
         exp_terms.unionByName(
-            base.sparkSession.createDataFrame(
-                [(t, 1.0) for t in BM25_QUERY], "term string, wt double"
+            local_frame(
+                base.sparkSession, [(t, 1.0) for t in BM25_QUERY], "term string, wt double"
             )
         )
         .transform(pin)
@@ -3098,8 +3099,8 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, pair lexicographic) for cross-engine determinism.
     The returned 4-row merge table is the trained model."""
     _, merges = _bpe_train(spark, sf_dir)
-    return spark.createDataFrame(
-        merges, "step BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    return local_frame(
+        spark, merges, "step BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
     )
 
 

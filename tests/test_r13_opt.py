@@ -75,6 +75,29 @@ def test_local_frame_rejects_unknown_types(spark):
         local_frame(spark, [(object(),)], "o string")
 
 
+def test_plane_weights_is_local_relation(spark):
+    """r13 VALUES-literal migration (VERDICT r12 item 3): the similarity
+    plane bank must be a LocalRelation leaf (broadcastable directly),
+    never the createDataFrame pickle→parallelize RDD path, and its
+    weights must still be the exact md5-derived constants."""
+    import hashlib
+
+    from insurance_claim_data_pipeline_spark.operators.similarity import (
+        N_PLANES,
+        _plane_weights,
+    )
+
+    planes = _plane_weights(spark)
+    plan = planes._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    rows = {r["plane"]: list(r["w"]) for r in planes.collect()}
+    assert sorted(rows) == list(range(N_PLANES))
+    for p in rows:
+        for d in (0, 31, 63):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            assert rows[p][d] == (h % 2001 - 1000) / 1000.0
+
+
 def test_incremental_sizes_agg_is_pinned(spark, sf_dir):
     """r13 (VERDICT r12 item 2): the fused set-sizes aggregate must be
     PINNED — without the pin the two branch filters duplicate the whole
