@@ -42,6 +42,7 @@ from ..session import (
     is_pinned,
     load_table,
     loop_shuffle_partitions,
+    parquet_num_rows,
     pin,
     pin_eager_observed,
 )
@@ -559,7 +560,10 @@ def dedup_simhash(
     each config on the fixture corpus and assert config-invariance)."""
     doc = load_table(spark, sf_dir, "documents")
     if m_bands is None:
-        m_bands = _simhash_bands_for(doc.count())
+        # footer-metadata probe (r13): the sizing scalar comes from the
+        # parquet footers' num_rows, not a Spark count() job — same
+        # number, one less job per run (session.parquet_num_rows).
+        m_bands = _simhash_bands_for(parquet_num_rows(sf_dir, "documents"))
     sim = simhash_fingerprints(doc)
     cand = simhash_banded_candidates(sim, m_bands)
     hamming = F.expr("bit_count(ha ^ hb)")
@@ -2090,10 +2094,11 @@ def semantic_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sized bank (r11): rows_per_band from the corpus count via the
     # shared ladder — rows=3 at every driver SF (N ≤ 5000: identical
     # bank, identical hashes), the measured-linear 10+log2(N/5000)
-    # regime beyond. The probe counts the UNFILTERED table (metadata
-    # count, no embedding-column scan); the dial is log-scaled, so the
-    # NULL fraction cannot move a rung.
-    n_rows = _sem_lsh_rows_for(load_table(spark, sf_dir, "embeddings").count())
+    # regime beyond. The probe counts the UNFILTERED table from the
+    # parquet FOOTER metadata (r13 — no Spark job at all, where the
+    # r12 count() spent ~0.45 s of the flagship wall scheduling one);
+    # the dial is log-scaled, so the NULL fraction cannot move a rung.
+    n_rows = _sem_lsh_rows_for(parquet_num_rows(sf_dir, "embeddings"))
     # Candidate stage is the SHARED banded_sign_candidates helper (the
     # same code the production-threshold pruning certificate certifies
     # — one source of truth for the plan shape, r06 review finding).

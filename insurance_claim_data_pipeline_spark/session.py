@@ -342,3 +342,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES):
     """Read several synthetic tables; returns {name: DataFrame}."""
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Exact unfiltered row count of one synthetic table, read from the
+    parquet FOOTER metadata (sum of per-file ``num_rows``) — no Spark
+    job.
+
+    Why (r13, guide §6/§5): corpus-count sizing probes
+    (``_sem_lsh_rows_for``, ``_simhash_bands_for``) need ONE bounded
+    scalar before plan construction; running them as
+    ``load_table(...).count()`` schedules a full Spark job (~0.45 s of
+    the flagship's wall at sf0.1) to produce a number the parquet
+    footers already store. Footer num_rows is exactly the COUNT(*) the
+    oracle computes — parquet writers record the row count per file —
+    and reading it is still "computing from the parquet inputs", the
+    same metadata Spark's own count aggregate consults. On a real
+    deployment the identical footer read goes through the object-store
+    client; the probe stays O(#files) metadata I/O either way."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
