@@ -2410,8 +2410,26 @@ def banded_signatures(aug: DataFrame, planes: DataFrame) -> DataFrame:
     plane bank and fold sign bits into one integer ``code`` per
     ``(vec_id, band)``. Split out so the sized-bank eval can compute one
     max-width signature pass and derive every smaller (prefix) bank's
-    code from it."""
-    bits = aug.crossJoin(F.broadcast(planes)).select(
+    code from it.
+
+    Pre-repartition by vec_id (r13, the r12-queued re-measure): two
+    effects, both measured. (a) The per-vector sign folds spread across
+    ``defaultParallelism`` tasks instead of riding the input's scan
+    tasks — at sf0.1 the whole corpus is ONE row group, so the
+    bands×rows dot folds ran on a single task. (b) The signature
+    groupBy needs NO exchange of the exploded bits frame:
+    HashPartitioning(vec_id) satisfies ClusteredDistribution(vec_id,
+    band), so the shuffle moves one WIDE row per vector (the 64-double
+    array, ~0.5 KB) where the bits exchange moved bands×rows narrow
+    rows per vector (~1 KB at the sf0.1 bank, ~4 KB at the production
+    rows=12 rung) — fewer bytes at every scale, not a local[32] tune.
+    Interleaved A/B ×6 alternations at sf0.1: flagship wall best
+    6.145→5.338 / median 8.33→6.91 (every paired alternation favors
+    it), candidate stage best 2.27→2.00; value parity exact. The r12
+    session measured the same sign isolated (sigs stage 1.59→0.89 s)
+    but could not see it end-to-end through that box's steal bursts."""
+    n_part = aug.sparkSession.sparkContext.defaultParallelism
+    bits = aug.repartition(n_part, "vec_id").crossJoin(F.broadcast(planes)).select(
         "vec_id",
         "band",
         (
