@@ -682,14 +682,23 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     # aggregate per round, where the self-loop-free shape needed a
     # second join of the labels frame against the per-node minima
     # (plus a null-coalesce for isolated-in-round nodes).
-    adj = (
+    # Eagerly pinned WITH an observed row count (r13, ADVICE r12): each
+    # round's join shuffles BOTH the shrinking labels frame (~V rows)
+    # and this fixed adjacency frame (2E+V rows); sizing rounds from
+    # the label count alone under-partitions dense graphs (E ≫ V) by
+    # ~E/V, far past the 262k-rows/task design grain. The adjacency
+    # count is known once — observe it on the pin the loop needed
+    # anyway (the eager pin splits adj materialization out of round 1's
+    # job; the work is identical).
+    adj, madj = pin_eager_observed(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .unionByName(
             verts.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v"))
-        )
-        .transform(pin)  # consumed once per round; materialized lazily
+        ),
+        [F.count(F.lit(1)).alias("n")],
     )
+    adj_n = madj["n"] or 0
     labels = verts.select("doc_id", F.col("doc_id").alias("component_id"))
     # Convergence = the labels checksum stops changing (the star loop's
     # count + order-independent bit_xor-of-xxhash64 signature — labels
@@ -698,11 +707,11 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     # signature already accepts). prev=None forces the first round.
     prev = None
     converged = False
-    # Per-round shuffle sizing from the observed label count (the same
-    # r12 rule as the star loop — see loop_shuffle_partitions): round 1
-    # runs at the session default (no observed count yet), later rounds
-    # at a count derived from the label frame the round actually
-    # shuffles. Restored in the finally.
+    # Per-round shuffle sizing from the observed counts (the r12 rule,
+    # adjacency-aware since r13): round 1 runs at the session default
+    # (no observed label count yet), later rounds at the LARGER of the
+    # label count and the fixed adjacency count — the round's join
+    # shuffles both frames. Restored in the finally.
     spark = pairs.sparkSession
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -710,7 +719,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
             if prev is not None:
                 spark.conf.set(
                     "spark.sql.shuffle.partitions",
-                    str(loop_shuffle_partitions(spark, prev[0] or 0)),
+                    str(loop_shuffle_partitions(max(prev[0] or 0, adj_n))),
                 )
             # one job per round, one join + one aggregate: the convergence
             # checksum rides the pin's own materialization job via observe.
@@ -1508,7 +1517,7 @@ def star_contraction_components(pairs: DataFrame) -> DataFrame:
             # the saved pin/job overhead.)
             spark.conf.set(
                 "spark.sql.shuffle.partitions",
-                str(loop_shuffle_partitions(spark, prev[0] or 0)),
+                str(loop_shuffle_partitions(prev[0] or 0)),
             )
             edges, m = pin_eager_observed(
                 star(star(edges, large=True), large=False), sig_metrics()

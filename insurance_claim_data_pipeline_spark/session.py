@@ -158,7 +158,7 @@ def pin_eager(df):
 _LOOP_ROWS_PER_TASK = 262_144  # ~4 MB of (long, long) edge rows per task
 
 
-def loop_shuffle_partitions(spark, n_rows: int) -> int:
+def loop_shuffle_partitions(n_rows: int) -> int:
     """Shuffle-partition count for one iteration of a driver-side loop
     whose working frame holds ``n_rows`` narrow rows — derived from the
     OBSERVED row count (the loop's own convergence metrics), never a

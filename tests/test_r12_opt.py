@@ -46,13 +46,13 @@ def test_signature_candidates_pins_expanding_join_parallelism(spark, sf_dir):
 
 def test_loop_shuffle_partitions_formula():
     # tiny loop frames -> 1 partition; growth is linear in rows with the
-    # ~262k rows/task grain; never 0
-    assert loop_shuffle_partitions(None, 0) == 1
-    assert loop_shuffle_partitions(None, 917) == 1
-    assert loop_shuffle_partitions(None, 131_072) == 1
-    assert loop_shuffle_partitions(None, 131_073) == 2
-    assert loop_shuffle_partitions(None, 10_000_000) == 77
-    assert loop_shuffle_partitions(None, 1_000_000_000) == 7630
+    # ~262k rows/task grain; never 0 (spark param dropped r13, ADVICE r12)
+    assert loop_shuffle_partitions(0) == 1
+    assert loop_shuffle_partitions(917) == 1
+    assert loop_shuffle_partitions(131_072) == 1
+    assert loop_shuffle_partitions(131_073) == 2
+    assert loop_shuffle_partitions(10_000_000) == 77
+    assert loop_shuffle_partitions(1_000_000_000) == 7630
 
 
 def test_star_loop_restores_shuffle_partitions(spark):
