@@ -228,23 +228,23 @@ def get_spark(app_name: str = "insurance_claim_data_pipeline_spark") -> SparkSes
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Allow shuffled-hash joins where Spark's size conditions hold
-        # (r12, guide §3.1/§9): sort-merge pays two per-partition sorts
-        # that a hash build skips; the planner still falls back to SMJ
-        # when neither side can build a local map, and AQE skew
-        # splitting applies to SHJ too. Interleaved A/B over the 21
-        # bench queries: total 16.65 → 15.40 s, flagship 7.31 → 6.24
-        # (the candidate self-join's two signature sorts removed), no
-        # per-query regression beyond noise.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        # …and let AQE redo the SMJ→SHJ decision at runtime from ACTUAL
-        # map sizes (r12): static stats over cross-join/aggregate
-        # subtrees are inflated (the LSH signature pipelines estimate
-        # huge), so the static planner keeps SMJ where the real per-
-        # partition build side is kilobytes. 64 MB per-partition build
-        # cap = the session's broadcast threshold; size-based, so the
-        # decision scales with the data, not the venue. Two interleaved
-        # bench A/Bs: total 18.37 → 17.93 and 17.40 → 16.14 s.
+        # Shuffled-hash joins via the AQE runtime rewrite ONLY (r13,
+        # ADVICE r12): sort-merge pays two per-partition sorts a hash
+        # build skips, but the r12 static opt-in
+        # (preferSortMergeJoin=false) made the PLANNER pick SHJ from
+        # size ESTIMATES, which are unreliable over the cross-join/
+        # aggregate subtrees here — an underestimated build side OOMs,
+        # since SHJ's hash map cannot spill the way SMJ's sort does.
+        # The AQE rewrite decides per partition from ACTUAL map output
+        # bytes, capped at the session's 64 MB broadcast threshold, so
+        # it is size-safe and scales with the data, not the venue.
+        # Interleaved A/B over the 21 bench queries (r13): static+AQE
+        # 17.279 vs AQE-only 17.333 s total, per-query divergences not
+        # reproducible across batteries — a measured tie, so the
+        # scale-safe setting wins. (r12's A/Bs credited the static
+        # conf 16.65 → 15.40 before the AQE threshold existed; with
+        # the runtime rewrite in place the static pick adds risk, not
+        # speed.)
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),
@@ -287,8 +287,8 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-    # allow shuffled-hash join — see get_spark for the measured rationale
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    # shuffled-hash joins via the size-safe AQE runtime rewrite only —
+    # see get_spark for the measured rationale (r13)
     spark.conf.set(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         str(64 * 1024 * 1024),

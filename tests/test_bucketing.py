@@ -49,10 +49,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path, no_broadcast):
         # the join itself must read both sides bucket-aligned: no shuffle
         # before the join (the only Exchange allowed is the 5-group
         # aggregate after it). Either shuffle-exchange-free join impl
-        # qualifies — with preferSortMergeJoin=false (r12) the planner
-        # may legally pick ShuffledHashJoin over the bucketed layout;
-        # what this test pins is the ABSENCE of a re-shuffle, not the
-        # join algorithm.
+        # qualifies — under the AQE SMJ→SHJ rewrite (r12/r13) the
+        # runtime may legally pick ShuffledHashJoin over the bucketed
+        # layout; what this test pins is the ABSENCE of a re-shuffle,
+        # not the join algorithm.
         join_name = (
             "SortMergeJoin" if "SortMergeJoin" in plan else "ShuffledHashJoin"
         )
