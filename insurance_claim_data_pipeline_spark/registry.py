@@ -105,38 +105,75 @@ def _load_modules() -> None:
 # lists (newly added operators) slot in right after the unproven block,
 # so a new query is always driver-visible before an old green one.
 _FRONT = (
-    # Round-12 window (steady-state staleness rotation; driver checks
-    # the FIRST 50 queries() entries). Composition per COVERAGE.md
-    # 'Round-12 window plan': claims re-anchors + the r11 changed-plan
-    # re-rides (skew-parity fixes whose live plans/oracles have no
-    # post-change driver hash: the ROUND(...,6) z-score, the three
-    # DECIMAL(38,6) per-row quantizations, the post-rotation
-    # weighted-jaccard cap, and the six COMPONENTS_ORACLE cap-mirror
-    # consumers) + the staleness fill (first 34 of the pre-staged 45;
-    # the 11 re-ride slots displace the tail, oldest-stays rule —
-    # split_leakage_safe, the seventh cap-mirror consumer, rides the
-    # fill on its own staleness).
-    # tier 0 — claims-port re-anchor (driver regenerates testdata
-    # each round; keep the reference port pinned to a fresh hash).
+    # Round-13 window (steady-state staleness rotation; driver checks
+    # the FIRST 50 queries() entries). Composition per the r12 VERDICT
+    # item 1 + the changed-plan re-ride rule: claims re-anchors, then
+    # EVERY r12/r13-touched path with no post-change driver hash —
+    # the r12 set staged before its optimizer ran (dedup_incremental,
+    # the semantic-LSH family, ngram, simhash) and the r13 changed
+    # plans (VALUES-literal consumers, vec_id pre-repartition family,
+    # adjacency-aware min-label sizing consumers) — then the
+    # oldest-record staleness fill (r03/r04 cohorts).
     "claims_normalized",
     "claims_candidates",
     "claims_exclusion_counts",
     "claims_by_source",
     "claims_classify_denial",
-    # tier 1 — r11 changed-plan re-rides (skew-parity fix classes).
+    "dedup_incremental",
+    "dedup_semantic_components_lsh",
+    "dedup_semantic_lsh_recall",
+    "dedup_semantic_lsh_sized_bank",
+    "dedup_semantic_lsh_pruning",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_lsh",
+    "sim_topk_ivf_trained",
+    "sim_topk_pq_trained",
+    "sim_rerank_depth_sweep",
+    "events_attribution_shapley",
+    "join_range_bands",
+    "sim_prf_query_expansion",
+    "text_bpe_train_merges",
+    "text_bpe_apply_fertility",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_cluster_sizes",
+    "dedup_token_yield",
+    "dedup_apply_representatives",
+    "graph_components_modularity",
+    "events_linear_trend",
+    "drift_psi_orders",
+    "orders_cohort_ltv",
+    "lineitem_pareto_abc",
+    "multimodal_binaryfile_ingest",
+    "multimodal_header_parse",
+    "graph_pagerank",
+    "profile_documents",
+    "pack_concat_chunks",
+    "events_ema_irregular",
+    "events_errors_foreachbatch",
+    "events_user_totals",
+    "events_lastk_types",
+    "sort_range_partitioned",
+    "sort_zorder_interleave",
+    "join_asof_nearest",
+    "scalar_struct_funcs",
+    "scalar_null_funcs",
+    "scalar_bitwise_funcs",
+    "sample_reservoir_stratified",
+    "sample_temporal_split",
+    "sample_systematic_weighted",
+    "dedup_exact_normalized",
+    # ---- exactly 50 entries. ----
+)
+_TAIL = (
+    # Demoted r12-window entries first (freshest green records),
+    # then the prior tail minus this round's promotions.
     "feat_scale_numeric",
     "stats_power_mde",
     "stats_cuped_adjustment",
     "stats_paired_ttest",
     "dedup_weighted_jaccard",
-    "dedup_components",
-    "dedup_cluster_sizes",
-    "dedup_components_star",
-    "graph_components_modularity",
-    "dedup_token_yield",
-    "dedup_apply_representatives",
-    # tier 2 — staleness fill (displaced r03-cohort head, then the
-    # r03 cohort in registration order).
     "q6_forecast_revenue",
     "q10_returned_items",
     "q13_customer_distribution",
@@ -171,17 +208,6 @@ _FRONT = (
     "events_json_extract",
     "events_conversion_join",
     "events_autocorrelation",
-    # ---- exactly 50 entries. ----
-)
-_TAIL = (
-    # Demoted r11-window entries first (freshest green records),
-    # then the prior tail minus this round's promotions.
-    "dedup_simhash",
-    "dedup_semantic_components_lsh",
-    "dedup_semantic_lsh_recall",
-    "dedup_semantic_lsh_sized_bank",
-    "dedup_ngram_jaccard",
-    "dedup_incremental",
     "dedup_embedding_cosine",
     "text_token_stats",
     "window_distribution_funcs",
@@ -224,10 +250,8 @@ _TAIL = (
     "graph_link_prediction_topq",
     "graph_link_prediction",
     "graph_triangle_copurchase",
-    "sim_topk_ivf_trained",
     "sim_topk_ivf",
     "text_jsd_split_shift",
-    "text_bpe_train_merges",
     "stats_mann_whitney",
     "graph_kcore",
     "orders_rfm_segmentation",
@@ -243,7 +267,6 @@ _TAIL = (
     "join_left_semi",
     "join_left_anti",
     "join_full_outer",
-    "join_range_bands",
     "window_order_stats",
     "window_rank_functions",
     "sort_topk_global",
@@ -334,7 +357,6 @@ _TAIL = (
     "events_metric_tree",
     "events_stickiness_ratio",
     "events_attribution_ushape",
-    "events_attribution_shapley",
     "events_m4_downsample",
     "events_holt_linear",
     "events_forecast_backtest",
@@ -370,7 +392,6 @@ _TAIL = (
     "text_dsir_importance",
     "text_block_dedup",
     "text_quality_hashclf",
-    "text_bpe_apply_fertility",
     "text_train_novelty",
     "dedup_cdc_chunks",
     "dedup_prefix_cluster",
@@ -381,8 +402,6 @@ _TAIL = (
     "emb_isotropy_score",
     "sim_topk_l2",
     "sim_ivf_nprobe_sweep",
-    "sim_rerank_depth_sweep",
-    "sim_prf_query_expansion",
     "multimodal_audio_framing",
     "multimodal_phash_buckets",
     "multimodal_shot_boundaries",
@@ -390,7 +409,6 @@ _TAIL = (
     "multimodal_audio_vad",
     "stats_corr_matrix",
     "stats_skew_kurtosis",
-    "sim_topk_pq_trained",
     "claims_pseudonymize",
     "sim_ivf_recall_eval",
     "sim_topk_pq_rerank",
@@ -431,7 +449,6 @@ _TAIL = (
     "warehouse_clustering_depth",
     "sink_compaction_plan",
     "sink_orc_roundtrip",
-    "dedup_semantic_lsh_pruning",
     "feature_prep_pipeline",
     "curation_prep_pipeline",
     "text_lm_crossval",
@@ -469,7 +486,6 @@ _TAIL = (
     "sample_temperature_mixture",
     "claims_dq_report",
     "er_blocking_budget",
-    "sim_topk_lsh",
     "text_inverted_index",
     "text_rolling_fingerprint",
     "lineitem_pareto_abc_dist",
@@ -485,13 +501,6 @@ _TAIL = (
     "events_rolling_distinct_users_approx",
     "events_dwell_time_approx",
     "profile_documents_approx",
-    "sort_range_partitioned",
-    "sort_zorder_interleave",
-    "join_asof_nearest",
-    "sample_reservoir_stratified",
-    "sample_temporal_split",
-    "sample_systematic_weighted",
-    "dedup_exact_normalized",
     "emb_random_projection",
     "emb_pca_power_iteration",
     "emb_gram_matrix",
@@ -499,22 +508,6 @@ _TAIL = (
     "text_compression_ratio",
     "text_bpe_pretokenize",
     "text_vocab_coverage",
-    "scalar_null_funcs",
-    "scalar_bitwise_funcs",
-    "scalar_struct_funcs",
-    "events_user_totals",
-    "events_ema_irregular",
-    "graph_pagerank",
-    "profile_documents",
-    "pack_concat_chunks",
-    "events_errors_foreachbatch",
-    "events_lastk_types",
-    "events_linear_trend",
-    "drift_psi_orders",
-    "orders_cohort_ltv",
-    "lineitem_pareto_abc",
-    "multimodal_binaryfile_ingest",
-    "multimodal_header_parse",
 )
 
 
